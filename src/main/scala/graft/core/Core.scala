@@ -1,0 +1,71 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table loader over the driver-provided parquet lake
+  * (see /root/repo/TESTDATA.md). One parquet file per table; Spark's
+  * vectorized parquet reader + Catalyst column pruning / filter pushdown
+  * make this the single scan entry point for every operator.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    // rejects; read it as raw nanos and convert to a micros timestamp (the
+    // data is whole-micros, so this is lossless). DuckDB reads the same
+    // column as TIMESTAMP_NS — oracle SQL casts outputs to TIMESTAMP (us)
+    // to keep both engines' output types aligned.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  /** Register every table as a temp view (for spark.sql-authored queries). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+}
+
+/** Cross-engine numeric determinism helpers.
+  *
+  * All money/measure columns in the test data are exact 2-decimal values
+  * stored as doubles. Summing doubles is order-dependent (Spark's partial
+  * aggregation + shuffle visits rows in a different order than DuckDB's
+  * vectorized agg), so any `sum(double)` would differ in the last ulps
+  * between engines. Casting to decimal first makes the aggregation EXACT
+  * (integer arithmetic) in both engines, and the final decimal→double cast
+  * is deterministic (round-to-nearest of the same exact value). This is the
+  * engine-side half of the determinism contract in SURVEY.md §2b.
+  */
+object Exact {
+  /** Exact 2-decimal view of a money/measure double column. */
+  def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Order-independent, cross-engine-exact sum of a 2-decimal double. */
+  def sumd(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** Exact mean: exact decimal sum divided (in double) by the count. */
+  def avgd(c: Column): Column = sumd(c) / count(lit(1))
+}
+
+/** Query registry entry: the Spark build function plus the DuckDB oracle
+  * SQL (None → the driver records a weaker rows-only check).
+  */
+final case class Q(
+    name: String,
+    oracle: Option[String],
+    build: (SparkSession, String) => DataFrame)
+
+object Q {
+  def apply(name: String, oracle: String)(
+      build: (SparkSession, String) => DataFrame): Q =
+    Q(name, Some(oracle), build)
+
+  def noOracle(name: String)(build: (SparkSession, String) => DataFrame): Q =
+    Q(name, None, build)
+}

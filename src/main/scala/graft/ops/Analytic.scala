@@ -1,0 +1,338 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Q, Tables => T}
+import graft.core.Exact._
+
+/** Relational operator inventory Q19–Q27 (SURVEY.md §2b): set ops, the
+  * scalar-function surface, subqueries, CTEs.
+  */
+object Analytic {
+
+  /** Q19a — UNION (distinct) of two order subsets. Spark: union + distinct
+    * (one shuffle); at scale identical to any dedup-by-key plan.
+    */
+  val q19 = Q(
+    "q19_union",
+    """SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+       UNION
+       SELECT o_orderkey FROM orders WHERE o_totalprice > 150000
+       ORDER BY o_orderkey""") { (s, dir) =>
+    val o = T(s, dir, "orders")
+    o.filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+      .union(o.filter(col("o_totalprice") > 150000).select(col("o_orderkey")))
+      .distinct()
+      .orderBy("o_orderkey")
+  }
+
+  /** Q19b — UNION ALL (bag semantics; duplicates survive, adjacent after
+    * the total-order sort so the rendered result is still hash-stable).
+    */
+  val q19b = Q(
+    "q19_union_all",
+    """SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+       UNION ALL
+       SELECT o_orderkey FROM orders WHERE o_totalprice > 150000
+       ORDER BY o_orderkey""") { (s, dir) =>
+    val o = T(s, dir, "orders")
+    o.filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+      .union(o.filter(col("o_totalprice") > 150000).select(col("o_orderkey")))
+      .orderBy("o_orderkey")
+  }
+
+  /** Q19c — INTERSECT. */
+  val q19c = Q(
+    "q19_intersect",
+    """SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+       INTERSECT
+       SELECT o_orderkey FROM orders WHERE o_totalprice > 150000
+       ORDER BY o_orderkey""") { (s, dir) =>
+    val o = T(s, dir, "orders")
+    o.filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+      .intersect(o.filter(col("o_totalprice") > 150000).select(col("o_orderkey")))
+      .orderBy("o_orderkey")
+  }
+
+  /** Q19d — EXCEPT. */
+  val q19d = Q(
+    "q19_except",
+    """SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+       EXCEPT
+       SELECT o_orderkey FROM orders WHERE o_totalprice > 150000
+       ORDER BY o_orderkey""") { (s, dir) =>
+    val o = T(s, dir, "orders")
+    o.filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+      .except(o.filter(col("o_totalprice") > 150000).select(col("o_orderkey")))
+      .orderBy("o_orderkey")
+  }
+
+  /** Q20 — string function surface. Patterns are in the common RE2/Java
+    * regex subset so both engines agree.
+    */
+  val q20 = Q(
+    "q20_string_funcs",
+    """SELECT p_partkey,
+       lower(p_name) AS lo, upper(p_brand) AS up,
+       length(p_name) AS len,
+       substring(p_name, 1, 5) AS sub5,
+       p_name || '|' || p_type AS joined,
+       replace(p_name, ' ', '_') AS underscored,
+       trim('  ' || p_name || '  ') AS trimmed,
+       (p_name LIKE '%red%') AS has_red,
+       starts_with(p_name, 'small') AS is_small,
+       regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+       regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled,
+       string_split(p_name, ' ')[1] AS word1
+       FROM part ORDER BY p_partkey""") { (s, dir) =>
+    T(s, dir, "part")
+      .select(col("p_partkey"),
+        lower(col("p_name")).as("lo"),
+        upper(col("p_brand")).as("up"),
+        length(col("p_name")).cast("long").as("len"),
+        substring(col("p_name"), 1, 5).as("sub5"),
+        concat(col("p_name"), lit("|"), col("p_type")).as("joined"),
+        regexp_replace(col("p_name"), " ", "_").as("underscored"),
+        trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"),
+        col("p_name").like("%red%").as("has_red"),
+        col("p_name").startsWith("small").as("is_small"),
+        regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+        regexp_replace(col("p_name"), "[aeiou]", "*").as("devoweled"),
+        element_at(split(col("p_name"), " "), 1).as("word1"))
+      .orderBy("p_partkey")
+  }
+
+  /** Q21a — date/time surface over orders. Per-engine spellings differ
+    * (date_format ↔ strftime, datediff ↔ date_diff) but values match;
+    * everything producing dates is cast to timestamp on both sides so the
+    * physical types align for the driver's compare.
+    */
+  val q21 = Q(
+    "q21_date_funcs",
+    """SELECT o_orderkey,
+       year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
+       date_trunc('month', o_orderdate) AS month_start,
+       o_orderdate + INTERVAL 30 DAY AS plus30,
+       date_diff('day', DATE '1995-01-01', o_orderdate) AS days_since,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+       strftime(o_orderdate, '%Y-%m') AS ym
+       FROM orders ORDER BY o_orderkey""") { (s, dir) =>
+    T(s, dir, "orders")
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAY")).as("plus30"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("days_since"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Q21b — sub-day time parts + a parse round-trip over events. */
+  val q21b = Q(
+    "q21_time_funcs",
+    """SELECT event_id,
+       hour(ts) AS h, minute(ts) AS mi, CAST(date_part('second', ts) AS BIGINT) AS sec,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+       strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS reparsed
+       FROM events ORDER BY event_id""") { (s, dir) =>
+    T(s, dir, "events")
+      .select(col("event_id"),
+        hour(col("ts")).cast("long").as("h"),
+        minute(col("ts")).cast("long").as("mi"),
+        second(col("ts")).cast("long").as("sec"),
+        date_trunc("hour", col("ts")).as("hr"),
+        to_timestamp(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+          "yyyy-MM-dd HH:mm:ss").as("reparsed"))
+      .orderBy("event_id")
+  }
+
+  /** Q22 — math surface. Transcendentals (ln/log10/exp/pow) may differ by
+    * an ulp across libm implementations, so they are rounded to 6 digits
+    * on both sides; algebraic ops (abs/sqrt/ceil/floor) are IEEE-exact.
+    */
+  val q22 = Q(
+    "q22_math_funcs",
+    """SELECT l_orderkey, l_linenumber,
+       abs(l_discount - 0.05) AS a,
+       CAST(ceil(l_extendedprice) AS DOUBLE) AS ce,
+       CAST(floor(l_extendedprice) AS DOUBLE) AS fl,
+       round(l_extendedprice, 1) AS r1,
+       sqrt(l_quantity) AS sq,
+       round(power(l_quantity, 2), 6) AS p2,
+       round(ln(l_extendedprice), 6) AS lnp,
+       round(log10(l_extendedprice), 6) AS lg,
+       round(exp(l_discount), 6) AS ex,
+       CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg,
+       greatest(l_tax, l_discount) AS gr,
+       least(l_tax, l_discount) AS le
+       FROM lineitem ORDER BY l_orderkey, l_linenumber""") { (s, dir) =>
+    T(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("a"),
+        ceil(col("l_extendedprice")).cast("double").as("ce"),
+        floor(col("l_extendedprice")).cast("double").as("fl"),
+        round(col("l_extendedprice"), 1).as("r1"),
+        sqrt(col("l_quantity")).as("sq"),
+        round(pow(col("l_quantity"), 2), 6).as("p2"),
+        round(log(col("l_extendedprice")), 6).as("lnp"),
+        round(log10(col("l_extendedprice")), 6).as("lg"),
+        round(exp(col("l_discount")), 6).as("ex"),
+        signum(col("l_discount") - 0.05).cast("double").as("sg"),
+        greatest(col("l_tax"), col("l_discount")).as("gr"),
+        least(col("l_tax"), col("l_discount")).as("le"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Q23 — conditional / null-handling surface, incl. null-safe equality
+    * (Spark `<=>` ↔ SQL `IS NOT DISTINCT FROM`).
+    */
+  val q23 = Q(
+    "q23_conditional",
+    """SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_quantity < 10 THEN 'low'
+            WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS bucket,
+       coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none,
+       ifnull(nullif(l_linestatus, 'O'), 'X') AS status_or_x,
+       (nullif(l_returnflag, 'N') IS NOT DISTINCT FROM 'A') AS is_a
+       FROM lineitem ORDER BY l_orderkey, l_linenumber""") { (s, dir) =>
+    T(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        when(col("l_quantity") < 10, "low")
+          .when(col("l_quantity") < 30, "mid")
+          .otherwise("high").as("bucket"),
+        coalesce(nullif(col("l_returnflag"), lit("N")), lit("none"))
+          .as("flag_or_none"),
+        coalesce(nullif(col("l_linestatus"), lit("O")), lit("X"))
+          .as("status_or_x"),
+        (nullif(col("l_returnflag"), lit("N")) <=> lit("A")).as("is_a"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Q24a — array aggregation per customer: collect_list is wrapped in
+    * sort_array (determinism contract), then rendered via array_join so
+    * the output schema stays primitive for the oracle compare.
+    */
+  val q24 = Q(
+    "q24_array_agg",
+    """SELECT o_custkey,
+       len(list(o_orderkey)) AS n,
+       list_sort(list(o_orderkey))[1] AS first_key,
+       list_contains(list(o_orderkey), min(o_orderkey)) AS has_min,
+       array_to_string(list_sort(list(o_orderkey)), ',') AS keys_csv
+       FROM orders GROUP BY o_custkey ORDER BY o_custkey""") { (s, dir) =>
+    T(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(
+        sort_array(collect_list(col("o_orderkey"))).as("arr"),
+        min(col("o_orderkey")).as("mn"))
+      .select(col("o_custkey"),
+        size(col("arr")).cast("long").as("n"),
+        element_at(col("arr"), 1).as("first_key"),
+        array_contains(col("arr"), col("mn")).as("has_min"),
+        array_join(col("arr"), ",").as("keys_csv"))
+      .orderBy("o_custkey")
+  }
+
+  /** Q24b — array element access on embeddings (FLOAT[]; both engines are
+    * 1-based here) + a slice rendered to CSV with fixed float formatting.
+    */
+  val q24b = Q(
+    "q24_array_access",
+    """SELECT vec_id, len(embedding) AS dim,
+       CAST(embedding[1] AS DOUBLE) AS e0,
+       CAST(embedding[2] AS DOUBLE) AS e1,
+       CAST(embedding[64] AS DOUBLE) AS e_last
+       FROM embeddings ORDER BY vec_id""") { (s, dir) =>
+    T(s, dir, "embeddings")
+      .select(col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        element_at(col("embedding"), 1).cast("double").as("e0"),
+        element_at(col("embedding"), 2).cast("double").as("e1"),
+        element_at(col("embedding"), 64).cast("double").as("e_last"))
+      .orderBy("vec_id")
+  }
+
+  /** Q25 — JSON extraction (`get_json_object` ↔ `json_extract_string`)
+    * plus a from_json→struct path on the Spark side (same value), rolled
+    * up per user.
+    */
+  val q25 = Q(
+    "q25_json_funcs",
+    """SELECT user_id, count(*) AS n_events,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum
+       FROM events GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
+    import org.apache.spark.sql.types._
+    val kSchema = StructType(Seq(StructField("k", LongType)))
+    T(s, dir, "events")
+      .withColumn("k1", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("k2", from_json(col("props"), kSchema).getField("k"))
+      // both extraction paths agree; aggregate the canonical one
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("k1")).as("k_sum"))
+      .orderBy("user_id")
+  }
+
+  /** Q26a — scalar subquery. The subquery text is identical in both
+    * engines (decimal-exact average), so oracle == spark.sql input.
+    */
+  private val q26Sql =
+    """SELECT o_orderkey, o_totalprice FROM orders
+       WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) FROM orders)
+       ORDER BY o_orderkey"""
+  val q26 = Q("q26_scalar_subquery", q26Sql) { (s, dir) =>
+    T(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(q26Sql)
+  }
+
+  /** Q26b — IN subquery (rewritten by Catalyst to a semi join). */
+  private val q26bSql =
+    """SELECT c_custkey, c_name FROM customer
+       WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+       ORDER BY c_custkey"""
+  val q26b = Q("q26_in_subquery", q26bSql) { (s, dir) =>
+    T(s, dir, "customer").createOrReplaceTempView("customer")
+    T(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(q26bSql)
+  }
+
+  /** Q26c — correlated EXISTS (decorrelated to a semi join by Catalyst). */
+  private val q26cSql =
+    """SELECT c_custkey FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+       ORDER BY c_custkey"""
+  val q26c = Q("q26_exists_subquery", q26cSql) { (s, dir) =>
+    T(s, dir, "customer").createOrReplaceTempView("customer")
+    T(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(q26cSql)
+  }
+
+  /** Q27 — CTE referenced twice (self-join of an aggregate). Identical SQL
+    * text runs on both engines.
+    */
+  private val q27Sql =
+    """WITH nat_spend AS (
+         SELECT c_nationkey,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend,
+                count(*) AS n_orders
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_nationkey)
+       SELECT a.c_nationkey, a.spend, a.n_orders,
+              b.spend AS next_nation_spend
+       FROM nat_spend a LEFT JOIN nat_spend b
+         ON b.c_nationkey = a.c_nationkey + 1
+       ORDER BY a.c_nationkey"""
+  val q27 = Q("q27_cte", q27Sql) { (s, dir) =>
+    T(s, dir, "customer").createOrReplaceTempView("customer")
+    T(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(q27Sql)
+  }
+
+  val all: Seq[Q] = Seq(
+    q19, q19b, q19c, q19d, q20, q21, q21b, q22, q23, q24, q24b, q25,
+    q26, q26b, q26c, q27)
+}

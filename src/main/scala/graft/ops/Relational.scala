@@ -1,0 +1,483 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.{Q, Tables => T}
+import graft.core.Exact._
+
+/** Relational operator inventory Q01–Q18 (SURVEY.md §2b).
+  *
+  * Every query ends in a total-order `orderBy` over a unique key so the
+  * rendered result is hash-stable; the co-located DuckDB oracle SQL uses
+  * the same ordering (with explicit NULLS FIRST, matching Spark's
+  * ascending default).
+  *
+  * Scale notes are per-query in scaladoc: the point of each plan is that
+  * it would survive 1000 executors / 100 TB, not just pass at sf0.01.
+  */
+object Relational {
+
+  /** Q01 — the reference's silver "clean" projection re-expressed on the
+    * `events` table: build a nested struct, then extract + rename fields
+    * (reference: /root/reference/data_lake_transformer.py:92-104). Pure
+    * Project node — shuffle-free, whole-stage-codegen'd, nested-schema
+    * pruning applies at 100 TB.
+    */
+  val q01 = Q(
+    "q01_clean",
+    """SELECT event_id, user_id, 'user_' || user_id AS user_name,
+       event_type, CAST(ts AS TIMESTAMP) AS event_date
+       FROM events ORDER BY event_id""") { (s, dir) =>
+    T(s, dir, "events")
+      .select(
+        struct(
+          col("user_id").as("id"),
+          concat(lit("user_"), col("user_id")).as("login")).as("actor"),
+        col("event_id"), col("event_type"), col("ts"))
+      .select(
+        col("event_id"),
+        col("actor.id").as("user_id"),
+        col("actor.login").as("user_name"),
+        col("event_type"),
+        col("ts").as("event_date"))
+      .orderBy("event_id")
+  }
+
+  /** Q02 — the reference's gold daily aggregate (GROUP BY ALL + count(*) +
+    * date_trunc, /root/reference/data_lake_transformer.py:116-126). One
+    * shuffle on the group keys; partial+final HashAggregate.
+    */
+  val q02 = Q(
+    "q02_daily_agg",
+    """SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS event_day,
+       count(*) AS event_count
+       FROM events GROUP BY ALL ORDER BY event_type, event_day""") { (s, dir) =>
+    T(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("event_day"))
+      .agg(count(lit(1)).as("event_count"))
+      .orderBy("event_type", "event_day")
+  }
+
+  /** Q03 — scan + conjunctive filter; every predicate reaches the parquet
+    * scan (PushedFilters), so at 100 TB only matching row groups are read.
+    */
+  val q03 = Q(
+    "q03_filter",
+    """SELECT * FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+       ORDER BY l_orderkey, l_linenumber""") { (s, dir) =>
+    T(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Q04 — projection + scalar arithmetic. Per-row double ops are IEEE
+    * deterministic given identical operands, so no decimal cast is needed.
+    */
+  val q04 = Q(
+    "q04_project_arith",
+    """SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS revenue,
+       round(l_tax * 100, 2) AS tax_pct
+       FROM lineitem ORDER BY l_orderkey, l_linenumber""") { (s, dir) =>
+    T(s, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        round(col("l_tax") * 100, 2).as("tax_pct"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Q05 — TPC-H Q1 shape: multi-measure hash aggregation. Partial
+    * (map-side) aggregation shrinks the shuffle to |groups|×partitions
+    * rows — the canonical 100 TB-safe agg plan.
+    */
+  val q05 = Q(
+    "q05_tpch_q1",
+    """SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+       count(*) AS count_order
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus""") { (s, dir) =>
+    T(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sumd(col("l_quantity")).as("sum_qty"),
+        sumd(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        (sumd(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (sumd(col("l_discount")) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Q06 — distinct aggregate: Catalyst expands to a two-phase plan
+    * (distinct on (key, custkey) then count) — no driver-side state.
+    */
+  val q06 = Q(
+    "q06_distinct_agg",
+    """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
+       count(*) AS n_orders
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, dir) =>
+    T(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Q07a — exact count-distinct per group (the hash-checkable half of the
+    * approx-distinct contract; see q07_approx_hll for the HLL++ variant).
+    */
+  val q07 = Q(
+    "q07_distinct_exact",
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+    T(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Q07b — approx_count_distinct (HLL++). HLL sketches differ across
+    * engines by design, so no hash oracle — the driver records a rows-only
+    * check; the exact twin above is the correctness anchor. At 100 TB this
+    * is THE way to count distincts: fixed-size sketch, no expand shuffle.
+    */
+  val q07b = Q.noOracle("q07_approx_hll") { (s, dir) =>
+    T(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Q08 — ROLLUP: Expand node + single hash agg. */
+  val q08 = Q(
+    "q08_rollup",
+    """SELECT n_regionkey, n_nationkey, count(*) AS n
+       FROM nation GROUP BY ROLLUP(n_regionkey, n_nationkey)
+       ORDER BY n_regionkey NULLS FIRST, n_nationkey NULLS FIRST""") { (s, dir) =>
+    T(s, dir, "nation")
+      .rollup(col("n_regionkey"), col("n_nationkey"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n_regionkey").asc_nulls_first, col("n_nationkey").asc_nulls_first)
+  }
+
+  /** Q08b — CUBE over the same keys. */
+  val q08b = Q(
+    "q08_cube",
+    """SELECT n_regionkey, n_nationkey, count(*) AS n
+       FROM nation GROUP BY CUBE(n_regionkey, n_nationkey)
+       ORDER BY n_regionkey NULLS FIRST, n_nationkey NULLS FIRST""") { (s, dir) =>
+    T(s, dir, "nation")
+      .cube(col("n_regionkey"), col("n_nationkey"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n_regionkey").asc_nulls_first, col("n_nationkey").asc_nulls_first)
+  }
+
+  /** Q08c — explicit GROUPING SETS (Spark SQL surface; same Expand plan). */
+  val q08c = Q(
+    "q08_grouping_sets",
+    """SELECT n_regionkey, n_nationkey, count(*) AS n FROM nation
+       GROUP BY GROUPING SETS ((n_regionkey), (n_nationkey), ())
+       ORDER BY n_regionkey NULLS FIRST, n_nationkey NULLS FIRST""") { (s, dir) =>
+    T(s, dir, "nation").createOrReplaceTempView("nation")
+    s.sql(
+      """SELECT n_regionkey, n_nationkey, count(*) AS n FROM nation
+         GROUP BY GROUPING SETS ((n_regionkey), (n_nationkey), ())
+         ORDER BY n_regionkey ASC NULLS FIRST, n_nationkey ASC NULLS FIRST""")
+  }
+
+  /** Q09 — inner equi-join. customer ≪ orders, so Catalyst/AQE picks
+    * BroadcastHashJoin: no shuffle of the big side. At 100 TB the dimension
+    * stays broadcastable; the fact side streams.
+    */
+  val q09 = Q(
+    "q09_join_inner",
+    """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+       FROM customer JOIN orders ON c_custkey = o_custkey
+       ORDER BY o_orderkey""") { (s, dir) =>
+    val c = T(s, dir, "customer")
+    val o = T(s, dir, "orders")
+    o.join(broadcast(c), c("c_custkey") === o("o_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Q10 — 5-way star join (TPC-H Q5 shape) + revenue aggregation.
+    * Dimensions (region/nation/supplier/customer) broadcast; the only
+    * shuffles are lineitem⋈orders (or AQE may broadcast orders' filtered
+    * side) and the final agg — the right plan at scale.
+    */
+  val q10 = Q(
+    "q10_join_multi",
+    """SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+       FROM customer
+       JOIN orders   ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       JOIN nation   ON s_nationkey = n_nationkey
+       JOIN region   ON n_regionkey = r_regionkey
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1997-01-01'
+       GROUP BY n_name ORDER BY n_name""") { (s, dir) =>
+    val c = T(s, dir, "customer")
+    val o = T(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = T(s, dir, "lineitem")
+    val su = T(s, dir, "supplier")
+    val n = T(s, dir, "nation")
+    val r = T(s, dir, "region")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey")
+        && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy("n_name")
+  }
+
+  /** Q11a — left outer join + per-customer aggregate; customers with no
+    * orders keep n_orders = 0 and NULL spend.
+    */
+  val q11 = Q(
+    "q11_join_left",
+    """SELECT c_custkey, count(o_orderkey) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spent
+       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       GROUP BY c_custkey ORDER BY c_custkey""") { (s, dir) =>
+    val c = T(s, dir, "customer")
+    val o = T(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        sumd(col("o_totalprice")).as("spent"))
+      .orderBy("c_custkey")
+  }
+
+  /** Q11b — full outer join of two aggregates (customer vs supplier
+    * presence per nation); exercises both null sides.
+    */
+  val q11b = Q(
+    "q11_join_full",
+    """SELECT coalesce(c.k, s.k) AS n_nationkey, c.n_cust, s.n_supp FROM
+       (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1) c
+       FULL JOIN
+       (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1) s
+       ON c.k = s.k
+       ORDER BY n_nationkey NULLS FIRST""") { (s, dir) =>
+    val c = T(s, dir, "customer").groupBy(col("c_nationkey").as("k"))
+      .agg(count(lit(1)).as("n_cust"))
+    val su = T(s, dir, "supplier").groupBy(col("s_nationkey").as("k2"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(su, col("k") === col("k2"), "full")
+      .select(coalesce(col("k"), col("k2")).as("n_nationkey"),
+        col("n_cust"), col("n_supp"))
+      .orderBy(col("n_nationkey").asc_nulls_first)
+  }
+
+  /** Q12a — semi join (EXISTS): customers having a >200k order. */
+  val q12 = Q(
+    "q12_semi_join",
+    """SELECT c_custkey, c_name FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders
+                     WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+       ORDER BY c_custkey""") { (s, dir) =>
+    val c = T(s, dir, "customer")
+    val o = T(s, dir, "orders").filter(col("o_totalprice") > 200000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  /** Q12b — anti join (NOT EXISTS): customers with no >200k order. */
+  val q12b = Q(
+    "q12_anti_join",
+    """SELECT c_custkey FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+       ORDER BY c_custkey""") { (s, dir) =>
+    val c = T(s, dir, "customer")
+    val o = T(s, dir, "orders").filter(col("o_totalprice") > 200000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"))
+      .orderBy("c_custkey")
+  }
+
+  /** Q13a — equi key + range residual: hash join on l_partkey with the
+    * residual evaluated post-probe (never a cartesian product).
+    */
+  val q13 = Q(
+    "q13_range_join",
+    """SELECT p_partkey, count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+       FROM part JOIN lineitem
+         ON l_partkey = p_partkey AND l_quantity > p_size
+       GROUP BY p_partkey ORDER BY p_partkey""") { (s, dir) =>
+    val p = T(s, dir, "part")
+    val l = T(s, dir, "lineitem")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey")
+        && col("l_quantity") > col("p_size"))
+      .groupBy(col("p_partkey"))
+      .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("qty"))
+      .orderBy("p_partkey")
+  }
+
+  /** Q13b — band join: signup→purchase conversions within one hour, keyed
+    * by user. The user_id equi-key keeps this a hash join (the time band is
+    * a residual); a pure theta join would be BNLJ — avoided by design.
+    */
+  val q13b = Q(
+    "q13_band_join",
+    """SELECT a.event_id AS signup_id, b.event_id AS purchase_id
+       FROM events a JOIN events b
+         ON a.user_id = b.user_id
+        AND a.event_type = 'signup' AND b.event_type = 'purchase'
+        AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+       ORDER BY signup_id, purchase_id""") { (s, dir) =>
+    val e = T(s, dir, "events")
+    val a = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"), col("ts").as("a_ts"))
+    val b = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("uid2"), col("ts").as("b_ts"))
+    a.join(b, col("user_id") === col("uid2")
+        && col("b_ts") > col("a_ts")
+        && col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("signup_id"), col("purchase_id"))
+      .orderBy("signup_id", "purchase_id")
+  }
+
+  /** Q14 — as-of join: for each click, the latest error event of the same
+    * user at-or-before the click. Spark has no native ASOF, so this is the
+    * scalable single-pass spelling: union both sides tagged, one window
+    * `last(ignoreNulls)` over (user, time) — one shuffle, no self-join
+    * explosion, works at any scale.
+    * (DuckDB oracle uses its native ASOF LEFT JOIN.)
+    */
+  val q14 = Q(
+    "q14_asof_join",
+    """SELECT c.event_id AS click_id, c.user_id,
+              CAST(c.ts AS TIMESTAMP) AS click_ts, e.event_id AS error_id
+       FROM (SELECT * FROM events WHERE event_type = 'click') c
+       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+         ON c.user_id = e.user_id AND c.ts >= e.ts
+       ORDER BY click_id""") { (s, dir) =>
+    val e = T(s, dir, "events")
+    val tagged = e.filter(col("event_type").isin("click", "error"))
+      .select(
+        col("user_id"), col("ts"), col("event_id"),
+        // errors sort before clicks at equal ts => ASOF's >= inclusivity
+        when(col("event_type") === "error", 0).otherwise(1).as("side"),
+        when(col("event_type") === "error", col("event_id")).as("err_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("error_id", last(col("err_id"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"), col("error_id"))
+      .orderBy("click_id")
+  }
+
+  /** Q15 — bounded cross join (two tiny dimensions). */
+  val q15 = Q(
+    "q15_cross_join",
+    """SELECT r_regionkey, r_name, n_nationkey, n_name
+       FROM region CROSS JOIN nation
+       ORDER BY r_regionkey, n_nationkey""") { (s, dir) =>
+    T(s, dir, "region").crossJoin(T(s, dir, "nation"))
+      .select(col("r_regionkey"), col("r_name"), col("n_nationkey"), col("n_name"))
+      .orderBy("r_regionkey", "n_nationkey")
+  }
+
+  /** Q16 — ranking windows. The window order includes c_custkey so
+    * row_number is deterministic under acctbal ties.
+    */
+  val q16 = Q(
+    "q16_window_rank",
+    """SELECT c_custkey, c_mktsegment, c_acctbal,
+       row_number() OVER w AS rn, rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk
+       FROM customer
+       WINDOW w AS (PARTITION BY c_mktsegment
+                    ORDER BY c_acctbal DESC, c_custkey)
+       ORDER BY c_custkey""") { (s, dir) =>
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    T(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"))
+      .orderBy("c_custkey")
+  }
+
+  /** Q17 — analytic windows with ROWS and RANGE frames. The RANGE frame
+    * orders by epoch micros (integer), identical in both engines; windowed
+    * sums go through the decimal-exact path.
+    */
+  val q17 = Q(
+    "q17_window_frames",
+    """SELECT event_id, user_id,
+       lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS run4,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER
+         (PARTITION BY user_id ORDER BY epoch_us(ts)
+          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hr_sum,
+       count(*) OVER
+         (PARTITION BY user_id ORDER BY epoch_us(ts)
+          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS hr_cnt
+       FROM events ORDER BY event_id""") { (s, dir) =>
+    val wRow = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRows = wRow.rowsBetween(-3, 0)
+    val wRange = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600000000L, 0)
+    T(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        lag(col("value"), 1).over(wRow).as("prev_value"),
+        sum(dec(col("value"))).over(wRows).cast("double").as("run4"),
+        sum(dec(col("value"))).over(wRange).cast("double").as("hr_sum"),
+        count(lit(1)).over(wRange).as("hr_cnt"))
+      .orderBy("event_id")
+  }
+
+  /** Q18 — top-k: orderBy+limit plans as TakeOrderedAndProject (per-
+    * partition heaps + driver merge of k rows — no global sort shuffle).
+    */
+  val q18 = Q(
+    "q18_topk",
+    """SELECT * FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""") { (s, dir) =>
+    T(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val all: Seq[Q] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q07b, q08, q08b, q08c,
+    q09, q10, q11, q11b, q12, q12b, q13, q13b, q14, q15, q16, q17, q18)
+}
