@@ -14,7 +14,10 @@ object SparkEntry {
 
   /** Every declared query, in SURVEY §2b order. */
   def registry: Seq[Q] =
-    ops.Relational.all ++ ops.Analytic.all
+    ops.Relational.all ++ ops.Analytic.all ++ streaming.StreamOps.all ++
+      ops.Udfs.all ++ llmops.Dedup.all ++ llmops.MinHashLSH.all ++
+      llmops.VectorSearch.all ++ llmops.TextStats.all ++
+      llmops.SimHash.all ++ llmops.Multimodal.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,105 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Q, Tables => T}
+
+/** Near-duplicate detection via MinHash + LSH banding (SURVEY.md §2b Q33).
+  *
+  * Pipeline (all shuffle-bounded; never O(n²) in the corpus):
+  *   1. distinct 3-word shingles per doc (narrow, codegen'd)
+  *   2. one xxhash64 per shingle, then NUM_HASHES affine permutations
+  *      min-aggregated into a signature (map-side partial agg)
+  *   3. BANDS band keys per doc; equi-self-join on (band, band_hash)
+  *      emits candidate pairs — the only join, and it's on a key whose
+  *      groups are tiny (docs sharing a band are near-dups)
+  *   4. candidates are verified with EXACT Jaccard over the shingle sets,
+  *      so LSH recall/precision never changes the answer — it only
+  *      bounds the work. With 16 bands × 4 rows, P(miss) at J=0.9 is
+  *      ≈3e-8; the corpus' planted dups sit at J≥0.97.
+  *
+  * At 100 TB: shingle explosion is the big intermediate; it stays
+  * distributed (groupBy doc_id), signatures are 64×8 bytes/doc, and the
+  * band join shuffles only (band_hash, doc_id) pairs.
+  */
+object MinHashLSH {
+
+  val NUM_HASHES = 64
+  val BANDS = 16
+  val ROWS_PER_BAND: Int = NUM_HASHES / BANDS
+  val TAU = 0.5
+
+  /** MinHash signature columns m0..m{k-1} per doc_id. Each of the k hash
+    * functions is xxhash64 seeded by its index (hashing the (i, shingle)
+    * pair) — independent 64-bit families with no integer-overflow
+    * concerns under ANSI mode, all inside whole-stage codegen.
+    */
+  def signatures(shingles: DataFrame): DataFrame = {
+    val mins = (0 until NUM_HASHES).map(i =>
+      min(xxhash64(lit(i), col("sh"))).as(s"m$i"))
+    shingles.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** (doc_id, band, bh) — one row per band key. */
+  def bandKeys(sig: DataFrame): DataFrame = {
+    val bandStructs = (0 until BANDS).map { b =>
+      val cols = (0 until ROWS_PER_BAND).map(r => col(s"m${b * ROWS_PER_BAND + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+  }
+
+  /** Candidate pairs (a_id < b_id) from LSH banding. */
+  def candidates(bands: DataFrame): DataFrame =
+    bands.as("x").join(bands.as("y"), Seq("band", "bh"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+
+  /** Exact Jaccard over shingle sets, restricted to candidate pairs. */
+  def exactJaccard(cand: DataFrame, shingles: DataFrame): DataFrame = {
+    val cards = Shingles.cardinalities(shingles)
+    val inter = cand
+      .join(shingles.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(shingles.as("sb"),
+        col("b_id") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(cards.as("ca"), col("a_id") === col("ca.doc_id"))
+      .join(cards.as("cb"), col("b_id") === col("cb.doc_id"))
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") /
+          (col("ca.c") + col("cb.c") - col("inter"))).as("jaccard"))
+  }
+
+  /** Q33 — the full near-dup pair query. Oracle is a brute-force shared-
+    * shingle Jaccard in DuckDB (sound at oracle scale; the engine's LSH
+    * path exists to avoid exactly that O(n²) at real scale).
+    */
+  val q33 = Q(
+    "q33_minhash_neardup",
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+              FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 1))) AS i)
+              WHERE len(t) >= 3),
+       card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+       inter AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS i
+                 FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                 GROUP BY 1, 2)
+       SELECT a_id, b_id, CAST(i AS DOUBLE) / (ca.c + cb.c - i) AS jaccard
+       FROM inter
+       JOIN card ca ON ca.doc_id = a_id
+       JOIN card cb ON cb.doc_id = b_id
+       WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= $TAU
+       ORDER BY a_id, b_id""") { (s, dir) =>
+    val sh = Shingles.wordShingles(T(s, dir, "documents"), 3)
+    val cand = candidates(bandKeys(signatures(sh)))
+    exactJaccard(cand, sh)
+      .filter(col("jaccard") >= TAU)
+      .orderBy("a_id", "b_id")
+  }
+
+  val all: Seq[Q] = Seq(q33)
+}

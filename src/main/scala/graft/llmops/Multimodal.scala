@@ -1,0 +1,105 @@
+package graft.llmops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{Q, Tables => T}
+
+/** Multimodal (binary) columns (SURVEY.md §2b Q36): media blobs as opaque
+  * `binary` columns with typed metadata, read via Spark's binaryFile
+  * source. Fixture blobs live in-repo (fixtures/blobs, deterministic,
+  * committed) so both engines read identical bytes.
+  *
+  * Scale posture: binaryFile splits per-file across executors; metadata
+  * (path/length) is available without reading content, so pure-metadata
+  * queries never fetch bytes. Feature extraction is a mapPartitions batch
+  * op — the real decoder is environment-dependent and STUBBED here (no
+  * image/audio libs in this container); the Spark-side plumbing (schema,
+  * batching, partitioning) is real and tested.
+  */
+object Multimodal {
+
+  val blobDir = "/root/repo/fixtures/blobs"
+
+  /** Q36 — binary scan: per-file name, size, content digest. The digest
+    * is md5 over the hex rendering of the bytes (this DuckDB build lacks
+    * md5(BLOB); both engines hex-encode identically, so the digests
+    * still compare byte content).
+    */
+  val q36 = Q(
+    "q36_multimodal",
+    s"""SELECT parse_filename(filename) AS file_name,
+        CAST(size AS BIGINT) AS n_bytes, md5(hex(content)) AS digest
+        FROM read_blob('$blobDir/*.bin') ORDER BY file_name""") { (s, dir) =>
+    s.read.format("binaryFile").load(s"$blobDir/*.bin")
+      .select(
+        regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
+        col("length").as("n_bytes"),
+        md5(hex(col("content"))).as("digest"))
+      .orderBy("file_name")
+  }
+
+  /** Q36b — metadata join: blob ↔ document row via the doc id encoded in
+    * the filename (media sidecar pattern: bytes opaque, metadata typed).
+    */
+  val q36b = Q(
+    "q36_multimodal_join",
+    s"""SELECT d.doc_id, d.lang, CAST(b.size AS BIGINT) AS n_bytes
+        FROM read_blob('$blobDir/*.bin') b
+        JOIN documents d
+          ON d.doc_id = CAST(regexp_extract(parse_filename(b.filename), 'doc_(\\d+)', 1) AS BIGINT)
+        ORDER BY d.doc_id""") { (s, dir) =>
+    val blobs = s.read.format("binaryFile").load(s"$blobDir/*.bin")
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)", 1).cast("long").as("blob_doc_id"),
+        col("length").as("n_bytes"))
+    T(s, dir, "documents")
+      .join(broadcast(blobs), col("doc_id") === col("blob_doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_bytes"))
+      .orderBy("doc_id")
+  }
+
+  /** Feature-extraction schema for decoded media. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("file_name", StringType),
+    StructField("n_bytes", LongType),
+    StructField("mean_byte", DoubleType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  /** Decode + feature-extract as a partition-batched op. The decode step
+    * is a STUB — a deterministic fake standing in for e.g. JPEG decode
+    * (libs absent in this container); byte-level stats are real. The
+    * shape (mapPartitions over binary rows, Row batches out) is exactly
+    * how a real decoder plugs in.
+    */
+  def extractFeatures(binaryFiles: DataFrame): DataFrame = {
+    val spark = binaryFiles.sparkSession
+    val rdd = binaryFiles.select(col("path"), col("content")).rdd.mapPartitions { it =>
+      it.map { row =>
+        val path = row.getString(0)
+        val bytes = row.getAs[Array[Byte]](1)
+        val name = path.substring(path.lastIndexOf('/') + 1)
+        val mean =
+          if (bytes.isEmpty) 0.0
+          else bytes.map(b => (b & 0xff).toLong).sum.toDouble / bytes.length
+        // STUB decode: width/height derived deterministically from the
+        // first bytes; a real implementation decodes the media header.
+        val w = if (bytes.length >= 2) ((bytes(0) & 0xff) << 8 | (bytes(1) & 0xff)) % 4096 else 0
+        val h = if (bytes.length >= 4) ((bytes(2) & 0xff) << 8 | (bytes(3) & 0xff)) % 4096 else 0
+        Row(name, bytes.length.toLong, mean, w, h)
+      }
+    }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+
+  /** X — the feature-extraction pipeline over the fixture blobs
+    * (mapPartitions path; rows-only oracle since the decode is stubbed).
+    */
+  val xFeatures = Q.noOracle("x_media_features") { (s, dir) =>
+    extractFeatures(s.read.format("binaryFile").load(s"$blobDir/*.bin"))
+      .orderBy("file_name")
+  }
+
+  val all: Seq[Q] = Seq(q36, q36b, xFeatures)
+}

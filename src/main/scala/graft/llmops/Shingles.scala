@@ -1,0 +1,29 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Shared shingling primitives for near-dup / fingerprint operators.
+  * Pure higher-order-function expressions (transform/sequence/slice) so
+  * everything stays inside whole-stage codegen — no UDFs in the hot path.
+  */
+object Shingles {
+
+  /** Distinct k-word shingles per document: (doc_id, sh). */
+  def wordShingles(documents: DataFrame, k: Int): DataFrame = {
+    val words = split(col("text"), " ")
+    documents
+      .select(col("doc_id"), words.as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), size(col("w")) - k),
+          i => concat_ws(" ", (0 until k).map(j => element_at(col("w"), i + j + 1)): _*)
+        )).as("sh"))
+      .distinct()
+  }
+
+  /** Shingle-set cardinalities: (doc_id, c). */
+  def cardinalities(shingles: DataFrame): DataFrame =
+    shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+}

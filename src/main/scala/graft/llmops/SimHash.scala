@@ -1,0 +1,55 @@
+package graft.llmops
+
+import org.apache.spark.sql.functions._
+import graft.core.{Q, Tables => T}
+
+/** SimHash document sketches (48-bit) for near-dup detection at scale.
+  *
+  * Per (doc, shingle): a 48-bit hash taken from the md5 hex prefix —
+  * chosen because BOTH engines can derive the identical integer from the
+  * same md5 text (Spark `conv(hex,16,10)`, DuckDB `('0x'||hex)::BIGINT`),
+  * making the sketch itself oracle-checkable, unlike engine-native hash
+  * functions. Per bit j: sum(±1) over shingles, sign → bit.
+  *
+  * One narrow pass + one agg shuffle per doc — no pairwise work; at
+  * 100 TB near-dup candidates come from hamming-banding the sketch
+  * (same banding machinery as MinHashLSH).
+  */
+object SimHash {
+
+  val BITS = 48
+
+  private val sumExprsSql = (0 until BITS)
+    .map(j => s"sum(((h >> $j) & 1) * 2 - 1) AS s$j").mkString(",\n           ")
+  private val bitExprSql = (0 until BITS)
+    .map(j => s"CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END")
+    .mkString(" + ")
+
+  val xSimhash = Q(
+    "x_simhash",
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+              FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 1))) AS i)
+              WHERE len(t) >= 3),
+       h AS (SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 12) AS BIGINT) AS h FROM sh),
+       s AS (SELECT doc_id,
+           $sumExprsSql
+         FROM h GROUP BY doc_id)
+       SELECT doc_id, $bitExprSql AS simhash
+       FROM s ORDER BY doc_id""") { (s, dir) =>
+    val sh = Shingles.wordShingles(T(s, dir, "documents"), 3)
+    val h = sh.select(col("doc_id"),
+      conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long").as("h"))
+    val sums = (0 until BITS).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"s$j"))
+    val simhash = (0 until BITS)
+      .map(j => when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    h.groupBy(col("doc_id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), simhash.as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(xSimhash)
+}

@@ -1,0 +1,137 @@
+package graft.llmops
+
+import org.apache.spark.sql.functions._
+import graft.core.{Q, Tables => T}
+
+/** Text-analysis operators for training-data curation (SURVEY.md §2b Q35
+  * + language-ID / quality-scoring / token-counting extensions).
+  *
+  * All per-document metrics are narrow (no shuffle); corpus rollups are
+  * single hash aggs. Ratios are integer-over-integer double divisions —
+  * deterministic across engines.
+  */
+object TextStats {
+
+  private val stopEn = Seq("the", "a", "of", "and", "to")
+  private val stopDe = Seq("der", "die", "das", "und", "ist")
+  private val stopEs = Seq("el", "la", "de", "y", "es")
+  private val stopFr = Seq("le", "la", "de", "et", "est")
+
+  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  /** Q35 — corpus stats per language: doc count, token totals, exact mean
+    * document length.
+    */
+  val q35 = Q(
+    "q35_text_stats",
+    """SELECT lang, count(*) AS n_docs,
+       sum(len(string_split(text, ' '))) AS total_tokens,
+       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+       FROM documents GROUP BY lang ORDER BY lang""") { (s, dir) =>
+    T(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+      .orderBy("lang")
+  }
+
+  /** Q35b — top-20 terms by document frequency (distinct doc-term pairs,
+    * then a count shuffle + top-k).
+    */
+  val q35b = Q(
+    "q35_top_terms",
+    """SELECT w AS term, count(*) AS df FROM (
+         SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+         FROM documents)
+       GROUP BY w ORDER BY df DESC, term LIMIT 20""") { (s, dir) =>
+    T(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(20)
+  }
+
+  /** X — quality scoring: token count, mean token length, punctuation and
+    * stopword ratios per document (the usual pre-training filters).
+    */
+  val xQuality = Q(
+    "x_quality_score",
+    s"""SELECT doc_id,
+        len(string_split(text, ' ')) AS n_tokens,
+        CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+        CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS DOUBLE) / n_chars AS punct_ratio,
+        CAST(len(list_filter(string_split(text, ' '), w -> w IN (${sqlList(stopEn)}))) AS DOUBLE)
+          / len(string_split(text, ' ')) AS stop_ratio
+        FROM documents ORDER BY doc_id""") { (s, dir) =>
+    val words = split(col("text"), " ")
+    val nTokens = size(words).cast("long")
+    val stopCount = size(filter(words, w => w.isInCollection(stopEn)))
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        nTokens.as("n_tokens"),
+        (length(regexp_replace(col("text"), " ", "")).cast("double") / nTokens)
+          .as("avg_token_len"),
+        (length(regexp_replace(col("text"), "[^.!?,;]", "")).cast("double") /
+          col("n_chars")).as("punct_ratio"),
+        (stopCount.cast("double") / nTokens).as("stop_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** X — regex tokenizer (BPE-ish pre-tokenization pattern) count. */
+  val xTokenCount = Q(
+    "x_token_count",
+    """SELECT doc_id,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tokens
+       FROM documents ORDER BY doc_id""") { (s, dir) =>
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+          .cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** X — language-ID heuristic: stopword-list voting with a fixed
+    * tie-break order, reported as a (predicted × actual) confusion
+    * rollup. The heuristic itself is the declared operator; both engines
+    * evaluate the identical scoring expression.
+    */
+  val xLangId = Q(
+    "x_lang_id",
+    s"""WITH scored AS (
+         SELECT lang,
+           len(list_filter(string_split(text, ' '), w -> w IN (${sqlList(stopEn)}))) AS s_en,
+           len(list_filter(string_split(text, ' '), w -> w IN (${sqlList(stopDe)}))) AS s_de,
+           len(list_filter(string_split(text, ' '), w -> w IN (${sqlList(stopEs)}))) AS s_es,
+           len(list_filter(string_split(text, ' '), w -> w IN (${sqlList(stopFr)}))) AS s_fr
+         FROM documents),
+       pred AS (
+         SELECT lang,
+           CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS predicted
+         FROM scored)
+       SELECT predicted, lang AS actual, count(*) AS n
+       FROM pred GROUP BY predicted, lang ORDER BY predicted, actual""") { (s, dir) =>
+    val words = split(col("text"), " ")
+    def score(ws: Seq[String]) = size(filter(words, w => w.isInCollection(ws)))
+    T(s, dir, "documents")
+      .select(col("lang"),
+        score(stopEn).as("s_en"), score(stopDe).as("s_de"),
+        score(stopEs).as("s_es"), score(stopFr).as("s_fr"))
+      .select(col("lang"),
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es")
+          && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+          .when(col("s_es") >= col("s_fr"), "es")
+          .otherwise("fr").as("predicted"))
+      .groupBy(col("predicted"), col("lang").as("actual"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("predicted", "actual")
+  }
+
+  val all: Seq[Q] = Seq(q35, q35b, xQuality, xTokenCount, xLangId)
+}

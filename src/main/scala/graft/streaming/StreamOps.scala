@@ -1,0 +1,173 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import graft.core.{Q, Tables => T}
+import graft.core.Exact.dec
+
+/** Structured Streaming operators (SURVEY.md §2b Q28–Q30).
+  *
+  * Each query runs a real streaming pipeline — file source →
+  * watermark/window/state → memory sink — driven to completion with
+  * Trigger.AvailableNow, then returns the sink table as a batch
+  * DataFrame. The oracle is the equivalent batch SQL over the same rows
+  * (the streaming/batch-equivalence contract).
+  *
+  * Scale posture: the same code runs continuously on a real cluster —
+  * state is keyed (window/user), partitioned by the shuffle, and bounded
+  * by watermarks; AvailableNow here just replays the history in one go.
+  */
+object StreamOps {
+
+  /** Streaming view of the events table (nanos ts → micros timestamp,
+    * same normalization as the batch loader).
+    */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    // the streaming file source wants a directory; expose the single
+    // parquet file through a temp dir symlink
+    val streamDir = Files.createTempDirectory("graft_stream_events")
+    Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(path))
+    val rawSchema = s.read.parquet(path).schema
+    s.readStream.schema(rawSchema).parquet(streamDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Run a streaming DataFrame into a memory sink to completion; return
+    * the sink contents.
+    */
+  private def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val ckpt = Files.createTempDirectory(s"graft_ckpt_$name").toString
+    val q = df.writeStream
+      .format("memory").queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  /** Q28 — tumbling 1-hour windowed aggregation. */
+  val q28 = Q(
+    "q28_stream_tumbling",
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+              event_type, count(*) AS n,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+       FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""") { (s, dir) =>
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("val_sum"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("val_sum"))
+    runToMemory(agg, "q28_mem", OutputMode.Complete())
+      .orderBy("win_start", "event_type")
+  }
+
+  /** Q29a — sliding windows (1 hour every 15 min): each event lands in 4
+    * windows. Oracle derives the same window starts arithmetically.
+    */
+  val q29 = Q(
+    "q29_stream_sliding",
+    """SELECT win_start, count(*) AS n,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+       FROM (SELECT make_timestamp(((epoch_us(CAST(ts AS TIMESTAMP)) // 900000000) - k.k) * 900000000) AS win_start,
+                    value
+             FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(k))
+       GROUP BY win_start ORDER BY win_start""") { (s, dir) =>
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("val_sum"))
+      .select(col("window.start").as("win_start"), col("n"), col("val_sum"))
+    runToMemory(agg, "q29_mem", OutputMode.Complete())
+      .orderBy("win_start")
+  }
+
+  /** Q29b — session windows (30-min gap) per user. Oracle is the classic
+    * gaps-and-islands spelling.
+    */
+  val q29b = Q(
+    "q29_stream_session",
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+       x AS (SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       y AS (SELECT user_id, ts,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+             FROM x)
+       SELECT user_id, min(ts) AS session_start,
+              max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n
+       FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""") { (s, dir) =>
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n"))
+    runToMemory(agg, "q29b_mem", OutputMode.Complete())
+      .orderBy("user_id", "session_start")
+  }
+
+  /** Q30a — streaming dedup within watermark: the input stream is the
+    * events file read twice (a true duplicate of every row);
+    * dropDuplicatesWithinWatermark("event_id") must emit each id once.
+    */
+  val q30 = Q(
+    "q30_stream_dedup",
+    """SELECT event_id, user_id, event_type FROM events ORDER BY event_id""") { (s, dir) =>
+    val doubled = eventsStream(s, dir).union(eventsStream(s, dir))
+    val deduped = doubled
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    runToMemory(deduped, "q30_mem", OutputMode.Append())
+      .orderBy("event_id")
+  }
+
+  /** Q30b — arbitrary stateful processing: running per-user totals via
+    * mapGroupsWithState. Money is accumulated in exact integer cents
+    * (stream arrival order must not affect the result). Emitted rows are
+    * running snapshots (one per group per micro-batch); the final
+    * `groupBy.max` collapses them to the end state regardless of how
+    * AvailableNow batched the input.
+    */
+  val q30b = Q(
+    "q30_stream_stateful",
+    """SELECT user_id, count(*) AS n_events,
+              sum(CAST(round(value * 100) AS BIGINT)) AS cents
+       FROM events GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
+    import s.implicits._
+    val typed = eventsStream(s, dir)
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+    val updated = typed
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[(Long, Long)]) =>
+          val (n0, cents0) = state.getOption.getOrElse((0L, 0L))
+          var n = n0
+          var cents = cents0
+          rows.foreach { case (_, v) => n += 1; cents += math.round(v * 100) }
+          state.update((n, cents))
+          (user, n, cents)
+      }
+      .toDF("user_id", "n_events", "cents")
+    runToMemory(updated, "q30b_mem", OutputMode.Update())
+      .groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"), max(col("cents")).as("cents"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[Q] = Seq(q28, q29, q29b, q30, q30b)
+}
