@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.LocalDateTime
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Bronze ingestion: HTTP download of one hourly GHArchive dump, streamed
+  * to the lake path (reference: /root/reference/data_lake_ingester.py —
+  * driver-side by design; ingestion predates the engine). The JDK
+  * HttpClient streams the body straight into the Hadoop FS output stream,
+  * unlike the reference's whole-body-in-RAM BytesIO
+  * (data_lake_ingester.py:41-43) — same layout, bounded memory.
+  */
+class Ingester(config: LakeConfig, hadoopConf: Configuration = new Configuration()) {
+
+  private val http = HttpClient.newBuilder()
+    .followRedirects(HttpClient.Redirect.NORMAL)
+    .build()
+
+  /** Download the hour's dump and store it under the bronze key layout.
+    * Returns the sink path. Throws on any non-200 (fail fast; the
+    * reference's entry point swallows errors and exits 0 — a wart we do
+    * not copy, SURVEY.md §3.1).
+    */
+  def ingestHourlyGharchive(processDate: LocalDateTime): String = {
+    val url = PathLayout.sourceUrl(processDate)
+    val fileName = PathLayout.extractFilename(url)
+    val key = PathLayout.ingestKey(config.basePath, processDate, fileName)
+    val sink = s"${config.bronzeRoot}/$key"
+    val request = HttpRequest.newBuilder(URI.create(url)).GET().build()
+    val response = http.send(request, HttpResponse.BodyHandlers.ofInputStream())
+    if (response.statusCode() != 200)
+      sys.error(s"GET $url failed: HTTP ${response.statusCode()}")
+    val path = new Path(sink)
+    val fs = path.getFileSystem(hadoopConf)
+    val out = fs.create(path, true)
+    try response.body().transferTo(out)
+    finally { out.close(); response.body().close() }
+    sink
+  }
+}
+
+/** Cron entry point (reference scripts/run_ingest_source_data.py). */
+object RunIngest {
+  def main(args: Array[String]): Unit = {
+    val date = BatchKeys.parseArg(args, BatchKeys.previousHour())
+    val sink = new Ingester(ConfigFromArgsIngest(args)).ingestHourlyGharchive(date)
+    println(s"bronze written: $sink")
+  }
+
+  private object ConfigFromArgsIngest {
+    def apply(args: Array[String]): LakeConfig =
+      args.sliding(2).collectFirst { case Array("--config", v) => v } match {
+        case Some(ini) => LakeConfig.fromIni(ini)
+        case None =>
+          val root = args.sliding(2).collectFirst { case Array("--lake-root", v) => v }
+            .getOrElse(sys.error("pass --config <ini> or --lake-root <path>"))
+          LakeConfig(s"$root/bronze", s"$root/silver", s"$root/gold")
+      }
+  }
+}

@@ -1,0 +1,57 @@
+package graft.llmops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class LlmOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("minhash LSH finds planted near-duplicates and skips unrelated docs") {
+    val base = (0 until 40).map(i => s"tok${i * 7 % 31}").mkString(" ")
+    val nearDup = base.split(" ").updated(5, "CHANGED").mkString(" ")
+    val unrelated = (0 until 40).map(i => s"other${i}").mkString(" ")
+    val docs = Seq((0L, base), (1L, nearDup), (2L, unrelated))
+      .toDF("doc_id", "text")
+    val sh = Shingles.wordShingles(docs, 3)
+    val cand = MinHashLSH.candidates(MinHashLSH.bandKeys(MinHashLSH.signatures(sh)))
+    val pairs = MinHashLSH.exactJaccard(cand, sh)
+      .filter(col("jaccard") >= MinHashLSH.TAU)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("cosine similarity matches hand-computed values") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), Array(1.0f, 0.0f)),   // identical → 1
+      (2L, Array(1.0f, 0.0f), Array(0.0f, 1.0f)),   // orthogonal → 0
+      (3L, Array(1.0f, 0.0f), Array(-1.0f, 0.0f)))  // opposite → -1
+      .toDF("id", "a", "b")
+      .select(col("id"), VectorSearch.cosine(col("a"), col("b")).as("c"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(df(1L) - 1.0) < 1e-12)
+    assert(math.abs(df(2L)) < 1e-12)
+    assert(math.abs(df(3L) + 1.0) < 1e-12)
+  }
+
+  test("exact dedup is idempotent") {
+    val out1 = Dedup.q32.build(spark, "/root/testdata/sf0.001")
+    val n1 = out1.count()
+    // dedup of the already-deduped set changes nothing
+    out1.createOrReplaceTempView("documents_tmp")
+    assert(n1 == out1.dropDuplicates("digest").count())
+  }
+
+  test("stubbed media feature extraction keeps real byte metadata") {
+    val feats = Multimodal.extractFeatures(
+      spark.read.format("binaryFile").load(s"${Multimodal.blobDir}/*.bin"))
+      .orderBy("file_name").collect()
+    assert(feats.length == 6)
+    assert(feats(0).getString(0) == "doc_0.bin")
+    assert(feats(0).getLong(1) == 1000L)
+    val mean = feats(0).getDouble(2)
+    assert(mean > 0 && mean < 255)
+  }
+}
