@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{shims => ExpressionUtils}
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Dot product of two double arrays as a native Catalyst expression.
+  *
+  * Why not `aggregate(zip_with(...))`: higher-order functions are
+  * interpreted per element (lambda call + boxing per array slot), which
+  * made brute-force vector search the single most expensive operator in
+  * the suite. This expression compiles to a tight primitive loop inside
+  * whole-stage codegen — the preference-(b) extension point from
+  * SURVEY.md §4 (compose built-ins < custom Expression < custom plan).
+  */
+case class ArrayDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // inputs are guaranteed array<double> by the ArrayOps.dot wrapper cast
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toDoubleArray()
+    val y = b.asInstanceOf[ArrayData].toDoubleArray()
+    val n = math.min(x.length, y.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x(i) * y(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |double[] $x = $a.toDoubleArray();
+         |double[] $y = $b.toDoubleArray();
+         |int $n = Math.min($x.length, $y.length);
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $s += $x[$i] * $y[$i]; }
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArrayOps {
+
+  /** Column-level dot product (inputs cast to array of double). */
+  def dot(a: Column, b: Column): Column =
+    ExpressionUtils.column(ArrayDotProduct(
+      ExpressionUtils.expression(a.cast("array<double>")),
+      ExpressionUtils.expression(b.cast("array<double>"))))
+
+  /** L2-normalize a vector column (one pass; the norm is a dot with
+    * itself through the same codegen'd expression).
+    */
+  def l2normalize(v: Column): Column = {
+    val d = v.cast("array<double>")
+    transform(d, x => x / sqrt(dot(d, d)))
+  }
+}

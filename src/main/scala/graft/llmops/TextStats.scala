@@ -63,21 +63,24 @@ object TextStats {
     s"""SELECT doc_id,
         len(string_split(text, ' ')) AS n_tokens,
         CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
-        CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS DOUBLE) / n_chars AS punct_ratio,
+        CAST(length(text) - length(translate(text, '.!?,;', '')) AS DOUBLE) / n_chars AS punct_ratio,
         CAST(len(list_filter(string_split(text, ' '), w -> w IN (${sqlList(stopEn)}))) AS DOUBLE)
           / len(string_split(text, ' ')) AS stop_ratio
         FROM documents ORDER BY doc_id""") { (s, dir) =>
-    val words = split(col("text"), " ")
-    val nTokens = size(words).cast("long")
-    val stopCount = size(filter(words, w => w.isInCollection(stopEn)))
+    // token array materialized once; char strips are non-regex
+    // (translate/replace) — a near-full-string regexp_replace was the
+    // single hottest expression in the whole BENCH suite
     T(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"),
+        split(col("text"), " ").as("w"))
       .select(col("doc_id"),
-        nTokens.as("n_tokens"),
-        (length(regexp_replace(col("text"), " ", "")).cast("double") / nTokens)
-          .as("avg_token_len"),
-        (length(regexp_replace(col("text"), "[^.!?,;]", "")).cast("double") /
-          col("n_chars")).as("punct_ratio"),
-        (stopCount.cast("double") / nTokens).as("stop_ratio"))
+        size(col("w")).cast("long").as("n_tokens"),
+        (length(translate(col("text"), " ", "")).cast("double") /
+          size(col("w"))).as("avg_token_len"),
+        ((length(col("text")) - length(translate(col("text"), ".!?,;", "")))
+          .cast("double") / col("n_chars")).as("punct_ratio"),
+        (size(filter(col("w"), x => x.isInCollection(stopEn))).cast("double") /
+          size(col("w"))).as("stop_ratio"))
       .orderBy("doc_id")
   }
 

@@ -19,18 +19,12 @@ import graft.core.{Q, Tables => T}
   */
 object VectorSearch {
 
-  /** dot(a, b) over two double arrays, sequential left fold. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  private def toDouble(c: Column): Column = c.cast("array<double>")
+  /** dot(a, b) — codegen'd native expression (graft.functions). */
+  def dot(a: Column, b: Column): Column = graft.functions.ArrayOps.dot(a, b)
 
   /** cosine(a, b) — mirrors DuckDB's dot/(sqrt(na)*sqrt(nb)) shape. */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = toDouble(a)
-    val bd = toDouble(b)
-    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
-  }
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** Q34 — exact top-10 cosine neighbors for probe vectors (vec_id < 5).
     * Similarity is used only for ranking (with vec_id tiebreak), never
@@ -48,12 +42,15 @@ object VectorSearch {
          FROM embeddings e
          CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) p)
        WHERE rn <= 10 ORDER BY probe_id, rank""") { (s, dir) =>
+    // normalize once per vector => each candidate pair costs ONE dot
     val e = T(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        graft.functions.ArrayOps.l2normalize(col("embedding")).as("n_emb"))
     val probes = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+      .select(col("vec_id").as("probe_id"), col("n_emb").as("p_emb"))
     val scored = e.crossJoin(broadcast(probes))
       .select(col("probe_id"), col("vec_id"), col("label"),
-        cosine(col("embedding"), col("p_emb")).as("sim"))
+        dot(col("n_emb"), col("p_emb")).as("sim"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     scored
@@ -80,16 +77,19 @@ object VectorSearch {
          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
        WHERE rn = 1 ORDER BY vec_id""") { (s, dir) =>
     val e = T(s, dir, "embeddings")
-    val a = e.select(col("vec_id"), col("embedding").as("a_emb"))
-    val b = e.select(col("vec_id").as("nn_id"), col("embedding").as("b_emb"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("nn_id"))
+      .select(col("vec_id"),
+        graft.functions.ArrayOps.l2normalize(col("embedding")).as("n_emb"))
+    val a = e.select(col("vec_id"), col("n_emb").as("a_emb"))
+    val b = e.select(col("vec_id").as("nn_id"), col("n_emb").as("b_emb"))
+    // rank by max dot instead of a row_number window: the 4M-row pair
+    // stream reduces map-side to one (best_sim, best_id) pair per vector
     a.join(b, col("vec_id") =!= col("nn_id"))
-      .select(col("vec_id"), col("nn_id"),
-        cosine(col("a_emb"), col("b_emb")).as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("nn_id"))
+      .select(col("vec_id"),
+        struct(dot(col("a_emb"), col("b_emb")).as("sim"),
+          (-col("nn_id")).as("neg_id")).as("cand"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("vec_id"), (-col("best.neg_id")).cast("long").as("nn_id"))
       .orderBy("vec_id")
   }
 

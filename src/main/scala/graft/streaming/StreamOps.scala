@@ -43,14 +43,22 @@ object StreamOps {
     */
   private def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
     val ckpt = Files.createTempDirectory(s"graft_ckpt_$name").toString
-    val q = df.writeStream
-      .format("memory").queryName(name)
-      .outputMode(mode)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    df.sparkSession.table(name)
+    val spark = df.sparkSession
+    // state-store commit cost scales with partition count; these replays
+    // are tiny per-batch, so pin a small state partitioning for the run
+    // (a real deployment sizes this to keyspace ÷ executor memory)
+    val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = df.writeStream
+        .format("memory").queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", oldParts)
+    spark.table(name)
   }
 
   /** Q28 — tumbling 1-hour windowed aggregation. */

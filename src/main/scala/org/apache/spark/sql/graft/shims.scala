@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between the public Column API and Catalyst Expressions.
+  *
+  * Spark 4 moved Column↔Expression conversion behind `private[sql]`
+  * (columnNodeSupport.scala); custom native expressions still need it, so
+  * this one-file shim lives in the org.apache.spark.sql namespace — the
+  * same technique Spark-native libraries use to register codegen'd
+  * expressions without going through the (slower) UDF surface.
+  */
+object shims {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
