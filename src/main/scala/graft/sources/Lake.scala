@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/sink utilities for the lake at scale.
+  *
+  * Three write disciplines, in increasing co-location strength:
+  *   1. plain parquet (the medallion default; file-level parallelism)
+  *   2. date-partitioned (`partitionBy`) — Catalyst partition-prunes
+  *      time filters to directory listings, the idiomatic upgrade of the
+  *      reference's glob-encoded date predicates (SURVEY.md §2a R12)
+  *   3. bucketed tables (`bucketBy` + `sortBy`) — joins/aggregations on
+  *      the bucket key need NO shuffle at read time; at 100 TB this is
+  *      the difference between a full-network shuffle of the fact table
+  *      per join and none.
+  */
+object Lake {
+
+  /** Write with hive-style date partitions derived from a timestamp col.
+    * Readers filtering on event_date get directory-level pruning.
+    */
+  def writeDatePartitioned(df: DataFrame, tsCol: String, path: String): Unit =
+    df.withColumn("event_date", to_date(col(tsCol)))
+      .write.mode("overwrite")
+      .partitionBy("event_date")
+      .parquet(path)
+
+  /** Persist as a bucketed, per-bucket-sorted table. Subsequent equi-joins
+    * or groupBys on `key` between tables bucketed the same way plan with
+    * zero Exchange (verify with .explain — see LakeSpec).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Format round-trips (csv/json/orc share the same DataFrameReader/
+    * Writer surface as parquet; schema must be supplied for the schemaless
+    * text formats on read).
+    */
+  def writeAs(df: DataFrame, format: String, path: String): Unit = {
+    val w = df.write.mode("overwrite").format(format)
+    (if (format == "csv") w.option("header", "true") else w).save(path)
+  }
+
+  def readAs(spark: SparkSession, format: String, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read.format(format)
+    val r2 = schema.fold(r)(r.schema)
+    (if (format == "csv") r2.option("header", "true") else r2).load(path)
+  }
+}

@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.functions.GraftFunctions
+
+class SkewAndFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("salted aggregate equals plain aggregate on a skewed key") {
+    // 90% of rows share one key — the shape salting exists for
+    val df = (1 to 10000).map(i => (if (i % 10 == 0) i.toLong else 0L, 1.0))
+      .toDF("k", "v")
+    val plain = df.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .orderBy("k").as[(Long, Long, Double)].collect().toSeq
+    val salted = Skew.saltedAggregate(df, col("k"), salts = 8,
+      partials = Seq(count(lit(1)).as("pn"), sum("v").as("ps")),
+      combine = Seq(sum("pn").as("n"), sum("ps").as("s")))
+      .orderBy("_key").as[(Long, Long, Double)].collect().toSeq
+    assert(salted == plain)
+  }
+
+  test("salted join equals plain join") {
+    val left = (1 to 5000).map(i => (if (i % 100 == 0) i.toLong else 7L, i))
+      .toDF("lk", "payload")
+    val right = (0 to 200).map(i => (i.toLong, s"r$i")).toDF("rk", "name")
+    val plain = left.join(right, col("lk") === col("rk"))
+      .select("lk", "payload", "name").as[(Long, Int, String)]
+      .collect().toSet
+    val salted = Skew.saltedJoin(left, right, "lk", "rk", salts = 8)
+      .select("lk", "payload", "name").as[(Long, Int, String)]
+      .collect().toSet
+    assert(salted == plain)
+  }
+
+  test("array_dot is callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT array_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .as[Double].head()
+    assert(got == 32.0)
+  }
+}
