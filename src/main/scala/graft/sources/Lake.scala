@@ -30,12 +30,22 @@ object Lake {
     * or groupBys on `key` between tables bucketed the same way plan with
     * zero Exchange (verify with .explain — see LakeSpec).
     */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // a previous process may have left the managed location behind while
+    // the (ephemeral) catalog forgot the table — clear it so overwrite
+    // semantics hold across JVMs
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(warehouse)) fs.delete(warehouse, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Format round-trips (csv/json/orc share the same DataFrameReader/
     * Writer surface as parquet; schema must be supplied for the schemaless

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+import graft.core.Exact
+
+/** Property-based laws (SURVEY.md §5.3): round-trip identity, dedup
+  * idempotence, streaming/batch window equivalence, decimal-sum order
+  * independence, path-function invariants. Sample counts kept small —
+  * each sample runs real Spark jobs.
+  */
+object GraftProps extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val rowGen = Gen.listOfN(40, for {
+    id <- Gen.choose(0L, 1000L)
+    user <- Gen.choose(0L, 20L)
+    value <- Gen.choose(0, 99999).map(_ / 100.0) // 2-decimal money
+    typ <- Gen.oneOf("click", "view", "error")
+  } yield (id, user, value, typ))
+
+  property("parquet round-trip identity") = forAll(rowGen) { rows =>
+    val df = rows.toDF("id", "user_id", "value", "event_type")
+    val path = Files.createTempDirectory("graft_prop").toString + "/t"
+    df.write.mode("overwrite").parquet(path)
+    val back = spark.read.parquet(path)
+    back.count() == rows.length &&
+      back.as[(Long, Long, Double, String)].collect().toList.sorted ==
+        rows.sorted
+  }
+
+  property("exact dedup is idempotent") = forAll(rowGen) { rows =>
+    val df = rows.toDF("id", "user_id", "value", "event_type")
+    val once = df.dropDuplicates("id")
+    val twice = once.dropDuplicates("id")
+    once.count() == twice.count()
+  }
+
+  property("decimal-exact sum is row-order independent") = forAll(rowGen) { rows =>
+    def total(rs: Seq[(Long, Long, Double, String)]): java.math.BigDecimal =
+      rs.toDF("id", "user_id", "value", "event_type")
+        .agg(Exact.sumd(col("value")).as("s"))
+        .head().getDouble(0) match { case d => java.math.BigDecimal.valueOf(d) }
+    total(rows) == total(rows.reverse)
+  }
+
+  property("tumbling-window counts equal date_trunc group counts") =
+    forAll(Gen.listOfN(30, Gen.choose(0L, 72L * 3600))) { offsets =>
+      val df = offsets
+        .map(o => java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1700000000L + o)))
+        .toDF("ts")
+      val viaWindow = df.groupBy(window(col("ts"), "1 hour"))
+        .count().select(col("window.start").as("s"), col("count"))
+        .as[(java.sql.Timestamp, Long)].collect().toMap
+      val viaTrunc = df.groupBy(date_trunc("hour", col("ts")).as("s"))
+        .count().as[(java.sql.Timestamp, Long)].collect().toMap
+      viaWindow == viaTrunc
+    }
+
+  property("extractFilename never contains a slash and strips scheme") =
+    forAll(Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty))) { segs =>
+      val p = "s3://" + segs.mkString("/")
+      val f = pipeline.PathLayout.extractFilename(p)
+      !f.contains("/") && f == segs.last
+    }
+}
