@@ -29,15 +29,16 @@ object MinHashLSH {
   val ROWS_PER_BAND: Int = NUM_HASHES / BANDS
   val TAU = 0.5
 
-  /** MinHash signature columns m0..m{k-1} per doc_id. Each of the k hash
-    * functions is xxhash64 seeded by its index (hashing the (i, shingle)
-    * pair) — independent 64-bit families with no integer-overflow
-    * concerns under ANSI mode, all inside whole-stage codegen.
+  /** MinHash signature columns m0..m{k-1} per doc_id. The (variable-width)
+    * shingle string is hashed ONCE; the k families then re-mix the fixed
+    * 8-byte result with xxhash64(i, h) — k-1 fewer string traversals per
+    * shingle, no ANSI overflow concerns, all inside whole-stage codegen.
     */
   def signatures(shingles: DataFrame): DataFrame = {
+    val base = shingles.select(col("doc_id"), xxhash64(col("sh")).as("h"))
     val mins = (0 until NUM_HASHES).map(i =>
-      min(xxhash64(lit(i), col("sh"))).as(s"m$i"))
-    shingles.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      min(xxhash64(lit(i), col("h"))).as(s"m$i"))
+    base.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /** (doc_id, band, bh) — one row per band key. */

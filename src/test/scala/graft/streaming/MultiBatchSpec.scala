@@ -1,0 +1,51 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Cross-micro-batch state: split the events table into 4 files, force one
+  * file per micro-batch, and check stateful streaming results still equal
+  * the batch answer — i.e. state genuinely carries across batches (the
+  * single-batch AvailableNow replay in StreamOps can't show that).
+  */
+class MultiBatchSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("windowed aggregation state carries across micro-batches") {
+    val src = graft.core.Tables(spark, "/root/testdata/sf0.001", "events")
+    val dir = Files.createTempDirectory("graft_multibatch").toString
+    // 4 roughly-equal files; rows of one hour may span several batches
+    src.repartition(4).write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream
+      .schema(src.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val agg = stream
+      .withWatermark("ts", "24 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+
+    val ckpt = Files.createTempDirectory("graft_mb_ckpt").toString
+    val q = agg.writeStream.format("memory").queryName("mb_out")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 4, "expected one micro-batch per file")
+
+    val streamed = spark.table("mb_out")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val batch = src
+      .groupBy(date_trunc("hour", col("ts")).as("ws"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+}
