@@ -102,5 +102,41 @@ object MinHashLSH {
       .orderBy("a_id", "b_id")
   }
 
-  val all: Seq[Q] = Seq(q33)
+  /** X — character 5-gram Jaccard near-dup (the n-gram spelling of Q33:
+    * same LSH+exact-verify machinery over char shingles instead of word
+    * shingles; robust to tokenization differences).
+    */
+  val xCharNgram = Q(
+    "x_char_ngram_jaccard",
+    s"""WITH sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS sh
+              FROM documents,
+                   LATERAL (SELECT unnest(generate_series(1, greatest(len(text)-4, 1))) AS i)
+              WHERE len(text) >= 5),
+       card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+       inter AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS i
+                 FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                 GROUP BY 1, 2)
+       SELECT a_id, b_id, CAST(i AS DOUBLE) / (ca.c + cb.c - i) AS jaccard
+       FROM inter
+       JOIN card ca ON ca.doc_id = a_id
+       JOIN card cb ON cb.doc_id = b_id
+       WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= $TAU
+       ORDER BY a_id, b_id""") { (s, dir) =>
+    val docs = T(s, dir, "documents")
+    // column-start substring needs the SQL form (the Scala substring()
+    // helper only takes literal positions)
+    val shingles = docs
+      .filter(length(col("text")) >= 5)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, length(text)-4), i -> substring(text, i, 5))"
+        )).as("sh"))
+      .distinct()
+    val cand = candidates(bandKeys(signatures(shingles)))
+    exactJaccard(cand, shingles)
+      .filter(col("jaccard") >= TAU)
+      .orderBy("a_id", "b_id")
+  }
+
+  val all: Seq[Q] = Seq(q33, xCharNgram)
 }

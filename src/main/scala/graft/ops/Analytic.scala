@@ -332,7 +332,28 @@ object Analytic {
     s.sql(q27Sql)
   }
 
+  /** Q25b — MAP type surface: construct a map per row, then read it back
+    * through map_keys/element_at. The oracle reproduces the VALUES without
+    * map types (DuckDB's MAP accessors return lists; value equality is the
+    * contract, not spelling).
+    */
+  val q25b = Q(
+    "q25_map_funcs",
+    """SELECT event_id, 2 AS n_keys, event_type AS m_type,
+       CAST(user_id AS VARCHAR) AS m_user
+       FROM events ORDER BY event_id""") { (s, dir) =>
+    T(s, dir, "events")
+      .withColumn("m", map(
+        lit("type"), col("event_type"),
+        lit("user"), col("user_id").cast("string")))
+      .select(col("event_id"),
+        size(map_keys(col("m"))).as("n_keys"),
+        element_at(col("m"), "type").as("m_type"),
+        element_at(col("m"), "user").as("m_user"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[Q] = Seq(
-    q19, q19b, q19c, q19d, q20, q21, q21b, q22, q23, q24, q24b, q25,
+    q19, q19b, q19c, q19d, q20, q21, q21b, q22, q23, q24, q24b, q25, q25b,
     q26, q26b, q26c, q27)
 }
