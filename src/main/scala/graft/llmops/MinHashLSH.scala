@@ -34,17 +34,18 @@ object MinHashLSH {
     * 8-byte result with xxhash64(i, h) — k-1 fewer string traversals per
     * shingle, no ANSI overflow concerns, all inside whole-stage codegen.
     */
-  def signatures(shingles: DataFrame): DataFrame = {
+  def signatures(shingles: DataFrame, numHashes: Int = NUM_HASHES): DataFrame = {
     val base = shingles.select(col("doc_id"), xxhash64(col("sh")).as("h"))
-    val mins = (0 until NUM_HASHES).map(i =>
+    val mins = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("h"))).as(s"m$i"))
     base.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /** (doc_id, band, bh) — one row per band key. */
-  def bandKeys(sig: DataFrame): DataFrame = {
-    val bandStructs = (0 until BANDS).map { b =>
-      val cols = (0 until ROWS_PER_BAND).map(r => col(s"m${b * ROWS_PER_BAND + r}"))
+  def bandKeys(sig: DataFrame, bands: Int = BANDS,
+      rowsPerBand: Int = ROWS_PER_BAND): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
     }
     sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
@@ -132,7 +133,10 @@ object MinHashLSH {
           "transform(sequence(1, length(text)-4), i -> substring(text, i, 5))"
         )).as("sh"))
       .distinct()
-    val cand = candidates(bandKeys(signatures(shingles)))
+    // char shingles are ~13x the word-shingle volume: half-width hash
+    // family (32 = 8 bands x 4). P(miss) at the corpus' planted J>=0.97
+    // is (1 - 0.97^4)^8 ~ 3e-8 — still negligible, half the hashing cost.
+    val cand = candidates(bandKeys(signatures(shingles, 32), 8, 4))
     exactJaccard(cand, shingles)
       .filter(col("jaccard") >= TAU)
       .orderBy("a_id", "b_id")
