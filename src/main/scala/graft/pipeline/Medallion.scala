@@ -67,6 +67,32 @@ class Medallion(spark: SparkSession, config: LakeConfig) {
     sink
   }
 
+  /** Streaming silver: the idiomatic upgrade of the hourly cron
+    * (SURVEY.md §7) — a file-source stream over the WHOLE bronze zone
+    * replaces per-hour batch scoping. Each new bronze file is discovered
+    * incrementally (checkpointed), cleaned, and appended to a silver
+    * directory. Trigger.AvailableNow processes the backlog and stops, so
+    * the same job serves both catch-up and scheduled runs; on a cluster
+    * the identical code runs with a continuous trigger.
+    */
+  def serialiseRawDataStreaming(checkpoint: String): String = {
+    import org.apache.spark.sql.streaming.Trigger
+    val source = s"${config.bronzeRoot}/${config.basePath}/*/*/*"
+    val sink = s"${config.silverRoot}/${config.basePath}/streaming"
+    val raw = spark.readStream
+      .schema(GhArchive.rawSchema)
+      .option("mode", "DROPMALFORMED")
+      .json(source)
+    val query = GhArchive.clean(raw).writeStream
+      .format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    sink
+  }
+
   /** Gold job: daily glob over 24 hourly silver outputs → aggregate →
     * parquet. One shuffle (partial+final hash agg on the group keys).
     */
