@@ -353,7 +353,48 @@ object Analytic {
       .orderBy("event_id")
   }
 
+  /** X — pivot: per-user event-type counts as columns (Spark's native
+    * RelationalGroupedDataset.pivot with explicit values so the plan needs
+    * no extra distinct pass; oracle spells it as conditional aggregation).
+    */
+  val xPivot = Q(
+    "x_pivot",
+    """SELECT user_id,
+       count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+       count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+       FROM events GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
+    T(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+  }
+
+  /** X — unpivot (melt): lineitem measures to long format via
+    * Dataset.unpivot; oracle is the stacked UNION ALL spelling.
+    */
+  val xUnpivot = Q(
+    "x_unpivot",
+    """SELECT l_orderkey, l_linenumber, measure, value FROM (
+         SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+       ORDER BY l_orderkey, l_linenumber, measure""") { (s, dir) =>
+    T(s, dir, "lineitem")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+  }
+
   val all: Seq[Q] = Seq(
     q19, q19b, q19c, q19d, q20, q21, q21b, q22, q23, q24, q24b, q25, q25b,
-    q26, q26b, q26c, q27)
+    q26, q26b, q26c, q27, xPivot, xUnpivot)
 }
