@@ -13,7 +13,10 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * unlike the reference's whole-body-in-RAM BytesIO
   * (data_lake_ingester.py:41-43) — same layout, bounded memory.
   */
-class Ingester(config: LakeConfig, hadoopConf: Configuration = new Configuration()) {
+class Ingester(
+    config: LakeConfig,
+    hadoopConf: Configuration = new Configuration(),
+    sourceBaseUrl: String = "http://data.gharchive.org") {
 
   private val http = HttpClient.newBuilder()
     .followRedirects(HttpClient.Redirect.NORMAL)
@@ -26,6 +29,7 @@ class Ingester(config: LakeConfig, hadoopConf: Configuration = new Configuration
     */
   def ingestHourlyGharchive(processDate: LocalDateTime): String = {
     val url = PathLayout.sourceUrl(processDate)
+      .replace("http://data.gharchive.org", sourceBaseUrl)
     val fileName = PathLayout.extractFilename(url)
     val key = PathLayout.ingestKey(config.basePath, processDate, fileName)
     val sink = s"${config.bronzeRoot}/$key"
