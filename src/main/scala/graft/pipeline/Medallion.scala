@@ -93,6 +93,32 @@ class Medallion(spark: SparkSession, config: LakeConfig) {
     sink
   }
 
+  /** Streaming gold: watermarked daily aggregation over a silver stream,
+    * landed with foreachBatch (parquet sinks can't take aggregate updates
+    * directly; foreachBatch is the standard merge pattern). Complete mode
+    * + overwrite keeps gold consistent at every trigger; a real deployment
+    * with huge key spaces would switch to update mode + dynamic partition
+    * overwrite of only the touched days.
+    */
+  def aggregateGoldStreaming(checkpoint: String): String = {
+    import org.apache.spark.sql.streaming.Trigger
+    val source = s"${config.silverRoot}/${config.basePath}/streaming"
+    val sink = s"${config.goldRoot}/${config.basePath}/streaming"
+    val silver = spark.readStream
+      .schema(spark.read.parquet(source).schema)
+      .parquet(source)
+    val query = GhArchive.aggregate(silver).writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(sink)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    sink
+  }
+
   /** Gold job: daily glob over 24 hourly silver outputs → aggregate →
     * parquet. One shuffle (partial+final hash agg on the group keys).
     */

@@ -16,8 +16,10 @@ class StreamingMedallionSpec extends AnyFunSuite {
     w.close()
   }
 
-  private def event(id: Int, hour: Int): String =
-    s"""{"id":$id,"actor":{"id":1,"login":"u","display_login":"U"},"type":"PushEvent","repo":{"id":2,"name":"r","url":"x"},"created_at":"2023-01-01 $hour%02d:00:00"""".format(hour) + "}"
+  private def event(id: Int, hour: Int): String = {
+    val hh = f"$hour%02d"
+    s"""{"id":$id,"actor":{"id":1,"login":"u","display_login":"U"},"type":"PushEvent","repo":{"id":2,"name":"r","url":"x"},"created_at":"2023-01-01 $hh:00:00"}"""
+  }
 
   test("streaming silver discovers bronze files incrementally, resumes from checkpoint") {
     val root = Files.createTempDirectory("graft_slake").toString
@@ -42,6 +44,13 @@ class StreamingMedallionSpec extends AnyFunSuite {
     val silver = spark.read.parquet(sink)
     assert(silver.count() == 3)
     assert(silver.select("event_id").distinct().count() == 3)
+
+    // gold over the silver stream: 3 same-day PushEvents collapse to one
+    // aggregate row with event_count = 3
+    val goldSink = medallion.aggregateGoldStreaming(s"$root/ckpt_gold")
+    val gold = spark.read.parquet(goldSink).collect()
+    assert(gold.length == 1)
+    assert(gold(0).getLong(5) == 3L)
   }
 
   test("PERMISSIVE mode surfaces malformed rows instead of dropping them") {
