@@ -93,30 +93,79 @@ object VectorSearch {
       .orderBy("vec_id")
   }
 
-  /** X — IVF-style ANN: coarse-quantize vectors into buckets by the sign
-    * pattern of a few fixed pseudo-random hyperplanes, probe only the
-    * query's bucket ± neighbors. Approximate ⇒ rows-only check (the exact
-    * twin above is the correctness anchor); the point of this entry is
-    * the scale path: per-probe scanned rows drop by ~|buckets|×.
+  /** Deterministic distributed k-means over normalized vectors (cosine
+    * k-means: assignment by max dot, centroids re-normalized). The only
+    * driver-side state is the k×dim centroid table — standard for any
+    * Spark k-means; all per-vector work is distributed.
+    */
+  def kmeansCentroids(
+      normalized: DataFrame, k: Int, iterations: Int): Array[Array[Double]] = {
+    val spark = normalized.sparkSession
+    import spark.implicits._
+    // deterministic init: the k lowest-id vectors
+    var centroids: Array[Array[Double]] = normalized
+      .orderBy("vec_id").limit(k)
+      .select(col("n_emb")).as[Array[Double]].collect()
+
+    for (_ <- 1 to iterations) {
+      val centLit = typedLit(centroids.map(_.toSeq).toSeq)
+      val assigned = normalized
+        .select(col("vec_id"), col("n_emb"),
+          posexplode(centLit).as(Seq("cid", "cent")))
+        .select(col("vec_id"), col("n_emb"), col("cid"),
+          struct(dot(col("n_emb"), col("cent")).as("sim"),
+            (-col("cid")).as("neg")).as("cand"))
+        .groupBy(col("vec_id"), col("n_emb"))
+        .agg(max(col("cand")).as("best"))
+        .select(col("n_emb"), (-col("best.neg")).cast("int").as("cid"))
+      val sums = assigned
+        .select(col("cid"), posexplode(col("n_emb")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .as[(Int, Int, Double)].collect()
+      val next = centroids.clone()
+      sums.groupBy(_._1).foreach { case (cid, rows) =>
+        val c = new Array[Double](rows.length)
+        rows.foreach { case (_, pos, m) => c(pos) = m }
+        val norm = math.sqrt(c.map(x => x * x).sum)
+        next(cid) = if (norm == 0) c else c.map(_ / norm)
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** X — IVF ANN: k-means coarse quantizer (k=16 lists), vectors assigned
+    * to their nearest centroid list; each probe scans only its nprobe=2
+    * closest lists. Approximate ⇒ rows-only check (the exact twin above is
+    * the correctness anchor); the point is the scale path: per-probe
+    * scanned rows drop by ~k/nprobe ×, and the quantizer itself is
+    * distributed with only the k×dim centroid table on the driver.
     */
   val xAnnIvf = Q.noOracle("x_ann_ivf") { (s, dir) =>
     val e = T(s, dir, "embeddings")
-    // 4 fixed hyperplanes => 16 buckets; key = sign bits of dot(v, h_i)
-    val planes = MinHashConstants.hyperplanes(4, 64)
-    def bucket(emb: Column): Column =
-      (0 until 4).map { i =>
-        val p = array(planes(i).map(lit): _*)
-        when(dot(emb.cast("array<double>"), p) >= 0, 1 << i).otherwise(0)
-      }.reduce(_ + _)
-    val bucketed = e.withColumn("bucket", bucket(col("embedding")))
-    val probes = bucketed.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
-        col("bucket").as("p_bucket"))
+      .select(col("vec_id"), col("label"),
+        graft.functions.ArrayOps.l2normalize(col("embedding")).as("n_emb"))
+    val centroids = kmeansCentroids(e.select(col("vec_id"), col("n_emb")), 16, 3)
+    val centLit = typedLit(centroids.map(_.toSeq).toSeq)
+
+    def topClusters(n: Int): DataFrame = e
+      .select(col("vec_id"), col("label"), col("n_emb"),
+        posexplode(centLit).as(Seq("cid", "cent")))
+      .withColumn("csim", dot(col("n_emb"), col("cent")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))))
+      .filter(col("crank") <= n)
+      .drop("cent", "csim", "crank")
+
+    val lists = topClusters(1) // every vector lives in exactly one list
+    val probes = topClusters(2).filter(col("vec_id") < 5) // nprobe = 2
+      .select(col("vec_id").as("probe_id"), col("n_emb").as("p_emb"), col("cid"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("vec_id"))
-    bucketed.join(broadcast(probes), col("bucket") === col("p_bucket"))
+    lists.join(broadcast(probes), Seq("cid"))
       .select(col("probe_id"), col("vec_id"),
-        cosine(col("embedding"), col("p_emb")).as("sim"))
+        dot(col("n_emb"), col("p_emb")).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10)
       .select(col("probe_id"), col("rank"), col("vec_id"))
@@ -124,21 +173,4 @@ object VectorSearch {
   }
 
   val all: Seq[Q] = Seq(q34, xNearestNeighbor, xAnnIvf)
-}
-
-/** Fixed pseudo-random constants shared by approximate operators. */
-object MinHashConstants {
-  /** `n` deterministic hyperplanes of dimension `dim` in [-1, 1]. */
-  def hyperplanes(n: Int, dim: Int): Array[Array[Double]] = {
-    var x = 0x51_7c_c1_b7_27_22_0a_95L
-    def next(): Double = {
-      x += 0x9e3779b97f4a7c15L
-      var z = x
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z = z ^ (z >>> 31)
-      (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
-    }
-    Array.fill(n)(Array.fill(dim)(next()))
-  }
 }

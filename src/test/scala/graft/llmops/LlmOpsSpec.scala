@@ -44,6 +44,18 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(n1 == out1.dropDuplicates("digest").count())
   }
 
+  test("IVF ANN returns self as rank-1 and full top-10 lists per probe") {
+    val res = VectorSearch.xAnnIvf.build(spark, "/root/testdata/sf0.001")
+      .as[(Long, Int, Long)].collect()
+    val byProbe = res.groupBy(_._1)
+    assert(byProbe.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byProbe.foreach { case (probe, rows) =>
+      assert(rows.length == 10, s"probe $probe returned ${rows.length} rows")
+      assert(rows.find(_._2 == 1).get._3 == probe,
+        s"probe $probe rank-1 should be itself")
+    }
+  }
+
   test("dedup pipeline removes exact dups, near-dups, and short docs") {
     val base = (0 until 40).map(i => s"tok${i * 7 % 31}").mkString(" ")
     val nearDup = base.split(" ").updated(5, "CHANGED").mkString(" ")
