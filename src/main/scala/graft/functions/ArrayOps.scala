@@ -55,7 +55,56 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Intersection size of two SORTED long arrays — a single merge scan,
+  * O(|A|+|B|), codegen'd. Backs near-dup candidate verification: per-doc
+  * shingle sets become sorted hash arrays once, and each candidate pair
+  * costs one scan instead of a row-exploding join on shingle equality.
+  */
+case class SortedLongArrayIntersect(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toLongArray()
+    val y = b.asInstanceOf[ArrayData].toLongArray()
+    var i = 0; var j = 0; var n = 0L
+    while (i < x.length && j < y.length) {
+      if (x(i) == y(j)) { n += 1; i += 1; j += 1 }
+      else if (x(i) < y(j)) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      s"""
+         |long[] $x = $a.toLongArray();
+         |long[] $y = $b.toLongArray();
+         |int $i = 0; int $j = 0; long $n = 0L;
+         |while ($i < $x.length && $j < $y.length) {
+         |  if ($x[$i] == $y[$j]) { $n++; $i++; $j++; }
+         |  else if ($x[$i] < $y[$j]) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object ArrayOps {
+
+  /** Column form of SortedLongArrayIntersect (inputs must be sorted). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedLongArrayIntersect(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** Column-level dot product (inputs cast to array of double). */
   def dot(a: Column, b: Column): Column =

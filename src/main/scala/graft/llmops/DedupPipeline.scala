@@ -32,10 +32,10 @@ object DedupPipeline {
       .drop("rn")
 
     // 2. near-dup: kill the b-side (higher id) of every verified pair
-    val shingles = Shingles.wordShingles(exact, 3)
+    val sets = MinHashLSH.hashSets(Shingles.wordShingles(exact, 3)).cache()
     val cand = MinHashLSH.candidates(
-      MinHashLSH.bandKeys(MinHashLSH.signatures(shingles)))
-    val losers = MinHashLSH.exactJaccard(cand, shingles)
+      MinHashLSH.bandKeys(MinHashLSH.signaturesFromSets(sets)))
+    val losers = MinHashLSH.exactJaccardFromSets(cand, sets)
       .filter(col("jaccard") >= tau)
       .select(col("b_id").as("doc_id"))
       .distinct()

@@ -34,8 +34,24 @@ object MinHashLSH {
     * 8-byte result with xxhash64(i, h) — k-1 fewer string traversals per
     * shingle, no ANSI overflow concerns, all inside whole-stage codegen.
     */
-  def signatures(shingles: DataFrame, numHashes: Int = NUM_HASHES): DataFrame = {
-    val base = shingles.select(col("doc_id"), xxhash64(col("sh")).as("h"))
+  /** Per-doc condensed shingle sets: (doc_id, sorted xxhash64 array,
+    * cardinality). Everything downstream — signatures, banding, exact
+    * verification — derives from this ONE pass over the (heavy) shingle
+    * stream; cache it when feeding multiple consumers.
+    */
+  def hashSets(shingles: DataFrame): DataFrame =
+    shingles.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(xxhash64(col("sh")))).as("hs"),
+        count(lit(1)).as("c"))
+
+  def signatures(shingles: DataFrame, numHashes: Int = NUM_HASHES): DataFrame =
+    signaturesFromSets(hashSets(shingles), numHashes)
+
+  /** MinHash signatures from condensed sets: the shingle hash re-mixed by
+    * xxhash64(i, h) per family — fixed-width hashing only.
+    */
+  def signaturesFromSets(sets: DataFrame, numHashes: Int = NUM_HASHES): DataFrame = {
+    val base = sets.select(col("doc_id"), explode(col("hs")).as("h"))
     val mins = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("h"))).as(s"m$i"))
     base.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
@@ -59,21 +75,30 @@ object MinHashLSH {
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
 
-  /** Exact Jaccard over shingle sets, restricted to candidate pairs. */
-  def exactJaccard(cand: DataFrame, shingles: DataFrame): DataFrame = {
-    val cards = Shingles.cardinalities(shingles)
-    val inter = cand
-      .join(shingles.as("sa"), col("a_id") === col("sa.doc_id"))
-      .join(shingles.as("sb"),
-        col("b_id") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(cards.as("ca"), col("a_id") === col("ca.doc_id"))
-      .join(cards.as("cb"), col("b_id") === col("cb.doc_id"))
+  /** Exact Jaccard over shingle sets, restricted to candidate pairs.
+    *
+    * Each doc's distinct shingle set is condensed ONCE into a sorted
+    * xxhash64 array; a candidate pair then costs one codegen'd merge scan
+    * (SortedLongArrayIntersect) instead of a join on shingle equality
+    * whose output is |candidates| × |shingles-per-doc| rows. Hash
+    * collisions perturb a count with probability ~|A||B|/2^64 per pair —
+    * vanishing against the τ margin.
+    */
+  def exactJaccard(cand: DataFrame, shingles: DataFrame): DataFrame =
+    exactJaccardFromSets(cand, hashSets(shingles))
+
+  def exactJaccardFromSets(cand: DataFrame, sets: DataFrame): DataFrame = {
+    cand
+      .join(sets.select(col("doc_id").as("a_id"), col("hs").as("ha"),
+        col("c").as("ca")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("hs").as("hb"),
+        col("c").as("cb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        graft.functions.ArrayOps.sortedIntersectCount(col("ha"), col("hb"))
+          .as("inter"), col("ca"), col("cb"))
       .select(col("a_id"), col("b_id"),
         (col("inter").cast("double") /
-          (col("ca.c") + col("cb.c") - col("inter"))).as("jaccard"))
+          (col("ca") + col("cb") - col("inter"))).as("jaccard"))
   }
 
   /** Q33 — the full near-dup pair query. Oracle is a brute-force shared-
@@ -97,8 +122,9 @@ object MinHashLSH {
        WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= $TAU
        ORDER BY a_id, b_id""") { (s, dir) =>
     val sh = Shingles.wordShingles(T(s, dir, "documents"), 3)
-    val cand = candidates(bandKeys(signatures(sh)))
-    exactJaccard(cand, sh)
+    val sets = hashSets(sh).cache()
+    val cand = candidates(bandKeys(signaturesFromSets(sets)))
+    exactJaccardFromSets(cand, sets)
       .filter(col("jaccard") >= TAU)
       .orderBy("a_id", "b_id")
   }
@@ -136,8 +162,9 @@ object MinHashLSH {
     // char shingles are ~13x the word-shingle volume: half-width hash
     // family (32 = 8 bands x 4). P(miss) at the corpus' planted J>=0.97
     // is (1 - 0.97^4)^8 ~ 3e-8 — still negligible, half the hashing cost.
-    val cand = candidates(bandKeys(signatures(shingles, 32), 8, 4))
-    exactJaccard(cand, shingles)
+    val sets = hashSets(shingles).cache()
+    val cand = candidates(bandKeys(signaturesFromSets(sets, 32), 8, 4))
+    exactJaccardFromSets(cand, sets)
       .filter(col("jaccard") >= TAU)
       .orderBy("a_id", "b_id")
   }

@@ -143,9 +143,11 @@ object VectorSearch {
     * distributed with only the k×dim centroid table on the driver.
     */
   val xAnnIvf = Q.noOracle("x_ann_ivf") { (s, dir) =>
+    // cached: k-means revisits the normalized vectors twice per iteration
     val e = T(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         graft.functions.ArrayOps.l2normalize(col("embedding")).as("n_emb"))
+      .cache()
     val centroids = kmeansCentroids(e.select(col("vec_id"), col("n_emb")), 16, 3)
     val centLit = typedLit(centroids.map(_.toSeq).toSeq)
 
