@@ -187,6 +187,51 @@ object Analytic {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Q22b — statistical aggregates. Built-in stddev/corr are single-pass
+    * accumulations whose float error differs across engines, so the
+    * declared form derives variance/stddev/correlation from EXACT decimal
+    * sums (x, x², xy are all exact at scale 4) — both engines then do the
+    * same double arithmetic on identical inputs. The SQL text is engine-
+    * portable and is both the Spark query and the oracle.
+    */
+  private val q22bSql =
+    """SELECT l_returnflag,
+       (CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+         / (count(*) - 1) AS var_qty,
+       sqrt((CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+         / (count(*) - 1)) AS stddev_qty,
+       (CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+         / (count(*) - 1) AS covar_qty_price
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+  val q22b = Q("q22_stats_agg", q22bSql) { (s, dir) =>
+    T(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(q22bSql)
+  }
+
+  /** Q22c — exact percentiles (Spark `percentile` ↔ DuckDB
+    * `quantile_cont`, both exact sort-and-interpolate; rounded 6 digits
+    * for the interpolation arithmetic).
+    */
+  val q22c = Q(
+    "q22_percentiles",
+    """SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+    T(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"))
+      .orderBy("l_returnflag")
+  }
+
   /** Q23 — conditional / null-handling surface, incl. null-safe equality
     * (Spark `<=>` ↔ SQL `IS NOT DISTINCT FROM`).
     */
@@ -395,6 +440,6 @@ object Analytic {
   }
 
   val all: Seq[Q] = Seq(
-    q19, q19b, q19c, q19d, q20, q21, q21b, q22, q23, q24, q24b, q25, q25b,
-    q26, q26b, q26c, q27, xPivot, xUnpivot)
+    q19, q19b, q19c, q19d, q20, q21, q21b, q22, q22b, q22c, q23, q24, q24b,
+    q25, q25b, q26, q26b, q26c, q27, xPivot, xUnpivot)
 }
