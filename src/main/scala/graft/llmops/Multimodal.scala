@@ -101,5 +101,60 @@ object Multimodal {
       .orderBy("file_name")
   }
 
-  val all: Seq[Q] = Seq(q36, q36b, xFeatures)
+  val frameSchema: StructType = StructType(Seq(
+    StructField("file_name", StringType),
+    StructField("frame_idx", IntegerType),
+    StructField("frame", BinaryType)))
+
+  /** Frame sampling: one row per sampled fixed-size frame of each media
+    * blob. The frame boundaries here are byte-block STUBS for a real
+    * container demuxer; the Spark shape — a generator (1 blob row → N
+    * frame rows) over mapPartitions, binary payload per row — is exactly
+    * how video sampling lands in a DataFrame at scale.
+    */
+  def sampleFrames(binaryFiles: DataFrame, frameBytes: Int, every: Int): DataFrame = {
+    val spark = binaryFiles.sparkSession
+    val rdd = binaryFiles.select(col("path"), col("content")).rdd.mapPartitions { it =>
+      it.flatMap { row =>
+        val path = row.getString(0)
+        val bytes = row.getAs[Array[Byte]](1)
+        val name = path.substring(path.lastIndexOf('/') + 1)
+        val nFrames = bytes.length / frameBytes
+        (0 until nFrames by every).map { i =>
+          Row(name, i, bytes.slice(i * frameBytes, (i + 1) * frameBytes))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, frameSchema)
+  }
+
+  /** Resize stub: fixed-ratio downsample of the binary payload (every
+    * k-th byte) standing in for an image resampler; shape-preserving
+    * (binary in → smaller binary out, metadata carried through).
+    */
+  def resize(frames: DataFrame, factor: Int): DataFrame = {
+    val spark = frames.sparkSession
+    val schema = frames.schema
+    val frameIdx = schema.fieldIndex("frame")
+    val rdd = frames.rdd.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](frameIdx)
+        val out = Array.tabulate(bytes.length / factor)(i => bytes(i * factor))
+        Row.fromSeq(row.toSeq.updated(frameIdx, out))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** X — frame-sample + resize over the fixture blobs (rows-only). */
+  val xFrames = Q.noOracle("x_media_frames") { (s, dir) =>
+    val frames = sampleFrames(
+      s.read.format("binaryFile").load(s"$blobDir/*.bin"), frameBytes = 256, every = 2)
+    resize(frames, factor = 4)
+      .select(col("file_name"), col("frame_idx"),
+        length(col("frame")).as("frame_bytes"))
+      .orderBy("file_name", "frame_idx")
+  }
+
+  val all: Seq[Q] = Seq(q36, q36b, xFeatures, xFrames)
 }

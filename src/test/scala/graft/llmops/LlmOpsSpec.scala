@@ -75,6 +75,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(again.count() == survivors.size)
   }
 
+  test("frame sampling generates every-2nd 256-byte frame; resize shrinks 4x") {
+    val blobs = spark.read.format("binaryFile").load(s"${Multimodal.blobDir}/*.bin")
+    val frames = Multimodal.sampleFrames(blobs, frameBytes = 256, every = 2)
+    val f0 = frames.filter(col("file_name") === "doc_0.bin")
+      .orderBy("frame_idx").collect()
+    // doc_0.bin is 1000 bytes -> 3 full frames -> sampled idx 0, 2
+    assert(f0.map(_.getInt(1)).toSeq == Seq(0, 2))
+    assert(f0.forall(_.getAs[Array[Byte]](2).length == 256))
+    val resized = Multimodal.resize(frames, 4)
+      .filter(col("file_name") === "doc_0.bin").collect()
+    assert(resized.forall(_.getAs[Array[Byte]](2).length == 64))
+  }
+
   test("stubbed media feature extraction keeps real byte metadata") {
     val feats = Multimodal.extractFeatures(
       spark.read.format("binaryFile").load(s"${Multimodal.blobDir}/*.bin"))
