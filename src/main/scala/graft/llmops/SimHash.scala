@@ -62,5 +62,53 @@ object SimHash {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(xSimhash)
+  /** Sketch-level near-dup pairing: band the 48-bit simhash into 4
+    * 12-bit keys, candidate = any equal band, then verify
+    * hamming(a, b) <= MAX_HAMMING with xor+bit_count. With MAX_HAMMING=3
+    * the pigeonhole principle makes banding recall EXACT (≤3 flipped bits
+    * cannot touch all 4 bands), so the LSH path provably equals the
+    * oracle's brute force. Candidate generation is equi-join shuffles
+    * only — never O(n²).
+    */
+  val MAX_HAMMING = 3
+
+  private val simhashCte =
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+              FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 1))) AS i)
+              WHERE len(t) >= 3),
+       h AS (SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 12) AS BIGINT) AS h FROM sh),
+       s AS (SELECT doc_id,
+           $sumExprsSql
+         FROM h GROUP BY doc_id),
+       sk AS (SELECT doc_id, $bitExprSql AS simhash FROM s)"""
+
+  val xSimhashNeardup = Q(
+    "x_simhash_neardup",
+    s"""$simhashCte
+       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              bit_count(xor(a.simhash, b.simhash)) AS hamming
+       FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.simhash, b.simhash)) <= $MAX_HAMMING
+       ORDER BY a_id, b_id""") { (s, dir) =>
+    val sketches = xSimhash.build(s, dir).cache()
+    val bands = sketches.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), 12 * b).bitwiseAND(0xfff).as("bk"))): _*)).as("e"))
+      .select(col("doc_id"), col("simhash"), col("e.band"), col("e.bk"))
+    val cand = bands.as("x").join(bands.as("y"), Seq("band", "bk"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("x.simhash").as("sa"),
+        col("y.doc_id").as("b_id"), col("y.simhash").as("sb"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+      .filter(col("hamming") <= MAX_HAMMING)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val all: Seq[Q] = Seq(xSimhash, xSimhashNeardup)
 }
