@@ -102,6 +102,34 @@ object Analytic {
       .orderBy("p_partkey")
   }
 
+  /** Q20b — second string batch: padding, repetition, reversal,
+    * prefix/suffix slices, substring position.
+    */
+  val q20b = Q(
+    "q20_string_funcs2",
+    """SELECT p_partkey,
+       lpad(p_brand, 12, '*') AS padded_l,
+       rpad(p_brand, 12, '.') AS padded_r,
+       repeat(p_type, 2) AS doubled,
+       reverse(p_name) AS reversed,
+       left(p_name, 3) AS l3,
+       right(p_name, 3) AS r3,
+       contains(p_name, 'red') AS has_red,
+       CAST(strpos(p_name, ' ') AS BIGINT) AS space_at
+       FROM part ORDER BY p_partkey""") { (s, dir) =>
+    T(s, dir, "part")
+      .select(col("p_partkey"),
+        lpad(col("p_brand"), 12, "*").as("padded_l"),
+        rpad(col("p_brand"), 12, ".").as("padded_r"),
+        repeat(col("p_type"), 2).as("doubled"),
+        reverse(col("p_name")).as("reversed"),
+        substring(col("p_name"), 1, 3).as("l3"),
+        expr("right(p_name, 3)").as("r3"),
+        col("p_name").contains("red").as("has_red"),
+        instr(col("p_name"), " ").cast("long").as("space_at"))
+      .orderBy("p_partkey")
+  }
+
   /** Q21a — date/time surface over orders. Per-engine spellings differ
     * (date_format ↔ strftime, datediff ↔ date_diff) but values match;
     * everything producing dates is cast to timestamp on both sides so the
@@ -398,6 +426,27 @@ object Analytic {
       .orderBy("event_id")
   }
 
+  /** X — salted two-phase aggregation under the oracle gate: event_type
+    * has only 5 (hot) keys — the exact shape where per-key parallelism
+    * collapses without salting. Results are decimal-exact, so the salted
+    * plan hash-matches the plain GROUP BY oracle.
+    */
+  val xSaltedAgg = Q(
+    "x_salted_agg",
+    """SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+       FROM events GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+    Skew.saltedAggregate(
+      T(s, dir, "events"),
+      col("event_type"), salts = 8,
+      partials = Seq(count(lit(1)).as("pn"),
+        sum(dec(col("value"))).as("ps")),
+      combine = Seq(sum(col("pn")).as("n"),
+        sum(col("ps")).cast("double").as("val_sum")))
+      .withColumnRenamed("_key", "event_type")
+      .orderBy("event_type")
+  }
+
   /** X — pivot: per-user event-type counts as columns (Spark's native
     * RelationalGroupedDataset.pivot with explicit values so the plan needs
     * no extra distinct pass; oracle spells it as conditional aggregation).
@@ -440,6 +489,6 @@ object Analytic {
   }
 
   val all: Seq[Q] = Seq(
-    q19, q19b, q19c, q19d, q20, q21, q21b, q22, q22b, q22c, q23, q24, q24b,
-    q25, q25b, q26, q26b, q26c, q27, xPivot, xUnpivot)
+    q19, q19b, q19c, q19d, q20, q20b, q21, q21b, q22, q22b, q22c, q23, q24,
+    q24b, q25, q25b, q26, q26b, q26c, q27, xPivot, xUnpivot, xSaltedAgg)
 }

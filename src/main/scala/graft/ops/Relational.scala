@@ -433,6 +433,37 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** Q16b — distribution analytics: ntile/percent_rank/cume_dist and
+    * frame-pinned first/last values. percent_rank and cume_dist are rank
+    * arithmetic over identical orderings — exactly equal across engines.
+    */
+  val q16b = Q(
+    "q16_window_analytics",
+    """SELECT c_custkey, c_mktsegment,
+       ntile(4) OVER w AS quartile,
+       percent_rank() OVER w AS prank,
+       cume_dist() OVER w AS cdist,
+       first_value(c_custkey) OVER w AS top_cust,
+       last_value(c_custkey) OVER
+         (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS bottom_cust
+       FROM customer
+       WINDOW w AS (PARTITION BY c_mktsegment
+                    ORDER BY c_acctbal DESC, c_custkey)
+       ORDER BY c_custkey""") { (s, dir) =>
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    T(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"),
+        first(col("c_custkey")).over(w).as("top_cust"),
+        last(col("c_custkey")).over(wFull).as("bottom_cust"))
+      .orderBy("c_custkey")
+  }
+
   /** Q17 — analytic windows with ROWS and RANGE frames. The RANGE frame
     * orders by epoch micros (integer), identical in both engines; windowed
     * sums go through the decimal-exact path.
@@ -479,5 +510,5 @@ object Relational {
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q07b, q08, q08b, q08c,
-    q09, q10, q11, q11b, q12, q12b, q13, q13b, q14, q15, q16, q17, q18)
+    q09, q10, q11, q11b, q12, q12b, q13, q13b, q14, q15, q16, q16b, q17, q18)
 }
