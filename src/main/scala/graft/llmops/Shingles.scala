@@ -23,7 +23,4 @@ object Shingles {
       .distinct()
   }
 
-  /** Shingle-set cardinalities: (doc_id, c). */
-  def cardinalities(shingles: DataFrame): DataFrame =
-    shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
 }

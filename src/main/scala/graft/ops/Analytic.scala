@@ -260,6 +260,48 @@ object Analytic {
       .orderBy("l_returnflag")
   }
 
+  /** Q22d — trigonometry (rounded 6: libm ulp divergence) and bitwise
+    * integer ops (exact).
+    */
+  val q22d = Q(
+    "q22_trig_bitwise",
+    """SELECT l_orderkey, l_linenumber,
+       round(sin(l_discount), 6) AS s,
+       round(cos(l_discount), 6) AS c,
+       round(atan2(l_tax, l_discount + 0.01), 6) AS a2,
+       l_orderkey & l_partkey AS band,
+       l_orderkey | l_linenumber AS bor,
+       xor(l_orderkey, l_suppkey) AS bxor,
+       l_partkey << 2 AS shl,
+       l_partkey >> 1 AS shr
+       FROM lineitem ORDER BY l_orderkey, l_linenumber""") { (s, dir) =>
+    T(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(sin(col("l_discount")), 6).as("s"),
+        round(cos(col("l_discount")), 6).as("c"),
+        round(atan2(col("l_tax"), col("l_discount") + 0.01), 6).as("a2"),
+        col("l_orderkey").bitwiseAND(col("l_partkey")).as("band"),
+        col("l_orderkey").bitwiseOR(col("l_linenumber")).as("bor"),
+        col("l_orderkey").bitwiseXOR(col("l_suppkey")).as("bxor"),
+        shiftleft(col("l_partkey"), 2).as("shl"),
+        shiftright(col("l_partkey"), 1).as("shr"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** X — synthetic range source: spark.range ↔ DuckDB's range table
+    * function (generator sources, no input table).
+    */
+  val xRange = Q(
+    "x_range_source",
+    """SELECT range AS i, range * range AS sq,
+       CAST(range % 7 AS BIGINT) AS m
+       FROM range(1000) ORDER BY i""") { (s, dir) =>
+    s.range(1000)
+      .select(col("id").as("i"), (col("id") * col("id")).as("sq"),
+        (col("id") % 7).as("m"))
+      .orderBy("i")
+  }
+
   /** Q23 — conditional / null-handling surface, incl. null-safe equality
     * (Spark `<=>` ↔ SQL `IS NOT DISTINCT FROM`).
     */
@@ -489,6 +531,7 @@ object Analytic {
   }
 
   val all: Seq[Q] = Seq(
-    q19, q19b, q19c, q19d, q20, q20b, q21, q21b, q22, q22b, q22c, q23, q24,
-    q24b, q25, q25b, q26, q26b, q26c, q27, xPivot, xUnpivot, xSaltedAgg)
+    q19, q19b, q19c, q19d, q20, q20b, q21, q21b, q22, q22b, q22c, q22d, q23,
+    q24, q24b, q25, q25b, q26, q26b, q26c, q27, xPivot, xUnpivot, xSaltedAgg,
+    xRange)
 }
