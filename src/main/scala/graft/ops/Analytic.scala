@@ -371,6 +371,44 @@ object Analytic {
       .orderBy("vec_id")
   }
 
+  /** Q24c — array set operations: per-customer orderkey sets from two
+    * predicates, then union/intersect/except, sorted and rendered to CSV
+    * (set semantics are engine-identical once sorted; raw result order is
+    * not).
+    */
+  val q24c = Q(
+    "q24_array_setops",
+    """WITH a AS (SELECT o_custkey, list(o_orderkey) AS ka FROM orders
+                  WHERE o_orderstatus = 'F' GROUP BY o_custkey),
+         b AS (SELECT o_custkey, list(o_orderkey) AS kb FROM orders
+                  WHERE o_totalprice > 150000 GROUP BY o_custkey)
+       SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+         coalesce(array_to_string(list_sort(list_distinct(coalesce(ka, []) || coalesce(kb, []))), ','), '') AS u,
+         coalesce(array_to_string(list_sort(list_intersect(coalesce(ka, []), coalesce(kb, []))), ','), '') AS i,
+         coalesce(array_to_string(list_sort(list_filter(coalesce(ka, []),
+           x -> NOT list_contains(coalesce(kb, []), x))), ','), '') AS d
+       FROM a FULL JOIN b ON a.o_custkey = b.o_custkey
+       ORDER BY o_custkey""") { (s, dir) =>
+    val o = T(s, dir, "orders")
+    val a = o.filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_custkey").as("ck_a"))
+      .agg(collect_list(col("o_orderkey")).as("ka"))
+    val b = o.filter(col("o_totalprice") > 150000)
+      .groupBy(col("o_custkey").as("ck_b"))
+      .agg(collect_list(col("o_orderkey")).as("kb"))
+    val empty = array().cast("array<bigint>")
+    a.join(b, col("ck_a") === col("ck_b"), "full")
+      .select(
+        coalesce(col("ck_a"), col("ck_b")).as("o_custkey"),
+        coalesce(col("ka"), empty).as("ka"),
+        coalesce(col("kb"), empty).as("kb"))
+      .select(col("o_custkey"),
+        array_join(sort_array(array_union(col("ka"), col("kb"))), ",").as("u"),
+        array_join(sort_array(array_intersect(col("ka"), col("kb"))), ",").as("i"),
+        array_join(sort_array(array_except(col("ka"), col("kb"))), ",").as("d"))
+      .orderBy("o_custkey")
+  }
+
   /** Q25 — JSON extraction (`get_json_object` ↔ `json_extract_string`)
     * plus a from_json→struct path on the Spark side (same value), rolled
     * up per user.
@@ -532,6 +570,6 @@ object Analytic {
 
   val all: Seq[Q] = Seq(
     q19, q19b, q19c, q19d, q20, q20b, q21, q21b, q22, q22b, q22c, q22d, q23,
-    q24, q24b, q25, q25b, q26, q26b, q26c, q27, xPivot, xUnpivot, xSaltedAgg,
-    xRange)
+    q24, q24b, q24c, q25, q25b, q26, q26b, q26c, q27, xPivot, xUnpivot,
+    xSaltedAgg, xRange)
 }
