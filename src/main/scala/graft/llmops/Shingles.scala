@@ -9,10 +9,13 @@ import org.apache.spark.sql.functions._
   */
 object Shingles {
 
-  /** Distinct k-word shingles per document: (doc_id, sh). */
-  def wordShingles(documents: DataFrame, k: Int): DataFrame = {
+  /** k-word shingles per document: (doc_id, sh). Distinct by default
+    * (set semantics for Jaccard); `distinct = false` keeps every
+    * occurrence (bag semantics, e.g. repetition scoring).
+    */
+  def wordShingles(documents: DataFrame, k: Int, distinct: Boolean = true): DataFrame = {
     val words = split(col("text"), " ")
-    documents
+    val exploded = documents
       .select(col("doc_id"), words.as("w"))
       .filter(size(col("w")) >= k)
       .select(col("doc_id"),
@@ -20,7 +23,7 @@ object Shingles {
           sequence(lit(0), size(col("w")) - k),
           i => concat_ws(" ", (0 until k).map(j => element_at(col("w"), i + j + 1)): _*)
         )).as("sh"))
-      .distinct()
+    if (distinct) exploded.distinct() else exploded
   }
 
 }

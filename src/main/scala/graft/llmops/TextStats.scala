@@ -136,5 +136,78 @@ object TextStats {
       .orderBy("predicted", "actual")
   }
 
-  val all: Seq[Q] = Seq(q35, q35b, xQuality, xTokenCount, xLangId)
+  /** X — repetition scoring (the Gopher-style "fraction of the document
+    * covered by the most repeated 3-gram"): bag-semantics shingles, top
+    * count per doc over total. High values flag boilerplate/spam.
+    */
+  val xRepetition = Q(
+    "x_repetition_score",
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+              FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 1))) AS i)
+              WHERE len(t) >= 3),
+       cnt AS (SELECT doc_id, sh, count(*) AS c FROM sh GROUP BY doc_id, sh)
+       SELECT doc_id, max(c) AS top_ngram_count, sum(c) AS n_ngrams,
+              CAST(max(c) AS DOUBLE) / sum(c) AS rep_ratio
+       FROM cnt GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+    Shingles.wordShingles(T(s, dir, "documents"), 3, distinct = false)
+      .groupBy(col("doc_id"), col("sh"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_ngram_count"), sum(col("c")).as("n_ngrams"))
+      .select(col("doc_id"), col("top_ngram_count"), col("n_ngrams"),
+        (col("top_ngram_count").cast("double") / col("n_ngrams")).as("rep_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** X — combined curation rule set (C4/Gopher-style): per-document
+    * boolean verdicts plus the final keep flag, joined from the length /
+    * stopword / repetition signals. The thresholds are illustrative; the
+    * point is the composable rule-evaluation shape.
+    */
+  val xQualityRules = Q(
+    "x_quality_rules",
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+              FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 1))) AS i)
+              WHERE len(t) >= 3),
+       rep AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS rep_ratio FROM
+               (SELECT doc_id, sh, count(*) AS c FROM sh GROUP BY doc_id, sh)
+               GROUP BY doc_id),
+       base AS (SELECT doc_id,
+                  len(string_split(text, ' ')) AS n_tokens,
+                  CAST(len(list_filter(string_split(text, ' '), w -> w IN (${sqlList(stopEn)}))) AS DOUBLE)
+                    / len(string_split(text, ' ')) AS stop_ratio
+                FROM documents)
+       SELECT base.doc_id,
+              (n_tokens < 20) AS too_short,
+              (rep_ratio > 0.2) AS too_repetitive,
+              (stop_ratio > 0.5) AS stopword_heavy,
+              (NOT (n_tokens < 20) AND NOT (rep_ratio > 0.2)
+               AND NOT (stop_ratio > 0.5)) AS keep
+       FROM base JOIN rep ON base.doc_id = rep.doc_id
+       ORDER BY base.doc_id""") { (s, dir) =>
+    val docs = T(s, dir, "documents")
+    val words = split(col("text"), " ")
+    val base = docs.select(col("doc_id"),
+      size(words).cast("long").as("n_tokens"),
+      (size(filter(words, w => w.isInCollection(stopEn))).cast("double") /
+        size(words)).as("stop_ratio"))
+    val rep = Shingles.wordShingles(docs, 3, distinct = false)
+      .groupBy(col("doc_id"), col("sh"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("c")).cast("double") / sum(col("c"))).as("rep_ratio"))
+    base.join(rep, "doc_id")
+      .select(col("doc_id"),
+        (col("n_tokens") < 20).as("too_short"),
+        (col("rep_ratio") > 0.2).as("too_repetitive"),
+        (col("stop_ratio") > 0.5).as("stopword_heavy"),
+        (!(col("n_tokens") < 20) && !(col("rep_ratio") > 0.2)
+          && !(col("stop_ratio") > 0.5)).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q35, q35b, xQuality, xTokenCount, xLangId,
+    xRepetition, xQualityRules)
 }
