@@ -177,5 +177,58 @@ object StreamOps {
       .orderBy("user_id")
   }
 
-  val all: Seq[Q] = Seq(q28, q29, q29b, q30, q30b)
+  /** Q30c — stream ⋈ static dimension: the static side is re-read per
+    * micro-batch (broadcastable at real scale); aggregation runs on the
+    * enriched stream.
+    */
+  val q30c = Q(
+    "q30_stream_static_join",
+    """SELECT CAST(user_id % 3 AS BIGINT) AS segment, count(*) AS n,
+              sum(CAST(round(value * 100) AS BIGINT)) AS cents
+       FROM events GROUP BY 1 ORDER BY segment""") { (s, dir) =>
+    val dim = graft.core.Tables(s, dir, "events")
+      .select(col("user_id")).distinct()
+      .withColumn("segment", col("user_id") % 3)
+    val joined = eventsStream(s, dir)
+      .select(col("user_id").as("uid"), col("value"))
+      .join(broadcast(dim), col("uid") === dim("user_id"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    runToMemory(joined, "q30c_mem", OutputMode.Complete())
+      .orderBy("segment")
+  }
+
+  /** Q30d — stream ⋈ stream interval join: signup→purchase conversions
+    * within one hour, both sides watermarked so the join state is
+    * bounded — the streaming twin of the batch band join (q13b), and it
+    * shares q13b's oracle.
+    */
+  val q30d = Q(
+    "q30_stream_stream_join",
+    """SELECT a.event_id AS signup_id, b.event_id AS purchase_id
+       FROM events a JOIN events b
+         ON a.user_id = b.user_id
+        AND a.event_type = 'signup' AND b.event_type = 'purchase'
+        AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+       ORDER BY signup_id, purchase_id""") { (s, dir) =>
+    val signups = eventsStream(s, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"), col("ts").as("a_ts"))
+      .withWatermark("a_ts", "2 hours")
+    val purchases = eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("uid2"),
+        col("ts").as("b_ts"))
+      .withWatermark("b_ts", "2 hours")
+    val joined = signups.join(purchases,
+      col("user_id") === col("uid2")
+        && col("b_ts") > col("a_ts")
+        && col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("signup_id"), col("purchase_id"))
+    runToMemory(joined, "q30d_mem", OutputMode.Append())
+      .orderBy("signup_id", "purchase_id")
+  }
+
+  val all: Seq[Q] = Seq(q28, q29, q29b, q30, q30b, q30c, q30d)
 }
