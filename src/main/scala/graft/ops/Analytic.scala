@@ -409,6 +409,48 @@ object Analytic {
       .orderBy("o_custkey")
   }
 
+  /** X — arg-max/arg-min (`max_by`/`min_by` ↔ `arg_max`/`arg_min`). The
+    * ordering key is (cents, event_id) packed into one long so ties are
+    * impossible and both engines pick the same witness.
+    */
+  val xArgMinMax = Q(
+    "x_arg_min_max",
+    """SELECT event_type,
+       arg_max(event_id, CAST(round(value * 100) AS BIGINT) * 10000000 + event_id) AS top_event,
+       arg_min(event_id, CAST(round(value * 100) AS BIGINT) * 10000000 + event_id) AS bottom_event,
+       CAST(max(round(value * 100)) AS BIGINT) AS max_cents
+       FROM events GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+    val key = (round(col("value") * 100).cast("long") * 10000000L + col("event_id"))
+    T(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        max_by(col("event_id"), key).as("top_event"),
+        min_by(col("event_id"), key).as("bottom_event"),
+        max(round(col("value") * 100)).cast("long").as("max_cents"))
+      .orderBy("event_type")
+  }
+
+  /** X — edit distance between planted near-dup documents (levenshtein is
+    * built-in on both engines with the same definition; scoped to the
+    * first 200 chars of low-id doc pairs to bound the O(n·m) core).
+    */
+  val xEditDistance = Q(
+    "x_edit_distance",
+    """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(levenshtein(substr(a.text, 1, 200), substr(b.text, 1, 200)) AS BIGINT) AS dist
+       FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+       WHERE a.doc_id < 30 AND b.doc_id < 30
+       ORDER BY a_id, b_id""") { (s, dir) =>
+    val d = T(s, dir, "documents").filter(col("doc_id") < 30)
+    val a = d.select(col("doc_id").as("a_id"), col("text").as("ta"))
+    val b = d.select(col("doc_id").as("b_id"), col("text").as("tb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        levenshtein(substring(col("ta"), 1, 200), substring(col("tb"), 1, 200))
+          .cast("long").as("dist"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Q25 — JSON extraction (`get_json_object` ↔ `json_extract_string`)
     * plus a from_json→struct path on the Spark side (same value), rolled
     * up per user.
@@ -571,5 +613,5 @@ object Analytic {
   val all: Seq[Q] = Seq(
     q19, q19b, q19c, q19d, q20, q20b, q21, q21b, q22, q22b, q22c, q22d, q23,
     q24, q24b, q24c, q25, q25b, q26, q26b, q26c, q27, xPivot, xUnpivot,
-    xSaltedAgg, xRange)
+    xSaltedAgg, xRange, xArgMinMax, xEditDistance)
 }
