@@ -256,6 +256,61 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** Q10b — TPC-H Q3 shape: 3-way join, revenue aggregation, top-10 by
+    * revenue. Identical SQL runs on both engines (decimal-exact revenue,
+    * unique o_orderkey tie-break).
+    */
+  private val q10bSql =
+    """SELECT o_orderkey,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1998-01-01'
+         AND l_shipdate > TIMESTAMP '1998-01-01'
+       GROUP BY o_orderkey, o_orderdate, o_orderpriority
+       ORDER BY revenue DESC, o_orderkey LIMIT 10"""
+  val q10b = Q("q10_tpch_q3", q10bSql) { (s, dir) =>
+    Seq("customer", "orders", "lineitem").foreach(n =>
+      T(s, dir, n).createOrReplaceTempView(n))
+    s.sql(q10bSql)
+  }
+
+  /** Q10c — TPC-H Q14 shape: conditional (CASE-filtered) aggregation over
+    * a join, the promo-revenue ratio from exact decimal sums.
+    */
+  private val q10cSql =
+    """SELECT
+       CAST(sum(CASE WHEN p_type = 'PROMO'
+                THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100 /
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS promo_revenue_pct
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate < TIMESTAMP '1996-02-01'"""
+  val q10c = Q("q10_promo_revenue", q10cSql) { (s, dir) =>
+    Seq("lineitem", "part").foreach(n => T(s, dir, n).createOrReplaceTempView(n))
+    s.sql(q10cSql)
+  }
+
+  /** Q06b — boolean aggregates (bool_and/bool_or, shared names). */
+  val q06b = Q(
+    "q06_bool_agg",
+    """SELECT o_orderpriority,
+       bool_and(o_totalprice > 1000) AS all_over_1k,
+       bool_or(o_totalprice > 400000) AS any_over_400k
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, dir) =>
+    T(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+        bool_or(col("o_totalprice") > 400000).as("any_over_400k"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Q11a — left outer join + per-customer aggregate; customers with no
     * orders keep n_orders = 0 and NULL spend.
     */
@@ -509,6 +564,7 @@ object Relational {
   }
 
   val all: Seq[Q] = Seq(
-    q01, q02, q03, q04, q05, q06, q07, q07b, q08, q08b, q08c,
-    q09, q10, q11, q11b, q12, q12b, q13, q13b, q14, q15, q16, q16b, q17, q18)
+    q01, q02, q03, q04, q05, q06, q06b, q07, q07b, q08, q08b, q08c,
+    q09, q10, q10b, q10c, q11, q11b, q12, q12b, q13, q13b, q14, q15,
+    q16, q16b, q17, q18)
 }
