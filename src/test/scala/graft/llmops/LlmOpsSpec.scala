@@ -44,6 +44,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(n1 == out1.dropDuplicates("digest").count())
   }
 
+  test("LSH recall: randomly edited near-dups are always found (20 trials)") {
+    val rng = new scala.util.Random(7)
+    val vocab = (0 until 60).map(i => s"w$i")
+    (1 to 20).foreach { trial =>
+      val base = Array.fill(50)(vocab(rng.nextInt(vocab.size)))
+      val edited = base.clone()
+      edited(rng.nextInt(50)) = "EDIT" + trial // one random word swap
+      val docs = Seq((0L, base.mkString(" ")), (1L, edited.mkString(" ")))
+        .toDF("doc_id", "text")
+      val sets = MinHashLSH.hashSets(Shingles.wordShingles(docs, 3))
+      val cand = MinHashLSH.candidates(
+        MinHashLSH.bandKeys(MinHashLSH.signaturesFromSets(sets)))
+      val found = MinHashLSH.exactJaccardFromSets(cand, sets)
+        .filter(col("jaccard") >= MinHashLSH.TAU).count()
+      assert(found == 1, s"trial $trial: near-dup pair missed by LSH")
+    }
+  }
+
   test("IVF ANN returns self as rank-1 and full top-10 lists per probe") {
     val res = VectorSearch.xAnnIvf.build(spark, "/root/testdata/sf0.001")
       .as[(Long, Int, Long)].collect()
