@@ -30,4 +30,14 @@ class OperatorSmokeSpec extends AnyFunSuite {
   test("every oracle key has a matching query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("registry names are unique (a dup would silently drop a query)") {
+    val names = SparkEntry.registry.map(_.name)
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+  }
+
+  test("no registry entry is null (object-init ordering hazard)") {
+    assert(SparkEntry.registry.forall(_ != null))
+  }
 }
