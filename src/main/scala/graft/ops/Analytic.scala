@@ -178,6 +178,30 @@ object Analytic {
       .orderBy("event_id")
   }
 
+  /** Q21c — calendar arithmetic: month addition (both engines clamp to
+    * month end), quarter/ISO-week extraction, ISO day-of-week (Spark's
+    * weekday+1 == DuckDB isodow; the default dayofweek numberings
+    * DIFFER across engines and are avoided), last day of month.
+    */
+  val q21c = Q(
+    "q21_date_arith",
+    """SELECT o_orderkey,
+       CAST(o_orderdate + INTERVAL 1 MONTH AS TIMESTAMP) AS plus_month,
+       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+       CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+       CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+       CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end
+       FROM orders ORDER BY o_orderkey""") { (s, dir) =>
+    T(s, dir, "orders")
+      .select(col("o_orderkey"),
+        add_months(col("o_orderdate"), 1).cast("timestamp").as("plus_month"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+        (weekday(col("o_orderdate")) + 1).cast("long").as("iso_dow"),
+        last_day(col("o_orderdate")).cast("timestamp").as("month_end"))
+      .orderBy("o_orderkey")
+  }
+
   /** Q22 — math surface. Transcendentals (ln/log10/exp/pow) may differ by
     * an ulp across libm implementations, so they are rounded to 6 digits
     * on both sides; algebraic ops (abs/sqrt/ceil/floor) are IEEE-exact.
@@ -611,7 +635,7 @@ object Analytic {
   }
 
   val all: Seq[Q] = Seq(
-    q19, q19b, q19c, q19d, q20, q20b, q21, q21b, q22, q22b, q22c, q22d, q23,
+    q19, q19b, q19c, q19d, q20, q20b, q21, q21b, q21c, q22, q22b, q22c, q22d, q23,
     q24, q24b, q24c, q25, q25b, q26, q26b, q26c, q27, xPivot, xUnpivot,
     xSaltedAgg, xRange, xArgMinMax, xEditDistance)
 }
