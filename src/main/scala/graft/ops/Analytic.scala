@@ -495,6 +495,60 @@ object Analytic {
       .orderBy("user_id")
   }
 
+  /** X — clause coverage batch: HAVING. */
+  val xHaving = Q(
+    "x_having",
+    """SELECT o_custkey, count(*) AS n FROM orders
+       GROUP BY o_custkey HAVING count(*) >= 15 ORDER BY o_custkey""") { (s, dir) =>
+    T(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 15)
+      .orderBy("o_custkey")
+  }
+
+  /** X — SELECT DISTINCT projection. */
+  val xDistinct = Q(
+    "x_select_distinct",
+    """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+       ORDER BY o_orderstatus, o_orderpriority""") { (s, dir) =>
+    T(s, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderpriority"))
+      .distinct()
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
+  /** X — LIMIT with OFFSET over a total order. */
+  val xLimitOffset = Q(
+    "x_limit_offset",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 20""") { (s, dir) =>
+    T(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .offset(20)
+      .limit(10)
+  }
+
+  /** X — inline VALUES source. */
+  private val xValuesSql =
+    """SELECT * FROM (VALUES (1, 'red'), (2, 'green'), (3, 'blue')) AS t(id, color)
+       ORDER BY id"""
+  val xValues = Q("x_values_source", xValuesSql) { (s, dir) =>
+    s.sql(xValuesSql)
+  }
+
+  /** X — case-insensitive LIKE. */
+  val xIlike = Q(
+    "x_ilike",
+    """SELECT p_partkey FROM part
+       WHERE upper(p_name) ILIKE '%RED%' ORDER BY p_partkey""") { (s, dir) =>
+    T(s, dir, "part")
+      .filter(upper(col("p_name")).ilike("%RED%"))
+      .select(col("p_partkey"))
+      .orderBy("p_partkey")
+  }
+
   /** Q26a — scalar subquery. The subquery text is identical in both
     * engines (decimal-exact average), so oracle == spark.sql input.
     */
@@ -637,5 +691,6 @@ object Analytic {
   val all: Seq[Q] = Seq(
     q19, q19b, q19c, q19d, q20, q20b, q21, q21b, q21c, q22, q22b, q22c, q22d, q23,
     q24, q24b, q24c, q25, q25b, q26, q26b, q26c, q27, xPivot, xUnpivot,
-    xSaltedAgg, xRange, xArgMinMax, xEditDistance)
+    xSaltedAgg, xRange, xArgMinMax, xEditDistance, xHaving, xDistinct,
+    xLimitOffset, xValues, xIlike)
 }
