@@ -549,6 +549,46 @@ object Analytic {
       .orderBy("p_partkey")
   }
 
+  /** X — recursive CTE (Spark 4 WITH RECURSIVE; identical SQL both
+    * engines).
+    */
+  private val xRecursiveSql =
+    """WITH RECURSIVE r(i) AS (
+         SELECT 1 UNION ALL SELECT i + 1 FROM r WHERE i < 100)
+       SELECT i, i * i AS sq FROM r ORDER BY i"""
+  val xRecursive = Q("x_recursive_cte", xRecursiveSql) { (s, dir) =>
+    s.sql(xRecursiveSql)
+  }
+
+  /** X — LATERAL correlated derived table with per-row LIMIT (top-2
+    * nations per region).
+    */
+  private val xLateralSql =
+    """SELECT r_regionkey, r_name, n.n_name
+       FROM region, LATERAL (
+         SELECT n_name FROM nation
+         WHERE n_regionkey = r_regionkey
+         ORDER BY n_nationkey LIMIT 2) n
+       ORDER BY r_regionkey, n_name"""
+  val xLateral = Q("x_lateral_join", xLateralSql) { (s, dir) =>
+    Seq("region", "nation").foreach(n => T(s, dir, n).createOrReplaceTempView(n))
+    s.sql(xLateralSql)
+  }
+
+  /** X — try_cast: error-tolerant casting (NULL instead of throwing). */
+  val xTryCast = Q(
+    "x_try_cast",
+    """SELECT event_id,
+       try_cast(event_type AS BIGINT) AS bad_cast,
+       try_cast(CAST(user_id AS VARCHAR) AS BIGINT) AS good_cast
+       FROM events ORDER BY event_id""") { (s, dir) =>
+    T(s, dir, "events")
+      .select(col("event_id"),
+        expr("try_cast(event_type AS BIGINT)").as("bad_cast"),
+        expr("try_cast(CAST(user_id AS STRING) AS BIGINT)").as("good_cast"))
+      .orderBy("event_id")
+  }
+
   /** Q26a — scalar subquery. The subquery text is identical in both
     * engines (decimal-exact average), so oracle == spark.sql input.
     */
@@ -692,5 +732,5 @@ object Analytic {
     q19, q19b, q19c, q19d, q20, q20b, q21, q21b, q21c, q22, q22b, q22c, q22d, q23,
     q24, q24b, q24c, q25, q25b, q26, q26b, q26c, q27, xPivot, xUnpivot,
     xSaltedAgg, xRange, xArgMinMax, xEditDistance, xHaving, xDistinct,
-    xLimitOffset, xValues, xIlike)
+    xLimitOffset, xValues, xIlike, xRecursive, xLateral, xTryCast)
 }
