@@ -43,7 +43,9 @@ object Dedup {
               WHERE len(t) >= 3)
        SELECT doc_id, min(md5(sh)) AS fingerprint
        FROM sh GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
-    Shingles.wordShingles(T(s, dir, "documents"), 3)
+    // distinct=false: min() is dup-insensitive, so the dedup shuffle
+    // would be pure waste
+    Shingles.wordShingles(T(s, dir, "documents"), 3, distinct = false)
       .groupBy(col("doc_id"))
       .agg(min(md5(col("sh"))).as("fingerprint"))
       .orderBy("doc_id")

@@ -32,7 +32,8 @@ object DedupPipeline {
       .drop("rn")
 
     // 2. near-dup: kill the b-side (higher id) of every verified pair
-    val sets = MinHashLSH.hashSets(Shingles.wordShingles(exact, 3)).cache()
+    val sets = MinHashLSH.hashSets(
+      Shingles.wordShingles(exact, 3, distinct = false)).cache()
     val cand = MinHashLSH.candidates(
       MinHashLSH.bandKeys(MinHashLSH.signaturesFromSets(sets)))
     val losers = MinHashLSH.exactJaccardFromSets(cand, sets)

@@ -37,12 +37,15 @@ object MinHashLSH {
   /** Per-doc condensed shingle sets: (doc_id, sorted xxhash64 array,
     * cardinality). Everything downstream — signatures, banding, exact
     * verification — derives from this ONE pass over the (heavy) shingle
-    * stream; cache it when feeding multiple consumers.
+    * stream; cache it when feeding multiple consumers. Dedup happens
+    * INSIDE the aggregation (collect_set), so callers should pass the
+    * raw shingle stream — a separate distinct() would add a full extra
+    * shuffle of the largest intermediate for nothing.
     */
   def hashSets(shingles: DataFrame): DataFrame =
     shingles.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(xxhash64(col("sh")))).as("hs"),
-        count(lit(1)).as("c"))
+      .agg(sort_array(collect_set(xxhash64(col("sh")))).as("hs"))
+      .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("c"))
 
   def signatures(shingles: DataFrame, numHashes: Int = NUM_HASHES): DataFrame =
     signaturesFromSets(hashSets(shingles), numHashes)
@@ -121,7 +124,7 @@ object MinHashLSH {
        JOIN card cb ON cb.doc_id = b_id
        WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= $TAU
        ORDER BY a_id, b_id""") { (s, dir) =>
-    val sh = Shingles.wordShingles(T(s, dir, "documents"), 3)
+    val sh = Shingles.wordShingles(T(s, dir, "documents"), 3, distinct = false)
     val sets = hashSets(sh).cache()
     val cand = candidates(bandKeys(signaturesFromSets(sets)))
     exactJaccardFromSets(cand, sets)
@@ -158,7 +161,6 @@ object MinHashLSH {
         explode(expr(
           "transform(sequence(1, length(text)-4), i -> substring(text, i, 5))"
         )).as("sh"))
-      .distinct()
     // char shingles are ~13x the word-shingle volume: half-width hash
     // family (32 = 8 bands x 4). P(miss) at the corpus' planted J>=0.97
     // is (1 - 0.97^4)^8 ~ 3e-8 — still negligible, half the hashing cost.
