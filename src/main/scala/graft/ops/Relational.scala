@@ -551,6 +551,29 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Q17b — forward-looking window navigation: lead (with default) and
+    * nth_value over the per-user timeline.
+    */
+  val q17b = Q(
+    "q17_window_lead",
+    """SELECT event_id,
+       lead(value) OVER w AS next_value,
+       lead(value, 2, -1.0) OVER w AS next2_or_default,
+       nth_value(value, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_value
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ORDER BY event_id""") { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    T(s, dir, "events")
+      .select(col("event_id"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        lead(col("value"), 2, -1.0).over(w).as("next2_or_default"),
+        nth_value(col("value"), 3).over(wFull).as("third_value"))
+      .orderBy("event_id")
+  }
+
   /** Q18 — top-k: orderBy+limit plans as TakeOrderedAndProject (per-
     * partition heaps + driver merge of k rows — no global sort shuffle).
     */
@@ -566,5 +589,5 @@ object Relational {
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q06b, q07, q07b, q08, q08b, q08c,
     q09, q10, q10b, q10c, q11, q11b, q12, q12b, q13, q13b, q14, q15,
-    q16, q16b, q17, q18)
+    q16, q16b, q17, q17b, q18)
 }
