@@ -202,6 +202,22 @@ object Relational {
          ORDER BY n_regionkey ASC NULLS FIRST, n_nationkey ASC NULLS FIRST""")
   }
 
+  /** Q08d — grouping() markers: disambiguate a rollup's total rows from
+    * genuine NULL group keys.
+    */
+  val q08d = Q(
+    "q08_grouping_marker",
+    """SELECT n_regionkey, CAST(grouping(n_regionkey) AS BIGINT) AS is_total,
+       count(*) AS n
+       FROM nation GROUP BY ROLLUP(n_regionkey)
+       ORDER BY is_total, n_regionkey NULLS FIRST""") { (s, dir) =>
+    T(s, dir, "nation")
+      .rollup(col("n_regionkey"))
+      .agg(grouping(col("n_regionkey")).cast("long").as("is_total"),
+        count(lit(1)).as("n"))
+      .orderBy(col("is_total"), col("n_regionkey").asc_nulls_first)
+  }
+
   /** Q09 — inner equi-join. customer ≪ orders, so Catalyst/AQE picks
     * BroadcastHashJoin: no shuffle of the big side. At 100 TB the dimension
     * stays broadcastable; the fact side streams.
@@ -587,7 +603,7 @@ object Relational {
   }
 
   val all: Seq[Q] = Seq(
-    q01, q02, q03, q04, q05, q06, q06b, q07, q07b, q08, q08b, q08c,
+    q01, q02, q03, q04, q05, q06, q06b, q07, q07b, q08, q08b, q08c, q08d,
     q09, q10, q10b, q10c, q11, q11b, q12, q12b, q13, q13b, q14, q15,
     q16, q16b, q17, q17b, q18)
 }
