@@ -589,6 +589,47 @@ object Analytic {
       .orderBy("event_id")
   }
 
+  /** X — histogram via width_bucket (Spark side; this DuckDB build lacks
+    * the function, so the oracle spells the identical left-closed
+    * bucketing arithmetically — equal for the data's 0 ≤ v < 600000
+    * range).
+    */
+  val xHistogram = Q(
+    "x_histogram",
+    """SELECT CAST(floor(o_totalprice / 50000) + 1 AS BIGINT) AS bucket,
+       count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+       FROM orders GROUP BY bucket ORDER BY bucket""") { (s, dir) =>
+    T(s, dir, "orders")
+      .groupBy(width_bucket(col("o_totalprice"), lit(0), lit(600000), lit(12))
+        .cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), sumd(col("o_totalprice")).as("total"))
+      .orderBy("bucket")
+  }
+
+  /** X — SHA-256 content digests (Spark sha2(x, 256) ↔ DuckDB sha256). */
+  val xSha = Q(
+    "x_sha256",
+    """SELECT doc_id, sha256(text) AS digest FROM documents
+       WHERE doc_id < 50 ORDER BY doc_id""") { (s, dir) =>
+    T(s, dir, "documents")
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), sha2(col("text"), 256).as("digest"))
+      .orderBy("doc_id")
+  }
+
+  /** X — C-style string formatting (format_string ↔ printf). */
+  val xPrintf = Q(
+    "x_printf",
+    """SELECT o_orderkey,
+       printf('%s-%08d', o_orderpriority, o_orderkey) AS tag
+       FROM orders ORDER BY o_orderkey""") { (s, dir) =>
+    T(s, dir, "orders")
+      .select(col("o_orderkey"),
+        format_string("%s-%08d", col("o_orderpriority"), col("o_orderkey")).as("tag"))
+      .orderBy("o_orderkey")
+  }
+
   /** Q26a — scalar subquery. The subquery text is identical in both
     * engines (decimal-exact average), so oracle == spark.sql input.
     */
@@ -732,5 +773,6 @@ object Analytic {
     q19, q19b, q19c, q19d, q20, q20b, q21, q21b, q21c, q22, q22b, q22c, q22d, q23,
     q24, q24b, q24c, q25, q25b, q26, q26b, q26c, q27, xPivot, xUnpivot,
     xSaltedAgg, xRange, xArgMinMax, xEditDistance, xHaving, xDistinct,
-    xLimitOffset, xValues, xIlike, xRecursive, xLateral, xTryCast)
+    xLimitOffset, xValues, xIlike, xRecursive, xLateral, xTryCast,
+    xHistogram, xSha, xPrintf)
 }
