@@ -630,6 +630,45 @@ object Analytic {
       .orderBy("o_orderkey")
   }
 
+  /** X — map higher-order functions (transform_values/map_filter); the
+    * oracle reproduces the values without map types.
+    */
+  val xMapHof = Q(
+    "x_map_hof",
+    """SELECT event_id,
+       CAST(round(value * 100) * 2 AS BIGINT) AS doubled_cents,
+       CAST(CASE WHEN round(value * 100) > 500 THEN 1 ELSE 0 END AS BIGINT) AS kept
+       FROM events ORDER BY event_id""") { (s, dir) =>
+    T(s, dir, "events")
+      .withColumn("m", map(lit("cents"), round(col("value") * 100).cast("long")))
+      .withColumn("m2", transform_values(col("m"), (_, v) => v * 2))
+      .withColumn("mf", map_filter(col("m"), (_, v) => v > 500))
+      .select(col("event_id"),
+        element_at(col("m2"), "cents").as("doubled_cents"),
+        size(col("mf")).cast("long").as("kept"))
+      .orderBy("event_id")
+  }
+
+  /** X — null-safe equality as a JOIN key (`<=>` ↔ IS NOT DISTINCT FROM):
+    * rows whose computed key is NULL still pair up.
+    */
+  val xNullSafeJoin = Q(
+    "x_null_safe_join",
+    """SELECT a.o_orderkey AS a_key, count(*) AS n_matches
+       FROM (SELECT o_orderkey, nullif(o_orderstatus, 'O') AS k FROM orders WHERE o_orderkey < 100) a
+       JOIN (SELECT o_orderkey, nullif(o_orderstatus, 'O') AS k FROM orders WHERE o_orderkey < 100) b
+         ON a.k IS NOT DISTINCT FROM b.k
+       GROUP BY a.o_orderkey ORDER BY a_key""") { (s, dir) =>
+    val o = T(s, dir, "orders").filter(col("o_orderkey") < 100)
+      .select(col("o_orderkey"), nullif(col("o_orderstatus"), lit("O")).as("k"))
+    val a = o.select(col("o_orderkey").as("a_key"), col("k").as("ka"))
+    val b = o.select(col("o_orderkey").as("b_key"), col("k").as("kb"))
+    a.join(b, col("ka") <=> col("kb"))
+      .groupBy(col("a_key"))
+      .agg(count(lit(1)).as("n_matches"))
+      .orderBy("a_key")
+  }
+
   /** Q26a — scalar subquery. The subquery text is identical in both
     * engines (decimal-exact average), so oracle == spark.sql input.
     */
@@ -774,5 +813,5 @@ object Analytic {
     q24, q24b, q24c, q25, q25b, q26, q26b, q26c, q27, xPivot, xUnpivot,
     xSaltedAgg, xRange, xArgMinMax, xEditDistance, xHaving, xDistinct,
     xLimitOffset, xValues, xIlike, xRecursive, xLateral, xTryCast,
-    xHistogram, xSha, xPrintf)
+    xHistogram, xSha, xPrintf, xMapHof, xNullSafeJoin)
 }
