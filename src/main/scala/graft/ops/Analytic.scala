@@ -669,6 +669,27 @@ object Analytic {
       .orderBy("a_key")
   }
 
+  /** X — JSON array parse + generator: a two-element JSON array built
+    * from props, parsed to array of structs, exploded, summed (oracle
+    * computes the closed form on the scalar path).
+    */
+  val xJsonArray = Q(
+    "x_json_array",
+    """SELECT user_id,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT) * 2) AS k2_sum
+       FROM events GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
+    import org.apache.spark.sql.types._
+    val arrSchema = ArrayType(StructType(Seq(StructField("k", LongType))))
+    T(s, dir, "events")
+      .withColumn("arr", from_json(
+        concat(lit("["), col("props"), lit(","), col("props"), lit("]")),
+        arrSchema))
+      .select(col("user_id"), explode(col("arr")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("e.k")).as("k2_sum"))
+      .orderBy("user_id")
+  }
+
   /** Q26a — scalar subquery. The subquery text is identical in both
     * engines (decimal-exact average), so oracle == spark.sql input.
     */
@@ -813,5 +834,5 @@ object Analytic {
     q24, q24b, q24c, q25, q25b, q26, q26b, q26c, q27, xPivot, xUnpivot,
     xSaltedAgg, xRange, xArgMinMax, xEditDistance, xHaving, xDistinct,
     xLimitOffset, xValues, xIlike, xRecursive, xLateral, xTryCast,
-    xHistogram, xSha, xPrintf, xMapHof, xNullSafeJoin)
+    xHistogram, xSha, xPrintf, xMapHof, xNullSafeJoin, xJsonArray)
 }
