@@ -25,7 +25,7 @@ object TextStats {
   val q35 = Q(
     "q35_text_stats",
     """SELECT lang, count(*) AS n_docs,
-       sum(len(string_split(text, ' '))) AS total_tokens,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
        CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
        FROM documents GROUP BY lang ORDER BY lang""") { (s, dir) =>
     T(s, dir, "documents")
@@ -147,7 +147,7 @@ object TextStats {
               FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 1))) AS i)
               WHERE len(t) >= 3),
        cnt AS (SELECT doc_id, sh, count(*) AS c FROM sh GROUP BY doc_id, sh)
-       SELECT doc_id, max(c) AS top_ngram_count, sum(c) AS n_ngrams,
+       SELECT doc_id, max(c) AS top_ngram_count, CAST(sum(c) AS BIGINT) AS n_ngrams,
               CAST(max(c) AS DOUBLE) / sum(c) AS rep_ratio
        FROM cnt GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
     Shingles.wordShingles(T(s, dir, "documents"), 3, distinct = false)

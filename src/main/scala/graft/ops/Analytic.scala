@@ -482,7 +482,7 @@ object Analytic {
   val q25 = Q(
     "q25_json_funcs",
     """SELECT user_id, count(*) AS n_events,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
        FROM events GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
     import org.apache.spark.sql.types._
     val kSchema = StructType(Seq(StructField("k", LongType)))
@@ -676,7 +676,7 @@ object Analytic {
   val xJsonArray = Q(
     "x_json_array",
     """SELECT user_id,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT) * 2) AS k2_sum
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT) * 2) AS BIGINT) AS k2_sum
        FROM events GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
     import org.apache.spark.sql.types._
     val arrSchema = ArrayType(StructType(Seq(StructField("k", LongType))))

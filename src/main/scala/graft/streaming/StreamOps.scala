@@ -152,7 +152,7 @@ object StreamOps {
   val q30b = Q(
     "q30_stream_stateful",
     """SELECT user_id, count(*) AS n_events,
-              sum(CAST(round(value * 100) AS BIGINT)) AS cents
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
        FROM events GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
     import s.implicits._
     val typed = eventsStream(s, dir)
@@ -184,7 +184,7 @@ object StreamOps {
   val q30c = Q(
     "q30_stream_static_join",
     """SELECT CAST(user_id % 3 AS BIGINT) AS segment, count(*) AS n,
-              sum(CAST(round(value * 100) AS BIGINT)) AS cents
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
        FROM events GROUP BY 1 ORDER BY segment""") { (s, dir) =>
     val dim = graft.core.Tables(s, dir, "events")
       .select(col("user_id")).distinct()

@@ -37,11 +37,20 @@ def cmp(a: pd.DataFrame, b: pd.DataFrame):
         return f"row count differs: spark={len(a)} oracle={len(b)}"
     for c in a.columns:
         av, bv = a[c].values, b[c].values
-        if pd.api.types.is_float_dtype(a[c]) or pd.api.types.is_float_dtype(b[c]):
+        a_float = pd.api.types.is_float_dtype(a[c])
+        b_float = pd.api.types.is_float_dtype(b[c])
+        a_int = pd.api.types.is_integer_dtype(a[c])
+        b_int = pd.api.types.is_integer_dtype(b[c])
+        # the driver hashes rendered values, so int64 vs float is a real
+        # mismatch (1234 vs 1234.0) even when numerically equal — fail it here
+        if (a_float and b_int) or (a_int and b_float):
+            return (f"col {c} dtype-class mismatch: spark={a[c].dtype} "
+                    f"oracle={b[c].dtype} (driver hash renders these differently)")
+        if a_float or b_float:
             af = pd.to_numeric(a[c], errors="coerce").astype(float).values
             bf = pd.to_numeric(b[c], errors="coerce").astype(float).values
             nan_ok = np.isnan(af) == np.isnan(bf)
-            eq = (af == bf) | np.isnan(af)
+            eq = (af == bf) | (np.isnan(af) & np.isnan(bf))
             if not (nan_ok.all() and eq.all()):
                 i = int(np.argmin(nan_ok & eq))
                 return f"col {c} differs at row {i}: spark={af[i]!r} oracle={bf[i]!r}"
