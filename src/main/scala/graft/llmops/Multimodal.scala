@@ -65,17 +65,21 @@ object Multimodal {
     StructField("n_bytes", LongType),
     StructField("mean_byte", DoubleType),
     StructField("width", IntegerType),
-    StructField("height", IntegerType)))
+    StructField("height", IntegerType),
+    StructField("digest", StringType)))
 
-  /** Decode + feature-extract as a partition-batched op. The decode step
-    * is a STUB — a deterministic fake standing in for e.g. JPEG decode
-    * (libs absent in this container); byte-level stats are real. The
-    * shape (mapPartitions over binary rows, Row batches out) is exactly
-    * how a real decoder plugs in.
+  /** Decode + feature-extract as a partition-batched op. Image blobs are
+    * decoded FOR REAL via `javax.imageio` (JDK built-in — PNG/JPEG/GIF/
+    * BMP readers, no external deps): width/height come from the decoded
+    * image. Undecodable blobs (e.g. raw .bin media we have no demuxer
+    * for) keep the byte-stats path with null dimensions. The digest is
+    * md5 over the uppercase-hex rendering of the bytes, matching
+    * `md5(hex(content))` in both Spark and DuckDB.
     */
   def extractFeatures(binaryFiles: DataFrame): DataFrame = {
     val spark = binaryFiles.sparkSession
     val rdd = binaryFiles.select(col("path"), col("content")).rdd.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
       it.map { row =>
         val path = row.getString(0)
         val bytes = row.getAs[Array[Byte]](1)
@@ -83,21 +87,46 @@ object Multimodal {
         val mean =
           if (bytes.isEmpty) 0.0
           else bytes.map(b => (b & 0xff).toLong).sum.toDouble / bytes.length
-        // STUB decode: width/height derived deterministically from the
-        // first bytes; a real implementation decodes the media header.
-        val w = if (bytes.length >= 2) ((bytes(0) & 0xff) << 8 | (bytes(1) & 0xff)) % 4096 else 0
-        val h = if (bytes.length >= 4) ((bytes(2) & 0xff) << 8 | (bytes(3) & 0xff)) % 4096 else 0
-        Row(name, bytes.length.toLong, mean, w, h)
+        val img =
+          try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+          catch { case _: Exception => None }
+        val (w, h) = img match {
+          case Some(i) => (Integer.valueOf(i.getWidth), Integer.valueOf(i.getHeight))
+          case None => (null, null)
+        }
+        val hx = new StringBuilder(bytes.length * 2)
+        bytes.foreach(b => hx.append(f"${b & 0xff}%02X"))
+        md.reset()
+        val digest = md.digest(hx.toString.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+        Row(name, bytes.length.toLong, mean, w, h, digest)
       }
     }
     spark.createDataFrame(rdd, featureSchema)
   }
 
-  /** X — the feature-extraction pipeline over the fixture blobs
-    * (mapPartitions path; rows-only oracle since the decode is stubbed).
+  /** X — the feature-extraction pipeline over ALL fixture blobs (PNG
+    * images decode for real; .bin blobs take the no-decoder path). The
+    * oracle re-derives the image dimensions from the PNG IHDR header
+    * bytes (fixture dims are < 256, so width/height are single bytes at
+    * offsets 20/24) — fully independent of the JVM decoder.
     */
-  val xFeatures = Q.noOracle("x_media_features") { (s, dir) =>
-    extractFeatures(s.read.format("binaryFile").load(s"$blobDir/*.bin"))
+  val xFeatures = Q(
+    "x_media_features",
+    s"""SELECT parse_filename(filename) AS file_name,
+          CAST(size AS BIGINT) AS n_bytes,
+          CASE WHEN substr(hex(content), 1, 16) = '89504E470D0A1A0A'
+               THEN (strpos('0123456789ABCDEF', substr(hex(content),39,1))-1)*16
+                    + strpos('0123456789ABCDEF', substr(hex(content),40,1))-1 END AS width,
+          CASE WHEN substr(hex(content), 1, 16) = '89504E470D0A1A0A'
+               THEN (strpos('0123456789ABCDEF', substr(hex(content),47,1))-1)*16
+                    + strpos('0123456789ABCDEF', substr(hex(content),48,1))-1 END AS height,
+          md5(hex(content)) AS digest
+        FROM read_blob('$blobDir/*') ORDER BY file_name""") { (s, dir) =>
+    extractFeatures(s.read.format("binaryFile").load(s"$blobDir/*"))
+      .select(col("file_name"), col("n_bytes"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"), col("digest"))
       .orderBy("file_name")
   }
 

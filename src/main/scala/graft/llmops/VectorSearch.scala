@@ -61,9 +61,24 @@ object VectorSearch {
   }
 
   /** X — embedding-cosine near-dup: each vector's single nearest neighbor
-    * (rank-1 by cosine, self excluded). Threshold-free output keeps the
-    * result hash-stable; at corpus scale the same query runs over LSH /
-    * IVF candidates instead of the full cross product.
+    * (rank-1 by cosine, self excluded), computed EXACTLY through IVF
+    * candidate lists instead of an all-pairs join.
+    *
+    * Algorithm (branch-and-bound over coarse-quantizer lists — the exact
+    * IVF search used by ball-tree / FAISS-style indexes):
+    *   1. k-means assigns each vector to its nearest centroid list `cid`
+    *   2. phase 1 joins each vector only with its OWN list (pair count is
+    *      Σ|list|², not n²) → per-vector seed best `s0`
+    *   3. for normalized u in list c, q·u ≤ q·c + ||u−c||, so a list whose
+    *      bound q·c + r_c (r_c = max member residual) can't beat s0 is
+    *      pruned; phase 2 scans only the surviving lists
+    *   4. global max over both phases → the exact nearest neighbor
+    *
+    * Pair count is bounded by list sizes of un-pruned lists — with
+    * clustered real-world embeddings most lists prune, while correctness
+    * never depends on the quantizer (a bad centroid only weakens pruning).
+    * A vector in a singleton list has no seed (s0 = −2 ≤ min cosine), so
+    * it falls back to scanning every list — the exact-fallback path.
     */
   val xNearestNeighbor = Q(
     "x_embed_nn",
@@ -79,16 +94,49 @@ object VectorSearch {
     val e = T(s, dir, "embeddings")
       .select(col("vec_id"),
         graft.functions.ArrayOps.l2normalize(col("embedding")).as("n_emb"))
-    val a = e.select(col("vec_id"), col("n_emb").as("a_emb"))
-    val b = e.select(col("vec_id").as("nn_id"), col("n_emb").as("b_emb"))
-    // rank by max dot instead of a row_number window: the 4M-row pair
-    // stream reduces map-side to one (best_sim, best_id) pair per vector
-    a.join(b, col("vec_id") =!= col("nn_id"))
+      .cache()
+    // one Lloyd iteration: centroid quality only affects pruning strength,
+    // never correctness (the radius bound adapts to loose clusters)
+    val centroids = kmeansCentroids(e, 16, 1)
+    val centLit = typedLit(centroids.map(_.toSeq).toSeq)
+    // nearest-centroid assignment; keep csim to derive the list radius.
+    // cached: feeds the radius agg, both join sides, and the bound scan
+    val own = e
+      .select(col("vec_id"), col("n_emb"),
+        posexplode(centLit).as(Seq("cid", "cent")))
+      .withColumn("csim", dot(col("n_emb"), col("cent")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("n_emb"), col("cid"), col("csim"))
+      .cache()
+    // r_c = max ||u − c|| over list members = max sqrt(2 − 2·csim)
+    val radius = own.groupBy(col("cid"))
+      .agg(max(sqrt(lit(2.0) - lit(2.0) * col("csim"))).as("r"))
+    val members = own.select(col("cid"), col("vec_id").as("m_id"),
+      col("n_emb").as("m_emb"))
+    def best(pairs: DataFrame): DataFrame = pairs
+      .filter(col("vec_id") =!= col("m_id"))
       .select(col("vec_id"),
-        struct(dot(col("a_emb"), col("b_emb")).as("sim"),
-          (-col("nn_id")).as("neg_id")).as("cand"))
-      .groupBy(col("vec_id"))
-      .agg(max(col("cand")).as("best"))
+        struct(dot(col("n_emb"), col("m_emb")).as("sim"),
+          (-col("m_id")).as("neg_id")).as("cand"))
+    // phase 1: own-list seed (map-side max-struct reduction per vector)
+    val seed = best(own.join(members, Seq("cid")))
+      .groupBy(col("vec_id")).agg(max(col("cand")).as("seed"))
+    // phase 2: only lists whose upper bound can beat the seed
+    val survivors = own.join(seed, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("n_emb"), col("cid").as("own_cid"),
+        coalesce(col("seed.sim"), lit(-2.0)).as("s0"))
+      .select(col("vec_id"), col("n_emb"), col("own_cid"), col("s0"),
+        posexplode(centLit).as(Seq("cid", "cent")))
+      .join(radius, Seq("cid"))
+      // 1e-9 absorbs float rounding in the bound; sims differ at >=1e-3
+      .filter(col("cid") =!= col("own_cid") &&
+        dot(col("n_emb"), col("cent")) + col("r") + lit(1e-9) > col("s0"))
+      .select(col("cid"), col("vec_id"), col("n_emb"))
+    best(survivors.join(members, Seq("cid")))
+      .union(seed.select(col("vec_id"), col("seed").as("cand")))
+      .groupBy(col("vec_id")).agg(max(col("cand")).as("best"))
       .select(col("vec_id"), (-col("best.neg_id")).cast("long").as("nn_id"))
       .orderBy("vec_id")
   }

@@ -153,15 +153,26 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
-  /** Q07b — approx_count_distinct (HLL++). HLL sketches differ across
-    * engines by design, so no hash oracle — the driver records a rows-only
-    * check; the exact twin above is the correctness anchor. At 100 TB this
-    * is THE way to count distincts: fixed-size sketch, no expand shuffle.
+  /** Q07b — approx_count_distinct (HLL++). HLL sketch values differ
+    * across engines by design, so the hash-checked output is the DERIVED
+    * deterministic fact both engines agree on: the exact count plus a
+    * boolean asserting the approximation landed within the 5% error
+    * contract (oracle-side the same predicate is trivially true of its
+    * own exact count). At 100 TB this is THE way to count distincts:
+    * fixed-size sketch, no expand shuffle.
     */
-  val q07b = Q.noOracle("q07_approx_hll") { (s, dir) =>
+  val q07b = Q(
+    "q07_approx_hll",
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_partkey) = count(DISTINCT l_partkey) AS within_5pct
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
     T(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        (abs(approx_count_distinct(col("l_partkey"), 0.02).cast("double") -
+          countDistinct(col("l_partkey"))) /
+          countDistinct(col("l_partkey")) < 0.05).as("within_5pct"))
       .orderBy("l_returnflag")
   }
 

@@ -106,7 +106,7 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(resized.forall(_.getAs[Array[Byte]](2).length == 64))
   }
 
-  test("stubbed media feature extraction keeps real byte metadata") {
+  test("media feature extraction: real byte metadata, null dims for raw blobs") {
     val feats = Multimodal.extractFeatures(
       spark.read.format("binaryFile").load(s"${Multimodal.blobDir}/*.bin"))
       .orderBy("file_name").collect()
@@ -115,5 +115,16 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(feats(0).getLong(1) == 1000L)
     val mean = feats(0).getDouble(2)
     assert(mean > 0 && mean < 255)
+    assert(feats.forall(r => r.isNullAt(3) && r.isNullAt(4))) // no decoder
+  }
+
+  test("media feature extraction decodes PNG dimensions via javax.imageio") {
+    val feats = Multimodal.extractFeatures(
+      spark.read.format("binaryFile").load(s"${Multimodal.blobDir}/*.png"))
+      .orderBy("file_name").collect()
+    assert(feats.map(r => (r.getString(0), r.getInt(3), r.getInt(4))).toSeq ==
+      Seq(("img_doc_101.png", 17, 9), ("img_doc_102.png", 33, 21),
+        ("img_doc_103.png", 120, 77)))
+    assert(feats.forall(_.getString(5).matches("[0-9a-f]{32}")))
   }
 }
