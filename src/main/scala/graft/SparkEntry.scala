@@ -14,9 +14,10 @@ object SparkEntry {
 
   /** Every declared query, in SURVEY §2b order. */
   def registry: Seq[Q] =
-    ops.Relational.all ++ ops.Analytic.all ++ plans.AsOfQueries.all ++
-      streaming.StreamOps.all ++
+    ops.Relational.all ++ ops.Analytic.all ++ ops.Extra.all ++
+      plans.AsOfQueries.all ++ streaming.StreamOps.all ++
       ops.Udfs.all ++ llmops.Dedup.all ++ llmops.MinHashLSH.all ++
+      llmops.DedupFamilies.all ++
       llmops.VectorSearch.all ++ llmops.TextStats.all ++
       llmops.SimHash.all ++ llmops.Multimodal.all
 

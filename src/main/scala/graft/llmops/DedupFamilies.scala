@@ -1,0 +1,81 @@
+package graft.llmops
+
+import org.apache.spark.sql.functions._
+import graft.core.{Q, Tables => T}
+
+/** Near-duplicate FAMILY clustering: connected components over the
+  * verified LSH near-dup pairs, labeling every document with the minimum
+  * doc_id of its component ("family") and flagging the survivor. This is
+  * the step that turns pairwise near-dup detection into an actionable
+  * dedup decision (keep one doc per family) in a training-data pipeline.
+  *
+  * Scale posture: label propagation runs ONLY over the pair-induced
+  * subgraph (near-dup families are tiny and sparse — the edge set is
+  * orders of magnitude smaller than the corpus); untouched documents are
+  * their own family via a left join at the end, never iterated. Each
+  * iteration is one small join + one agg; iteration count is bounded by
+  * the component diameter (near-dup families are cliques or short chains,
+  * so 2-3 rounds in practice, hard-capped at 20).
+  */
+object DedupFamilies {
+
+  val xFamilies = Q(
+    "x_dedup_families",
+    s"""WITH RECURSIVE
+       words AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+              FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 1))) AS i)
+              WHERE len(t) >= 3),
+       card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+       inter AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS i
+                 FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                 GROUP BY 1, 2),
+       pairs AS (SELECT a_id, b_id FROM inter
+                 JOIN card ca ON ca.doc_id = a_id
+                 JOIN card cb ON cb.doc_id = b_id
+                 WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= ${MinHashLSH.TAU}),
+       edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                 UNION ALL SELECT b_id, a_id FROM pairs),
+       r(id, label) AS (SELECT src, src FROM edges
+                        UNION
+                        SELECT e.dst, r.label FROM edges e JOIN r ON e.src = r.id),
+       fam AS (SELECT id, min(label) AS family FROM r GROUP BY id)
+       SELECT d.doc_id, coalesce(f.family, d.doc_id) AS family,
+              d.doc_id = coalesce(f.family, d.doc_id) AS is_survivor
+       FROM documents d LEFT JOIN fam f ON f.id = d.doc_id
+       ORDER BY d.doc_id""") { (s, dir) =>
+    val docs = T(s, dir, "documents").select(col("doc_id"))
+    val sh = Shingles.wordShingles(T(s, dir, "documents"), 3, distinct = false)
+    val sets = MinHashLSH.hashSets(sh).cache()
+    val cand = MinHashLSH.candidates(
+      MinHashLSH.bandKeys(MinHashLSH.signaturesFromSets(sets, 32), 8, 4))
+    val pairs = MinHashLSH.exactJaccardFromSets(cand, sets)
+      .filter(col("jaccard") >= MinHashLSH.TAU)
+      .select(col("a_id"), col("b_id"))
+    val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
+      .toDF("src", "dst").cache()
+    // min-label propagation over the (small) edge-induced subgraph
+    var labels = edges.select(col("src").as("id"))
+      .distinct().withColumn("label", col("id")).cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val prop = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.union(prop)
+        .groupBy(col("id")).agg(min(col("label")).as("label")).cache()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    docs.join(labels, docs("doc_id") === labels("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("family"))
+      .withColumn("is_survivor", col("doc_id") === col("family"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(xFamilies)
+}

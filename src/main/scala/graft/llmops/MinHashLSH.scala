@@ -52,12 +52,18 @@ object MinHashLSH {
 
   /** MinHash signatures from condensed sets: the shingle hash re-mixed by
     * xxhash64(i, h) per family — fixed-width hashing only.
+    *
+    * Computed entirely with higher-order functions over the per-doc hash
+    * array: NO explode + re-aggregate, so the (largest) shingle
+    * intermediate is never shuffled a second time — the whole signature
+    * is one codegen'd projection per doc.
     */
   def signaturesFromSets(sets: DataFrame, numHashes: Int = NUM_HASHES): DataFrame = {
-    val base = sets.select(col("doc_id"), explode(col("hs")).as("h"))
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("h"))).as(s"m$i"))
-    base.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val withSig = sets.select(col("doc_id"), expr(
+      s"transform(sequence(0, ${numHashes - 1}), " +
+        "i -> array_min(transform(hs, h -> xxhash64(i, h))))").as("sig"))
+    withSig.select(col("doc_id") +:
+      (0 until numHashes).map(i => col("sig")(i).as(s"m$i")): _*)
   }
 
   /** (doc_id, band, bh) — one row per band key. */

@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.{Q, Tables => T}
+
+/** Round-2 coverage extensions: sessionization, reproducible sampling,
+  * ordered string aggregation, masking, and regression aggregates.
+  *
+  * Scale posture: everything here is a single windowed pass or a single
+  * hash aggregation — no extra shuffles beyond the declared keys, and
+  * the sampling filter is a pure map (pushable, no shuffle at all).
+  */
+object Extra {
+
+  /** X — gap-based batch sessionization (30-min inactivity gap): the
+    * batch twin of q29_stream_session. One window pass flags session
+    * starts, a running sum numbers sessions, one agg summarizes them.
+    * Ties are broken by event_id so the lag/sum frames are total-ordered
+    * and deterministic on both engines.
+    */
+  val xSessionize = Q(
+    "x_sessionize",
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+       f AS (SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+             FROM e),
+       s AS (SELECT user_id, ts,
+               CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
+             FROM f)
+       SELECT user_id, session_id, count(*) AS n_events,
+              min(ts) AS session_start, max(ts) AS session_end
+       FROM s GROUP BY user_id, session_id
+       ORDER BY user_id, session_id""") { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    T(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(w))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** X — deterministic hash sampling (~8%): the reproducible train/eval
+    * split primitive for a data pipeline. The md5-prefix predicate is a
+    * pure map over the scan — no shuffle, no RNG state, same rows on
+    * every engine and every rerun, stable under repartitioning.
+    */
+  val xSampleHash = Q(
+    "x_sample_hash",
+    """SELECT doc_id, lang FROM documents
+       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '14'
+       ORDER BY doc_id""") { (s, dir) =>
+    T(s, dir, "documents")
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 2) <= "14")
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  /** X — ordered string aggregation (listagg / string_agg): collect_list
+    * is unordered by distribution, so the deterministic spelling is
+    * sort_array before joining — same contract as string_agg(... ORDER BY).
+    */
+  val xStringAgg = Q(
+    "x_string_agg",
+    """SELECT CAST(n_regionkey AS BIGINT) AS region,
+              string_agg(n_name, ',' ORDER BY n_name) AS names
+       FROM nation GROUP BY 1 ORDER BY region""") { (s, dir) =>
+    T(s, dir, "nation")
+      .groupBy(col("n_regionkey").cast("long").as("region"))
+      .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("names"))
+      .orderBy("region")
+  }
+
+  /** X — masking / redaction (the PII-scrub shape): regexp_replace is a
+    * codegen'd map — at corpus scale this is a free rider on any scan.
+    */
+  val xRedact = Q(
+    "x_redact",
+    """SELECT c_custkey, regexp_replace(c_name, '[0-9]', '#', 'g') AS masked
+       FROM customer ORDER BY c_custkey""") { (s, dir) =>
+    T(s, dir, "customer")
+      .select(col("c_custkey"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("masked"))
+      .orderBy("c_custkey")
+  }
+
+  /** X — linear-regression aggregates (regr_slope/intercept/r2): one
+    * hash agg with partial aggregation; rounded to 6 digits on both
+    * engines to absorb summation-order ulps (same contract as the
+    * transcendental queries).
+    */
+  val xRegrAgg = Q(
+    "x_regr_agg",
+    """SELECT l_returnflag,
+         round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+         round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+         round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+    T(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 6).as("intercept"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"))
+      .orderBy("l_returnflag")
+  }
+
+  val all: Seq[Q] = Seq(xSessionize, xSampleHash, xStringAgg, xRedact, xRegrAgg)
+}

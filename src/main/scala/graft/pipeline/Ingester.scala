@@ -16,7 +16,8 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 class Ingester(
     config: LakeConfig,
     hadoopConf: Configuration = new Configuration(),
-    sourceBaseUrl: String = "http://data.gharchive.org") {
+    sourceBaseUrl: String = "http://data.gharchive.org",
+    onProgress: Long => Unit = Ingester.logEvery64MiB) {
 
   private val http = HttpClient.newBuilder()
     .followRedirects(HttpClient.Redirect.NORMAL)
@@ -40,9 +41,34 @@ class Ingester(
     val path = new Path(sink)
     val fs = path.getFileSystem(hadoopConf)
     val out = fs.create(path, true)
-    try response.body().transferTo(out)
-    finally { out.close(); response.body().close() }
+    // manual copy loop so transfer progress is observable (reference's
+    // upload callback, data_lake_ingester.py:116-120) — still streaming,
+    // still bounded memory
+    try {
+      val in = response.body()
+      val buf = new Array[Byte](1 << 16)
+      var total = 0L
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        total += n
+        onProgress(total)
+        n = in.read(buf)
+      }
+    } finally { out.close(); response.body().close() }
     sink
+  }
+}
+
+object Ingester {
+  /** Default progress hook: one log line per 64 MiB transferred. */
+  val logEvery64MiB: Long => Unit = {
+    val step = 64L << 20
+    var nextMark = step
+    total => if (total >= nextMark) {
+      println(s"ingest progress: ${total >> 20} MiB")
+      nextMark = (total / step + 1) * step
+    }
   }
 }
 

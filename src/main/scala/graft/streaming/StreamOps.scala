@@ -177,21 +177,23 @@ object StreamOps {
       .orderBy("user_id")
   }
 
-  /** Q30c — stream ⋈ static dimension: the static side is re-read per
-    * micro-batch (broadcastable at real scale); aggregation runs on the
-    * enriched stream.
+  /** Q30c — stream ⋈ static dimension: the static side is a GENUINE
+    * dimension table (nation, 25 rows — broadcastable at any fact scale),
+    * re-read per micro-batch; aggregation runs on the enriched stream.
+    * Users are bucketed to nations by user_id % 25 (the fixture has no
+    * user→nation column), and the output rolls up to region.
     */
   val q30c = Q(
     "q30_stream_static_join",
-    """SELECT CAST(user_id % 3 AS BIGINT) AS segment, count(*) AS n,
-              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-       FROM events GROUP BY 1 ORDER BY segment""") { (s, dir) =>
-    val dim = graft.core.Tables(s, dir, "events")
-      .select(col("user_id")).distinct()
-      .withColumn("segment", col("user_id") % 3)
+    """SELECT CAST(n.n_regionkey AS BIGINT) AS segment, count(*) AS n,
+              CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS cents
+       FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+       GROUP BY 1 ORDER BY segment""") { (s, dir) =>
+    val dim = graft.core.Tables(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_regionkey").cast("long").as("segment"))
     val joined = eventsStream(s, dir)
-      .select(col("user_id").as("uid"), col("value"))
-      .join(broadcast(dim), col("uid") === dim("user_id"))
+      .select(pmod(col("user_id"), lit(25)).as("nk"), col("value"))
+      .join(broadcast(dim), col("nk") === dim("n_nationkey"))
       .groupBy(col("segment"))
       .agg(count(lit(1)).as("n"),
         sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))

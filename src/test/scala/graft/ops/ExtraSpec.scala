@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class ExtraSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("sessionize splits on >30min gaps and numbers sessions per user") {
+    val rows = Extra.xSessionize.build(spark, sf)
+      .select("user_id", "session_id", "n_events")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // session ids are dense from 1 within each user
+    rows.groupBy(_._1).foreach { case (_, ss) =>
+      val ids = ss.map(_._2).sorted
+      assert(ids.head == 1L && ids.last == ids.length.toLong)
+    }
+    // event count is conserved: sum of session sizes == events per user
+    val perUser = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val expected = graft.core.Tables(spark, sf, "events")
+      .groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    assert(perUser == expected)
+  }
+
+  test("hash sampling is deterministic and in the expected range") {
+    val a = Extra.xSampleHash.build(spark, sf).as[(Long, String)].collect()
+    val b = Extra.xSampleHash.build(spark, sf).as[(Long, String)].collect()
+    assert(a.toSeq == b.toSeq)
+    val total = graft.core.Tables(spark, sf, "documents").count()
+    // 21/256 ≈ 8.2% expected; allow a generous band for a 500-doc corpus
+    assert(a.length > total * 0.02 && a.length < total * 0.2)
+  }
+
+  test("string_agg output is sorted within each group") {
+    val rows = Extra.xStringAgg.build(spark, sf).as[(Long, String)].collect()
+    assert(rows.length == 5)
+    rows.foreach { case (_, names) =>
+      val parts = names.split(",").toSeq
+      assert(parts == parts.sorted)
+    }
+  }
+
+  test("redaction masks every digit") {
+    val rows = Extra.xRedact.build(spark, sf).select("masked").as[String].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(!_.exists(_.isDigit)))
+    assert(rows.exists(_.contains("#")))
+  }
+
+  test("regression aggregates are finite per group") {
+    val rows = Extra.xRegrAgg.build(spark, sf)
+      .select("slope", "intercept", "r2").as[(Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (s, i, r) =>
+      assert(!s.isNaN && !i.isNaN && r >= -1e-9 && r <= 1 + 1e-9)
+    }
+  }
+
+  test("dedup families: survivors are component minima, singletons survive") {
+    val fams = graft.llmops.DedupFamilies.xFamilies.build(spark, sf)
+      .as[(Long, Long, Boolean)].collect()
+    val total = graft.core.Tables(spark, sf, "documents").count()
+    assert(fams.length == total)
+    fams.foreach { case (doc, fam, surv) =>
+      assert(fam <= doc)                 // family label is the component min
+      assert(surv == (doc == fam))
+    }
+    // every family's labeled survivor exists
+    val families = fams.map(_._2).toSet
+    val survivors = fams.filter(_._3).map(_._1).toSet
+    assert(families == survivors)
+  }
+}
