@@ -175,13 +175,23 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
-  /** X — frame-sample + resize over the fixture blobs (rows-only). */
-  val xFrames = Q.noOracle("x_media_frames") { (s, dir) =>
+  /** X — frame-sample + resize over the fixture blobs. The byte-block
+    * demux contract is fully size-derivable, so the oracle re-derives it:
+    * frames are 256-byte blocks (partial tail dropped), every 2nd frame
+    * is sampled, and the 4× resize leaves 64 bytes per frame.
+    */
+  val xFrames = Q(
+    "x_media_frames",
+    s"""SELECT parse_filename(filename) AS file_name,
+          CAST(i AS BIGINT) AS frame_idx, CAST(64 AS BIGINT) AS frame_bytes
+        FROM read_blob('$blobDir/*.bin'),
+             LATERAL (SELECT unnest(generate_series(0, CAST(size // 256 AS BIGINT) - 1, 2)) AS i)
+        ORDER BY file_name, frame_idx""") { (s, dir) =>
     val frames = sampleFrames(
       s.read.format("binaryFile").load(s"$blobDir/*.bin"), frameBytes = 256, every = 2)
     resize(frames, factor = 4)
-      .select(col("file_name"), col("frame_idx"),
-        length(col("frame")).as("frame_bytes"))
+      .select(col("file_name"), col("frame_idx").cast("long").as("frame_idx"),
+        length(col("frame")).cast("long").as("frame_bytes"))
       .orderBy("file_name", "frame_idx")
   }
 

@@ -115,5 +115,34 @@ object Extra {
       .orderBy("l_returnflag")
   }
 
-  val all: Seq[Q] = Seq(xSessionize, xSampleHash, xStringAgg, xRedact, xRegrAgg)
+  /** X — forward-fill (last observation carried forward): the standard
+    * gap-repair primitive for event streams — here "last purchase amount
+    * seen so far" per user. One window pass with an ignore-nulls last();
+    * ties broken by event_id so the frame is total-ordered on both
+    * engines.
+    */
+  val xFillForward = Q(
+    "x_fill_forward",
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+           FROM events)
+       SELECT user_id, event_id,
+              last_value(k IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k_filled
+       FROM e ORDER BY user_id, event_id""") { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    T(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(col("event_type") === "purchase",
+          get_json_object(col("props"), "$.k").cast("long")).as("k"))
+      .withColumn("k_filled", last(col("k"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("event_id"), col("k_filled"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val all: Seq[Q] =
+    Seq(xSessionize, xSampleHash, xStringAgg, xRedact, xRegrAgg, xFillForward)
 }
