@@ -21,6 +21,19 @@ import graft.core.Exact.dec
   */
 object StreamOps {
 
+  /** Scratch space for replay checkpoints/symlinks: tmpfs when present.
+    * The replay harness re-creates state from scratch every run, so
+    * checkpoint durability buys nothing here and the fsync cost is pure
+    * overhead — a REAL deployment points checkpointLocation at durable
+    * shared storage instead.
+    */
+  private def scratchDir(prefix: String): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (Files.isDirectory(shm) && Files.isWritable(shm))
+      Files.createTempDirectory(shm, prefix)
+    else Files.createTempDirectory(prefix)
+  }
+
   /** Streaming view of the events table (nanos ts → micros timestamp,
     * same normalization as the batch loader).
     */
@@ -29,7 +42,7 @@ object StreamOps {
     val path = s"$dir/events.parquet"
     // the streaming file source wants a directory; expose the single
     // parquet file through a temp dir symlink
-    val streamDir = Files.createTempDirectory("graft_stream_events")
+    val streamDir = scratchDir("graft_stream_events")
     Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(path))
@@ -42,7 +55,7 @@ object StreamOps {
     * the sink contents.
     */
   private def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
-    val ckpt = Files.createTempDirectory(s"graft_ckpt_$name").toString
+    val ckpt = scratchDir(s"graft_ckpt_$name").toString
     val spark = df.sparkSession
     // state-store commit cost scales with partition count; these replays
     // are tiny per-batch, so pin a small state partitioning for the run
