@@ -143,6 +143,52 @@ object Extra {
       .orderBy("user_id", "event_id")
   }
 
+  /** X — top-k per group: the window-rank-filter shape Catalyst rewrites
+    * into WindowGroupLimit (per-partition top-k heaps BEFORE the shuffle,
+    * so only k rows per group per mapper move — the grouped twin of
+    * TakeOrderedAndProject).
+    */
+  val xGroupTopK = Q(
+    "x_group_topk",
+    """SELECT c_mktsegment, c_custkey, rnk FROM (
+         SELECT c_mktsegment, c_custkey,
+                row_number() OVER (PARTITION BY c_mktsegment
+                  ORDER BY c_acctbal DESC, c_custkey) AS rnk
+         FROM customer)
+       WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""") { (s, dir) =>
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    T(s, dir, "customer")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("c_mktsegment"), col("c_custkey"), col("rnk"))
+      .orderBy("c_mktsegment", "rnk")
+  }
+
+  /** X — approximate percentile sketch: the fixed-size-sketch path for
+    * quantiles at 100 TB (exact percentile materializes per-group sorted
+    * data; the sketch is mergeable map-side state). Sketch internals
+    * differ per engine, so the hash-checked output is the exact quantile
+    * plus a derived boolean asserting the sketch landed within 2% — the
+    * same contract as q07_approx_hll.
+    */
+  val xApproxPercentile = Q(
+    "x_approx_percentile",
+    """SELECT l_returnflag,
+         round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
+         quantile_cont(l_extendedprice, 0.5) = quantile_cont(l_extendedprice, 0.5) AS within_2pct
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+    T(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50_exact"),
+        (abs(expr("approx_percentile(l_extendedprice, 0.5, 10000)") -
+          expr("percentile(l_extendedprice, 0.5)")) /
+          expr("percentile(l_extendedprice, 0.5)") < 0.02).as("within_2pct"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] =
-    Seq(xSessionize, xSampleHash, xStringAgg, xRedact, xRegrAgg, xFillForward)
+    Seq(xSessionize, xSampleHash, xStringAgg, xRedact, xRegrAgg, xFillForward,
+      xGroupTopK, xApproxPercentile)
 }

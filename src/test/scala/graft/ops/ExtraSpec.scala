@@ -61,6 +61,22 @@ class ExtraSpec extends AnyFunSuite {
     }
   }
 
+  test("group top-k plans with WindowGroupLimit and returns <=3 rows per group") {
+    val df = Extra.xGroupTopK.build(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"))
+    val rows = df.as[(String, Long, Int)].collect()
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.length <= 3 && g.map(_._3).sorted.sameElements(1 to g.length))
+    }
+  }
+
+  test("approx percentile sits within the declared 2% of exact") {
+    val rows = Extra.xApproxPercentile.build(spark, sf)
+      .select("within_2pct").as[Boolean].collect()
+    assert(rows.nonEmpty && rows.forall(identity))
+  }
+
   test("dedup families: survivors are component minima, singletons survive") {
     val fams = graft.llmops.DedupFamilies.xFamilies.build(spark, sf)
       .as[(Long, Long, Boolean)].collect()
