@@ -1,5 +1,6 @@
 package graft.llmops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core.{Q, Tables => T}
 
@@ -18,6 +19,33 @@ import graft.core.{Q, Tables => T}
   * so 2-3 rounds in practice, hard-capped at 20).
   */
 object DedupFamilies {
+
+  /** Library form: connected-component labels for an undirected pair
+    * list (a_id, b_id) — returns (id, label) for every id that appears
+    * in a pair, label = component minimum. Min-label propagation; each
+    * round is one join + one agg over the edge-induced subgraph only.
+    */
+  def components(pairs: DataFrame): DataFrame = {
+    val edges = pairs.toDF("a_id", "b_id")
+    val bidir = edges.union(edges.select(col("b_id"), col("a_id")))
+      .toDF("src", "dst").cache()
+    var labels = bidir.select(col("src").as("id"))
+      .distinct().withColumn("label", col("id")).cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val prop = bidir.join(labels, bidir("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.union(prop)
+        .groupBy(col("id")).agg(min(col("label")).as("label")).cache()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
 
   val xFamilies = Q(
     "x_dedup_families",
@@ -52,24 +80,7 @@ object DedupFamilies {
     val pairs = MinHashLSH.exactJaccardFromSets(cand, sets)
       .filter(col("jaccard") >= MinHashLSH.TAU)
       .select(col("a_id"), col("b_id"))
-    val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
-      .toDF("src", "dst").cache()
-    // min-label propagation over the (small) edge-induced subgraph
-    var labels = edges.select(col("src").as("id"))
-      .distinct().withColumn("label", col("id")).cache()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < 20) {
-      val prop = edges.join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("label"))
-      val next = labels.union(prop)
-        .groupBy(col("id")).agg(min(col("label")).as("label")).cache()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
-      iter += 1
-    }
+    val labels = components(pairs)
     docs.join(labels, docs("doc_id") === labels("id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("family"))

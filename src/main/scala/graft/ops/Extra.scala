@@ -20,6 +20,23 @@ object Extra {
     * Ties are broken by event_id so the lag/sum frames are total-ordered
     * and deterministic on both engines.
     */
+  /** Library form: assign 1-based session ids per user from a gap
+    * threshold. Input needs (user_id, event_id, ts); adds `session_id`.
+    * One window pass — the event_id tiebreak makes the frame
+    * total-ordered and deterministic.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapMinutes * 60L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(w))
+      .drop("prev_us", "new_s")
+  }
+
   val xSessionize = Q(
     "x_sessionize",
     """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
@@ -35,15 +52,8 @@ object Extra {
               min(ts) AS session_start, max(ts) AS session_end
        FROM s GROUP BY user_id, session_id
        ORDER BY user_id, session_id""") { (s, dir) =>
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    T(s, dir, "events")
-      .select(col("user_id"), col("event_id"), col("ts"))
-      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
-      .withColumn("new_s",
-        when(col("prev_us").isNull ||
-          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
-          .otherwise(0L))
-      .withColumn("session_id", sum(col("new_s")).over(w))
+    sessionize(T(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts")), gapMinutes = 30)
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
         min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
@@ -121,6 +131,16 @@ object Extra {
     * ties broken by event_id so the frame is total-ordered on both
     * engines.
     */
+  /** Library form: last-observation-carried-forward of `valueCol` per
+    * user in (ts, event_id) order; adds `<valueCol>_filled`.
+    */
+  def fillForward(events: DataFrame, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.withColumn(s"${valueCol}_filled",
+      last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
   val xFillForward = Q(
     "x_fill_forward",
     """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
@@ -132,13 +152,12 @@ object Extra {
                 PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k_filled
        FROM e ORDER BY user_id, event_id""") { (s, dir) =>
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    T(s, dir, "events")
-      .select(col("user_id"), col("event_id"), col("ts"),
-        when(col("event_type") === "purchase",
-          get_json_object(col("props"), "$.k").cast("long")).as("k"))
-      .withColumn("k_filled", last(col("k"), ignoreNulls = true).over(w))
+    fillForward(
+      T(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          when(col("event_type") === "purchase",
+            get_json_object(col("props"), "$.k").cast("long")).as("k")),
+      "k")
       .select(col("user_id"), col("event_id"), col("k_filled"))
       .orderBy("user_id", "event_id")
   }

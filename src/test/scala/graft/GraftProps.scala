@@ -70,4 +70,51 @@ object GraftProps extends Properties("graft") {
       val f = pipeline.PathLayout.extractFilename(p)
       !f.contains("/") && f == segs.last
     }
+
+  // (user, event_id, epoch-seconds) with distinct event ids per sample
+  private val tsEventGen = Gen.listOfN(30, for {
+    user <- Gen.choose(0L, 4L)
+    off <- Gen.choose(0L, 6L * 3600)
+  } yield (user, off)).map(_.zipWithIndex.map {
+    case ((u, o), i) => (u, i.toLong, java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(1700000000L + o)))
+  })
+
+  property("sessionize conserves events; gaps split iff > threshold") =
+    forAll(tsEventGen) { rows =>
+      val df = rows.toDF("user_id", "event_id", "ts")
+      val out = ops.Extra.sessionize(df, gapMinutes = 30)
+        .select("user_id", "event_id", "ts", "session_id")
+        .as[(Long, Long, java.sql.Timestamp, Long)].collect()
+      val conserved = out.length == rows.length
+      val lawful = out.groupBy(_._1).forall { case (_, g) =>
+        val sorted = g.sortBy(r => (r._3.getTime, r._2))
+        sorted.zip(sorted.tail).forall { case (a, b) =>
+          val gap = b._3.getTime - a._3.getTime
+          if (b._4 == a._4) gap <= 30 * 60 * 1000L
+          else b._4 == a._4 + 1 && gap > 30 * 60 * 1000L
+        }
+      }
+      conserved && lawful
+    }
+
+  property("fillForward equals driver-side last-non-null scan") =
+    forAll(tsEventGen) { rows =>
+      // null out ~half the values deterministically by event id parity
+      val df = rows.toDF("user_id", "event_id", "ts")
+        .withColumn("k", when(col("event_id") % 2 === 0, col("event_id")))
+      val got = ops.Extra.fillForward(df, "k")
+        .select("user_id", "event_id", "k_filled")
+        .as[(Long, Long, Option[Long])].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val want = rows.groupBy(_._1).flatMap { case (u, g) =>
+        var lastK: Option[Long] = None
+        g.sortBy(r => (r._3.getTime, r._2)).map { case (_, id, _) =>
+          if (id % 2 == 0) lastK = Some(id)
+          (u, id) -> lastK
+        }
+      }
+      got == want
+    }
+
 }

@@ -77,6 +77,23 @@ class ExtraSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.forall(identity))
   }
 
+  test("components matches union-find on chains, merges, and duplicate edges") {
+    // (edges, expected (id -> component-min)) — covers a 4-chain (3-hop
+    // label propagation), a separate pair, duplicate edges, and a
+    // late-merging bridge between two existing components
+    val cases = Seq(
+      Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L), (0L, 1L)) ->
+        Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 10L -> 10L, 11L -> 10L),
+      Seq((5L, 6L), (7L, 8L), (6L, 7L)) ->
+        Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L),
+      Seq((1L, 9L)) -> Map(1L -> 1L, 9L -> 1L))
+    cases.foreach { case (edges, want) =>
+      val got = graft.llmops.DedupFamilies.components(edges.toDF("a_id", "b_id"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"edges=$edges")
+    }
+  }
+
   test("dedup families: survivors are component minima, singletons survive") {
     val fams = graft.llmops.DedupFamilies.xFamilies.build(spark, sf)
       .as[(Long, Long, Boolean)].collect()
