@@ -47,6 +47,51 @@ object Lake {
       .saveAsTable(table)
   }
 
+  /** Compact a parquet directory's small files to ~`targetBytes` outputs.
+    *
+    * The small-files problem is THE operational failure mode of a
+    * streaming/hourly lake at scale: every micro-batch or hourly job
+    * leaves a few KB-MB files, and a year later a scan pays millions of
+    * S3 GETs + footer reads. Compaction = one narrow rewrite:
+    * target file count is derived from the directory's actual byte size,
+    * coalesce (no shuffle) when shrinking file count, repartition only
+    * when growing it. Atomicity: write to `<path>__compact_tmp`, then
+    * swap — a crash mid-write never corrupts the source directory.
+    */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 256L << 20): Long = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(hPath)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val targetFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    if (dataFiles.length <= targetFiles) return dataFiles.length.toLong
+    val df = spark.read.parquet(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    df.coalesce(targetFiles).write.mode("overwrite").parquet(tmp.toString)
+    val bak = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    fs.rename(hPath, bak)
+    fs.rename(tmp, hPath)
+    fs.delete(bak, true)
+    targetFiles.toLong
+  }
+
+  /** Cluster-sort a dataset for scan-time pruning: range-repartition on
+    * the given columns and sort within partitions before writing, so each
+    * parquet file covers a narrow min/max band of the cluster keys and
+    * row-group statistics prune selective filters to a handful of files.
+    * (The practical flavor of Z-ordering for 1-2 correlated columns.)
+    */
+  def writeClustered(df: DataFrame, path: String, numFiles: Int,
+      clusterCols: String*): Unit = {
+    val cols = clusterCols.map(col)
+    df.repartitionByRange(numFiles, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Format round-trips (csv/json/orc share the same DataFrameReader/
     * Writer surface as parquet; schema must be supplied for the schemaless
     * text formats on read).

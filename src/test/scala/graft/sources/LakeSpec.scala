@@ -41,6 +41,42 @@ class LakeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("compact merges small files, preserves rows, and is idempotent") {
+    val events = graft.core.Tables(spark, sf, "events")
+    val dir = Files.createTempDirectory("graft_compact").toString + "/events"
+    events.repartition(40).write.parquet(dir) // simulate micro-batch litter
+    def nFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val n = events.count()
+    assert(nFiles == 40)
+    Lake.compact(spark, dir, targetBytes = 512L << 20)
+    assert(nFiles == 1)
+    assert(spark.read.parquet(dir).count() == n)
+    Lake.compact(spark, dir, targetBytes = 512L << 20) // no-op second pass
+    assert(nFiles == 1 && spark.read.parquet(dir).count() == n)
+  }
+
+  test("clustered write narrows per-file min/max bands for pruning") {
+    val orders = graft.core.Tables(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val dir = Files.createTempDirectory("graft_cluster").toString + "/orders"
+    Lake.writeClustered(orders, dir, numFiles = 4, "o_custkey")
+    // each output file must cover a disjoint o_custkey range
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    assert(files.length == 4)
+    val bands = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("o_custkey")), max(col("o_custkey"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    bands.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi <= lo2, s"bands overlap: ${bands.toSeq}")
+      case _ =>
+    }
+    assert(spark.read.parquet(dir).count() == orders.count())
+  }
+
   test("csv/json/orc round-trips preserve rows") {
     val nation = graft.core.Tables(spark, sf, "nation")
     val n = nation.count()
