@@ -29,18 +29,22 @@ object DedupFamilies {
     val edges = pairs.toDF("a_id", "b_id")
     val bidir = edges.union(edges.select(col("b_id"), col("a_id")))
       .toDF("src", "dst").cache()
+    // localCheckpoint (eager) per round truncates lineage — without it the
+    // loop's plan grows by the whole previous plan every iteration and
+    // Catalyst re-analyzes an exponentially nested tree (21k-line plans by
+    // round 3 on the fixture; unbounded on deeper graphs). At cluster
+    // scale with failure tolerance, use reliable checkpoint() instead.
     var labels = bidir.select(col("src").as("id"))
-      .distinct().withColumn("label", col("id")).cache()
+      .distinct().withColumn("label", col("id")).localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 20) {
       val prop = bidir.join(labels, bidir("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
       val next = labels.union(prop)
-        .groupBy(col("id")).agg(min(col("label")).as("label")).cache()
+        .groupBy(col("id")).agg(min(col("label")).as("label")).localCheckpoint()
       changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       iter += 1
     }
