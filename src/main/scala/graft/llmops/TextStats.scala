@@ -55,6 +55,45 @@ object TextStats {
       .limit(20)
   }
 
+  /** X — TF-IDF top terms per language: document frequencies within and
+    * across languages combine into the classic tf·idf score; top-5 terms
+    * per language. Everything reduces to two doc-term aggregations and a
+    * WindowGroupLimit top-k — no corpus-size blowup; ln rounded to 6 on
+    * both engines (same contract as the other transcendentals).
+    */
+  val xTfIdf = Q(
+    "x_tfidf",
+    """WITH terms AS (SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS term
+                      FROM documents),
+       df_all AS (SELECT term, count(*) AS df FROM terms GROUP BY term),
+       n AS (SELECT count(*) AS n_docs FROM documents),
+       lang_tf AS (SELECT lang, term, count(*) AS tf FROM terms GROUP BY lang, term),
+       scored AS (SELECT lang, lt.term,
+                    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+                  FROM lang_tf lt JOIN df_all d ON lt.term = d.term CROSS JOIN n)
+       SELECT lang, term, score FROM (
+         SELECT lang, term, score,
+                row_number() OVER (PARTITION BY lang ORDER BY score DESC, term) AS rnk
+         FROM scored)
+       WHERE rnk <= 5 ORDER BY lang, score DESC, term""") { (s, dir) =>
+    val docs = T(s, dir, "documents")
+    val terms = docs
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+    val dfAll = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.count().toDouble // one scalar; the corpus size
+    val langTf = terms.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("score").desc, col("term"))
+    langTf.join(dfAll, "term")
+      .select(col("lang"), col("term"),
+        round(col("tf") * log(lit(nDocs) / col("df")), 6).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("lang"), col("term"), col("score"))
+      .orderBy(col("lang"), col("score").desc, col("term"))
+  }
+
   /** X — quality scoring: token count, mean token length, punctuation and
     * stopword ratios per document (the usual pre-training filters).
     */
@@ -208,6 +247,6 @@ object TextStats {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q35, q35b, xQuality, xTokenCount, xLangId,
+  val all: Seq[Q] = Seq(q35, q35b, xTfIdf, xQuality, xTokenCount, xLangId,
     xRepetition, xQualityRules)
 }

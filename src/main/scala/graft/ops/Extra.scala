@@ -207,7 +207,44 @@ object Extra {
       .orderBy("l_returnflag")
   }
 
+  /** X — time-series resample to a regular hourly grid per user: missing
+    * hours materialize as zero rows (the regular-grid shape model
+    * training wants). The grid is generated per user from its own
+    * min/max hour (sequence + explode — no driver loop), then left-joins
+    * the hourly aggregate; exact cents keep the sums hash-stable.
+    */
+  val xResample = Q(
+    "x_resample",
+    """WITH e AS (SELECT user_id,
+             CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour,
+             value FROM events),
+       hourly AS (SELECT user_id, hour, count(*) AS n,
+                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+                  FROM e GROUP BY 1, 2),
+       bounds AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM e GROUP BY 1),
+       grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+                FROM bounds)
+       SELECT g.user_id, g.hour,
+              coalesce(n, 0) AS n, coalesce(cents, 0) AS cents
+       FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+       ORDER BY g.user_id, g.hour""") { (s, dir) =>
+    val e = T(s, dir, "events")
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hour"), col("value"))
+    val hourly = e.groupBy(col("user_id"), col("hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    val grid = e.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("user_id"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("cents"), lit(0L)).as("cents"))
+      .orderBy("user_id", "hour")
+  }
+
   val all: Seq[Q] =
     Seq(xSessionize, xSampleHash, xStringAgg, xRedact, xRegrAgg, xFillForward,
-      xGroupTopK, xApproxPercentile)
+      xGroupTopK, xApproxPercentile, xResample)
 }

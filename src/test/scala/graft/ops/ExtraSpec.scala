@@ -77,6 +77,30 @@ class ExtraSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.forall(identity))
   }
 
+  test("resample grid is hourly-contiguous per user and conserves events") {
+    val rows = Extra.xResample.build(spark, sf)
+      .select("user_id", "hour", "n")
+      .as[(Long, java.sql.Timestamp, Long)].collect()
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val hours = g.map(_._2.getTime).sorted
+      hours.zip(hours.tail).foreach { case (a, b) =>
+        assert(b - a == 3600 * 1000L, "grid must step exactly one hour")
+      }
+    }
+    val total = graft.core.Tables(spark, sf, "events").count()
+    assert(rows.map(_._3).sum == total)
+  }
+
+  test("tfidf returns 5 descending-scored terms per language") {
+    val rows = graft.llmops.TextStats.xTfIdf.build(spark, sf)
+      .as[(String, String, Double)].collect()
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.length == 5)
+      val scores = g.map(_._3)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("components matches union-find on chains, merges, and duplicate edges") {
     // (edges, expected (id -> component-min)) — covers a 4-chain (3-hop
     // label propagation), a separate pair, duplicate edges, and a
