@@ -244,7 +244,35 @@ object Extra {
       .orderBy("user_id", "hour")
   }
 
+  /** X — fuzzy matching via the native Jaro-Winkler expression
+    * (graft.functions.JaroWinkler): most-similar part-name pairs within
+    * (brand, size) blocks. Blocking keeps the pair stream bounded by
+    * block sizes (the standard entity-resolution shape: block on cheap
+    * equality, score survivors with the expensive measure).
+    */
+  val xJaroWinkler = Q(
+    "x_jaro_winkler",
+    """SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+         round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS sim
+       FROM part a JOIN part b
+         ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        AND a.p_partkey < b.p_partkey
+       ORDER BY sim DESC, a_key, b_key LIMIT 20""") { (s, dir) =>
+    val p = T(s, dir, "part")
+    val a = p.select(col("p_partkey").as("a_key"), col("p_brand"),
+      col("p_size"), col("p_name").as("a_name"))
+    val b = p.select(col("p_partkey").as("b_key"), col("p_brand").as("b_brand"),
+      col("p_size").as("b_size"), col("p_name").as("b_name"))
+    a.join(b, col("p_brand") === col("b_brand") &&
+        col("p_size") === col("b_size") && col("a_key") < col("b_key"))
+      .select(col("a_key"), col("b_key"),
+        round(graft.functions.JaroWinkler.sim(col("a_name"), col("b_name")), 6)
+          .as("sim"))
+      .orderBy(col("sim").desc, col("a_key"), col("b_key"))
+      .limit(20)
+  }
+
   val all: Seq[Q] =
     Seq(xSessionize, xSampleHash, xStringAgg, xRedact, xRegrAgg, xFillForward,
-      xGroupTopK, xApproxPercentile, xResample)
+      xGroupTopK, xApproxPercentile, xResample, xJaroWinkler)
 }

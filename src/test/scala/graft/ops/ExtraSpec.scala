@@ -101,6 +101,18 @@ class ExtraSpec extends AnyFunSuite {
     }
   }
 
+  test("jaro-winkler matches textbook vectors through the codegen path") {
+    val df = Seq(
+      ("MARTHA", "MARHTA", 0.961111), ("DWAYNE", "DUANE", 0.840000),
+      ("DIXON", "DICKSONX", 0.813333), ("CRATE", "TRACE", 0.733333),
+      ("abc", "abc", 1.0), ("", "abc", 0.0), ("", "", 0.0), ("a", "b", 0.0))
+      .toDF("a", "b", "want")
+      .select(col("want"),
+        round(graft.functions.JaroWinkler.sim(col("a"), col("b")), 6).as("got"))
+      .as[(Double, Double)].collect()
+    df.foreach { case (want, got) => assert(math.abs(want - got) < 1e-6) }
+  }
+
   test("components matches union-find on chains, merges, and duplicate edges") {
     // (edges, expected (id -> component-min)) — covers a 4-chain (3-hop
     // label propagation), a separate pair, duplicate edges, and a
