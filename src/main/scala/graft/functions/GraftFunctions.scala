@@ -18,7 +18,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 object GraftFunctions {
 
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "array_dot" -> { exprs => ArrayDotProduct(exprs(0), exprs(1)) })
+    "array_dot" -> { exprs => ArrayDotProduct(exprs(0), exprs(1)) },
+    "sorted_intersect_count" -> { exprs => SortedLongArrayIntersect(exprs(0), exprs(1)) },
+    "jaro_winkler_similarity" -> { exprs => JaroWinkler(exprs(0), exprs(1)) })
 
   def register(spark: SparkSession): Unit =
     fns.foreach { case (name, builder) =>

@@ -42,4 +42,16 @@ class SkewAndFunctionsSpec extends AnyFunSuite {
       .as[Double].head()
     assert(got == 32.0)
   }
+
+  test("jaro_winkler_similarity and sorted_intersect_count from SQL") {
+    GraftFunctions.register(spark)
+    val jw = spark.sql(
+      "SELECT round(jaro_winkler_similarity('MARTHA', 'MARHTA'), 6) AS s")
+      .as[Double].head()
+    assert(math.abs(jw - 0.961111) < 1e-9)
+    val n = spark.sql(
+      "SELECT sorted_intersect_count(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS n")
+      .as[Long].head()
+    assert(n == 2L)
+  }
 }
