@@ -130,6 +130,69 @@ object Multimodal {
       .orderBy("file_name")
   }
 
+  /** Audio metadata schema for decoded WAV/AIFF blobs. */
+  val audioSchema: StructType = StructType(Seq(
+    StructField("file_name", StringType),
+    StructField("n_bytes", LongType),
+    StructField("channels", LongType),
+    StructField("sample_rate", LongType),
+    StructField("n_frames", LongType)))
+
+  /** Decode audio container metadata FOR REAL via `javax.sound.sampled`
+    * (JDK built-in WAV/AIFF/AU readers, no external deps): channel
+    * count, sample rate, and frame length from the parsed header.
+    * Same mapPartitions shape as the image path.
+    */
+  def extractAudioFeatures(binaryFiles: DataFrame): DataFrame = {
+    val spark = binaryFiles.sparkSession
+    val rdd = binaryFiles.select(col("path"), col("content")).rdd.mapPartitions { it =>
+      it.flatMap { row =>
+        val path = row.getString(0)
+        val bytes = row.getAs[Array[Byte]](1)
+        val name = path.substring(path.lastIndexOf('/') + 1)
+        try {
+          val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+            new java.io.ByteArrayInputStream(bytes))
+          Some(Row(name, bytes.length.toLong,
+            aff.getFormat.getChannels.toLong,
+            aff.getFormat.getSampleRate.toLong,
+            aff.getFrameLength.toLong))
+        } catch { case _: Exception => None } // not an audio container
+      }
+    }
+    spark.createDataFrame(rdd, audioSchema)
+  }
+
+  private def wavByte(n: Int): String =
+    s"(strpos('0123456789ABCDEF', substr(hx, ${2 * n - 1}, 1))-1)*16 + " +
+      s"strpos('0123456789ABCDEF', substr(hx, ${2 * n}, 1))-1"
+
+  /** X — audio metadata decode over the WAV fixtures. The oracle
+    * re-derives channels / sample rate / frame count from the canonical
+    * 44-byte RIFF header bytes (little-endian fields hex-sliced in SQL)
+    * — fully independent of the JVM decoder.
+    */
+  val xAudio = Q(
+    "x_audio_features",
+    s"""WITH h AS (SELECT parse_filename(filename) AS file_name, hex(content) AS hx,
+                          size FROM read_blob('$blobDir/*.wav')),
+        b AS (SELECT file_name, size, hx,
+                ${wavByte(23)} AS b23, ${wavByte(24)} AS b24,
+                ${wavByte(25)} AS b25, ${wavByte(26)} AS b26,
+                ${wavByte(27)} AS b27, ${wavByte(28)} AS b28,
+                ${wavByte(33)} AS b33, ${wavByte(34)} AS b34,
+                ${wavByte(41)} AS b41, ${wavByte(42)} AS b42,
+                ${wavByte(43)} AS b43, ${wavByte(44)} AS b44
+              FROM h)
+        SELECT file_name, CAST(size AS BIGINT) AS n_bytes,
+               CAST(b23 + 256*b24 AS BIGINT) AS channels,
+               CAST(b25 + 256*b26 + 65536*b27 + 16777216*b28 AS BIGINT) AS sample_rate,
+               CAST((b41 + 256*b42 + 65536*b43 + 16777216*b44) / (b33 + 256*b34) AS BIGINT) AS n_frames
+        FROM b ORDER BY file_name""") { (s, dir) =>
+    extractAudioFeatures(s.read.format("binaryFile").load(s"$blobDir/*.wav"))
+      .orderBy("file_name")
+  }
+
   val frameSchema: StructType = StructType(Seq(
     StructField("file_name", StringType),
     StructField("frame_idx", IntegerType),
@@ -195,5 +258,5 @@ object Multimodal {
       .orderBy("file_name", "frame_idx")
   }
 
-  val all: Seq[Q] = Seq(q36, q36b, xFeatures, xFrames)
+  val all: Seq[Q] = Seq(q36, q36b, xFeatures, xAudio, xFrames)
 }

@@ -118,6 +118,16 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(feats.forall(r => r.isNullAt(3) && r.isNullAt(4))) // no decoder
   }
 
+  test("audio feature extraction decodes WAV headers via javax.sound") {
+    val feats = Multimodal.extractAudioFeatures(
+      spark.read.format("binaryFile").load(s"${Multimodal.blobDir}/*.wav"))
+      .orderBy("file_name").collect()
+    assert(feats.map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq ==
+      Seq(("audio_doc_201.wav", 1L, 8000L, 800L),
+        ("audio_doc_202.wav", 2L, 16000L, 1600L),
+        ("audio_doc_203.wav", 1L, 44100L, 2205L)))
+  }
+
   test("media feature extraction decodes PNG dimensions via javax.imageio") {
     val feats = Multimodal.extractFeatures(
       spark.read.format("binaryFile").load(s"${Multimodal.blobDir}/*.png"))
