@@ -74,11 +74,18 @@ object VectorSearch {
     *      pruned; phase 2 scans only the surviving lists
     *   4. global max over both phases → the exact nearest neighbor
     *
-    * Pair count is bounded by list sizes of un-pruned lists — with
-    * clustered real-world embeddings most lists prune, while correctness
+    * Pair count is bounded by list sizes of un-pruned lists; correctness
     * never depends on the quantizer (a bad centroid only weakens pruning).
     * A vector in a singleton list has no seed (s0 = −2 ≤ min cosine), so
     * it falls back to scanning every list — the exact-fallback path.
+    *
+    * Measured regimes (docs/SCALING.md): up to ~10⁵ vectors the all-pairs
+    * codegen'd dot kernel is FASTER (dense compute; high-dim radius
+    * bounds prune weakly), and this plan degrades gracefully to ≤2×
+    * brute. What the bounded pair stream buys at 10⁹ vectors is shuffle
+    * feasibility — n² pairs can't be materialized as a join stream at
+    * all — and the truly-large-scale path is the approximate IVF
+    * (x_ann_ivf) with this exact search as its correctness anchor.
     */
   val xNearestNeighbor = Q(
     "x_embed_nn",
@@ -95,9 +102,16 @@ object VectorSearch {
       .select(col("vec_id"),
         graft.functions.ArrayOps.l2normalize(col("embedding")).as("n_emb"))
       .cache()
+    exactNearestNeighbor(e).orderBy("vec_id")
+  }
+
+  /** Library form of the exact branch-and-bound NN search: input needs
+    * (vec_id, n_emb [normalized]); returns (vec_id, nn_id).
+    */
+  def exactNearestNeighbor(e: DataFrame, k: Int = 16): DataFrame = {
     // one Lloyd iteration: centroid quality only affects pruning strength,
     // never correctness (the radius bound adapts to loose clusters)
-    val centroids = kmeansCentroids(e, 16, 1)
+    val centroids = kmeansCentroids(e, k, 1)
     val centLit = typedLit(centroids.map(_.toSeq).toSeq)
     // nearest-centroid assignment; keep csim to derive the list radius.
     // cached: feeds the radius agg, both join sides, and the bound scan
@@ -138,7 +152,6 @@ object VectorSearch {
       .union(seed.select(col("vec_id"), col("seed").as("cand")))
       .groupBy(col("vec_id")).agg(max(col("cand")).as("best"))
       .select(col("vec_id"), (-col("best.neg_id")).cast("long").as("nn_id"))
-      .orderBy("vec_id")
   }
 
   /** Deterministic distributed k-means over normalized vectors (cosine
