@@ -99,7 +99,71 @@ case class SortedLongArrayIntersect(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** MinHash signature of a hash-set array in ONE pass — n_hashes mins
+  * computed per element with an inline splitmix64-style remix, no
+  * intermediate arrays. Replaces nested higher-order functions, which
+  * Spark evaluates INTERPRETED (ArrayTransform is CodegenFallback:
+  * per-element lambda dispatch + boxing) — the hot path of every LSH
+  * query. The family choice is internal: exact-Jaccard verification
+  * anchors the final answers, so any good 64-bit mixer preserves both
+  * correctness and the banding miss-probability bound.
+  */
+object MinHashSigImpl {
+  // per-family seeds from splitmix64 of the family index (deterministic)
+  private val SEEDS: Array[Long] = Array.tabulate(64) { i =>
+    var z = i.toLong + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  def compute(hs: Array[Long], n: Int): Array[Long] = {
+    val out = Array.fill(n)(Long.MaxValue)
+    var j = 0
+    while (j < hs.length) {
+      val h = hs(j)
+      var i = 0
+      while (i < n) {
+        // murmur3 fmix64 of (h ^ seed_i): full avalanche per family
+        var x = h ^ SEEDS(i)
+        x = (x ^ (x >>> 33)) * 0xFF51AFD7ED558CCDL
+        x = (x ^ (x >>> 33)) * 0xC4CEB9FE1A85EC53L
+        x ^= x >>> 33
+        if (x < out(i)) out(i) = x
+        i += 1
+      }
+      j += 1
+    }
+    out
+  }
+}
+
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      MinHashSigImpl.compute(a.asInstanceOf[ArrayData].toLongArray(), numHashes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.MinHashSigImpl.compute($a.toLongArray(), $numHashes));")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ArrayOps {
+
+  /** Column form of MinHashSignature. */
+  def minhashSignature(hs: Column, numHashes: Int): Column =
+    ExpressionUtils.column(MinHashSignature(
+      ExpressionUtils.expression(hs), numHashes))
 
   /** Column form of SortedLongArrayIntersect (inputs must be sorted). */
   def sortedIntersectCount(a: Column, b: Column): Column =

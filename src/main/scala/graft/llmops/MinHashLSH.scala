@@ -50,18 +50,19 @@ object MinHashLSH {
   def signatures(shingles: DataFrame, numHashes: Int = NUM_HASHES): DataFrame =
     signaturesFromSets(hashSets(shingles), numHashes)
 
-  /** MinHash signatures from condensed sets: the shingle hash re-mixed by
-    * xxhash64(i, h) per family — fixed-width hashing only.
+  /** MinHash signatures from condensed sets: the shingle hash re-mixed
+    * per family — fixed-width hashing only.
     *
-    * Computed entirely with higher-order functions over the per-doc hash
-    * array: NO explode + re-aggregate, so the (largest) shingle
-    * intermediate is never shuffled a second time — the whole signature
-    * is one codegen'd projection per doc.
+    * One native single-pass expression per doc (graft.functions
+    * .MinHashSignature): no explode + re-aggregate, so the (largest)
+    * shingle intermediate is never shuffled a second time, and no
+    * nested higher-order functions, which Spark evaluates interpreted
+    * (ArrayTransform is CodegenFallback) — that HOF spelling was the
+    * hot path of every LSH query.
     */
   def signaturesFromSets(sets: DataFrame, numHashes: Int = NUM_HASHES): DataFrame = {
-    val withSig = sets.select(col("doc_id"), expr(
-      s"transform(sequence(0, ${numHashes - 1}), " +
-        "i -> array_min(transform(hs, h -> xxhash64(i, h))))").as("sig"))
+    val withSig = sets.select(col("doc_id"),
+      graft.functions.ArrayOps.minhashSignature(col("hs"), numHashes).as("sig"))
     withSig.select(col("doc_id") +:
       (0 until numHashes).map(i => col("sig")(i).as(s"m$i")): _*)
   }
