@@ -141,6 +141,10 @@ object MinHashSigImpl {
 case class MinHashSignature(child: Expression, numHashes: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
+  // SEEDS has 64 entries; fail at plan time, not deep inside codegen
+  require(numHashes >= 1 && numHashes <= 64,
+    s"MinHashSignature: numHashes must be in [1, 64], got $numHashes")
+
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.LongType, containsNull = false)

@@ -38,7 +38,8 @@ object DedupFamilies {
       .distinct().withColumn("label", col("id")).localCheckpoint()
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    val maxIter = 50
+    while (changed > 0 && iter < maxIter) {
       val prop = bidir.join(labels, bidir("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
       val next = labels.union(prop)
@@ -48,6 +49,14 @@ object DedupFamilies {
       labels = next
       iter += 1
     }
+    // never return silently-wrong labels: a component with diameter >
+    // maxIter would exit the loop unconverged. Fail loudly — the caller
+    // can raise maxIter or switch to large-star/small-star for graphs
+    // with genuinely long chains (near-dup families are not that).
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"components: label propagation not converged after $maxIter rounds " +
+          s"($changed labels still changing) — component diameter exceeds the cap")
     labels
   }
 

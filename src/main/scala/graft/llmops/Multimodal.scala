@@ -13,9 +13,12 @@ import graft.core.{Q, Tables => T}
   * Scale posture: binaryFile splits per-file across executors; metadata
   * (path/length) is available without reading content, so pure-metadata
   * queries never fetch bytes. Feature extraction is a mapPartitions batch
-  * op — the real decoder is environment-dependent and STUBBED here (no
-  * image/audio libs in this container); the Spark-side plumbing (schema,
-  * batching, partitioning) is real and tested.
+  * op with REAL decoders for the formats the JDK ships: PNG via
+  * javax.imageio and WAV via javax.sound (width/height/pixel stats and
+  * sample-rate/duration are decoded from actual bytes, oracle-checked
+  * against header parses). Only video frame demux remains a byte-block
+  * stub — no container demuxer exists in the JDK; the mapPartitions
+  * plumbing it sits in is the real shape a decoder drops into.
   */
 object Multimodal {
 

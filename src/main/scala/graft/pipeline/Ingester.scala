@@ -17,7 +17,7 @@ class Ingester(
     config: LakeConfig,
     hadoopConf: Configuration = new Configuration(),
     sourceBaseUrl: String = "http://data.gharchive.org",
-    onProgress: Long => Unit = Ingester.logEvery64MiB) {
+    onProgress: Long => Unit = Ingester.logEvery64MiB()) {
 
   private val http = HttpClient.newBuilder()
     .followRedirects(HttpClient.Redirect.NORMAL)
@@ -61,8 +61,13 @@ class Ingester(
 }
 
 object Ingester {
-  /** Default progress hook: one log line per 64 MiB transferred. */
-  val logEvery64MiB: Long => Unit = {
+  /** Default progress hook factory: one log line per 64 MiB transferred.
+    * A factory (not a shared value) so every Ingester/download gets its
+    * own high-water mark — a shared closure would go silent on the second
+    * download until it passed the first file's size, and concurrent
+    * transfers would race on the mark.
+    */
+  def logEvery64MiB(): Long => Unit = {
     val step = 64L << 20
     var nextMark = step
     total => if (total >= nextMark) {

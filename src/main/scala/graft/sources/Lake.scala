@@ -55,13 +55,29 @@ object Lake {
     * S3 GETs + footer reads. Compaction = one narrow rewrite:
     * target file count is derived from the directory's actual byte size,
     * coalesce (no shuffle) when shrinking file count, repartition only
-    * when growing it. Atomicity: write to `<path>__compact_tmp`, then
-    * swap — a crash mid-write never corrupts the source directory.
+    * when growing it.
+    *
+    * Crash semantics (honest): the swap is two directory renames
+    * (source→`__compact_old`, tmp→source) and HDFS/posix renames are each
+    * atomic but the PAIR is not — a crash between them leaves the source
+    * path missing with the data intact in `__compact_old`. That window is
+    * closed two ways: (a) on entry compact() detects the half-swapped
+    * state and rolls `__compact_old` back before doing anything else, and
+    * (b) `__compact_old` is only deleted after the new source directory is
+    * verified present with a `_SUCCESS` marker, so data always exists at
+    * one of the two paths. Concurrent readers during the swap can still
+    * observe a transiently missing directory — callers that need
+    * always-readable compaction should use a table format with a
+    * transactional commit log; this helper targets single-writer batch
+    * maintenance windows.
     */
   def compact(spark: SparkSession, path: String,
       targetBytes: Long = 256L << 20): Long = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bak = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    // recovery: a previous run crashed between the two swap renames
+    if (!fs.exists(hPath) && fs.exists(bak)) fs.rename(bak, hPath)
     val dataFiles = fs.listStatus(hPath)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     val totalBytes = dataFiles.map(_.getLen).sum
@@ -70,11 +86,15 @@ object Lake {
     val df = spark.read.parquet(path)
     val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
     df.coalesce(targetFiles).write.mode("overwrite").parquet(tmp.toString)
-    val bak = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    if (!fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+      throw new IllegalStateException(s"compact: $tmp missing _SUCCESS; aborting swap")
     if (fs.exists(bak)) fs.delete(bak, true)
     fs.rename(hPath, bak)
     fs.rename(tmp, hPath)
-    fs.delete(bak, true)
+    // only drop the backup once the new directory is verifiably in place
+    if (fs.exists(new org.apache.hadoop.fs.Path(hPath, "_SUCCESS"))) fs.delete(bak, true)
+    else { fs.delete(hPath, true); fs.rename(bak, hPath)
+      throw new IllegalStateException(s"compact: swap verification failed for $path; rolled back") }
     targetFiles.toLong
   }
 

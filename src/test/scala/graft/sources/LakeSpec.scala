@@ -56,6 +56,23 @@ class LakeSpec extends AnyFunSuite {
     assert(nFiles == 1 && spark.read.parquet(dir).count() == n)
   }
 
+  test("compact recovers a half-swapped directory from a prior crash") {
+    val events = graft.core.Tables(spark, sf, "events")
+    val dir = Files.createTempDirectory("graft_compact_rec").toString + "/events"
+    events.repartition(8).write.parquet(dir)
+    val n = events.count()
+    // simulate a crash between the two swap renames: source gone,
+    // data stranded in __compact_old
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "__compact_old"))
+    assert(!new java.io.File(dir).exists())
+    Lake.compact(spark, dir, targetBytes = 512L << 20)
+    assert(spark.read.parquet(dir).count() == n)
+    assert(!new java.io.File(dir + "__compact_old").exists())
+  }
+
   test("clustered write narrows per-file min/max bands for pruning") {
     val orders = graft.core.Tables(spark, sf, "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice")
