@@ -18,7 +18,7 @@ object SparkEntry {
       plans.AsOfQueries.all ++ streaming.StreamOps.all ++
       ops.Udfs.all ++ llmops.Dedup.all ++ llmops.MinHashLSH.all ++
       llmops.DedupFamilies.all ++
-      llmops.VectorSearch.all ++ llmops.TextStats.all ++
+      llmops.VectorSearch.all ++ llmops.Chunking.all ++ llmops.TextStats.all ++
       llmops.SimHash.all ++ llmops.Multimodal.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */

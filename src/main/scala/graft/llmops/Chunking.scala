@@ -1,0 +1,75 @@
+package graft.llmops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.{Q, Tables => T}
+
+/** Training-data document preparation: chunking and stratified sampling.
+  *
+  * Chunking splits each document into fixed-size overlapping character
+  * windows — the unit a tokenizer/packing stage consumes downstream.
+  * Stratified sampling draws an equal-size, deterministic sample per
+  * stratum (language) — the class-balancing primitive for eval-set
+  * construction.
+  *
+  * Scale posture: chunking is a pure per-row explode (narrow, no
+  * shuffle; output partitioning inherits the scan). Stratified sampling
+  * is one window per stratum — at 100 TB a rank over lang-partitioned
+  * data is a single shuffle by the stratum key, and the hash-ordered
+  * rank makes the sample reproducible under any repartitioning, unlike
+  * rand()-based sampling.
+  */
+object Chunking {
+
+  val CHUNK = 200   // window size (chars)
+  val STRIDE = 150  // step between window starts (50-char overlap)
+
+  /** X — overlapping character-window chunks per document. Offsets
+    * 0, STRIDE, 2·STRIDE, … while < length; every doc (even empty)
+    * yields at least one chunk. Chunk text is carried as md5 so the
+    * output stays narrow; n_chars shows the ragged tail.
+    */
+  val xDocChunk = Q(
+    "x_doc_chunk",
+    s"""SELECT doc_id, CAST(off AS BIGINT) AS chunk_start,
+              CAST(length(substr(text, off + 1, $CHUNK)) AS BIGINT) AS n_chars,
+              md5(substr(text, off + 1, $CHUNK)) AS digest
+       FROM documents,
+            LATERAL (SELECT unnest(generate_series(0, greatest(length(text) - 1, 0), $STRIDE)) AS off)
+       ORDER BY doc_id, chunk_start""") { (s, dir) =>
+    T(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          greatest(length(col("text")) - 1, lit(0)), lit(STRIDE))).as("off"))
+      .select(col("doc_id"),
+        col("off").cast("long").as("chunk_start"),
+        length(expr(s"substring(text, off + 1, $CHUNK)")).cast("long").as("n_chars"),
+        md5(expr(s"substring(text, off + 1, $CHUNK)")).as("digest"))
+      .orderBy("doc_id", "chunk_start")
+  }
+
+  /** X — equal-size stratified sample: the first N docs per language in
+    * md5-of-id order (a deterministic shuffle). Same sample on every
+    * engine, every rerun, any partitioning.
+    */
+  val SAMPLE_PER_STRATUM = 40
+
+  val xStratifiedSample = Q(
+    "x_stratified_sample",
+    s"""SELECT doc_id, lang FROM (
+         SELECT doc_id, lang,
+                row_number() OVER (PARTITION BY lang
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         FROM documents)
+       WHERE rn <= $SAMPLE_PER_STRATUM ORDER BY doc_id""") { (s, dir) =>
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    T(s, dir, "documents")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= SAMPLE_PER_STRATUM)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(xDocChunk, xStratifiedSample)
+}

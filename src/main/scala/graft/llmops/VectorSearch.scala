@@ -154,6 +154,85 @@ object VectorSearch {
       .select(col("vec_id"), (-col("best.neg_id")).cast("long").as("nn_id"))
   }
 
+  /** X — embedding-cosine near-duplicate pairs: all (a, b) with
+    * cosine(a, b) ≥ τ — the embedding-space member of the dedup family
+    * (exact md5 / MinHash / SimHash / n-gram Jaccard live in Dedup,
+    * MinHashLSH, SimHash).
+    *
+    * EXACT, not approximate: vectors are assigned to k coarse-quantizer
+    * lists, and only list PAIRS whose upper bound can reach τ are joined.
+    * For unit u = c_a + du (|du| ≤ r_a) and v = c_b + dv (|dv| ≤ r_b):
+    *   u·v = c_a·c_b + c_a·dv + du·c_b + du·dv
+    *       ≤ c_a·c_b + r_b + r_a + r_a·r_b,
+    * so a list pair with bound < τ provably holds no qualifying pair and
+    * is skipped without scanning — same branch-and-bound family as
+    * x_embed_nn, but bounding PAIRS of lists (Σ|a||b| over surviving
+    * pairs, never n²). Pruning strength scales with quantizer quality
+    * (more/tighter lists at bigger corpora); correctness never depends on
+    * it. The survived-pair table is k²-bounded driver state, like the
+    * centroid table itself.
+    *
+    * Verification computes cosine from the RAW double arrays with the
+    * same dot/(sqrt·sqrt) shape DuckDB's list_cosine_similarity uses, so
+    * both engines round identically at the threshold.
+    */
+  val COSINE_TAU = 0.4
+
+  val xEmbedNearDup = Q(
+    "x_embed_neardup",
+    s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) >= $COSINE_TAU
+       ORDER BY a_id, b_id""") { (s, dir) =>
+    val raw = T(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
+        graft.functions.ArrayOps.l2normalize(col("embedding")).as("n_emb"))
+      .cache()
+    val k = 16
+    val centroids = kmeansCentroids(raw.select(col("vec_id"), col("n_emb")), k, 1)
+    val centLit = typedLit(centroids.map(_.toSeq).toSeq)
+    val own = raw
+      .select(col("vec_id"), col("emb"), col("n_emb"),
+        posexplode(centLit).as(Seq("cid", "cent")))
+      .withColumn("csim", dot(col("n_emb"), col("cent")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("emb"), col("cid"), col("csim"))
+      .cache()
+    // per-list radius r_c = max ||u − c||; k rows — driver-side like the
+    // centroid table
+    val radii: Map[Int, Double] = own.groupBy(col("cid"))
+      .agg(max(sqrt(lit(2.0) - lit(2.0) * col("csim"))).as("r"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    def cdot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val surviving = for {
+      a <- 0 until k; b <- a until k
+      ra = radii.getOrElse(a, 0.0); rb = radii.getOrElse(b, 0.0)
+      if radii.contains(a) && radii.contains(b) &&
+        cdot(centroids(a), centroids(b)) + ra + rb + ra * rb + 1e-9 >= COSINE_TAU
+    } yield (a, b)
+    import s.implicits._
+    val allowed = surviving.toDF("a_cid", "b_cid")
+    val x = own.select(col("cid").as("a_cid"), col("vec_id").as("x_id"),
+      col("emb").as("x_emb"))
+    val y = own.select(col("cid").as("b_cid"), col("vec_id").as("y_id"),
+      col("emb").as("y_emb"))
+    x.join(broadcast(allowed), Seq("a_cid"))
+      .join(y, Seq("b_cid"))
+      // same-list pairs once via id order; cross-list pairs appear exactly
+      // once in the (a_cid ≤ b_cid) enumeration, any id order
+      .filter(col("a_cid") =!= col("b_cid") || col("x_id") < col("y_id"))
+      .filter(cosine(col("x_emb"), col("y_emb")) >= COSINE_TAU)
+      .select(least(col("x_id"), col("y_id")).as("a_id"),
+        greatest(col("x_id"), col("y_id")).as("b_id"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Deterministic distributed k-means over normalized vectors (cosine
     * k-means: assignment by max dot, centroids re-normalized). The only
     * driver-side state is the k×dim centroid table — standard for any
@@ -235,5 +314,5 @@ object VectorSearch {
       .orderBy("probe_id", "rank")
   }
 
-  val all: Seq[Q] = Seq(q34, xNearestNeighbor, xAnnIvf)
+  val all: Seq[Q] = Seq(q34, xNearestNeighbor, xEmbedNearDup, xAnnIvf)
 }

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.core.{Q, Tables => T}
+import graft.core.{Exact => E, Q, Tables => T}
 
 /** Round-2 coverage extensions: sessionization, reproducible sampling,
   * ordered string aggregation, masking, and regression aggregates.
@@ -272,7 +272,55 @@ object Extra {
       .limit(20)
   }
 
+  /** X — distribution window functions: ntile buckets, percent_rank,
+    * cume_dist, nth_value. percent_rank/cume_dist are exact rationals
+    * ((rank−1)/(n−1), rank_with_ties/n) — one IEEE division of the same
+    * integers on both engines, so raw doubles hash equal with no
+    * rounding contract needed.
+    */
+  val xWindowNtile = Q(
+    "x_window_ntile",
+    """SELECT c_custkey, c_mktsegment,
+         ntile(4) OVER w AS quartile,
+         percent_rank() OVER w AS pr,
+         cume_dist() OVER w AS cd,
+         nth_value(c_name, 3) OVER w AS third_name
+       FROM customer
+       WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+       ORDER BY c_custkey""") { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    T(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        nth_value(col("c_name"), 3).over(w).as("third_name"))
+      .orderBy("c_custkey")
+  }
+
+  /** X — CSV sink + source round-trip: write orders as headered CSV,
+    * read it back with the original schema, aggregate. The oracle runs
+    * the same aggregate over the parquet table — green iff the text
+    * round-trip is lossless (schema, dates, full-precision doubles).
+    */
+  val xCsvRoundtrip = Q(
+    "x_csv_roundtrip",
+    """SELECT o_orderpriority, count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, dir) =>
+    val orders = T(s, dir, "orders")
+    val out = java.nio.file.Files.createTempDirectory("graft_csvrt").toString + "/orders"
+    graft.sources.Lake.writeAs(orders, "csv", out)
+    graft.sources.Lake.readAs(s, "csv", out, Some(orders.schema))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), E.sumd(col("o_totalprice")).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[Q] =
     Seq(xSessionize, xSampleHash, xStringAgg, xRedact, xRegrAgg, xFillForward,
-      xGroupTopK, xApproxPercentile, xResample, xJaroWinkler)
+      xGroupTopK, xApproxPercentile, xResample, xJaroWinkler, xWindowNtile,
+      xCsvRoundtrip)
 }

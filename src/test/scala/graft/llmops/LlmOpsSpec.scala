@@ -36,6 +36,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(math.abs(df(3L) + 1.0) < 1e-12)
   }
 
+  test("embed near-dup list-pair pruning returns exactly the brute-force pairs") {
+    val sf = "/root/testdata/sf0.001"
+    val pruned = VectorSearch.xEmbedNearDup.build(spark, sf)
+      .as[(Long, Long)].collect().toSet
+    val e = graft.core.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val a = e.select(col("vec_id").as("a_id"), col("emb").as("a_emb"))
+    val b = e.select(col("vec_id").as("b_id"), col("emb").as("b_emb"))
+    val brute = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .filter(VectorSearch.cosine(col("a_emb"), col("b_emb")) >= VectorSearch.COSINE_TAU)
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+    assert(pruned == brute, s"missing=${brute -- pruned} extra=${pruned -- brute}")
+    assert(brute.nonEmpty)
+  }
+
   test("exact dedup is idempotent") {
     val out1 = Dedup.q32.build(spark, "/root/testdata/sf0.001")
     val n1 = out1.count()
