@@ -71,5 +71,36 @@ object Chunking {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(xDocChunk, xStratifiedSample)
+  /** X — sequence packing: assign docs to training context windows by
+    * running token count (greedy contiguous packing — concatenate in
+    * doc order, cut every BUDGET tokens — the standard pretraining
+    * packing discipline). bin = floor(tokens-before-this-doc / BUDGET),
+    * computed as one window cumsum per language shard; packing per shard
+    * (not globally) is exactly how this parallelizes at corpus scale —
+    * a global pack order would serialize on one partition.
+    */
+  val PACK_BUDGET = 2048
+
+  val xPackSequences = Q(
+    "x_pack_sequences",
+    s"""WITH t AS (SELECT doc_id, lang,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens
+         FROM documents),
+       p AS (SELECT doc_id, lang, n_tokens,
+           CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / $PACK_BUDGET) AS BIGINT) AS bin
+         FROM t)
+       SELECT doc_id, lang, n_tokens, bin FROM p ORDER BY doc_id""") { (s, dir) =>
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    T(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+          .cast("long").as("n_tokens"))
+      .withColumn("bin",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / PACK_BUDGET))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(xDocChunk, xStratifiedSample, xPackSequences)
 }

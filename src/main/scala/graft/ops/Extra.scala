@@ -319,8 +319,37 @@ object Extra {
       .orderBy("o_orderpriority")
   }
 
+  /** X — key-based MERGE (upsert) through the real Lake.upsert sink:
+    * stage orders to parquet, merge an updates set (every 97th key gets
+    * a new status and +1000 price, one brand-new key appends), read the
+    * dataset back. The oracle computes the same merge relationally —
+    * green iff the anti-join + union + swap rewrite is exactly MERGE
+    * semantics and the parquet round-trip is lossless.
+    */
+  val xUpsert = Q(
+    "x_upsert",
+    """WITH updates AS (
+         SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1000 AS o_totalprice
+         FROM orders WHERE o_orderkey % 97 = 0
+         UNION ALL SELECT -1, 'N', 123.45)
+       SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+       WHERE o_orderkey % 97 <> 0
+       UNION ALL SELECT * FROM updates
+       ORDER BY o_orderkey""") { (s, dir) =>
+    val orders = T(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val stage = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/orders"
+    orders.write.mode("overwrite").parquet(stage)
+    val updates = orders.filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") + 1000).as("o_totalprice"))
+      .unionByName(s.sql("SELECT CAST(-1 AS BIGINT) o_orderkey, 'N' o_orderstatus, CAST(123.45 AS DOUBLE) o_totalprice"))
+    graft.sources.Lake.upsert(s, stage, updates, Seq("o_orderkey"))
+    s.read.parquet(stage).orderBy("o_orderkey")
+  }
+
   val all: Seq[Q] =
     Seq(xSessionize, xSampleHash, xStringAgg, xRedact, xRegrAgg, xFillForward,
       xGroupTopK, xApproxPercentile, xResample, xJaroWinkler, xWindowNtile,
-      xCsvRoundtrip)
+      xCsvRoundtrip, xUpsert)
 }

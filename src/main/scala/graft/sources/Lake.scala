@@ -75,27 +75,73 @@ object Lake {
       targetBytes: Long = 256L << 20): Long = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bak = new org.apache.hadoop.fs.Path(path + "__compact_old")
-    // recovery: a previous run crashed between the two swap renames
-    if (!fs.exists(hPath) && fs.exists(bak)) fs.rename(bak, hPath)
+    recoverHalfSwap(fs, path)
     val dataFiles = fs.listStatus(hPath)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     val totalBytes = dataFiles.map(_.getLen).sum
     val targetFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     if (dataFiles.length <= targetFiles) return dataFiles.length.toLong
     val df = spark.read.parquet(path)
-    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
-    df.coalesce(targetFiles).write.mode("overwrite").parquet(tmp.toString)
+    val tmp = path + "__rewrite_tmp"
+    df.coalesce(targetFiles).write.mode("overwrite").parquet(tmp)
+    swapInto(fs, tmp, path)
+    targetFiles.toLong
+  }
+
+  /** MERGE-by-key into a parquet dataset: rows of `updates` replace
+    * same-key target rows; new keys append. One left-anti join + union +
+    * swap rewrite — the parquet-lake spelling of MERGE INTO (a table
+    * format with a commit log does the same thing with file-level
+    * surgery; the join shape is identical).
+    *
+    * At scale the anti-join shuffles both sides on the key unless the
+    * dataset was written with writeBucketed on that key (then both sides
+    * co-locate, no exchange) or the updates set is broadcast-small.
+    * Same crash discipline as compact(): recovery on entry, backup kept
+    * until the swapped directory verifies.
+    */
+  def upsert(spark: SparkSession, path: String, updates: DataFrame,
+      keys: Seq[String]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverHalfSwap(fs, path)
+    val target = spark.read.parquet(path)
+    val merged = target
+      .join(updates.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(updates.select(target.columns.map(col): _*))
+    val tmp = path + "__rewrite_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    swapInto(fs, tmp, path)
+  }
+
+  /** Roll back a half-completed swap left by a crash between the two
+    * renames: source missing, data stranded in the __rewrite_old backup.
+    */
+  private def recoverHalfSwap(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val bak = new org.apache.hadoop.fs.Path(path + "__rewrite_old")
+    if (!fs.exists(hPath) && fs.exists(bak)) fs.rename(bak, hPath)
+  }
+
+  /** Verified directory swap: tmp must carry _SUCCESS; the old directory
+    * is kept as __rewrite_old until the new one verifies, then dropped.
+    * See compact()'s scaladoc for the honest crash-window statement.
+    */
+  private def swapInto(fs: org.apache.hadoop.fs.FileSystem,
+      tmpDir: String, path: String): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(tmpDir)
+    val bak = new org.apache.hadoop.fs.Path(path + "__rewrite_old")
     if (!fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
-      throw new IllegalStateException(s"compact: $tmp missing _SUCCESS; aborting swap")
+      throw new IllegalStateException(s"swap: $tmp missing _SUCCESS; aborting")
     if (fs.exists(bak)) fs.delete(bak, true)
     fs.rename(hPath, bak)
     fs.rename(tmp, hPath)
     // only drop the backup once the new directory is verifiably in place
     if (fs.exists(new org.apache.hadoop.fs.Path(hPath, "_SUCCESS"))) fs.delete(bak, true)
     else { fs.delete(hPath, true); fs.rename(bak, hPath)
-      throw new IllegalStateException(s"compact: swap verification failed for $path; rolled back") }
-    targetFiles.toLong
+      throw new IllegalStateException(s"swap verification failed for $path; rolled back") }
   }
 
   /** Cluster-sort a dataset for scan-time pruning: range-repartition on

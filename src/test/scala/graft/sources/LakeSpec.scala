@@ -66,11 +66,30 @@ class LakeSpec extends AnyFunSuite {
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sparkContext.hadoopConfiguration)
     fs.rename(new org.apache.hadoop.fs.Path(dir),
-      new org.apache.hadoop.fs.Path(dir + "__compact_old"))
+      new org.apache.hadoop.fs.Path(dir + "__rewrite_old"))
     assert(!new java.io.File(dir).exists())
     Lake.compact(spark, dir, targetBytes = 512L << 20)
     assert(spark.read.parquet(dir).count() == n)
-    assert(!new java.io.File(dir + "__compact_old").exists())
+    assert(!new java.io.File(dir + "__rewrite_old").exists())
+  }
+
+  test("upsert replaces same-key rows and appends new keys") {
+    val nation = graft.core.Tables(spark, sf, "nation")
+    val dir = Files.createTempDirectory("graft_upsert").toString + "/nation"
+    nation.write.parquet(dir)
+    val updates = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(0, "RENAMED", 0, "updated row"),
+        org.apache.spark.sql.Row(99, "NEWLAND", 1, "appended row"))),
+      nation.schema)
+    Lake.upsert(spark, dir, updates, Seq("n_nationkey"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == nation.count() + 1)
+    assert(back.filter(col("n_nationkey") === 0).head().getString(1) == "RENAMED")
+    assert(back.filter(col("n_nationkey") === 99).count() == 1)
+    // idempotent: same upsert again changes nothing
+    Lake.upsert(spark, dir, updates, Seq("n_nationkey"))
+    assert(spark.read.parquet(dir).count() == nation.count() + 1)
   }
 
   test("clustered write narrows per-file min/max bands for pruning") {
