@@ -35,8 +35,14 @@ object Bench {
     // min of N reps per query: single-machine timings here vary ±50%
     // run-to-run; the min is the stable estimate of the data-path cost
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // comma-separated name-prefix filter for quick iteration on a subset;
+    // filtered runs never overwrite the full-run history
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .map { case (name, fn) =>
       var ok = true
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -76,7 +82,7 @@ object Bench {
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"vs_prev":$vp,"regressions":$regs,"sf":"$sfDir"}""")
     // persist this run as the baseline for the next regression check
-    try {
+    if (only.isEmpty) try {
       val w = new java.io.PrintWriter(historyFile)
       try w.println(s"""{"sf":"$sfDir","queries":$qs}""") finally w.close()
     } catch { case _: Exception => } // read-only checkout: skip, don't fail

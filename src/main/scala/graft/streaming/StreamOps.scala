@@ -35,17 +35,22 @@ object StreamOps {
   }
 
   /** Streaming view of the events table (nanos ts → micros timestamp,
-    * same normalization as the batch loader).
+    * same normalization as the batch loader). `copies` > 1 exposes the
+    * file N times through one source directory — N× duplicated rows from
+    * a SINGLE source, cheaper than unioning N streaming sources (each
+    * source pays its own per-batch planning and offset tracking).
     */
-  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+  private def eventsStream(s: SparkSession, dir: String, copies: Int = 1): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
     // the streaming file source wants a directory; expose the single
-    // parquet file through a temp dir symlink
+    // parquet file through temp dir symlinks
     val streamDir = scratchDir("graft_stream_events")
-    Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(path))
+    (1 to copies).foreach { i =>
+      Files.createSymbolicLink(
+        streamDir.resolve(s"events_$i.parquet"),
+        java.nio.file.Paths.get(path))
+    }
     val rawSchema = s.read.parquet(path).schema
     s.readStream.schema(rawSchema).parquet(streamDir.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -146,7 +151,7 @@ object StreamOps {
   val q30 = Q(
     "q30_stream_dedup",
     """SELECT event_id, user_id, event_type FROM events ORDER BY event_id""") { (s, dir) =>
-    val doubled = eventsStream(s, dir).union(eventsStream(s, dir))
+    val doubled = eventsStream(s, dir, copies = 2)
     val deduped = doubled
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
