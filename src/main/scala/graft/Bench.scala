@@ -61,13 +61,9 @@ object Bench {
         name -> BigDecimal(t / p).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
       }
     }
-    // flag only material regressions: >2x AND >0.5 s AND >1 s absolute
-    // slowdown — sub-second queries sit on the fixed job-scheduling floor
-    // where run-to-run box noise alone exceeds 2x
     val resultMap = results.toMap
     val regressions = vsPrev.collect {
-      case (n, r) if r > 2.0 && resultMap(n) > 0.5 &&
-        resultMap(n) - prev(n) > 1.0 => n
+      case (n, _) if isRegression(resultMap(n), prev(n)) => n
     }
     regressions.foreach(n => System.err.println(s"BENCH REGRESSION >2x vs prev round: $n"))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -81,31 +77,66 @@ object Bench {
       case _ => 0.0
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"vs_prev":$vp,"regressions":$regs,"sf":"$sfDir"}""")
-    // persist this run as the baseline for the next regression check
+    // persist this run APPEND-ONLY: one JSONL line per full run, so every
+    // round's per-query numbers stay auditable on disk (the pre-round-4
+    // overwrite destroyed round N-1's numbers each run; the driver's
+    // truncated tail capture was the only — lossy — record)
     if (only.isEmpty) try {
-      val w = new java.io.PrintWriter(historyFile)
-      try w.println(s"""{"sf":"$sfDir","queries":$qs}""") finally w.close()
+      val w = new java.io.FileWriter(historyFile, true) // append
+      try w.write(s"""{"run":${runCount() + 1},"sf":"$sfDir","queries":$qs}""" + "\n")
+      finally w.close()
     } catch { case _: Exception => } // read-only checkout: skip, don't fail
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
 
-  private val historyFile = "bench_history.json"
+  /** Material-regression gate (unit-tested in BenchGateSpec):
+    *   - big mover: >2x AND now >0.5 s AND >1 s absolute slowdown, OR
+    *   - steep mover: >2.5x AND now above the ~0.3 s local job floor —
+    *     catches a 0.35 s -> 1.05 s creep that the absolute gate misses
+    *     (round-3's q19_union), while queries ON the floor stay exempt
+    *     (box noise alone exceeds 2x down there).
+    */
+  def isRegression(cur: Double, prevT: Double): Boolean =
+    cur > 0 && prevT > 0 && (
+      (cur / prevT > 2.0 && cur > 0.5 && cur - prevT > 1.0) ||
+        (cur / prevT > 2.5 && cur > 0.3))
 
-  /** Previous per-query seconds from bench_history.json, but only when it
-    * was recorded at the same SF dir (cross-SF ratios are meaningless).
+  private val historyFile = "bench_history.jsonl"
+  private val legacyHistoryFile = "bench_history.json"
+
+  private def runCount(): Int = {
+    val f = new java.io.File(historyFile)
+    if (!f.exists()) 0
+    else scala.io.Source.fromFile(f).getLines().count(_.trim.nonEmpty)
+  }
+
+  /** Previous per-query seconds: the LAST line of bench_history.jsonl
+    * recorded at the same SF dir (cross-SF ratios are meaningless);
+    * falls back to the pre-round-4 single-object bench_history.json.
     * Regex parse keeps this dependency-free.
     */
   private def previousBench(sfDir: String): Map[String, Double] = {
+    def parse(text: String): Option[Map[String, Double]] = {
+      val sfOk = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(text)
+        .exists(_.group(1) == sfDir)
+      if (!sfOk) None
+      else Some {
+        val inner = "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(text)
+          .map(_.group(1)).getOrElse("")
+        "\"([^\"]+)\"\\s*:\\s*(-?[0-9.eE+-]+)".r.findAllMatchIn(inner)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
     val f = new java.io.File(historyFile)
-    if (!f.exists()) return Map.empty
-    val text = scala.io.Source.fromFile(f).mkString
-    val sfOk = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(text)
-      .exists(_.group(1) == sfDir)
-    if (!sfOk) return Map.empty
-    val inner = "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(text)
-      .map(_.group(1)).getOrElse("")
-    "\"([^\"]+)\"\\s*:\\s*(-?[0-9.eE+-]+)".r.findAllMatchIn(inner)
-      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val fromJsonl =
+      if (!f.exists()) None
+      else scala.io.Source.fromFile(f).getLines().toSeq.reverse
+        .flatMap(parse).headOption
+    fromJsonl.orElse {
+      val legacy = new java.io.File(legacyHistoryFile)
+      if (!legacy.exists()) None
+      else parse(scala.io.Source.fromFile(legacy).mkString)
+    }.getOrElse(Map.empty)
   }
 }

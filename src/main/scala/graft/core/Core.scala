@@ -53,6 +53,24 @@ object Exact {
   def avgd(c: Column): Column = sumd(c) / count(lit(1))
 }
 
+/** Generation-bounded cache registry. Query builders that `.cache()`
+  * intermediate frames register them here under a stable key; the NEXT
+  * invocation of the same builder (bench reps, repeated verify runs)
+  * unpersists the previous generation before caching its own. Bounds
+  * cached-block accumulation to one live generation per key without
+  * unpersisting a frame the returned (lazy) plan still needs.
+  */
+object CacheBin {
+  private val live =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[DataFrame]]
+
+  /** Make `dfs` the live cached generation for `key`, unpersisting the
+    * previous one (non-blocking).
+    */
+  def swap(key: String, dfs: DataFrame*): Unit =
+    live.put(key, dfs).foreach(_.foreach(_.unpersist(false)))
+}
+
 /** Query registry entry: the Spark build function plus the DuckDB oracle
   * SQL (None → the driver records a weaker rows-only check).
   */

@@ -22,8 +22,16 @@ object DedupFamilies {
 
   /** Library form: connected-component labels for an undirected pair
     * list (a_id, b_id) — returns (id, label) for every id that appears
-    * in a pair, label = component minimum. Min-label propagation; each
-    * round is one join + one agg over the edge-induced subgraph only.
+    * in a pair, label = component minimum. Min-label propagation with
+    * pointer jumping (each round also hops id -> label -> label's label),
+    * so convergence is O(log diameter) rounds instead of O(diameter).
+    *
+    * Convergence is detected WITHOUT an extra join: labels are monotone
+    * non-increasing under min-propagation, so the label sum is a strictly
+    * decreasing fixpoint metric — equal sums across a round means no label
+    * moved. The sum is one cheap agg over the round's already-materialized
+    * (checkpointed) frame, vs. the previous implementation's
+    * join-with-old + count() job pair per round.
     */
   def components(pairs: DataFrame): DataFrame = {
     val edges = pairs.toDF("a_id", "b_id")
@@ -36,27 +44,38 @@ object DedupFamilies {
     // scale with failure tolerance, use reliable checkpoint() instead.
     var labels = bidir.select(col("src").as("id"))
       .distinct().withColumn("label", col("id")).localCheckpoint()
-    var changed = 1L
+    // sum over DECIMAL(38,0) so the fixpoint metric can never overflow,
+    // whatever the id domain (ANSI mode throws on Long overflow).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
     var iter = 0
     val maxIter = 50
-    while (changed > 0 && iter < maxIter) {
+    while (!converged && iter < maxIter) {
       val prop = bidir.join(labels, bidir("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
-      val next = labels.union(prop)
+      // pointer jump: id -> label(label(id)), halves chain lengths per round
+      val jump = labels.as("l1")
+        .join(labels.as("l2"), col("l1.label") === col("l2.id"))
+        .select(col("l1.id").as("id"), col("l2.label").as("label"))
+      val next = labels.union(prop).union(jump)
         .groupBy(col("id")).agg(min(col("label")).as("label")).localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       iter += 1
     }
-    // never return silently-wrong labels: a component with diameter >
-    // maxIter would exit the loop unconverged. Fail loudly — the caller
-    // can raise maxIter or switch to large-star/small-star for graphs
-    // with genuinely long chains (near-dup families are not that).
-    if (changed > 0)
+    // never return silently-wrong labels: a graph needing > maxIter rounds
+    // would exit the loop unconverged. Fail loudly — with pointer jumping
+    // 50 rounds covers diameters up to ~2^50, so this only fires on a bug.
+    if (!converged)
       throw new IllegalStateException(
         s"components: label propagation not converged after $maxIter rounds " +
-          s"($changed labels still changing) — component diameter exceeds the cap")
+          "— component diameter exceeds the cap")
+    // the loop fully consumed the edge cache; labels is checkpointed
+    bidir.unpersist(false)
     labels
   }
 
@@ -88,8 +107,9 @@ object DedupFamilies {
     val docs = T(s, dir, "documents").select(col("doc_id"))
     val sh = Shingles.wordShingles(T(s, dir, "documents"), 3, distinct = false)
     val sets = MinHashLSH.hashSets(sh).cache()
+    graft.core.CacheBin.swap("x_dedup_families.sets", sets)
     val cand = MinHashLSH.candidates(
-      MinHashLSH.bandKeys(MinHashLSH.signaturesFromSets(sets, 32), 8, 4))
+      MinHashLSH.bandKeys(MinHashLSH.signaturesFromSets(sets)))
     val pairs = MinHashLSH.exactJaccardFromSets(cand, sets)
       .filter(col("jaccard") >= MinHashLSH.TAU)
       .select(col("a_id"), col("b_id"))

@@ -34,6 +34,7 @@ object DedupPipeline {
     // 2. near-dup: kill the b-side (higher id) of every verified pair
     val sets = MinHashLSH.hashSets(
       Shingles.wordShingles(exact, 3, distinct = false)).cache()
+    graft.core.CacheBin.swap("dedup_pipeline.sets", sets)
     val cand = MinHashLSH.candidates(
       MinHashLSH.bandKeys(MinHashLSH.signaturesFromSets(sets)))
     val losers = MinHashLSH.exactJaccardFromSets(cand, sets)

@@ -15,8 +15,9 @@ import graft.core.{Q, Tables => T}
   *      groups are tiny (docs sharing a band are near-dups)
   *   4. candidates are verified with EXACT Jaccard over the shingle sets,
   *      so LSH recall/precision never changes the answer — it only
-  *      bounds the work. With 16 bands × 4 rows, P(miss) at J=0.9 is
-  *      ≈3e-8; the corpus' planted dups sit at J≥0.97.
+  *      bounds the work. With 8 bands × 4 rows, P(miss) at the corpus'
+  *      planted J≥0.97 is (1 − 0.97⁴)⁸ ≈ 3e-8 — every LSH path in the
+  *      engine shares this one parameterization.
   *
   * At 100 TB: shingle explosion is the big intermediate; it stays
   * distributed (groupBy doc_id), signatures are 64×8 bytes/doc, and the
@@ -24,8 +25,13 @@ import graft.core.{Q, Tables => T}
   */
 object MinHashLSH {
 
-  val NUM_HASHES = 64
-  val BANDS = 16
+  // 32 hashes = 8 bands × 4 rows — the single LSH parameterization for
+  // every near-dup path (q33, char n-gram, dedup families, pipeline):
+  // P(miss) ≈ 3e-8 at the corpus' planted J≥0.97, half the signature cost
+  // of the 64-wide family, and exact verification makes recall a cost
+  // knob, never a correctness one.
+  val NUM_HASHES = 32
+  val BANDS = 8
   val ROWS_PER_BAND: Int = NUM_HASHES / BANDS
   val TAU = 0.5
 
@@ -133,10 +139,8 @@ object MinHashLSH {
        ORDER BY a_id, b_id""") { (s, dir) =>
     val sh = Shingles.wordShingles(T(s, dir, "documents"), 3, distinct = false)
     val sets = hashSets(sh).cache()
-    // 32 hashes = 8 bands x 4 rows: P(miss) at the corpus' planted J>=0.97
-    // is (1 - 0.97^4)^8 ~ 3e-8 — same bound as the 64-wide family at half
-    // the signature cost; exact verification makes recall a cost knob only
-    val cand = candidates(bandKeys(signaturesFromSets(sets, 32), 8, 4))
+    graft.core.CacheBin.swap("q33.sets", sets)
+    val cand = candidates(bandKeys(signaturesFromSets(sets)))
     exactJaccardFromSets(cand, sets)
       .filter(col("jaccard") >= TAU)
       .orderBy("a_id", "b_id")
@@ -171,11 +175,9 @@ object MinHashLSH {
         explode(expr(
           "transform(sequence(1, length(text)-4), i -> substring(text, i, 5))"
         )).as("sh"))
-    // char shingles are ~13x the word-shingle volume: half-width hash
-    // family (32 = 8 bands x 4). P(miss) at the corpus' planted J>=0.97
-    // is (1 - 0.97^4)^8 ~ 3e-8 — still negligible, half the hashing cost.
     val sets = hashSets(shingles).cache()
-    val cand = candidates(bandKeys(signaturesFromSets(sets, 32), 8, 4))
+    graft.core.CacheBin.swap("x_char_ngram.sets", sets)
+    val cand = candidates(bandKeys(signaturesFromSets(sets)))
     exactJaccardFromSets(cand, sets)
       .filter(col("jaccard") >= TAU)
       .orderBy("a_id", "b_id")

@@ -92,6 +92,7 @@ object SimHash {
        WHERE bit_count(xor(a.simhash, b.simhash)) <= $MAX_HAMMING
        ORDER BY a_id, b_id""") { (s, dir) =>
     val sketches = xSimhash.build(s, dir).cache()
+    graft.core.CacheBin.swap("x_simhash_neardup.sketches", sketches)
     val bands = sketches.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

@@ -102,6 +102,7 @@ object VectorSearch {
       .select(col("vec_id"),
         graft.functions.ArrayOps.l2normalize(col("embedding")).as("n_emb"))
       .cache()
+    graft.core.CacheBin.swap("x_embed_nn.e", e)
     exactNearestNeighbor(e).orderBy("vec_id")
   }
 
@@ -124,9 +125,13 @@ object VectorSearch {
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("n_emb"), col("cid"), col("csim"))
       .cache()
-    // r_c = max ||u − c|| over list members = max sqrt(2 − 2·csim)
+    graft.core.CacheBin.swap("exact_nn.own", own)
+    // r_c = max ||u − c|| over list members = max sqrt(2 − 2·csim).
+    // csim can exceed 1.0 by an ulp (e.g. a singleton list whose centroid
+    // IS its member) — clamp before the sqrt, else the radius is NaN and
+    // NaN > everything under Spark's max, silently pruning every bound.
     val radius = own.groupBy(col("cid"))
-      .agg(max(sqrt(lit(2.0) - lit(2.0) * col("csim"))).as("r"))
+      .agg(max(sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * col("csim")))).as("r"))
     val members = own.select(col("cid"), col("vec_id").as("m_id"),
       col("n_emb").as("m_emb"))
     def best(pairs: DataFrame): DataFrame = pairs
@@ -201,11 +206,18 @@ object VectorSearch {
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("emb"), col("cid"), col("csim"))
       .cache()
+    graft.core.CacheBin.swap("x_embed_neardup.own", own)
     // per-list radius r_c = max ||u − c||; k rows — driver-side like the
-    // centroid table
+    // centroid table. Clamp 2 − 2·csim at 0 before the sqrt: csim > 1 by
+    // an ulp (singleton list = its own centroid) would make the radius NaN,
+    // NaN wins max, and every bound test on that list silently fails —
+    // missing pairs despite the EXACT contract.
     val radii: Map[Int, Double] = own.groupBy(col("cid"))
-      .agg(max(sqrt(lit(2.0) - lit(2.0) * col("csim"))).as("r"))
+      .agg(max(sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * col("csim")))).as("r"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // raw is fully folded into own's cache at this point (the collect above
+    // materialized it); drop it so bench reps don't accumulate copies
+    raw.unpersist(false)
     def cdot(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i) * b(i); i += 1 }; s
@@ -277,18 +289,53 @@ object VectorSearch {
 
   /** X — IVF ANN: k-means coarse quantizer (k=16 lists), vectors assigned
     * to their nearest centroid list; each probe scans only its nprobe=2
-    * closest lists. Approximate ⇒ rows-only check (the exact twin above is
-    * the correctness anchor); the point is the scale path: per-probe
-    * scanned rows drop by ~k/nprobe ×, and the quantizer itself is
-    * distributed with only the k×dim centroid table on the driver.
+    * closest lists. The point is the scale path: per-probe scanned rows
+    * drop by ~k/nprobe ×, and the quantizer itself is distributed with
+    * only the k×dim centroid table on the driver.
+    *
+    * Approximate results aren't oracle-expressible, so the hash-checked
+    * contract is the DERIVED FACT that matters: per-probe recall@10
+    * against the exact twin (computed Spark-side from the same data)
+    * meets the bar. A quantizer or search regression flips recall_ok to
+    * false and the hash goes red — a genuine correctness gate, not a
+    * rows-only count.
+    *
+    * nprobe is the recall/SLO knob: this corpus is a near-uniform sphere
+    * (no planted neighbor structure — measured max cosine ≈ 0.5), the
+    * hardest regime for IVF, so meeting the recall SLO costs a larger
+    * nprobe than a clustered corpus would. Measured (RecallProbe, all
+    * three SFs): nprobe=2 dips to 0.7; nprobe=6 holds ≥ 0.9 everywhere.
+    * The bar is 0.85 — "at most one of the true top-10 missed" — leaving
+    * one-hit slack under the measured 0.9 floor so last-ulp centroid
+    * noise (float sums are partition-order-dependent) can't flip the
+    * hash between runs. The engine picks the knob to meet the SLO and
+    * says so, rather than shipping a fast setting that silently misses
+    * neighbors.
     */
-  val xAnnIvf = Q.noOracle("x_ann_ivf") { (s, dir) =>
+  val ANN_RECALL_BAR = 0.85
+
+  val xAnnIvf = Q(
+    "x_ann_ivf",
+    """SELECT vec_id AS probe_id, TRUE AS recall_ok
+       FROM embeddings WHERE vec_id < 5 ORDER BY probe_id""") { (s, dir) =>
+    ivfRecall(s, dir, ANN_NPROBE)
+      .select(col("probe_id"), col("recall_ok")).orderBy("probe_id")
+  }
+
+  val ANN_K = 16
+  val ANN_NPROBE = 6
+
+  /** IVF ANN search + recall@10 audit vs the exact twin (one frame:
+    * probe_id, recall, recall_ok).
+    */
+  def ivfRecall(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     // cached: k-means revisits the normalized vectors twice per iteration
     val e = T(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         graft.functions.ArrayOps.l2normalize(col("embedding")).as("n_emb"))
       .cache()
-    val centroids = kmeansCentroids(e.select(col("vec_id"), col("n_emb")), 16, 3)
+    graft.core.CacheBin.swap("x_ann_ivf.e", e)
+    val centroids = kmeansCentroids(e.select(col("vec_id"), col("n_emb")), ANN_K, 3)
     val centLit = typedLit(centroids.map(_.toSeq).toSeq)
 
     def topClusters(n: Int): DataFrame = e
@@ -301,17 +348,36 @@ object VectorSearch {
       .drop("cent", "csim", "crank")
 
     val lists = topClusters(1) // every vector lives in exactly one list
-    val probes = topClusters(2).filter(col("vec_id") < 5) // nprobe = 2
+    val probes = topClusters(nprobe).filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("n_emb").as("p_emb"), col("cid"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("vec_id"))
-    lists.join(broadcast(probes), Seq("cid"))
+    val approx = lists.join(broadcast(probes), Seq("cid"))
       .select(col("probe_id"), col("vec_id"),
         dot(col("n_emb"), col("p_emb")).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10)
-      .select(col("probe_id"), col("rank"), col("vec_id"))
-      .orderBy("probe_id", "rank")
+      .select(col("probe_id"), col("vec_id"))
+    // exact twin over the same cached vectors: broadcast probes × one scan
+    val exact = e.crossJoin(broadcast(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("n_emb").as("p_emb"))))
+      .select(col("probe_id"), col("vec_id"),
+        dot(col("n_emb"), col("p_emb")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("probe_id"), col("vec_id"))
+    val hits = approx.join(exact, Seq("probe_id", "vec_id"), "inner")
+      .groupBy(col("probe_id"))
+      .agg((count(lit(1)) / 10.0).as("recall"))
+    // left join from the probe set so a zero-recall probe still reports
+    // (as false) instead of vanishing from the output
+    e.filter(col("vec_id") < 5).select(col("vec_id").as("probe_id"))
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("recall"), lit(0.0)).as("recall"),
+        (coalesce(col("recall"), lit(0.0)) >= ANN_RECALL_BAR).as("recall_ok"))
+      .orderBy("probe_id")
   }
 
   val all: Seq[Q] = Seq(q34, xNearestNeighbor, xEmbedNearDup, xAnnIvf)

@@ -300,6 +300,23 @@ object Extra {
       .orderBy("c_custkey")
   }
 
+  /** One scratch root per JVM, removed on exit: sink round-trip queries
+    * write to a STABLE per-query path (their writers use overwrite mode),
+    * so bench reps rewrite in place instead of leaking a fresh temp
+    * directory per invocation.
+    */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_scratch")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }
+    p
+  }
+  private def scratch(name: String): String = s"$scratchRoot/$name"
+
   /** X — CSV sink + source round-trip: write orders as headered CSV,
     * read it back with the original schema, aggregate. The oracle runs
     * the same aggregate over the parquet table — green iff the text
@@ -311,7 +328,7 @@ object Extra {
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, dir) =>
     val orders = T(s, dir, "orders")
-    val out = java.nio.file.Files.createTempDirectory("graft_csvrt").toString + "/orders"
+    val out = scratch("csvrt/orders")
     graft.sources.Lake.writeAs(orders, "csv", out)
     graft.sources.Lake.readAs(s, "csv", out, Some(orders.schema))
       .groupBy(col("o_orderpriority"))
@@ -338,7 +355,7 @@ object Extra {
        ORDER BY o_orderkey""") { (s, dir) =>
     val orders = T(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-    val stage = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/orders"
+    val stage = scratch("upsert/orders")
     orders.write.mode("overwrite").parquet(stage)
     val updates = orders.filter(col("o_orderkey") % 97 === 0)
       .select(col("o_orderkey"), lit("U").as("o_orderstatus"),

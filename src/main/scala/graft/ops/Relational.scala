@@ -229,9 +229,12 @@ object Relational {
       .orderBy(col("is_total"), col("n_regionkey").asc_nulls_first)
   }
 
-  /** Q09 — inner equi-join. customer ≪ orders, so Catalyst/AQE picks
-    * BroadcastHashJoin: no shuffle of the big side. At 100 TB the dimension
-    * stays broadcastable; the fact side streams.
+  /** Q09 — inner equi-join. No hardcoded hint: customer is fact-sized at
+    * real scale (15 M rows at sf100), so a compiled-in broadcast would be
+    * a driver OOM at 100 TB. AQE picks BroadcastHashJoin when the built
+    * side measures small at runtime (it does at test SFs) and falls back
+    * to a shuffled hash join when it doesn't — the decision belongs to the
+    * runtime stats, not the code.
     */
   val q09 = Q(
     "q09_join_inner",
@@ -240,15 +243,17 @@ object Relational {
        ORDER BY o_orderkey""") { (s, dir) =>
     val c = T(s, dir, "customer")
     val o = T(s, dir, "orders")
-    o.join(broadcast(c), c("c_custkey") === o("o_custkey"))
+    o.join(c, c("c_custkey") === o("o_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
       .orderBy("o_orderkey")
   }
 
-  /** Q10 — 5-way star join (TPC-H Q5 shape) + revenue aggregation.
-    * Dimensions (region/nation/supplier/customer) broadcast; the only
-    * shuffles are lineitem⋈orders (or AQE may broadcast orders' filtered
-    * side) and the final agg — the right plan at scale.
+  /** Q10 — 5-way star join (TPC-H Q5 shape) + revenue aggregation. True
+    * dimensions (region/nation/supplier) carry broadcast hints — they stay
+    * tiny at any SF. Customer does NOT: it is fact-sized at real scale, so
+    * its join is left to AQE (broadcast at test SFs, shuffled hash join
+    * when runtime stats say it's big). The remaining shuffles are
+    * lineitem⋈orders and the final agg — the right plan at scale.
     */
   val q10 = Q(
     "q10_join_multi",
@@ -272,7 +277,7 @@ object Relational {
     val n = T(s, dir, "nation")
     val r = T(s, dir, "region")
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("c_custkey") === col("o_custkey"))
+      .join(c, col("c_custkey") === col("o_custkey"))
       .join(broadcast(su), col("l_suppkey") === col("s_suppkey")
         && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))

@@ -17,7 +17,7 @@ class Ingester(
     config: LakeConfig,
     hadoopConf: Configuration = new Configuration(),
     sourceBaseUrl: String = "http://data.gharchive.org",
-    onProgress: Long => Unit = Ingester.logEvery64MiB()) {
+    progressHook: () => Long => Unit = () => Ingester.logEvery64MiB()) {
 
   private val http = HttpClient.newBuilder()
     .followRedirects(HttpClient.Redirect.NORMAL)
@@ -45,6 +45,10 @@ class Ingester(
     // upload callback, data_lake_ingester.py:116-120) — still streaming,
     // still bounded memory
     try {
+      // fresh hook per download: the hook carries a mutable high-water
+      // mark, so sharing one across downloads would keep the second
+      // transfer silent until it passed the first file's size
+      val onProgress = progressHook()
       val in = response.body()
       val buf = new Array[Byte](1 << 16)
       var total = 0L
@@ -62,10 +66,8 @@ class Ingester(
 
 object Ingester {
   /** Default progress hook factory: one log line per 64 MiB transferred.
-    * A factory (not a shared value) so every Ingester/download gets its
-    * own high-water mark — a shared closure would go silent on the second
-    * download until it passed the first file's size, and concurrent
-    * transfers would race on the mark.
+    * Invoked once per DOWNLOAD (inside ingestHourlyGharchive), so every
+    * transfer gets its own high-water mark even on a shared Ingester.
     */
   def logEvery64MiB(): Long => Unit = {
     val step = 64L << 20

@@ -58,17 +58,19 @@ object Lake {
     * when growing it.
     *
     * Crash semantics (honest): the swap is two directory renames
-    * (source→`__compact_old`, tmp→source) and HDFS/posix renames are each
+    * (source→`__rewrite_old`, tmp→source) and HDFS/posix renames are each
     * atomic but the PAIR is not — a crash between them leaves the source
-    * path missing with the data intact in `__compact_old`. That window is
+    * path missing with the data intact in `__rewrite_old`. That window is
     * closed two ways: (a) on entry compact() detects the half-swapped
-    * state and rolls `__compact_old` back before doing anything else, and
-    * (b) `__compact_old` is only deleted after the new source directory is
+    * state and rolls `__rewrite_old` back before doing anything else, and
+    * (b) `__rewrite_old` is only deleted after the new source directory is
     * verified present with a `_SUCCESS` marker, so data always exists at
     * one of the two paths. Concurrent readers during the swap can still
     * observe a transiently missing directory — callers that need
-    * always-readable compaction should use a table format with a
-    * transactional commit log; this helper targets single-writer batch
+    * always-readable maintenance should put the dataset behind the
+    * version-directory indirection below (`writeVersioned` /
+    * `readCurrent` / `compactVersioned`), where readers never resolve a
+    * missing path; this in-place helper targets single-writer batch
     * maintenance windows.
     */
   def compact(spark: SparkSession, path: String,
@@ -115,14 +117,27 @@ object Lake {
   }
 
   /** Roll back a half-completed swap left by a crash between the two
-    * renames: source missing, data stranded in the __rewrite_old backup.
+    * renames: source missing, data stranded in the __rewrite_old backup
+    * (or the pre-round-3 __compact_old spelling — still recovered for one
+    * release so an old crash's backup isn't orphaned).
     */
   private def recoverHalfSwap(fs: org.apache.hadoop.fs.FileSystem,
       path: String): Unit = {
     val hPath = new org.apache.hadoop.fs.Path(path)
-    val bak = new org.apache.hadoop.fs.Path(path + "__rewrite_old")
-    if (!fs.exists(hPath) && fs.exists(bak)) fs.rename(bak, hPath)
+    if (!fs.exists(hPath)) Seq("__rewrite_old", "__compact_old")
+      .map(s => new org.apache.hadoop.fs.Path(path + s))
+      .find(fs.exists)
+      .foreach(bak => renameOrThrow(fs, bak, hPath))
   }
+
+  /** rename() reports failure by RETURNING false on most Hadoop
+    * FileSystems (it only throws for a few error classes) — an unchecked
+    * rename can silently no-op the whole swap. Centralize the check.
+    */
+  private def renameOrThrow(fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new IllegalStateException(s"rename $src -> $dst failed")
 
   /** Verified directory swap: tmp must carry _SUCCESS; the old directory
     * is kept as __rewrite_old until the new one verifies, then dropped.
@@ -136,12 +151,81 @@ object Lake {
     if (!fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
       throw new IllegalStateException(s"swap: $tmp missing _SUCCESS; aborting")
     if (fs.exists(bak)) fs.delete(bak, true)
-    fs.rename(hPath, bak)
-    fs.rename(tmp, hPath)
+    renameOrThrow(fs, hPath, bak)
+    renameOrThrow(fs, tmp, hPath)
     // only drop the backup once the new directory is verifiably in place
     if (fs.exists(new org.apache.hadoop.fs.Path(hPath, "_SUCCESS"))) fs.delete(bak, true)
-    else { fs.delete(hPath, true); fs.rename(bak, hPath)
+    else { fs.delete(hPath, true); renameOrThrow(fs, bak, hPath)
       throw new IllegalStateException(s"swap verification failed for $path; rolled back") }
+  }
+
+  // ---- version-directory indirection: concurrent-reader-safe rewrites ----
+
+  private def versionDirs(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(s => s.getPath.getName.stripPrefix("v=").toLong -> s.getPath)
+      .sortBy(_._1)
+
+  /** Highest committed version dir (`v=<n>` carrying `_SUCCESS`), if any.
+    * A version becomes visible exactly when Spark's committer drops
+    * `_SUCCESS` — the single atomic publication point — so readers never
+    * resolve a missing or partially-written directory, closing the
+    * transient-miss window the in-place swap has. This is the minimal
+    * manifest-style indirection of a table format: the "commit log" is
+    * the version numbering + _SUCCESS marker.
+    */
+  def currentVersion(spark: SparkSession, path: String): Option[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    versionDirs(fs, root)
+      .filter { case (_, p) =>
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) }
+      .lastOption.map(_._2.toString)
+  }
+
+  /** Publish `df` as the next version of the dataset at `path`. Versions
+    * older than the previous one are retired — the immediately-previous
+    * version is kept one extra generation as a grace window for scans
+    * that resolved it before this commit.
+    */
+  def writeVersioned(df: DataFrame, path: String): Long = {
+    val spark = df.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing = versionDirs(fs, root)
+    val next = existing.lastOption.map(_._1 + 1).getOrElse(0L)
+    df.write.mode("overwrite").parquet(s"$path/v=$next")
+    // retire all but the immediately-previous generation
+    existing.dropRight(1).foreach { case (_, p) => fs.delete(p, true) }
+    next
+  }
+
+  /** Read the current committed version (fails if none committed yet). */
+  def readCurrent(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed version under $path")))
+
+  /** compact(), but behind the version indirection: rewrites the current
+    * version's files into ~targetBytes outputs as version n+1; readers of
+    * version n are undisturbed (its directory survives one generation).
+    * Returns the file count of the current layout.
+    */
+  def compactVersioned(spark: SparkSession, path: String,
+      targetBytes: Long = 256L << 20): Long = {
+    val cur = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed version under $path"))
+    val curPath = new org.apache.hadoop.fs.Path(cur)
+    val fs = curPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(curPath)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val targetFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    if (dataFiles.length <= targetFiles) return dataFiles.length.toLong
+    writeVersioned(spark.read.parquet(cur).coalesce(targetFiles), path)
+    targetFiles.toLong
   }
 
   /** Cluster-sort a dataset for scan-time pruning: range-repartition on

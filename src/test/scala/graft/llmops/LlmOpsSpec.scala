@@ -77,15 +77,12 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("IVF ANN returns self as rank-1 and full top-10 lists per probe") {
+  test("IVF ANN recall@10 vs the exact twin meets the bar for every probe") {
     val res = VectorSearch.xAnnIvf.build(spark, "/root/testdata/sf0.001")
-      .as[(Long, Int, Long)].collect()
-    val byProbe = res.groupBy(_._1)
-    assert(byProbe.keySet == Set(0L, 1L, 2L, 3L, 4L))
-    byProbe.foreach { case (probe, rows) =>
-      assert(rows.length == 10, s"probe $probe returned ${rows.length} rows")
-      assert(rows.find(_._2 == 1).get._3 == probe,
-        s"probe $probe rank-1 should be itself")
+      .as[(Long, Boolean)].collect()
+    assert(res.map(_._1).toSet == Set(0L, 1L, 2L, 3L, 4L))
+    res.foreach { case (probe, ok) =>
+      assert(ok, s"probe $probe: recall@10 below ${VectorSearch.ANN_RECALL_BAR}")
     }
   }
 

@@ -113,6 +113,45 @@ class LakeSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == orders.count())
   }
 
+  test("versioned dataset: compact publishes a new version while a reader " +
+      "of the old version is undisturbed") {
+    val events = graft.core.Tables(spark, sf, "events")
+    val root = Files.createTempDirectory("graft_versioned").toString + "/events"
+    val n = events.count()
+    val v0 = Lake.writeVersioned(events.repartition(40), root)
+    assert(v0 == 0)
+    val v0Dir = Lake.currentVersion(spark, root).get
+    // a reader that resolved v=0 BEFORE the compaction starts
+    val inFlight = spark.read.parquet(v0Dir)
+    Lake.compactVersioned(spark, root, targetBytes = 512L << 20)
+    // new version is current...
+    val v1Dir = Lake.currentVersion(spark, root).get
+    assert(v1Dir != v0Dir && v1Dir.endsWith("v=1"))
+    assert(Lake.readCurrent(spark, root).count() == n)
+    // ...and the in-flight reader still scans v=0 intact (grace generation)
+    assert(inFlight.count() == n)
+    assert(new java.io.File(v0Dir.stripPrefix("file:")).exists())
+    // the NEXT rewrite retires v=0 but keeps v=1
+    Lake.writeVersioned(events.limit(10), root)
+    assert(!new java.io.File(v0Dir.stripPrefix("file:")).exists())
+    assert(new java.io.File(v1Dir.stripPrefix("file:")).exists())
+    assert(Lake.readCurrent(spark, root).count() == 10)
+  }
+
+  test("versioned reader ignores an uncommitted (no _SUCCESS) version") {
+    val nation = graft.core.Tables(spark, sf, "nation")
+    val root = Files.createTempDirectory("graft_versioned2").toString + "/nation"
+    Lake.writeVersioned(nation, root)
+    // simulate a writer that died mid-publish: v=1 exists without _SUCCESS
+    val half = new java.io.File(s"$root/v=1")
+    assert(half.mkdirs())
+    assert(Lake.currentVersion(spark, root).get.endsWith("v=0"))
+    assert(Lake.readCurrent(spark, root).count() == nation.count())
+    // and the next publish skips past the dead dir's number
+    val next = Lake.writeVersioned(nation, root)
+    assert(next == 2)
+  }
+
   test("csv/json/orc round-trips preserve rows") {
     val nation = graft.core.Tables(spark, sf, "nation")
     val n = nation.count()
