@@ -42,13 +42,21 @@ object DedupFamilies {
     // Catalyst re-analyzes an exponentially nested tree (21k-line plans by
     // round 3 on the fixture; unbounded on deeper graphs). At cluster
     // scale with failure tolerance, use reliable checkpoint() instead.
-    var labels = bidir.select(col("src").as("id"))
-      .distinct().withColumn("label", col("id")).localCheckpoint()
-    // sum over DECIMAL(38,0) so the fixpoint metric can never overflow,
-    // whatever the id domain (ANSI mode throws on Long overflow).
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0)
-    var prevSum = labelSum(labels)
+    // the convergence metric rides the checkpoint job as an observed
+    // metric (CollectMetrics) — ONE Spark job per round, not a
+    // checkpoint + separate agg pair. Sum over DECIMAL(38,0) so the
+    // metric can never overflow, whatever the id domain (ANSI mode
+    // throws on Long overflow).
+    def checkpointWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = df
+        .observe(obs, sum(col("label").cast("decimal(38,0)")).as("s"))
+        .localCheckpoint()
+      (out, obs.get("s").asInstanceOf[java.math.BigDecimal])
+    }
+    var (labels, prevSum) = checkpointWithSum(
+      bidir.select(col("src").as("id"))
+        .distinct().withColumn("label", col("id")))
     var converged = false
     var iter = 0
     val maxIter = 50
@@ -59,9 +67,9 @@ object DedupFamilies {
       val jump = labels.as("l1")
         .join(labels.as("l2"), col("l1.label") === col("l2.id"))
         .select(col("l1.id").as("id"), col("l2.label").as("label"))
-      val next = labels.union(prop).union(jump)
-        .groupBy(col("id")).agg(min(col("label")).as("label")).localCheckpoint()
-      val s = labelSum(next)
+      val (next, s) = checkpointWithSum(
+        labels.union(prop).union(jump)
+          .groupBy(col("id")).agg(min(col("label")).as("label")))
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = next

@@ -206,7 +206,7 @@ object VectorSearch {
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("emb"), col("cid"), col("csim"))
       .cache()
-    graft.core.CacheBin.swap("x_embed_neardup.own", own)
+    graft.core.CacheBin.swap("x_embed_neardup.gen", raw, own)
     // per-list radius r_c = max ||u − c||; k rows — driver-side like the
     // centroid table. Clamp 2 − 2·csim at 0 before the sqrt: csim > 1 by
     // an ulp (singleton list = its own centroid) would make the radius NaN,
@@ -215,9 +215,6 @@ object VectorSearch {
     val radii: Map[Int, Double] = own.groupBy(col("cid"))
       .agg(max(sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * col("csim")))).as("r"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    // raw is fully folded into own's cache at this point (the collect above
-    // materialized it); drop it so bench reps don't accumulate copies
-    raw.unpersist(false)
     def cdot(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i) * b(i); i += 1 }; s
