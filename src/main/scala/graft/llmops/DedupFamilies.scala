@@ -61,14 +61,17 @@ object DedupFamilies {
     var iter = 0
     val maxIter = 50
     while (!converged && iter < maxIter) {
-      val prop = bidir.join(labels, bidir("src") === labels("id"))
+      // pointer jump rides the SAME join as neighbor propagation: the
+      // label links (label(i) -> i) are just extra edges, and min-label
+      // propagation along them assigns i label(label(i)) — chain lengths
+      // halve per round with one join instead of a second self-join
+      val linkEdges = labels
+        .select(col("label").as("src"), col("id").as("dst"))
+      val prop = bidir.union(linkEdges)
+        .join(labels, col("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
-      // pointer jump: id -> label(label(id)), halves chain lengths per round
-      val jump = labels.as("l1")
-        .join(labels.as("l2"), col("l1.label") === col("l2.id"))
-        .select(col("l1.id").as("id"), col("l2.label").as("label"))
       val (next, s) = checkpointWithSum(
-        labels.union(prop).union(jump)
+        labels.union(prop)
           .groupBy(col("id")).agg(min(col("label")).as("label")))
       converged = s.compareTo(prevSum) == 0
       prevSum = s
