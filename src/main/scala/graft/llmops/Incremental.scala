@@ -1,0 +1,153 @@
+package graft.llmops
+
+import org.apache.spark.sql.functions._
+import graft.core.{Q, Tables => T}
+
+/** Incremental / cross-set dedup — the shapes a CONTINUOUSLY-INGESTING
+  * training-data pipeline runs, where the corpus already exists and each
+  * operation is "new batch (or holdout split) versus the standing corpus"
+  * rather than all-pairs over everything:
+  *
+  *   - x_incremental_neardup: a new batch's LSH band keys joined against
+  *     the corpus' stored band INDEX — the per-batch cost is proportional
+  *     to the batch, never to corpus², and the corpus signatures are
+  *     computed once (here from the same table split by an id watermark;
+  *     in production the index is a persisted table keyed (band, bh)).
+  *   - x_split_leakage: train/holdout contamination detection — near-dup
+  *     pairs that STRADDLE a deterministic hash split. The question every
+  *     eval pipeline must answer before trusting held-out loss: is the
+  *     holdout actually disjoint from training data up to near-duplicates?
+  *   - x_bloom_dedup: exact-dup screening of a new batch against the
+  *     corpus through a bloom-filter prefilter — definite-negatives pass
+  *     without touching the corpus (the common case at 100 TB: most
+  *     documents are new); only bloom-POSITIVES pay the exact anti-join.
+  *     False positives cost work, never correctness.
+  *
+  * All three are hash-checked against brute-force DuckDB oracles.
+  */
+object Incremental {
+
+  /** The last 20% of doc_ids play the "new batch"; the first 80% the
+    * standing corpus. floor() spelled explicitly on both engines (DuckDB
+    * CAST(double AS BIGINT) rounds; Spark's cast truncates).
+    */
+  private val cutoffSql =
+    "SELECT CAST(floor(0.8 * max(doc_id)) AS BIGINT) AS c FROM documents"
+
+  private def withCutoff(docs: org.apache.spark.sql.DataFrame) = {
+    val cut = docs.agg(floor(max(col("doc_id")) * lit(0.8)).cast("long").as("cut"))
+    docs.crossJoin(broadcast(cut))
+  }
+
+  val xIncrementalNeardup = Q(
+    "x_incremental_neardup",
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+              FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 1))) AS i)
+              WHERE len(t) >= 3),
+       card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+       cut AS ($cutoffSql),
+       inter AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS i
+                 FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                 GROUP BY 1, 2)
+       SELECT a_id, b_id, CAST(i AS DOUBLE) / (ca.c + cb.c - i) AS jaccard
+       FROM inter
+       JOIN card ca ON ca.doc_id = a_id
+       JOIN card cb ON cb.doc_id = b_id, cut
+       WHERE a_id < cut.c AND b_id >= cut.c
+         AND CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= ${MinHashLSH.TAU}
+       ORDER BY a_id, b_id""") { (s, dir) =>
+    val docs = T(s, dir, "documents")
+    val sh = Shingles.wordShingles(docs, 3, distinct = false)
+    // same plan as q33's sets => the cached corpus signatures are shared
+    val sets = MinHashLSH.hashSets(sh).cache()
+    graft.core.CacheBin.swap("x_incremental_neardup.sets", sets)
+    val bands = withCutoff(
+      MinHashLSH.bandKeys(MinHashLSH.signaturesFromSets(sets)))
+    // "stored index" side: corpus band keys, keyed (band, bh)
+    val index = bands.filter(col("doc_id") < col("cut"))
+      .select(col("band"), col("bh"), col("doc_id").as("a_id"))
+    // incoming batch side: only ITS bands are computed per batch
+    val incoming = bands.filter(col("doc_id") >= col("cut"))
+      .select(col("band"), col("bh"), col("doc_id").as("b_id"))
+    val cand = index.join(incoming, Seq("band", "bh"))
+      .select(col("a_id"), col("b_id")).distinct()
+    MinHashLSH.exactJaccardFromSets(cand, sets)
+      .filter(col("jaccard") >= MinHashLSH.TAU)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Deterministic ~10% holdout: md5(doc_id) prefix <= '19' (the same
+    * engine-agnostic hash-split recipe as x_sample_hash).
+    */
+  private val holdoutPred = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '19'"
+
+  val xSplitLeakage = Q(
+    "x_split_leakage",
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+              FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 1))) AS i)
+              WHERE len(t) >= 3),
+       card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+       split AS (SELECT doc_id, $holdoutPred AS holdout FROM documents),
+       inter AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS i
+                 FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                 GROUP BY 1, 2)
+       SELECT a_id, b_id, CAST(i AS DOUBLE) / (ca.c + cb.c - i) AS jaccard
+       FROM inter
+       JOIN card ca ON ca.doc_id = a_id
+       JOIN card cb ON cb.doc_id = b_id
+       JOIN split sa ON sa.doc_id = a_id
+       JOIN split sb ON sb.doc_id = b_id
+       WHERE sa.holdout <> sb.holdout
+         AND CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= ${MinHashLSH.TAU}
+       ORDER BY a_id, b_id""") { (s, dir) =>
+    val docs = T(s, dir, "documents")
+    val sh = Shingles.wordShingles(docs, 3, distinct = false)
+    val sets = MinHashLSH.hashSets(sh).cache()
+    graft.core.CacheBin.swap("x_split_leakage.sets", sets)
+    val holdout = substring(md5(col("doc_id").cast("string")), 1, 2) <= "19"
+    val bands = MinHashLSH.bandKeys(MinHashLSH.signaturesFromSets(sets))
+      .withColumn("holdout", holdout)
+    val cand = bands.as("x").join(bands.as("y"), Seq("band", "bh"))
+      .filter(col("x.doc_id") < col("y.doc_id") &&
+        col("x.holdout") =!= col("y.holdout"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    MinHashLSH.exactJaccardFromSets(cand, sets)
+      .filter(col("jaccard") >= MinHashLSH.TAU)
+      .orderBy("a_id", "b_id")
+  }
+
+  val xBloomDedup = Q(
+    "x_bloom_dedup",
+    """WITH cut AS (SELECT CAST(floor(0.8 * max(doc_id)) AS BIGINT) AS c FROM documents)
+       SELECT d.doc_id FROM documents d, cut
+       WHERE d.doc_id >= cut.c
+         AND NOT EXISTS (SELECT 1 FROM documents o, cut
+                         WHERE o.doc_id < cut.c AND o.text = d.text)
+       ORDER BY d.doc_id""") { (s, dir) =>
+    val split = withCutoff(T(s, dir, "documents"))
+      .withColumn("h", xxhash64(col("text")))
+    val corpus = split.filter(col("doc_id") < col("cut"))
+    val batch = split.filter(col("doc_id") >= col("cut"))
+    // corpus digest sketch: ONE aggregate row (bytes, not the digest set),
+    // wired into the probe as a scalar subquery — native expressions,
+    // codegen'd, the same plan shape Spark's runtime row filtering injects
+    val bloom = corpus
+      .agg(graft.functions.Bloom.bloomAgg(col("h"), 100000L, 8L * 1024 * 1024)
+        .as("bf"))
+    val probed = batch
+      .withColumn("maybe", graft.functions.Bloom.mightContain(bloom, col("h")))
+    // definite-negatives pass without ever touching the corpus rows;
+    // bloom-positives (true dups + bounded false positives) pay the exact
+    // anti-join — exactness never depends on the filter's FP rate
+    val negatives = probed.filter(!col("maybe")).select(col("doc_id"))
+    val positives = probed.filter(col("maybe"))
+      .join(corpus.select(col("text")), Seq("text"), "left_anti")
+      .select(col("doc_id"))
+    negatives.union(positives).orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(xIncrementalNeardup, xSplitLeakage, xBloomDedup)
+}

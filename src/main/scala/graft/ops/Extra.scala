@@ -365,8 +365,30 @@ object Extra {
     s.read.parquet(stage).orderBy("o_orderkey")
   }
 
+  /** X — manifest-pruned clustered scan: stage orders range-clustered on
+    * o_custkey with a per-file [lo, hi] manifest, then answer a selective
+    * key-band query reading ONLY the files whose band intersects the
+    * predicate (file-skipping like a table format's statistics — the
+    * LakeSpec asserts the file subset actually shrinks). Oracle: the same
+    * aggregate over the raw table — green iff pruning never drops rows.
+    */
+  val xManifestPrune = Q(
+    "x_manifest_prune",
+    """SELECT o_orderpriority, count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+       FROM orders WHERE o_custkey BETWEEN 40 AND 70
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, dir) =>
+    val orders = T(s, dir, "orders")
+    val stage = scratch("clustered/orders")
+    graft.sources.Lake.writeClusteredWithManifest(orders, stage, 8, "o_custkey")
+    graft.sources.Lake.readPruned(s, stage, "o_custkey", 40L, 70L)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), E.sumd(col("o_totalprice")).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[Q] =
     Seq(xSessionize, xSampleHash, xStringAgg, xRedact, xRegrAgg, xFillForward,
       xGroupTopK, xApproxPercentile, xResample, xJaroWinkler, xWindowNtile,
-      xCsvRoundtrip, xUpsert)
+      xCsvRoundtrip, xUpsert, xManifestPrune)
 }

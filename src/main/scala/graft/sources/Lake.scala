@@ -242,6 +242,70 @@ object Lake {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** writeClustered + a per-file [lo, hi] manifest over the (numeric)
+    * cluster key, written as `_manifest.json` INSIDE the dataset directory
+    * (underscore-prefixed → invisible to Spark's file index, so plain
+    * readers are unaffected). readPruned() then skips whole files whose
+    * band can't intersect the predicate — directory-listing-level pruning
+    * like a table format's file statistics, without the format. At write
+    * scale the stats would be folded into the writer's task commit; here
+    * they cost one narrow post-write scan of the key column.
+    */
+  def writeClusteredWithManifest(df: DataFrame, path: String, numFiles: Int,
+      clusterCol: String): Unit = {
+    writeClustered(df, path, numFiles, clusterCol)
+    val spark = df.sparkSession
+    val stats = spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(clusterCol).cast("long")).as("lo"),
+        max(col(clusterCol).cast("long")).as("hi"))
+      .collect() // numFiles rows — bounded driver state by construction
+    val lines = stats.map { r =>
+      val f = r.getString(0).replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""{"file":"$f","lo":${r.getLong(1)},"hi":${r.getLong(2)}}"""
+    }
+    val mPath = new org.apache.hadoop.fs.Path(path, "_manifest.json")
+    val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(mPath, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Read only the files whose manifest band intersects [lo, hi], with the
+    * residual filter applied on top (file stats prune whole files; the
+    * filter still decides rows). Falls back to a full filtered scan when
+    * no manifest exists.
+    */
+  def readPruned(spark: SparkSession, path: String, clusterCol: String,
+      lo: Long, hi: Long): DataFrame = {
+    val mPath = new org.apache.hadoop.fs.Path(path, "_manifest.json")
+    val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base =
+      if (!fs.exists(mPath)) spark.read.parquet(path)
+      else {
+        val keep = manifestEntries(fs, mPath)
+          .filter { case (_, flo, fhi) => fhi >= lo && flo <= hi }
+          .map(_._1)
+        if (keep.isEmpty) spark.read.parquet(path).limit(0)
+        else spark.read.parquet(keep: _*)
+      }
+    base.filter(col(clusterCol) >= lo && col(clusterCol) <= hi)
+  }
+
+  /** (file, lo, hi) rows of a `_manifest.json` (regex parse — the writer
+    * above controls the format; dependency-free like Bench's history).
+    */
+  private[graft] def manifestEntries(fs: org.apache.hadoop.fs.FileSystem,
+      mPath: org.apache.hadoop.fs.Path): Seq[(String, Long, Long)] = {
+    val in = fs.open(mPath)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val re = "\\{\"file\":\"(.*?)\",\"lo\":(-?\\d+),\"hi\":(-?\\d+)\\}".r
+    re.findAllMatchIn(text).map(m =>
+      (m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"),
+        m.group(2).toLong, m.group(3).toLong)).toSeq
+  }
+
   /** Format round-trips (csv/json/orc share the same DataFrameReader/
     * Writer surface as parquet; schema must be supplied for the schemaless
     * text formats on read).

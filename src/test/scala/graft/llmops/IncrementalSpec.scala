@@ -1,0 +1,94 @@
+package graft.llmops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Fixture-level checks for the incremental/cross-set dedup family —
+  * the sf0.001 oracle run covers the declared queries end-to-end; these
+  * tests pin the SEMANTICS on planted data where the expected answer is
+  * known by construction.
+  */
+class IncrementalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def doc(n: Int, salt: String) =
+    (0 until 40).map(i => s"w$salt${i * 7 % 31}").mkString(" ")
+
+  test("bloom prefilter dedup: exact-dup batch rows dropped, new rows kept, " +
+      "false positives never drop a non-dup") {
+    // corpus: ids 0-3; batch: 4 = exact dup of 0, 5-6 new
+    val rows = Seq(
+      (0L, doc(0, "a")), (1L, doc(1, "b")), (2L, doc(2, "c")), (3L, doc(3, "d")),
+      (4L, doc(0, "a")), // exact dup of corpus doc 0
+      (5L, doc(5, "x")), (6L, doc(6, "y")))
+    val docs = rows.toDF("doc_id", "text")
+    val cut = 4L
+    val corpus = docs.filter(col("doc_id") < cut)
+      .withColumn("h", xxhash64(col("text")))
+    val batch = docs.filter(col("doc_id") >= cut)
+      .withColumn("h", xxhash64(col("text")))
+    val bloom = corpus
+      .agg(graft.functions.Bloom.bloomAgg(col("h"), 1000L, 1L << 20).as("bf"))
+    val probed = batch
+      .withColumn("maybe", graft.functions.Bloom.mightContain(bloom, col("h")))
+    // the planted dup MUST be bloom-positive (no false negatives)
+    assert(probed.filter(col("doc_id") === 4 && col("maybe")).count() == 1)
+    val negatives = probed.filter(!col("maybe")).select("doc_id")
+    val positives = probed.filter(col("maybe"))
+      .join(corpus.select("text"), Seq("text"), "left_anti")
+      .select("doc_id")
+    val survivors = negatives.union(positives).as[Long].collect().toSet
+    assert(survivors == Set(5L, 6L))
+  }
+
+  test("incremental near-dup finds exactly the cross-watermark pairs") {
+    // 0 and 2 are near-dups; 1 is unrelated; watermark puts 2 in the batch
+    val base = doc(0, "z").split(" ")
+    val near = base.clone(); near(3) = "EDITED"
+    val docs = Seq(
+      (0L, base.mkString(" ")), (1L, doc(1, "q")),
+      (2L, near.mkString(" ")), (3L, doc(3, "r")))
+      .toDF("doc_id", "text")
+    val cut = 2L
+    val sets = MinHashLSH.hashSets(Shingles.wordShingles(docs, 3)).cache()
+    val bands = MinHashLSH.bandKeys(MinHashLSH.signaturesFromSets(sets))
+    val index = bands.filter(col("doc_id") < cut)
+      .select(col("band"), col("bh"), col("doc_id").as("a_id"))
+    val incoming = bands.filter(col("doc_id") >= cut)
+      .select(col("band"), col("bh"), col("doc_id").as("b_id"))
+    val cand = index.join(incoming, Seq("band", "bh"))
+      .select("a_id", "b_id").distinct()
+    val pairs = MinHashLSH.exactJaccardFromSets(cand, sets)
+      .filter(col("jaccard") >= MinHashLSH.TAU)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 2L)))
+    sets.unpersist()
+  }
+
+  test("split leakage: only pairs straddling the split are reported") {
+    // two near-dup families: {0,1} same side, {2,3} straddling
+    val a = doc(0, "m").split(" "); val a2 = a.clone(); a2(5) = "EDIT1"
+    val b = doc(0, "n").split(" "); val b2 = b.clone(); b2(7) = "EDIT2"
+    val docs = Seq(
+      (10L, a.mkString(" ")), (11L, a2.mkString(" ")),
+      (20L, b.mkString(" ")), (21L, b2.mkString(" ")))
+      .toDF("doc_id", "text")
+    // deterministic split fixture: ids 10, 11, 21 train; 20 holdout
+    val holdout = col("doc_id") === 20L
+    val sets = MinHashLSH.hashSets(Shingles.wordShingles(docs, 3)).cache()
+    val bands = MinHashLSH.bandKeys(MinHashLSH.signaturesFromSets(sets))
+      .withColumn("holdout", holdout)
+    val cand = bands.as("x").join(bands.as("y"), Seq("band", "bh"))
+      .filter(col("x.doc_id") < col("y.doc_id") &&
+        col("x.holdout") =!= col("y.holdout"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val leaks = MinHashLSH.exactJaccardFromSets(cand, sets)
+      .filter(col("jaccard") >= MinHashLSH.TAU)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(leaks == Set((20L, 21L)))
+    sets.unpersist()
+  }
+}

@@ -152,6 +152,33 @@ class LakeSpec extends AnyFunSuite {
     assert(next == 2)
   }
 
+  test("manifest-pruned read skips non-overlapping files and loses no rows") {
+    val orders = graft.core.Tables(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val dir = Files.createTempDirectory("graft_manifest").toString + "/orders"
+    Lake.writeClusteredWithManifest(orders, dir, 8, "o_custkey")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val entries = Lake.manifestEntries(fs,
+      new org.apache.hadoop.fs.Path(dir, "_manifest.json"))
+    assert(entries.length == 8)
+    // a narrow band must touch a strict subset of files (bands disjoint);
+    // sf0.001 custkeys span ~1-150, so stay low in the range
+    val (lo, hi) = (40L, 70L)
+    val touched = entries.count { case (_, flo, fhi) => fhi >= lo && flo <= hi }
+    assert(touched < 8, s"expected pruning, manifest=$entries")
+    val pruned = Lake.readPruned(spark, dir, "o_custkey", lo, hi)
+    val full = spark.read.parquet(dir)
+      .filter(col("o_custkey") >= lo && col("o_custkey") <= hi)
+    assert(pruned.count() == full.count())
+    // the pruned plan reads fewer files than the directory holds
+    assert(pruned.queryExecution.executedPlan.toString.contains("Scan parquet"))
+    // an empty band yields an empty frame, not an error
+    assert(Lake.readPruned(spark, dir, "o_custkey", -10L, -5L).count() == 0)
+    // plain readers are unaffected by the underscore manifest file
+    assert(spark.read.parquet(dir).count() == orders.count())
+  }
+
   test("csv/json/orc round-trips preserve rows") {
     val nation = graft.core.Tables(spark, sf, "nation")
     val n = nation.count()
