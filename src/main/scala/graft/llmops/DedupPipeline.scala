@@ -21,7 +21,8 @@ object DedupPipeline {
   def run(
       documents: DataFrame,
       minTokens: Int = 10,
-      tau: Double = MinHashLSH.TAU): DataFrame = {
+      tau: Double = MinHashLSH.TAU,
+      maxBucket: Int = 10000): DataFrame = {
 
     // 1. exact
     val wDigest = Window.partitionBy(col("digest")).orderBy(col("doc_id"))
@@ -31,12 +32,16 @@ object DedupPipeline {
       .filter(col("rn") === 1)
       .drop("rn")
 
-    // 2. near-dup: kill the b-side (higher id) of every verified pair
+    // 2. near-dup: kill the b-side (higher id) of every verified pair.
+    // Banding runs AFTER exact dedup (stage 1 collapsed identical
+    // boilerplate, the main source of giant LSH buckets) and with a
+    // hot-bucket cap so one templated family can never go quadratic
+    // inside a single shuffle key — see cappedCandidates' scaladoc.
     val sets = MinHashLSH.hashSets(
       Shingles.wordShingles(exact, 3, distinct = false)).cache()
     graft.core.CacheBin.swap("dedup_pipeline.sets", sets)
-    val cand = MinHashLSH.candidates(
-      MinHashLSH.bandKeys(MinHashLSH.signaturesFromSets(sets)))
+    val cand = MinHashLSH.cappedCandidates(
+      MinHashLSH.bandKeys(MinHashLSH.signaturesFromSets(sets)), maxBucket)
     val losers = MinHashLSH.exactJaccardFromSets(cand, sets)
       .filter(col("jaccard") >= tau)
       .select(col("b_id").as("doc_id"))

@@ -91,6 +91,40 @@ object MinHashLSH {
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
 
+  /** candidates() with HOT-BUCKET protection — the web-corpus failure
+    * mode banding meets at real scale: boilerplate-heavy text (license
+    * headers, templated pages) lands thousands of docs in one (band, bh)
+    * bucket, and a bucket of size s emits s(s−1)/2 pairs — 10⁵ docs in
+    * one bucket is 5×10⁹ pairs from a single key, a straight quadratic
+    * blowup inside one shuffle partition.
+    *
+    * Buckets larger than `maxBucket` are excluded from pair generation.
+    * This is an explicit RECALL trade documented at the call site, not a
+    * silent one — pair it with `oversizedBuckets` to route the excluded
+    * families to the right tool (exact dedup first collapses identical
+    * boilerplate; a giant NEAR-identical family can be re-processed by
+    * itself, where its quadratic cost is isolated from the main job).
+    * DedupPipeline.run applies exact dedup BEFORE banding for exactly
+    * this reason.
+    */
+  def cappedCandidates(bands: DataFrame, maxBucket: Int): DataFrame = {
+    val sized = bands.withColumn("bsz",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("bh"))))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
+    candidates(sized)
+  }
+
+  /** Audit side of cappedCandidates: the (band, bh, size) buckets that
+    * were excluded — a pipeline alerts on this instead of silently
+    * dropping recall.
+    */
+  def oversizedBuckets(bands: DataFrame, maxBucket: Int): DataFrame =
+    bands.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("size"))
+      .filter(col("size") > maxBucket)
+
   /** Exact Jaccard over shingle sets, restricted to candidate pairs.
     *
     * Each doc's distinct shingle set is condensed ONCE into a sorted

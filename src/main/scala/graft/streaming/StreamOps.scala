@@ -250,5 +250,89 @@ object StreamOps {
       .orderBy("signup_id", "purchase_id")
   }
 
-  val all: Seq[Q] = Seq(q28, q29, q29b, q30, q30b, q30c, q30d)
+  /** X — STREAMING ingest near-dup: the production shape of incremental
+    * dedup. New documents arrive as a stream; each row computes its
+    * MinHash band keys with pure per-row expressions (split → shingle
+    * hashes → native MinHashSignature → band hashes: NO shuffle and NO
+    * aggregation on the stream side), then one stream-static join probes
+    * the standing corpus' band INDEX (which carries each corpus doc's
+    * sorted shingle-hash set), and the exact-Jaccard verification runs
+    * in-stream via the codegen'd merge-scan intersection. Work per
+    * incoming document is bands × bucket-mates — independent of corpus
+    * size except through the index lookup, exactly what 100 TB ingestion
+    * needs. Shares x_incremental_neardup's brute-force oracle (replay ≡
+    * batch). The post-sink distinct collapses the same pair surfacing
+    * from multiple bands (in a continuous deployment that would be a
+    * keyed dropDuplicatesWithinWatermark on ingest time).
+    */
+  val xStreamNeardup = Q(
+    "x_stream_neardup",
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+              FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 1))) AS i)
+              WHERE len(t) >= 3),
+       card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+       cut AS (SELECT CAST(floor(0.8 * max(doc_id)) AS BIGINT) AS c FROM documents),
+       inter AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS i
+                 FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                 GROUP BY 1, 2)
+       SELECT a_id, b_id, CAST(i AS DOUBLE) / (ca.c + cb.c - i) AS jaccard
+       FROM inter
+       JOIN card ca ON ca.doc_id = a_id
+       JOIN card cb ON cb.doc_id = b_id, cut
+       WHERE a_id < cut.c AND b_id >= cut.c
+         AND CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= ${graft.llmops.MinHashLSH.TAU}
+       ORDER BY a_id, b_id""") { (s, dir) =>
+    import graft.llmops.{MinHashLSH => L, Shingles}
+    val docs = T(s, dir, "documents")
+    // id watermark splitting corpus/batch — a scalar, like a centroid table
+    val cut = docs.agg(floor(max(col("doc_id")) * lit(0.8)).cast("long"))
+      .first().getLong(0)
+    // standing corpus: band index carrying each doc's sorted shingle-hash
+    // set and cardinality, so candidate verify needs no further join
+    val corpusSets = L.hashSets(
+      Shingles.wordShingles(docs.filter(col("doc_id") < cut), 3, distinct = false))
+      .cache()
+    graft.core.CacheBin.swap("x_stream_neardup.sets", corpusSets)
+    val index = L.bandKeys(L.signaturesFromSets(corpusSets))
+      .join(corpusSets, "doc_id")
+      .select(col("band"), col("bh"), col("doc_id").as("a_id"),
+        col("hs").as("ha"), col("c").as("ca"))
+    // stream side: per-row signature, no shuffle before the join
+    val streamDir = scratchDir("graft_stream_docs")
+    Files.createSymbolicLink(streamDir.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val bandsPerRow = (0 until L.BANDS).map { b =>
+      val rows = (0 until L.ROWS_PER_BAND)
+        .map(r => col("sig")(b * L.ROWS_PER_BAND + r))
+      struct(lit(b).as("band"), xxhash64(rows: _*).as("bh"))
+    }
+    val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+      .filter(col("doc_id") >= cut)
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 3)
+      // per-row twin of Shingles.wordShingles + hashSets: distinct sorted
+      // xxhash64 of the 3-word shingles, as one array column
+      .withColumn("hs", sort_array(array_distinct(expr(
+        "transform(sequence(0, size(w) - 3), i -> " +
+          "xxhash64(concat_ws(' ', element_at(w, i+1), element_at(w, i+2), element_at(w, i+3))))"))))
+      .withColumn("sig",
+        graft.functions.ArrayOps.minhashSignature(col("hs"), L.NUM_HASHES))
+      .select(col("doc_id").as("b_id"), col("hs"),
+        explode(array(bandsPerRow: _*)).as("e"))
+      .select(col("b_id"), col("hs"), col("e.band").as("band"), col("e.bh").as("bh"))
+    val verified = stream.join(index, Seq("band", "bh"))
+      .withColumn("inter",
+        graft.functions.ArrayOps.sortedIntersectCount(col("ha"), col("hs")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("ca") + size(col("hs")).cast("long") - col("inter")))
+      .filter(col("jaccard") >= L.TAU)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+    runToMemory(verified, "x_stream_neardup_mem", OutputMode.Append())
+      .distinct()
+      .orderBy("a_id", "b_id")
+  }
+
+  val all: Seq[Q] = Seq(q28, q29, q29b, q30, q30b, q30c, q30d, xStreamNeardup)
 }

@@ -67,6 +67,32 @@ class IncrementalSpec extends AnyFunSuite {
     sets.unpersist()
   }
 
+  test("hot-bucket cap bounds pair generation and surfaces excluded buckets") {
+    // 60 near-identical docs (one distinct token each) — every band
+    // bucket holds all 60, so uncapped candidates are 60*59/2 = 1770
+    // pairs from a single templated family; two unrelated docs ride along
+    val family = (0 until 60).map { i =>
+      val w = doc(0, "t").split(" "); w(0) = s"uniq$i"
+      (i.toLong, w.mkString(" "))
+    }
+    val docs = (family ++ Seq((100L, doc(1, "u")), (101L, doc(2, "v"))))
+      .toDF("doc_id", "text")
+    val sets = MinHashLSH.hashSets(Shingles.wordShingles(docs, 3)).cache()
+    val bands = MinHashLSH.bandKeys(MinHashLSH.signaturesFromSets(sets))
+    val uncapped = MinHashLSH.candidates(bands).count()
+    assert(uncapped >= 1770, s"family should explode uncapped, got $uncapped")
+    val capped = MinHashLSH.cappedCandidates(bands, maxBucket = 10).count()
+    assert(capped == 0, s"all family buckets exceed the cap, got $capped")
+    val oversized = MinHashLSH.oversizedBuckets(bands, 10)
+      .collect()
+    // one-token edits perturb some band signatures, so buckets hold most
+    // (not all) of the 60-doc family
+    assert(oversized.nonEmpty && oversized.forall(_.getLong(2) >= 40))
+    // a cap above the bucket size changes nothing
+    assert(MinHashLSH.cappedCandidates(bands, 100).count() == uncapped)
+    sets.unpersist()
+  }
+
   test("split leakage: only pairs straddling the split are reported") {
     // two near-dup families: {0,1} same side, {2,3} straddling
     val a = doc(0, "m").split(" "); val a2 = a.clone(); a2(5) = "EDIT1"

@@ -15,6 +15,16 @@ class MultiBatchSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("streaming ingest near-dup equals its batch twin (replay equivalence)") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = StreamOps.xStreamNeardup.build(spark, sf)
+      .collect().map(_.toString).toSet
+    val batch = graft.llmops.Incremental.xIncrementalNeardup.build(spark, sf)
+      .collect().map(_.toString).toSet
+    assert(streamed.nonEmpty, "fixture should contain cross-watermark pairs")
+    assert(streamed == batch)
+  }
+
   test("windowed aggregation state carries across micro-batches") {
     val src = graft.core.Tables(spark, "/root/testdata/sf0.001", "events")
     val dir = Files.createTempDirectory("graft_multibatch").toString
