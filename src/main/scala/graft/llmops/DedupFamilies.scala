@@ -33,8 +33,49 @@ object DedupFamilies {
     * (checkpointed) frame, vs. the previous implementation's
     * join-with-old + count() job pair per round.
     */
-  def components(pairs: DataFrame): DataFrame = {
-    val edges = pairs.toDF("a_id", "b_id")
+  def components(pairs: DataFrame): DataFrame =
+    components(pairs, driverThreshold = 1 << 20)
+
+  /** `driverThreshold`: edge lists at or below this size are solved with
+    * an in-memory union-find on the driver (path compression, min-root
+    * labels — identical output to the distributed loop) instead of N
+    * rounds of Spark jobs. Near-dup edge sets are tiny relative to the
+    * corpus — a 1M-edge graph is ~16 MB of driver state, bounded by the
+    * explicit threshold the same way the k-means centroid table is —
+    * while each distributed label-propagation round costs whole-cluster
+    * job latency. Above the threshold the pointer-jumping loop below
+    * takes over automatically; correctness never depends on which path
+    * ran.
+    */
+  def components(pairs: DataFrame, driverThreshold: Long): DataFrame = {
+    // cached: the count decides the path, then either the collect (driver)
+    // or the propagation loop (distributed) re-reads the edges; the bin
+    // keeps one generation alive across repeated invocations
+    val edges = pairs.toDF("a_id", "b_id").cache()
+    graft.core.CacheBin.swap("components.edges", edges)
+    val spark = edges.sparkSession
+    val nEdges = edges.count()
+    if (nEdges <= driverThreshold) {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // min root wins -> labels are component minima
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val labels = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      import spark.implicits._
+      return labels.toDF("id", "label")
+    }
     val bidir = edges.union(edges.select(col("b_id"), col("a_id")))
       .toDF("src", "dst").cache()
     // localCheckpoint (eager) per round truncates lineage — without it the
@@ -85,7 +126,8 @@ object DedupFamilies {
       throw new IllegalStateException(
         s"components: label propagation not converged after $maxIter rounds " +
           "— component diameter exceeds the cap")
-    // the loop fully consumed the edge cache; labels is checkpointed
+    // the loop fully consumed the bidirectional edge cache; labels is
+    // checkpointed (edges stays in the bin for the next invocation)
     bidir.unpersist(false)
     labels
   }

@@ -124,9 +124,15 @@ class ExtraSpec extends AnyFunSuite {
         Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L),
       Seq((1L, 9L)) -> Map(1L -> 1L, 9L -> 1L))
     cases.foreach { case (edges, want) =>
-      val got = graft.llmops.DedupFamilies.components(edges.toDF("a_id", "b_id"))
+      // driver union-find fast path (default threshold) AND the
+      // distributed pointer-jumping loop (threshold 0) must agree
+      val df = edges.toDF("a_id", "b_id")
+      val fast = graft.llmops.DedupFamilies.components(df)
         .as[(Long, Long)].collect().toMap
-      assert(got == want, s"edges=$edges")
+      val dist = graft.llmops.DedupFamilies.components(df, driverThreshold = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(fast == want, s"driver path, edges=$edges")
+      assert(dist == want, s"distributed path, edges=$edges")
     }
   }
 
