@@ -18,6 +18,7 @@ object SparkEntry {
       plans.AsOfQueries.all ++ streaming.StreamOps.all ++
       ops.Udfs.all ++ llmops.Dedup.all ++ llmops.MinHashLSH.all ++
       llmops.DedupFamilies.all ++ llmops.Incremental.all ++
+      llmops.Curation.all ++
       llmops.VectorSearch.all ++ llmops.Chunking.all ++ llmops.TextStats.all ++
       llmops.SimHash.all ++ llmops.Multimodal.all
 

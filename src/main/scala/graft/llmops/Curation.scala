@@ -1,0 +1,97 @@
+package graft.llmops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.{Q, Tables => T}
+
+/** Corpus-curation operators: the decisions a training-data pipeline
+  * makes AFTER dedup/quality — what the final mixture contains and
+  * whether the eval sets leaked into it.
+  *
+  *   - x_ngram_contamination: the canonical eval-decontamination check —
+  *     training documents sharing any verbatim 8-gram with the held-out
+  *     benchmark split are flagged with their collision count. Exact
+  *     containment on hashed n-grams (one semi-shaped join on the gram
+  *     hash), not near-dup similarity: a single quoted benchmark answer
+  *     inside an otherwise-unique document must flag.
+  *   - x_mix_sample: deterministic corpus mixing to a TARGET language
+  *     distribution under a document budget — per-language keep
+  *     fractions derived from the target weights, applied as a
+  *     reproducible md5-threshold sample (same doc set on every run and
+  *     every engine, no RNG). The data-mixing step every multi-source
+  *     pretraining corpus goes through.
+  *
+  * Both hash-checked against DuckDB oracles computing the same
+  * arithmetic.
+  */
+object Curation {
+
+  private val K = 8 // contamination gram width
+
+  private def gramSql(k: Int): String =
+    (0 until k).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+
+  val xNgramContamination = Q(
+    "x_ngram_contamination",
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT DISTINCT doc_id, ${gramSql(K)} AS sh
+              FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - ${K - 1}, 1))) AS i)
+              WHERE len(t) >= $K),
+       split AS (SELECT doc_id,
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '19' AS holdout
+                 FROM documents),
+       bench AS (SELECT DISTINCT sh.sh FROM sh JOIN split USING (doc_id) WHERE split.holdout)
+       SELECT sh.doc_id, CAST(count(DISTINCT sh.sh) AS BIGINT) AS n_hits
+       FROM sh JOIN split USING (doc_id) JOIN bench ON sh.sh = bench.sh
+       WHERE NOT split.holdout
+       GROUP BY sh.doc_id ORDER BY sh.doc_id""") { (s, dir) =>
+    val docs = T(s, dir, "documents")
+    val holdout = substring(md5(col("doc_id").cast("string")), 1, 2) <= "19"
+    val grams = Shingles.wordShingles(docs, K)
+      .join(docs.select(col("doc_id"), holdout.as("holdout")), "doc_id")
+    // benchmark gram set: hashed, distinct — the membership side of the
+    // join carries 8 bytes per gram, never the text
+    val bench = grams.filter(col("holdout"))
+      .select(xxhash64(col("sh")).as("g")).distinct()
+    grams.filter(!col("holdout"))
+      .select(col("doc_id"), col("sh"), xxhash64(col("sh")).as("g"))
+      .join(bench, "g")
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("sh")).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Target language mixture (weights sum to 1) and document budget. */
+  private val MixWeights =
+    Seq("de" -> 0.2, "en" -> 0.5, "es" -> 0.1, "fr" -> 0.15, "zh" -> 0.05)
+  private val MixBudget = 200.0
+
+  val xMixSample = Q(
+    "x_mix_sample",
+    s"""WITH n AS (SELECT lang, count(*) AS nl FROM documents GROUP BY 1),
+       w(lang, wt) AS (VALUES ${MixWeights.map { case (l, w) => s"('$l', $w)" }.mkString(", ")}),
+       t AS (SELECT d.doc_id, d.lang,
+               printf('%04x', CAST(floor(least(1.0, CAST(wt AS DOUBLE) * $MixBudget / nl) * 65536) AS BIGINT)) AS ht
+             FROM documents d JOIN n USING (lang) JOIN w USING (lang))
+       SELECT lang, count(*) AS n_kept FROM t
+       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < ht
+       GROUP BY lang ORDER BY lang""") { (s, dir) =>
+    val docs = T(s, dir, "documents")
+    val nl = count(lit(1)).over(Window.partitionBy(col("lang")))
+    val wt = element_at(
+      typedLit[Map[String, Double]](MixWeights.toMap), col("lang"))
+    // per-language keep fraction -> fixed-width lowercase-hex threshold;
+    // lexicographic compare on the md5 prefix IS the numeric compare, so
+    // both engines select the identical reproducible document set
+    val thr = floor(least(lit(1.0), wt * lit(MixBudget) / nl) * 65536)
+      .cast("long")
+    docs
+      .withColumn("ht", lpad(lower(hex(thr)), 4, "0"))
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 4) < col("ht"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[Q] = Seq(xNgramContamination, xMixSample)
+}
