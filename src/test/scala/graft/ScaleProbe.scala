@@ -103,6 +103,53 @@ object ScaleProbe {
       println(f"SCALE-NN $mode%-9s k=$k%2d vecs=${embN * k}%6d lists=$lists%3d ivf=$ivf%7.2f allpairs=$brute%7.2f")
       c.unpersist()
     }
+
+    // ---- incremental near-dup: fixed batch probed against a growing
+    // corpus index. The claim to verify: per-batch probe cost is governed
+    // by the BATCH, not the corpus (index build is the one-time linear
+    // part). Replica 0 keeps the original words, so the fixed batch keeps
+    // finding its planted pairs there; other replicas only grow the index.
+    val batchCut = (baseN * 0.9).toLong
+    val batch = base.filter(col("doc_id") >= batchCut).cache()
+    batch.count()
+    for (k <- Seq(1, 2, 5, 10)) {
+      val corpusDocs = (0 until k).map { i =>
+        val text =
+          if (i == 0) col("text")
+          else expr(s"array_join(transform(split(text, ' '), w -> concat('r$i', w)), ' ')")
+        base.filter(col("doc_id") < batchCut)
+          .select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+            text.as("text"))
+      }.reduce(_ union _)
+      val t0 = System.nanoTime()
+      val cSets = MinHashLSH.hashSets(
+        Shingles.wordShingles(corpusDocs, 3, distinct = false)).cache()
+      val index = MinHashLSH.bandKeys(MinHashLSH.signaturesFromSets(cSets))
+        .join(cSets, "doc_id")
+        .select(col("band"), col("bh"), col("doc_id").as("a_id"),
+          col("hs").as("ha"), col("c").as("ca"))
+        .cache()
+      val idxRows = index.count() // one-time index build, timed separately
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val bSets = MinHashLSH.hashSets(
+        Shingles.wordShingles(batch, 3, distinct = false))
+      val probe = MinHashLSH.bandKeys(MinHashLSH.signaturesFromSets(bSets))
+        .join(bSets, "doc_id")
+        .select(col("band"), col("bh"), col("doc_id").as("b_id"),
+          col("hs").as("hb"), col("c").as("cb"))
+      val pairs = index.join(probe, Seq("band", "bh"))
+        .filter(col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          graft.functions.ArrayOps.sortedIntersectCount(col("ha"), col("hb"))
+            .as("i"), col("ca"), col("cb"))
+        .filter(col("i").cast("double") / (col("ca") + col("cb") - col("i"))
+          >= MinHashLSH.TAU)
+        .select("a_id", "b_id").distinct().count()
+      val tProbe = (System.nanoTime() - t1) / 1e9
+      println(f"SCALE-INC k=$k%2d corpus=${idxRows / 8}%7d build=$tBuild%6.2f probe=$tProbe%6.2f pairs=$pairs%4d")
+      cSets.unpersist(); index.unpersist()
+    }
     spark.stop()
   }
 }
