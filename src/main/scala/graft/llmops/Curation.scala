@@ -47,17 +47,20 @@ object Curation {
        GROUP BY sh.doc_id ORDER BY sh.doc_id""") { (s, dir) =>
     val docs = T(s, dir, "documents")
     val holdout = substring(md5(col("doc_id").cast("string")), 1, 2) <= "19"
-    val grams = Shingles.wordShingles(docs, K)
+    // hash grams BEFORE any shuffle: every distinct/join downstream moves
+    // 8 bytes per gram instead of the gram text (collision odds
+    // ~|grams|²/2⁶⁴ — the same accepted class as exactJaccard's hashes)
+    val grams = Shingles.wordShingles(docs, K, distinct = false)
+      .select(col("doc_id"), xxhash64(col("sh")).as("g"))
+      .distinct()
       .join(docs.select(col("doc_id"), holdout.as("holdout")), "doc_id")
-    // benchmark gram set: hashed, distinct — the membership side of the
-    // join carries 8 bytes per gram, never the text
-    val bench = grams.filter(col("holdout"))
-      .select(xxhash64(col("sh")).as("g")).distinct()
+    val bench = grams.filter(col("holdout")).select(col("g")).distinct()
+    // (doc_id, g) is unique after the distinct, so a plain count after
+    // the membership join IS the distinct-gram hit count
     grams.filter(!col("holdout"))
-      .select(col("doc_id"), col("sh"), xxhash64(col("sh")).as("g"))
       .join(bench, "g")
       .groupBy(col("doc_id"))
-      .agg(count_distinct(col("sh")).as("n_hits"))
+      .agg(count(lit(1)).as("n_hits"))
       .orderBy("doc_id")
   }
 
