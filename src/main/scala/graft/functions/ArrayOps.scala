@@ -162,7 +162,170 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Per-row shingle-set hashing: text → SORTED DISTINCT array of the
+  * xxhash64 (seed 42) of every k-gram — the whole near-dup "sets" stage
+  * as ONE narrow expression.
+  *
+  * Why this exists: the explode → groupBy(doc_id) → collect_set spelling
+  * shuffles the shingle stream — the LARGEST intermediate of every LSH
+  * query — just to reassemble rows that were together to begin with.
+  * Computing the set per row removes that shuffle entirely; at 100 TB
+  * the dedup pipeline's biggest exchange simply disappears.
+  *
+  * Hash parity: a k-word shingle joined with single spaces is
+  * byte-identical to the corresponding substring of the original text
+  * (split-on-space keeps empty tokens, so rejoining reproduces the
+  * source bytes), so hashing the source byte range equals
+  * `xxhash64(concat_ws(' ', ...))` — the values interoperate with sets
+  * built by the exploded path, and no per-shingle string is ever
+  * allocated.
+  */
+object ShingleHashImpl {
+  private val SEED = 42L
+
+  private def sortedDistinct(a: Array[Long], n: Int): Array[Long] = {
+    val t = java.util.Arrays.copyOf(a, n)
+    java.util.Arrays.sort(t)
+    var w = 0
+    var i = 0
+    while (i < t.length) {
+      if (w == 0 || t(w - 1) != t(i)) { t(w) = t(i); w += 1 }
+      i += 1
+    }
+    if (w == t.length) t else java.util.Arrays.copyOf(t, w)
+  }
+
+  /** k-word shingles (split on single space, empty tokens kept — the
+    * split()/concat_ws() semantics). Empty array when the text has
+    * fewer than k words.
+    */
+  def wordGrams(s: org.apache.spark.unsafe.types.UTF8String, k: Int): Array[Long] = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes()
+    // word start offsets: 0 and every byte after a 0x20 (never part of a
+    // multi-byte UTF-8 sequence)
+    var nWords = 1
+    var i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == ' ') nWords += 1
+      i += 1
+    }
+    if (nWords < k) return Array.emptyLongArray
+    val starts = new Array[Int](nWords)
+    var w = 1
+    i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == ' ') {
+        starts(w) = i + 1; w += 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](nWords - k + 1)
+    i = 0
+    while (i <= nWords - k) {
+      val from = starts(i)
+      // end of word i+k-1: next word's start minus the space, or text end
+      val until = if (i + k < nWords) starts(i + k) - 1 else len
+      out(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off + from, until - from, SEED)
+      i += 1
+    }
+    sortedDistinct(out, out.length)
+  }
+
+  /** k-char (codepoint) shingles — the substring(text, i, k) semantics.
+    * Empty array when the text has fewer than k chars.
+    */
+  def charGrams(s: org.apache.spark.unsafe.types.UTF8String, k: Int): Array[Long] = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes()
+    // codepoint start offsets
+    var n = 0
+    var i = 0
+    while (i < len) {
+      i += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(
+        org.apache.spark.unsafe.Platform.getByte(base, off + i))
+      n += 1
+    }
+    if (n < k) return Array.emptyLongArray
+    val starts = new Array[Int](n + 1)
+    var c = 0
+    i = 0
+    while (i < len) {
+      starts(c) = i
+      i += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(
+        org.apache.spark.unsafe.Platform.getByte(base, off + i))
+      c += 1
+    }
+    starts(n) = len
+    val out = new Array[Long](n - k + 1)
+    i = 0
+    while (i <= n - k) {
+      out(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off + starts(i), starts(i + k) - starts(i), SEED)
+      i += 1
+    }
+    sortedDistinct(out, out.length)
+  }
+}
+
+case class WordShingleHashes(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(k >= 1, s"WordShingleHashes: k must be >= 1, got $k")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      ShingleHashImpl.wordGrams(
+        a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.ShingleHashImpl.wordGrams($a, $k));")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class CharShingleHashes(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(k >= 1, s"CharShingleHashes: k must be >= 1, got $k")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      ShingleHashImpl.charGrams(
+        a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.ShingleHashImpl.charGrams($a, $k));")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ArrayOps {
+
+  /** Column form of WordShingleHashes. */
+  def wordShingleHashes(text: Column, k: Int): Column =
+    ExpressionUtils.column(WordShingleHashes(
+      ExpressionUtils.expression(text), k))
+
+  /** Column form of CharShingleHashes. */
+  def charShingleHashes(text: Column, k: Int): Column =
+    ExpressionUtils.column(CharShingleHashes(
+      ExpressionUtils.expression(text), k))
 
   /** Column form of MinHashSignature. */
   def minhashSignature(hs: Column, numHashes: Int): Column =

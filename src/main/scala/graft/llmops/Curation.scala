@@ -47,16 +47,16 @@ object Curation {
        GROUP BY sh.doc_id ORDER BY sh.doc_id""") { (s, dir) =>
     val docs = T(s, dir, "documents")
     val holdout = substring(md5(col("doc_id").cast("string")), 1, 2) <= "19"
-    // hash grams BEFORE any shuffle: every distinct/join downstream moves
-    // 8 bytes per gram instead of the gram text (collision odds
+    // per-row native gram-hash sets (already distinct) exploded to 8-byte
+    // rows: no gram strings, no per-doc distinct shuffle (collision odds
     // ~|grams|²/2⁶⁴ — the same accepted class as exactJaccard's hashes)
-    val grams = Shingles.wordShingles(docs, K, distinct = false)
-      .select(col("doc_id"), xxhash64(col("sh")).as("g"))
-      .distinct()
-      .join(docs.select(col("doc_id"), holdout.as("holdout")), "doc_id")
+    val grams = docs
+      .select(col("doc_id"), holdout.as("holdout"),
+        explode(graft.functions.ArrayOps.wordShingleHashes(col("text"), K))
+          .as("g"))
     val bench = grams.filter(col("holdout")).select(col("g")).distinct()
-    // (doc_id, g) is unique after the distinct, so a plain count after
-    // the membership join IS the distinct-gram hit count
+    // (doc_id, g) is unique by construction, so a plain count after the
+    // membership join IS the distinct-gram hit count
     grams.filter(!col("holdout"))
       .join(bench, "g")
       .groupBy(col("doc_id"))

@@ -158,8 +158,7 @@ object DedupFamilies {
        FROM documents d LEFT JOIN fam f ON f.id = d.doc_id
        ORDER BY d.doc_id""") { (s, dir) =>
     val docs = T(s, dir, "documents").select(col("doc_id"))
-    val sh = Shingles.wordShingles(T(s, dir, "documents"), 3, distinct = false)
-    val sets = MinHashLSH.hashSets(sh).cache()
+    val sets = MinHashLSH.wordSets(T(s, dir, "documents"), 3).cache()
     graft.core.CacheBin.swap("x_dedup_families.sets", sets)
     val cand = MinHashLSH.candidates(
       MinHashLSH.bandKeys(MinHashLSH.signaturesFromSets(sets)))

@@ -37,8 +37,7 @@ object DedupPipeline {
     // boilerplate, the main source of giant LSH buckets) and with a
     // hot-bucket cap so one templated family can never go quadratic
     // inside a single shuffle key — see cappedCandidates' scaladoc.
-    val sets = MinHashLSH.hashSets(
-      Shingles.wordShingles(exact, 3, distinct = false)).cache()
+    val sets = MinHashLSH.wordSets(exact, 3).cache()
     graft.core.CacheBin.swap("dedup_pipeline.sets", sets)
     val cand = MinHashLSH.cappedCandidates(
       MinHashLSH.bandKeys(MinHashLSH.signaturesFromSets(sets)), maxBucket)

@@ -58,9 +58,8 @@ object Incremental {
          AND CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= ${MinHashLSH.TAU}
        ORDER BY a_id, b_id""") { (s, dir) =>
     val docs = T(s, dir, "documents")
-    val sh = Shingles.wordShingles(docs, 3, distinct = false)
     // same plan as q33's sets => the cached corpus signatures are shared
-    val sets = MinHashLSH.hashSets(sh).cache()
+    val sets = MinHashLSH.wordSets(docs, 3).cache()
     graft.core.CacheBin.swap("x_incremental_neardup.sets", sets)
     val bands = withCutoff(
       MinHashLSH.bandKeys(MinHashLSH.signaturesFromSets(sets)))
@@ -103,8 +102,7 @@ object Incremental {
          AND CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= ${MinHashLSH.TAU}
        ORDER BY a_id, b_id""") { (s, dir) =>
     val docs = T(s, dir, "documents")
-    val sh = Shingles.wordShingles(docs, 3, distinct = false)
-    val sets = MinHashLSH.hashSets(sh).cache()
+    val sets = MinHashLSH.wordSets(docs, 3).cache()
     graft.core.CacheBin.swap("x_split_leakage.sets", sets)
     val holdout = substring(md5(col("doc_id").cast("string")), 1, 2) <= "19"
     val bands = MinHashLSH.bandKeys(MinHashLSH.signaturesFromSets(sets))

@@ -53,6 +53,30 @@ object MinHashLSH {
       .agg(sort_array(collect_set(xxhash64(col("sh")))).as("hs"))
       .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("c"))
 
+  /** The SHUFFLE-FREE spelling of hashSets: each document's sorted
+    * distinct shingle-hash set computed per row by a native expression
+    * (graft.functions.WordShingleHashes / CharShingleHashes) that hashes
+    * the original text bytes — no shingle strings allocated, no explode,
+    * and crucially NO groupBy shuffle of the shingle stream (the largest
+    * intermediate of every LSH query). Produces bit-identical sets to
+    * hashSets(wordShingles(...)) — asserted in LlmOpsSpec — so the two
+    * spellings interoperate; the exploded form remains for consumers that
+    * need cross-document shingle rows (TF-IDF, fingerprint positions).
+    */
+  def wordSets(documents: DataFrame, k: Int): DataFrame =
+    documents
+      .select(col("doc_id"),
+        graft.functions.ArrayOps.wordShingleHashes(col("text"), k).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("c"))
+
+  def charSets(documents: DataFrame, k: Int): DataFrame =
+    documents
+      .select(col("doc_id"),
+        graft.functions.ArrayOps.charShingleHashes(col("text"), k).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("c"))
+
   def signatures(shingles: DataFrame, numHashes: Int = NUM_HASHES): DataFrame =
     signaturesFromSets(hashSets(shingles), numHashes)
 
@@ -171,8 +195,7 @@ object MinHashLSH {
        JOIN card cb ON cb.doc_id = b_id
        WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= $TAU
        ORDER BY a_id, b_id""") { (s, dir) =>
-    val sh = Shingles.wordShingles(T(s, dir, "documents"), 3, distinct = false)
-    val sets = hashSets(sh).cache()
+    val sets = wordSets(T(s, dir, "documents"), 3).cache()
     graft.core.CacheBin.swap("q33.sets", sets)
     val cand = candidates(bandKeys(signaturesFromSets(sets)))
     exactJaccardFromSets(cand, sets)
@@ -200,16 +223,7 @@ object MinHashLSH {
        JOIN card cb ON cb.doc_id = b_id
        WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= $TAU
        ORDER BY a_id, b_id""") { (s, dir) =>
-    val docs = T(s, dir, "documents")
-    // column-start substring needs the SQL form (the Scala substring()
-    // helper only takes literal positions)
-    val shingles = docs
-      .filter(length(col("text")) >= 5)
-      .select(col("doc_id"),
-        explode(expr(
-          "transform(sequence(1, length(text)-4), i -> substring(text, i, 5))"
-        )).as("sh"))
-    val sets = hashSets(shingles).cache()
+    val sets = charSets(T(s, dir, "documents"), 5).cache()
     graft.core.CacheBin.swap("x_char_ngram.sets", sets)
     val cand = candidates(bandKeys(signaturesFromSets(sets)))
     exactJaccardFromSets(cand, sets)

@@ -283,16 +283,14 @@ object StreamOps {
        WHERE a_id < cut.c AND b_id >= cut.c
          AND CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= ${graft.llmops.MinHashLSH.TAU}
        ORDER BY a_id, b_id""") { (s, dir) =>
-    import graft.llmops.{MinHashLSH => L, Shingles}
+    import graft.llmops.{MinHashLSH => L}
     val docs = T(s, dir, "documents")
     // id watermark splitting corpus/batch — a scalar, like a centroid table
     val cut = docs.agg(floor(max(col("doc_id")) * lit(0.8)).cast("long"))
       .first().getLong(0)
     // standing corpus: band index carrying each doc's sorted shingle-hash
     // set and cardinality, so candidate verify needs no further join
-    val corpusSets = L.hashSets(
-      Shingles.wordShingles(docs.filter(col("doc_id") < cut), 3, distinct = false))
-      .cache()
+    val corpusSets = L.wordSets(docs.filter(col("doc_id") < cut), 3).cache()
     graft.core.CacheBin.swap("x_stream_neardup.sets", corpusSets)
     val index = L.bandKeys(L.signaturesFromSets(corpusSets))
       .join(corpusSets, "doc_id")
@@ -310,13 +308,11 @@ object StreamOps {
     }
     val stream = s.readStream.schema(schema).parquet(streamDir.toString)
       .filter(col("doc_id") >= cut)
-      .withColumn("w", split(col("text"), " "))
-      .filter(size(col("w")) >= 3)
-      // per-row twin of Shingles.wordShingles + hashSets: distinct sorted
-      // xxhash64 of the 3-word shingles, as one array column
-      .withColumn("hs", sort_array(array_distinct(expr(
-        "transform(sequence(0, size(w) - 3), i -> " +
-          "xxhash64(concat_ws(' ', element_at(w, i+1), element_at(w, i+2), element_at(w, i+3))))"))))
+      // native per-row shingle-hash set (same values as the corpus side's
+      // wordSets — byte-range hashing, no HOF interpretation)
+      .withColumn("hs",
+        graft.functions.ArrayOps.wordShingleHashes(col("text"), 3))
+      .filter(size(col("hs")) > 0)
       .withColumn("sig",
         graft.functions.ArrayOps.minhashSignature(col("hs"), L.NUM_HASHES))
       .select(col("doc_id").as("b_id"), col("hs"),

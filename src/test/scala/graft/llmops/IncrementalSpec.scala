@@ -67,6 +67,48 @@ class IncrementalSpec extends AnyFunSuite {
     sets.unpersist()
   }
 
+  test("native shingle-hash sets are bit-identical to the exploded path") {
+    // real corpus text (incl. multi-byte zh chars for the char variant)
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    for (k <- Seq(3, 8)) {
+      val exploded = MinHashLSH.hashSets(Shingles.wordShingles(docs, k))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+        .sortBy(_._1)
+      val native = MinHashLSH.wordSets(docs, k)
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+        .sortBy(_._1)
+      assert(native.length == exploded.length, s"k=$k row counts differ")
+      native.zip(exploded).foreach { case (n, e) =>
+        assert(n == e, s"k=$k doc ${n._1} differs from exploded path")
+      }
+    }
+    // char variant vs the SQL substring spelling used by x_char_ngram
+    val charExploded = MinHashLSH.hashSets(
+      docs.filter(length(col("text")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, length(text)-4), i -> substring(text, i, 5))"
+        )).as("sh")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .sortBy(_._1)
+    val charNative = MinHashLSH.charSets(docs, 5)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(charNative.length == charExploded.length)
+    charNative.zip(charExploded).foreach { case (n, e) =>
+      assert(n == e, s"char doc ${n._1} differs from exploded path")
+    }
+    // edge cases: fewer than k words / empty / consecutive-space texts
+    val edge = Seq((1L, "one two"), (2L, ""), (3L, "a  b c"), (4L, "x y z"))
+      .toDF("doc_id", "text")
+    val edgeNative = MinHashLSH.wordSets(edge, 3)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    val edgeExploded = MinHashLSH.hashSets(Shingles.wordShingles(edge, 3))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    assert(edgeNative == edgeExploded)
+    assert(edgeNative.keySet == Set(3L, 4L)) // <3 words drop out
+  }
+
   test("hot-bucket cap bounds pair generation and surfaces excluded buckets") {
     // 60 near-identical docs (one distinct token each) — every band
     // bucket holds all 60, so uncapped candidates are 60*59/2 = 1770
