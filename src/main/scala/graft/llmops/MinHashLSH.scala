@@ -7,21 +7,26 @@ import graft.core.{Q, Tables => T}
 /** Near-duplicate detection via MinHash + LSH banding (SURVEY.md §2b Q33).
   *
   * Pipeline (all shuffle-bounded; never O(n²) in the corpus):
-  *   1. distinct 3-word shingles per doc (narrow, codegen'd)
-  *   2. one xxhash64 per shingle, then NUM_HASHES affine permutations
-  *      min-aggregated into a signature (map-side partial agg)
+  *   1. per-doc sorted distinct shingle-hash SET, computed per row by a
+  *      native expression (no shingle strings, no explode, NO shuffle —
+  *      see wordSets below)
+  *   2. NUM_HASHES remixes min-folded into a signature by a second
+  *      native single-pass expression
   *   3. BANDS band keys per doc; equi-self-join on (band, band_hash)
   *      emits candidate pairs — the only join, and it's on a key whose
-  *      groups are tiny (docs sharing a band are near-dups)
+  *      groups are tiny (docs sharing a band are near-dups; see
+  *      cappedCandidates for the hot-bucket guard)
   *   4. candidates are verified with EXACT Jaccard over the shingle sets,
   *      so LSH recall/precision never changes the answer — it only
   *      bounds the work. With 8 bands × 4 rows, P(miss) at the corpus'
   *      planted J≥0.97 is (1 − 0.97⁴)⁸ ≈ 3e-8 — every LSH path in the
   *      engine shares this one parameterization.
   *
-  * At 100 TB: shingle explosion is the big intermediate; it stays
-  * distributed (groupBy doc_id), signatures are 64×8 bytes/doc, and the
-  * band join shuffles only (band_hash, doc_id) pairs.
+  * At 100 TB: the whole sets+signature stage is a narrow map over the
+  * corpus (the pre-round-4 explode + groupBy spelling shuffled the
+  * shingle stream, the pipeline's largest intermediate); the band join
+  * shuffles only (band_hash, doc_id) pairs, and verification moves one
+  * sorted hash array per candidate side.
   */
 object MinHashLSH {
 

@@ -35,8 +35,7 @@ object ScaleProbe {
 
     def timeNearDup(k: Int): (Long, Double) = {
       val t0 = System.nanoTime()
-      val sh = Shingles.wordShingles(corpus(k), 3, distinct = false)
-      val sets = MinHashLSH.hashSets(sh).cache()
+      val sets = MinHashLSH.wordSets(corpus(k), 3).cache()
       val cand = MinHashLSH.candidates(
         MinHashLSH.bandKeys(MinHashLSH.signaturesFromSets(sets, 32), 8, 4))
       val pairs = MinHashLSH.exactJaccardFromSets(cand, sets)
@@ -122,8 +121,7 @@ object ScaleProbe {
             text.as("text"))
       }.reduce(_ union _)
       val t0 = System.nanoTime()
-      val cSets = MinHashLSH.hashSets(
-        Shingles.wordShingles(corpusDocs, 3, distinct = false)).cache()
+      val cSets = MinHashLSH.wordSets(corpusDocs, 3).cache()
       val index = MinHashLSH.bandKeys(MinHashLSH.signaturesFromSets(cSets))
         .join(cSets, "doc_id")
         .select(col("band"), col("bh"), col("doc_id").as("a_id"),
@@ -132,8 +130,7 @@ object ScaleProbe {
       val idxRows = index.count() // one-time index build, timed separately
       val tBuild = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()
-      val bSets = MinHashLSH.hashSets(
-        Shingles.wordShingles(batch, 3, distinct = false))
+      val bSets = MinHashLSH.wordSets(batch, 3)
       val probe = MinHashLSH.bandKeys(MinHashLSH.signaturesFromSets(bSets))
         .join(bSets, "doc_id")
         .select(col("band"), col("bh"), col("doc_id").as("b_id"),
