@@ -37,8 +37,7 @@ object Curation {
        sh AS (SELECT DISTINCT doc_id, ${gramSql(K)} AS sh
               FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - ${K - 1}, 1))) AS i)
               WHERE len(t) >= $K),
-       split AS (SELECT doc_id,
-                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '19' AS holdout
+       split AS (SELECT doc_id, ${Incremental.holdoutSqlPred} AS holdout
                  FROM documents),
        bench AS (SELECT DISTINCT sh.sh FROM sh JOIN split USING (doc_id) WHERE split.holdout)
        SELECT sh.doc_id, CAST(count(DISTINCT sh.sh) AS BIGINT) AS n_hits
@@ -46,14 +45,16 @@ object Curation {
        WHERE NOT split.holdout
        GROUP BY sh.doc_id ORDER BY sh.doc_id""") { (s, dir) =>
     val docs = T(s, dir, "documents")
-    val holdout = substring(md5(col("doc_id").cast("string")), 1, 2) <= "19"
     // per-row native gram-hash sets (already distinct) exploded to 8-byte
     // rows: no gram strings, no per-doc distinct shuffle (collision odds
-    // ~|grams|²/2⁶⁴ — the same accepted class as exactJaccard's hashes)
+    // ~|grams|²/2⁶⁴ — the same accepted class as exactJaccard's hashes);
+    // cached — both the bench side and the train side read this frame
     val grams = docs
-      .select(col("doc_id"), holdout.as("holdout"),
+      .select(col("doc_id"), Incremental.holdoutColumn.as("holdout"),
         explode(graft.functions.ArrayOps.wordShingleHashes(col("text"), K))
           .as("g"))
+      .cache()
+    graft.core.CacheBin.swap("x_ngram_contamination.grams", grams)
     val bench = grams.filter(col("holdout")).select(col("g")).distinct()
     // (doc_id, g) is unique by construction, so a plain count after the
     // membership join IS the distinct-gram hit count
@@ -74,26 +75,42 @@ object Curation {
     s"""WITH n AS (SELECT lang, count(*) AS nl FROM documents GROUP BY 1),
        w(lang, wt) AS (VALUES ${MixWeights.map { case (l, w) => s"('$l', $w)" }.mkString(", ")}),
        t AS (SELECT d.doc_id, d.lang,
-               printf('%04x', CAST(floor(least(1.0, CAST(wt AS DOUBLE) * $MixBudget / nl) * 65536) AS BIGINT)) AS ht
+               printf('%05x', CAST(floor(least(1.0, CAST(wt AS DOUBLE) * $MixBudget / nl) * 65536) AS BIGINT)) AS ht
              FROM documents d JOIN n USING (lang) JOIN w USING (lang))
        SELECT lang, count(*) AS n_kept FROM t
-       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < ht
+       WHERE '0' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < ht
        GROUP BY lang ORDER BY lang""") { (s, dir) =>
-    val docs = T(s, dir, "documents")
-    val nl = count(lit(1)).over(Window.partitionBy(col("lang")))
-    val wt = element_at(
-      typedLit[Map[String, Double]](MixWeights.toMap), col("lang"))
-    // per-language keep fraction -> fixed-width lowercase-hex threshold;
-    // lexicographic compare on the md5 prefix IS the numeric compare, so
-    // both engines select the identical reproducible document set
-    val thr = floor(least(lit(1.0), wt * lit(MixBudget) / nl) * 65536)
-      .cast("long")
-    docs
-      .withColumn("ht", lpad(lower(hex(thr)), 4, "0"))
-      .filter(substring(md5(col("doc_id").cast("string")), 1, 4) < col("ht"))
+    mixSample(T(s, dir, "documents"), "doc_id", "lang",
+      MixWeights.toMap, MixBudget)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"))
       .orderBy("lang")
+  }
+
+  /** Library form of the deterministic mixture sampler: keep a
+    * reproducible md5-hash sample of each group sized so the kept counts
+    * approach `weights` × `budget` (groups smaller than their share are
+    * kept whole — keep fraction caps at 1.0).
+    *
+    * Per-group keep fraction -> fixed-width lowercase-hex threshold;
+    * lexicographic compare on same-width hex IS the numeric compare.
+    * WIDTH IS 5, NOT 4: a group whose count fits its budget gets keep
+    * fraction 1.0 -> threshold 65536 = 0x10000, five hex digits — padding
+    * to 4 would TRUNCATE it to "1000" and silently drop ~94% of exactly
+    * the small group the budget protects (the md5 prefix side gets a
+    * leading '0' so both operands stay five chars).
+    */
+  def mixSample(df: org.apache.spark.sql.DataFrame, idCol: String,
+      groupCol: String, weights: Map[String, Double],
+      budget: Double): org.apache.spark.sql.DataFrame = {
+    val nl = count(lit(1)).over(Window.partitionBy(col(groupCol)))
+    val wt = element_at(typedLit[Map[String, Double]](weights), col(groupCol))
+    val thr = floor(least(lit(1.0), wt * lit(budget) / nl) * 65536)
+      .cast("long")
+    df.withColumn("ht", lpad(lower(hex(thr)), 5, "0"))
+      .filter(concat(lit("0"),
+        substring(md5(col(idCol).cast("string")), 1, 4)) < col("ht"))
+      .drop("ht")
   }
 
   val all: Seq[Q] = Seq(xNgramContamination, xMixSample)

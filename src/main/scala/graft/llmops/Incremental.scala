@@ -29,18 +29,42 @@ object Incremental {
 
   /** The last 20% of doc_ids play the "new batch"; the first 80% the
     * standing corpus. floor() spelled explicitly on both engines (DuckDB
-    * CAST(double AS BIGINT) rounds; Spark's cast truncates).
+    * CAST(double AS BIGINT) rounds; Spark's cast truncates). The cutoff
+    * is ALWAYS computed over the full documents table — computing it from
+    * a filtered derivative (e.g. the band frame, which drops <k-word
+    * docs) would silently diverge from the oracle whenever the highest-id
+    * document is short.
     */
   private val cutoffSql =
     "SELECT CAST(floor(0.8 * max(doc_id)) AS BIGINT) AS c FROM documents"
 
-  private def withCutoff(docs: org.apache.spark.sql.DataFrame) = {
-    val cut = docs.agg(floor(max(col("doc_id")) * lit(0.8)).cast("long").as("cut"))
-    docs.crossJoin(broadcast(cut))
-  }
+  /** One-row (cut) frame over the FULL documents table. */
+  def cutoffFrame(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.agg(floor(max(col("doc_id")) * lit(0.8)).cast("long").as("cut"))
 
-  val xIncrementalNeardup = Q(
-    "x_incremental_neardup",
+  /** The cutoff as a driver scalar (for streaming filters, where the
+    * cross-joined column form isn't available).
+    */
+  def cutoffValue(docs: org.apache.spark.sql.DataFrame): Long =
+    cutoffFrame(docs).first().getLong(0)
+
+  private def withCutoff(docs: org.apache.spark.sql.DataFrame) =
+    docs.crossJoin(broadcast(cutoffFrame(docs)))
+
+  /** Deterministic ~10% holdout split used by x_split_leakage and
+    * x_ngram_contamination — the engine-agnostic md5-prefix recipe
+    * (same as x_sample_hash). One spelling, shared.
+    */
+  val holdoutSqlPred = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '19'"
+  def holdoutColumn: org.apache.spark.sql.Column =
+    substring(md5(col("doc_id").cast("string")), 1, 2) <= "19"
+
+  /** The brute-force cross-watermark near-dup oracle, shared verbatim by
+    * x_incremental_neardup and its streaming twin x_stream_neardup (the
+    * replay-equivalence contract demands one spelling).
+    */
+  val crossSetNeardupOracle: String =
     s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
               FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 1))) AS i)
@@ -56,13 +80,19 @@ object Incremental {
        JOIN card cb ON cb.doc_id = b_id, cut
        WHERE a_id < cut.c AND b_id >= cut.c
          AND CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= ${MinHashLSH.TAU}
-       ORDER BY a_id, b_id""") { (s, dir) =>
+       ORDER BY a_id, b_id"""
+
+  val xIncrementalNeardup = Q(
+    "x_incremental_neardup", crossSetNeardupOracle) { (s, dir) =>
     val docs = T(s, dir, "documents")
     // same plan as q33's sets => the cached corpus signatures are shared
     val sets = MinHashLSH.wordSets(docs, 3).cache()
     graft.core.CacheBin.swap("x_incremental_neardup.sets", sets)
-    val bands = withCutoff(
-      MinHashLSH.bandKeys(MinHashLSH.signaturesFromSets(sets)))
+    // cutoff from the FULL table (the band frame excludes <3-word docs —
+    // deriving the watermark from it would diverge from the oracle when
+    // the max-id document is short)
+    val bands = MinHashLSH.bandKeys(MinHashLSH.signaturesFromSets(sets))
+      .crossJoin(broadcast(cutoffFrame(docs)))
     // "stored index" side: corpus band keys, keyed (band, bh)
     val index = bands.filter(col("doc_id") < col("cut"))
       .select(col("band"), col("bh"), col("doc_id").as("a_id"))
@@ -76,10 +106,6 @@ object Incremental {
       .orderBy("a_id", "b_id")
   }
 
-  /** Deterministic ~10% holdout: md5(doc_id) prefix <= '19' (the same
-    * engine-agnostic hash-split recipe as x_sample_hash).
-    */
-  private val holdoutPred = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '19'"
 
   val xSplitLeakage = Q(
     "x_split_leakage",
@@ -88,7 +114,7 @@ object Incremental {
               FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 1))) AS i)
               WHERE len(t) >= 3),
        card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
-       split AS (SELECT doc_id, $holdoutPred AS holdout FROM documents),
+       split AS (SELECT doc_id, $holdoutSqlPred AS holdout FROM documents),
        inter AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS i
                  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
                  GROUP BY 1, 2)
@@ -104,9 +130,8 @@ object Incremental {
     val docs = T(s, dir, "documents")
     val sets = MinHashLSH.wordSets(docs, 3).cache()
     graft.core.CacheBin.swap("x_split_leakage.sets", sets)
-    val holdout = substring(md5(col("doc_id").cast("string")), 1, 2) <= "19"
     val bands = MinHashLSH.bandKeys(MinHashLSH.signaturesFromSets(sets))
-      .withColumn("holdout", holdout)
+      .withColumn("holdout", holdoutColumn)
     val cand = bands.as("x").join(bands.as("y"), Seq("band", "bh"))
       .filter(col("x.doc_id") < col("y.doc_id") &&
         col("x.holdout") =!= col("y.holdout"))

@@ -186,10 +186,14 @@ object Lake {
       .lastOption.map(_._2.toString)
   }
 
-  /** Publish `df` as the next version of the dataset at `path`. Versions
-    * older than the previous one are retired — the immediately-previous
-    * version is kept one extra generation as a grace window for scans
-    * that resolved it before this commit.
+  /** Publish `df` as the next version of the dataset at `path`. Older
+    * versions are retired, EXCEPT the latest previously-COMMITTED one,
+    * which is kept one extra generation as a grace window for scans that
+    * resolved it before this commit. The grace test is on committedness,
+    * not raw version number: a dead writer's uncommitted v=N must never
+    * displace the committed version in-flight readers are actually
+    * scanning (its number is still consumed, so the dead dir is simply
+    * deleted).
     */
   def writeVersioned(df: DataFrame, path: String): Long = {
     val spark = df.sparkSession
@@ -198,8 +202,13 @@ object Lake {
     val existing = versionDirs(fs, root)
     val next = existing.lastOption.map(_._1 + 1).getOrElse(0L)
     df.write.mode("overwrite").parquet(s"$path/v=$next")
-    // retire all but the immediately-previous generation
-    existing.dropRight(1).foreach { case (_, p) => fs.delete(p, true) }
+    val grace = existing
+      .filter { case (_, p) =>
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) }
+      .lastOption.map(_._1)
+    existing.foreach { case (v, p) =>
+      if (!grace.contains(v)) fs.delete(p, true)
+    }
     next
   }
 

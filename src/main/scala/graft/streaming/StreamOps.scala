@@ -267,27 +267,12 @@ object StreamOps {
     */
   val xStreamNeardup = Q(
     "x_stream_neardup",
-    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-       sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
-              FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 1))) AS i)
-              WHERE len(t) >= 3),
-       card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
-       cut AS (SELECT CAST(floor(0.8 * max(doc_id)) AS BIGINT) AS c FROM documents),
-       inter AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS i
-                 FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
-                 GROUP BY 1, 2)
-       SELECT a_id, b_id, CAST(i AS DOUBLE) / (ca.c + cb.c - i) AS jaccard
-       FROM inter
-       JOIN card ca ON ca.doc_id = a_id
-       JOIN card cb ON cb.doc_id = b_id, cut
-       WHERE a_id < cut.c AND b_id >= cut.c
-         AND CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= ${graft.llmops.MinHashLSH.TAU}
-       ORDER BY a_id, b_id""") { (s, dir) =>
+    graft.llmops.Incremental.crossSetNeardupOracle) { (s, dir) =>
     import graft.llmops.{MinHashLSH => L}
     val docs = T(s, dir, "documents")
-    // id watermark splitting corpus/batch — a scalar, like a centroid table
-    val cut = docs.agg(floor(max(col("doc_id")) * lit(0.8)).cast("long"))
-      .first().getLong(0)
+    // id watermark splitting corpus/batch — a scalar, like a centroid
+    // table (one shared spelling: Incremental.cutoffValue)
+    val cut = graft.llmops.Incremental.cutoffValue(docs)
     // standing corpus: band index carrying each doc's sorted shingle-hash
     // set and cardinality, so candidate verify needs no further join
     val corpusSets = L.wordSets(docs.filter(col("doc_id") < cut), 3).cache()

@@ -67,6 +67,25 @@ class IncrementalSpec extends AnyFunSuite {
     sets.unpersist()
   }
 
+  test("mix sample keeps a whole group whose count fits its budget " +
+      "(keep fraction 1.0 -> five-hex-digit threshold)") {
+    // 10 'xx' docs with weight 1.0 and budget 200 -> keep = 1.0 -> the
+    // threshold is 0x10000 (five hex digits); the pre-fix 4-wide lpad
+    // TRUNCATED it to "1000" and silently dropped ~94% of the group
+    val docs = (0 until 10).map(i => (i.toLong, "xx")).toDF("doc_id", "lang")
+    val kept = Curation.mixSample(docs, "doc_id", "lang",
+      Map("xx" -> 1.0), budget = 200.0)
+    assert(kept.count() == 10, "a group under its budget must be kept whole")
+    // and a fractional keep still selects a strict, deterministic subset
+    val many = (0 until 2000).map(i => (i.toLong, "yy")).toDF("doc_id", "lang")
+    val frac = Curation.mixSample(many, "doc_id", "lang",
+      Map("yy" -> 0.5), budget = 200.0)
+    val n1 = frac.count()
+    assert(n1 > 0 && n1 < 2000)
+    assert(Curation.mixSample(many, "doc_id", "lang",
+      Map("yy" -> 0.5), budget = 200.0).count() == n1) // reproducible
+  }
+
   test("native shingle-hash sets are bit-identical to the exploded path") {
     // real corpus text (incl. multi-byte zh chars for the char variant)
     val docs = graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")

@@ -147,9 +147,16 @@ class LakeSpec extends AnyFunSuite {
     assert(half.mkdirs())
     assert(Lake.currentVersion(spark, root).get.endsWith("v=0"))
     assert(Lake.readCurrent(spark, root).count() == nation.count())
-    // and the next publish skips past the dead dir's number
+    // the next publish skips past the dead dir's number...
     val next = Lake.writeVersioned(nation, root)
     assert(next == 2)
+    // ...keeps the COMMITTED v=0 as the grace generation for in-flight
+    // readers (the dead writer's dir must never displace it), and
+    // removes the dead dir
+    assert(new java.io.File(s"$root/v=0").exists(),
+      "committed grace version was retired in favor of a dead writer's dir")
+    assert(!half.exists(), "uncommitted dead dir should be cleaned up")
+    assert(Lake.currentVersion(spark, root).get.endsWith("v=2"))
   }
 
   test("manifest-pruned read skips non-overlapping files and loses no rows") {
