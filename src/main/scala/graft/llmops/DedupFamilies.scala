@@ -48,10 +48,20 @@ object DedupFamilies {
     * ran.
     */
   def components(pairs: DataFrame, driverThreshold: Long): DataFrame = {
-    // cached: the count decides the path, then either the collect (driver)
-    // or the propagation loop (distributed) re-reads the edges; the bin
-    // keeps one generation alive across repeated invocations
-    val edges = pairs.toDF("a_id", "b_id").cache()
+    // both paths assume integral ids (the driver map is keyed by Long;
+    // the distributed convergence metric sums labels) — fail fast with a
+    // clear message instead of a deep ClassCastException
+    pairs.schema.take(2).foreach { f =>
+      require(Seq("byte", "short", "integer", "long")
+        .contains(f.dataType.typeName),
+        s"components: id column '${f.name}' must be integral, got ${f.dataType}")
+    }
+    // cached: the count decides the path, then either the local iteration
+    // (driver) or the propagation loop (distributed) re-reads the edges;
+    // the bin keeps one generation alive across repeated invocations
+    val edges = pairs.toDF("a_id", "b_id")
+      .select(col("a_id").cast("long"), col("b_id").cast("long"))
+      .cache()
     graft.core.CacheBin.swap("components.edges", edges)
     val spark = edges.sparkSession
     val nEdges = edges.count()
@@ -64,7 +74,10 @@ object DedupFamilies {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      edges.collect().foreach { row =>
+      // toLocalIterator: one partition of Row objects resident at a time —
+      // driver state stays the LongMap (~16 MB at the 1M-edge threshold),
+      // not a full Array[Row] of the edge list
+      edges.toLocalIterator().forEachRemaining { row =>
         val (a, b) = (row.getLong(0), row.getLong(1))
         parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
         val (ra, rb) = (find(a), find(b))

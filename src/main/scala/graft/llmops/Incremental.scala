@@ -160,8 +160,13 @@ object Incremental {
     val bloom = corpus
       .agg(graft.functions.Bloom.bloomAgg(col("h"), 100000L, 8L * 1024 * 1024)
         .as("bf"))
+    // coalesce(false): BloomFilterAggregate over an EMPTY corpus yields a
+    // NULL sketch and might_contain propagates the NULL — without the
+    // default both branches below would drop every batch row and the
+    // query would silently return nothing instead of "everything is new"
     val probed = batch
-      .withColumn("maybe", graft.functions.Bloom.mightContain(bloom, col("h")))
+      .withColumn("maybe", coalesce(
+        graft.functions.Bloom.mightContain(bloom, col("h")), lit(false)))
     // definite-negatives pass without ever touching the corpus rows;
     // bloom-positives (true dups + bounded false positives) pay the exact
     // anti-join — exactness never depends on the filter's FP rate

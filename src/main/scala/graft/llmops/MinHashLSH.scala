@@ -113,6 +113,16 @@ object MinHashLSH {
       .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
   }
 
+  /** Band INDEX for cross-set probing: each doc's band keys joined with
+    * its shingle-hash set and cardinality (doc_id, band, bh, hs, c), so a
+    * candidate emerging from the (band, bh) join can be exact-verified
+    * in place with no further lookup. The shared shape behind
+    * x_incremental_neardup's stored corpus side, x_stream_neardup's
+    * static side, and the SCALE-INC probe.
+    */
+  def bandIndex(sets: DataFrame): DataFrame =
+    bandKeys(signaturesFromSets(sets)).join(sets, "doc_id")
+
   /** Candidate pairs (a_id < b_id) from LSH banding. */
   def candidates(bands: DataFrame): DataFrame =
     bands.as("x").join(bands.as("y"), Seq("band", "bh"))

@@ -166,7 +166,11 @@ object Lake {
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-      .map(s => s.getPath.getName.stripPrefix("v=").toLong -> s.getPath)
+      // tolerate stray non-numeric "v=..." dirs (user/tool litter): they
+      // are not versions, and a parse crash here would take down every
+      // read of an otherwise healthy dataset
+      .flatMap(s => s.getPath.getName.stripPrefix("v=").toLongOption
+        .map(_ -> s.getPath))
       .sortBy(_._1)
 
   /** Highest committed version dir (`v=<n>` carrying `_SUCCESS`), if any.

@@ -277,8 +277,7 @@ object StreamOps {
     // set and cardinality, so candidate verify needs no further join
     val corpusSets = L.wordSets(docs.filter(col("doc_id") < cut), 3).cache()
     graft.core.CacheBin.swap("x_stream_neardup.sets", corpusSets)
-    val index = L.bandKeys(L.signaturesFromSets(corpusSets))
-      .join(corpusSets, "doc_id")
+    val index = L.bandIndex(corpusSets)
       .select(col("band"), col("bh"), col("doc_id").as("a_id"),
         col("hs").as("ha"), col("c").as("ca"))
     // stream side: per-row signature, no shuffle before the join

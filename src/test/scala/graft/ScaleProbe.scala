@@ -122,17 +122,14 @@ object ScaleProbe {
       }.reduce(_ union _)
       val t0 = System.nanoTime()
       val cSets = MinHashLSH.wordSets(corpusDocs, 3).cache()
-      val index = MinHashLSH.bandKeys(MinHashLSH.signaturesFromSets(cSets))
-        .join(cSets, "doc_id")
+      val index = MinHashLSH.bandIndex(cSets)
         .select(col("band"), col("bh"), col("doc_id").as("a_id"),
           col("hs").as("ha"), col("c").as("ca"))
         .cache()
       val idxRows = index.count() // one-time index build, timed separately
       val tBuild = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()
-      val bSets = MinHashLSH.wordSets(batch, 3)
-      val probe = MinHashLSH.bandKeys(MinHashLSH.signaturesFromSets(bSets))
-        .join(bSets, "doc_id")
+      val probe = MinHashLSH.bandIndex(MinHashLSH.wordSets(batch, 3))
         .select(col("band"), col("bh"), col("doc_id").as("b_id"),
           col("hs").as("hb"), col("c").as("cb"))
       val pairs = index.join(probe, Seq("band", "bh"))
@@ -144,7 +141,7 @@ object ScaleProbe {
           >= MinHashLSH.TAU)
         .select("a_id", "b_id").distinct().count()
       val tProbe = (System.nanoTime() - t1) / 1e9
-      println(f"SCALE-INC k=$k%2d corpus=${idxRows / 8}%7d build=$tBuild%6.2f probe=$tProbe%6.2f pairs=$pairs%4d")
+      println(f"SCALE-INC k=$k%2d corpus=${idxRows / MinHashLSH.BANDS}%7d build=$tBuild%6.2f probe=$tProbe%6.2f pairs=$pairs%4d")
       cSets.unpersist(); index.unpersist()
     }
     spark.stop()

@@ -43,6 +43,32 @@ class IncrementalSpec extends AnyFunSuite {
     assert(survivors == Set(5L, 6L))
   }
 
+  test("bloom prefilter with an EMPTY corpus keeps every batch row " +
+      "(null sketch must not eat the stream)") {
+    val batch = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .withColumn("h", xxhash64(col("text")))
+    val empty = batch.filter(col("doc_id") < 0) // zero corpus rows
+    val bloom = empty
+      .agg(graft.functions.Bloom.bloomAgg(col("h"), 1000L, 1L << 20).as("bf"))
+    val probed = batch
+      .withColumn("maybe", coalesce(
+        graft.functions.Bloom.mightContain(bloom, col("h")), lit(false)))
+    assert(probed.filter(!col("maybe")).count() == 2,
+      "empty corpus -> every row is definitely new")
+  }
+
+  test("components accepts integer ids and rejects non-integral ones") {
+    val intEdges = Seq((1, 2), (2, 3)).toDF("a_id", "b_id") // IntegerType
+    val got = DedupFamilies.components(intEdges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    val strEdges = Seq(("a", "b")).toDF("a_id", "b_id")
+    val e = intercept[IllegalArgumentException] {
+      DedupFamilies.components(strEdges)
+    }
+    assert(e.getMessage.contains("must be integral"))
+  }
+
   test("incremental near-dup finds exactly the cross-watermark pairs") {
     // 0 and 2 are near-dups; 1 is unrelated; watermark puts 2 in the batch
     val base = doc(0, "z").split(" ")

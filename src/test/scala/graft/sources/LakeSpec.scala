@@ -157,6 +157,10 @@ class LakeSpec extends AnyFunSuite {
       "committed grace version was retired in favor of a dead writer's dir")
     assert(!half.exists(), "uncommitted dead dir should be cleaned up")
     assert(Lake.currentVersion(spark, root).get.endsWith("v=2"))
+    // stray non-numeric "v=..." litter must not crash any entry point
+    assert(new java.io.File(s"$root/v=backup").mkdirs())
+    assert(Lake.currentVersion(spark, root).get.endsWith("v=2"))
+    assert(Lake.readCurrent(spark, root).count() == nation.count())
   }
 
   test("manifest-pruned read skips non-overlapping files and loses no rows") {
