@@ -17,10 +17,25 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 object GraftFunctions {
 
+  /** Evaluate a foldable literal argument (the k of the shingle/signature
+    * functions) at registration-call time — fails fast with the function
+    * name if the argument isn't a constant.
+    */
+  private def litInt(e: Expression, fn: String): Int = {
+    require(e.foldable, s"$fn: the k argument must be a literal")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "array_dot" -> { exprs => ArrayDotProduct(exprs(0), exprs(1)) },
     "sorted_intersect_count" -> { exprs => SortedLongArrayIntersect(exprs(0), exprs(1)) },
-    "jaro_winkler_similarity" -> { exprs => JaroWinkler(exprs(0), exprs(1)) })
+    "jaro_winkler_similarity" -> { exprs => JaroWinkler(exprs(0), exprs(1)) },
+    "word_shingle_hashes" -> { exprs =>
+      WordShingleHashes(exprs(0), litInt(exprs(1), "word_shingle_hashes")) },
+    "char_shingle_hashes" -> { exprs =>
+      CharShingleHashes(exprs(0), litInt(exprs(1), "char_shingle_hashes")) },
+    "minhash_signature" -> { exprs =>
+      MinHashSignature(exprs(0), litInt(exprs(1), "minhash_signature")) })
 
   def register(spark: SparkSession): Unit =
     fns.foreach { case (name, builder) =>

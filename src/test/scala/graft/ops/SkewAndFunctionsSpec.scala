@@ -43,6 +43,31 @@ class SkewAndFunctionsSpec extends AnyFunSuite {
     assert(got == 32.0)
   }
 
+  test("shingle-hash and minhash expressions are callable from SQL") {
+    GraftFunctions.register(spark)
+    // parity with the column function on the same text
+    val viaSql = spark.sql(
+      "SELECT word_shingle_hashes('a b c d', 3) AS hs")
+      .as[Seq[Long]].head()
+    val viaCol = Seq("a b c d").toDF("text")
+      .select(graft.functions.ArrayOps.wordShingleHashes(col("text"), 3).as("hs"))
+      .as[Seq[Long]].head()
+    assert(viaSql == viaCol && viaSql.length == 2)
+    val chars = spark.sql(
+      "SELECT size(char_shingle_hashes('abcdef', 5)) AS n").as[Int].head()
+    assert(chars == 2)
+    val sig = spark.sql(
+      "SELECT size(minhash_signature(word_shingle_hashes('a b c d', 3), 32)) AS n")
+      .as[Int].head()
+    assert(sig == 32)
+    // non-literal k fails fast with the function name
+    val e = intercept[Exception] {
+      spark.sql("SELECT word_shingle_hashes('a b c', cast(rand()*3 AS INT))")
+        .collect()
+    }
+    assert(e.getMessage.contains("word_shingle_hashes"))
+  }
+
   test("jaro_winkler_similarity and sorted_intersect_count from SQL") {
     GraftFunctions.register(spark)
     val jw = spark.sql(
