@@ -118,3 +118,58 @@ object GraftProps extends Properties("graft") {
     }
 
 }
+
+/** Shingle-hash expression laws — PURE JVM (no Spark jobs per sample),
+  * so these afford 1000 samples where the frame-level laws above afford
+  * 8. Each law races ShingleHashImpl's byte-range hashing against an
+  * independent split/mkString (resp. codepoint-window) reference over
+  * random unicode text with empty tokens, multi-byte chars, and
+  * surrogate pairs.
+  */
+object ShingleHashProps extends Properties("shingle") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(1000)
+
+  private val textGen: Gen[String] = for {
+    n <- Gen.choose(0, 30)
+    words <- Gen.listOfN(n, Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)),
+      Gen.const(""), // consecutive/leading/trailing spaces
+      Gen.oneOf("héllo", "日本語", "χ", "🙂x")))
+  } yield words.mkString(" ")
+
+  private def hash(s: String): Long = {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+  }
+
+  private def refWordGrams(text: String, k: Int): Seq[Long] = {
+    val words = text.split(" ", -1)
+    if (words.length < k) Seq.empty
+    else words.sliding(k).map(w => hash(w.mkString(" ")))
+      .toSeq.distinct.sorted
+  }
+
+  private def refCharGrams(text: String, k: Int): Seq[Long] = {
+    val cps = text.codePoints().toArray
+    if (cps.length < k) Seq.empty
+    else (0 to cps.length - k)
+      .map(i => hash(new String(cps, i, k))).distinct.sorted
+  }
+
+  property("wordGrams == split/mkString reference") =
+    forAll(textGen, Gen.choose(1, 5)) { (text, k) =>
+      graft.functions.ShingleHashImpl.wordGrams(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text), k)
+        .toSeq == refWordGrams(text, k)
+    }
+
+  property("charGrams == codepoint-window reference") =
+    forAll(textGen, Gen.choose(1, 5)) { (text, k) =>
+      graft.functions.ShingleHashImpl.charGrams(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text), k)
+        .toSeq == refCharGrams(text, k)
+    }
+}
