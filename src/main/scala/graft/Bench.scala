@@ -44,11 +44,19 @@ object Bench {
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .map { case (name, fn) =>
       var ok = true
-      val times = (1 to reps).map { _ =>
+      // Sub-second queries get up to 2 extra reps: on a shared box a
+      // single descheduling blip doubles a 0.15 s measurement and
+      // min-of-2 still keeps the blip one run in four — exactly the
+      // noise the round-4 driver run flagged as eight false
+      // "regressions". Extra reps cost ~0.15 s each on the queries that
+      // get them; heavy queries keep the configured rep count.
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      while (times.length < reps ||
+          (ok && times.length < reps + 2 && times.min < 0.5)) {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case e: Throwable => ok = false; System.err.println(s"BENCH ERROR $name: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
+        times += (System.nanoTime() - t0) / 1e9
       }
       if (!ok) errors += name
       // a crashed query must not deflate the total: report it as -1

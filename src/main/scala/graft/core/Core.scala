@@ -76,9 +76,14 @@ object CacheBin {
   def swap(key: String, dfs: DataFrame*): Unit = {
     val prev = live.put(key, dfs)
     prev.foreach(_.foreach { old =>
-      val carried = dfs.exists(
-        _.queryExecution.analyzed.sameResult(old.queryExecution.analyzed))
-      if (!carried) old.unpersist(false)
+      // a previous generation can belong to an already-stopped session
+      // (test suites churn sessions); dropping it is then a no-op, not
+      // an error
+      try {
+        val carried = dfs.exists(
+          _.queryExecution.analyzed.sameResult(old.queryExecution.analyzed))
+        if (!carried) old.unpersist(false)
+      } catch { case _: Exception => }
     })
   }
 }

@@ -22,6 +22,35 @@ object VectorSearch {
   /** dot(a, b) — codegen'd native expression (graft.functions). */
   def dot(a: Column, b: Column): Column = graft.functions.ArrayOps.dot(a, b)
 
+  /** Shared normalized-embeddings base — (vec_id, label, emb [double],
+    * n_emb [unit-normalized]) — scanned, cast and normalized ONCE per data
+    * dir, cached, and reused by every vector query (q34, x_embed_nn,
+    * x_embed_neardup, x_ann_ivf). The cached InMemoryRelation prunes
+    * unused columns at read, so the extra width is free to queries that
+    * don't need `emb`/`label`.
+    *
+    * Round 3's vector-query timings silently relied on an ACCIDENTAL
+    * CacheManager plan collision (two queries' private frames happened to
+    * canonicalize identically, so the second reused the first's cache);
+    * round 4 added a column to one of them, broke the collision, and every
+    * vector query paid its own scan+normalize again. Deliberate sharing is
+    * also the scale posture: the normalized base is the vector index's one
+    * full pass over the corpus, and every search derives from it.
+    */
+  private val bases =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  def embeddingsBase(s: SparkSession, dir: String): DataFrame =
+    bases.getOrElseUpdate((System.identityHashCode(s), dir), {
+      val df = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("emb"),
+          graft.functions.ArrayOps.l2normalize(col("embedding")).as("n_emb"))
+        .cache()
+      graft.core.CacheBin.swap(s"vector.base:$dir", df)
+      df
+    })
+
   /** cosine(a, b) — mirrors DuckDB's dot/(sqrt(na)*sqrt(nb)) shape. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -43,9 +72,7 @@ object VectorSearch {
          CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) p)
        WHERE rn <= 10 ORDER BY probe_id, rank""") { (s, dir) =>
     // normalize once per vector => each candidate pair costs ONE dot
-    val e = T(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"),
-        graft.functions.ArrayOps.l2normalize(col("embedding")).as("n_emb"))
+    val e = embeddingsBase(s, dir).select("vec_id", "label", "n_emb")
     val probes = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("n_emb").as("p_emb"))
     val scored = e.crossJoin(broadcast(probes))
@@ -98,11 +125,7 @@ object VectorSearch {
                            b.vec_id) AS rn
          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
        WHERE rn = 1 ORDER BY vec_id""") { (s, dir) =>
-    val e = T(s, dir, "embeddings")
-      .select(col("vec_id"),
-        graft.functions.ArrayOps.l2normalize(col("embedding")).as("n_emb"))
-      .cache()
-    graft.core.CacheBin.swap("x_embed_nn.e", e)
+    val e = embeddingsBase(s, dir).select(col("vec_id"), col("n_emb"))
     exactNearestNeighbor(e).orderBy("vec_id")
   }
 
@@ -190,10 +213,7 @@ object VectorSearch {
        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                     CAST(b.embedding AS DOUBLE[])) >= $COSINE_TAU
        ORDER BY a_id, b_id""") { (s, dir) =>
-    val raw = T(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
-        graft.functions.ArrayOps.l2normalize(col("embedding")).as("n_emb"))
-      .cache()
+    val raw = embeddingsBase(s, dir).select("vec_id", "emb", "n_emb")
     val k = 16
     val centroids = kmeansCentroids(raw.select(col("vec_id"), col("n_emb")), k, 1)
     val centLit = typedLit(centroids.map(_.toSeq).toSeq)
@@ -206,7 +226,7 @@ object VectorSearch {
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("emb"), col("cid"), col("csim"))
       .cache()
-    graft.core.CacheBin.swap("x_embed_neardup.gen", raw, own)
+    graft.core.CacheBin.swap("x_embed_neardup.own", own)
     // per-list radius r_c = max ||u − c||; k rows — driver-side like the
     // centroid table. Clamp 2 − 2·csim at 0 before the sqrt: csim > 1 by
     // an ulp (singleton list = its own centroid) would make the radius NaN,
@@ -326,12 +346,9 @@ object VectorSearch {
     * probe_id, recall, recall_ok).
     */
   def ivfRecall(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
-    // cached: k-means revisits the normalized vectors twice per iteration
-    val e = T(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"),
-        graft.functions.ArrayOps.l2normalize(col("embedding")).as("n_emb"))
-      .cache()
-    graft.core.CacheBin.swap("x_ann_ivf.e", e)
+    // the shared cached base: k-means revisits the vectors twice per
+    // iteration, and the exact twin re-scans them once more
+    val e = embeddingsBase(s, dir).select("vec_id", "label", "n_emb")
     // 2 Lloyd iterations: quantizer quality only moves recall (measured
     // unchanged at nprobe=6 by RecallProbe), and each iteration costs two
     // driver-synchronized jobs
