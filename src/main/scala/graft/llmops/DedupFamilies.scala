@@ -145,6 +145,19 @@ object DedupFamilies {
     labels
   }
 
+  /** Exact-verified near-dup pairs over the shared word-3-gram set base
+    * (one cached shingle pass per dir feeds q33 and both family queries).
+    */
+  private def verifiedPairs(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val sets = MinHashLSH.wordSetsBase(s, dir)
+    val cand = MinHashLSH.candidates(
+      MinHashLSH.bandKeys(MinHashLSH.signaturesFromSets(sets)))
+    MinHashLSH.exactJaccardFromSets(cand, sets)
+      .filter(col("jaccard") >= MinHashLSH.TAU)
+      .select(col("a_id"), col("b_id"))
+  }
+
   val xFamilies = Q(
     "x_dedup_families",
     s"""WITH RECURSIVE
@@ -171,14 +184,7 @@ object DedupFamilies {
        FROM documents d LEFT JOIN fam f ON f.id = d.doc_id
        ORDER BY d.doc_id""") { (s, dir) =>
     val docs = T(s, dir, "documents").select(col("doc_id"))
-    val sets = MinHashLSH.wordSets(T(s, dir, "documents"), 3).cache()
-    graft.core.CacheBin.swap("x_dedup_families.sets", sets)
-    val cand = MinHashLSH.candidates(
-      MinHashLSH.bandKeys(MinHashLSH.signaturesFromSets(sets)))
-    val pairs = MinHashLSH.exactJaccardFromSets(cand, sets)
-      .filter(col("jaccard") >= MinHashLSH.TAU)
-      .select(col("a_id"), col("b_id"))
-    val labels = components(pairs)
+    val labels = components(verifiedPairs(s, dir))
     docs.join(labels, docs("doc_id") === labels("id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("family"))
@@ -186,5 +192,65 @@ object DedupFamilies {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(xFamilies)
+  /** X — dedup SURVIVOR selection: the step that actually emits the KEPT
+    * corpus. Families are the same verified-pair connected components as
+    * x_dedup_families; within each family the kept document is the
+    * longest one (max n_chars, doc_id tiebreak) — "keep the most complete
+    * near-duplicate", the survivor policy for truncation/suffix variants —
+    * and the rest are dropped. Downstream training jobs read THIS output,
+    * not the pair/label diagnostics.
+    *
+    * Scale: the argmax window runs ONLY over the pair-induced subgraph
+    * (near-dup families are a sliver of the corpus); untouched documents
+    * are appended by an anti-join pass-through and are never windowed —
+    * no corpus-wide shuffle on `family`.
+    */
+  val xSurvivors = Q(
+    "x_dedup_survivors",
+    s"""WITH RECURSIVE
+       words AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+              FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 1))) AS i)
+              WHERE len(t) >= 3),
+       card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+       inter AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS i
+                 FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                 GROUP BY 1, 2),
+       pairs AS (SELECT a_id, b_id FROM inter
+                 JOIN card ca ON ca.doc_id = a_id
+                 JOIN card cb ON cb.doc_id = b_id
+                 WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= ${MinHashLSH.TAU}),
+       edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                 UNION ALL SELECT b_id, a_id FROM pairs),
+       r(id, label) AS (SELECT src, src FROM edges
+                        UNION
+                        SELECT e.dst, r.label FROM edges e JOIN r ON e.src = r.id),
+       fam AS (SELECT id, min(label) AS family FROM r GROUP BY id),
+       labeled AS (SELECT d.doc_id, coalesce(f.family, d.doc_id) AS family,
+                          d.n_chars
+                   FROM documents d LEFT JOIN fam f ON f.id = d.doc_id),
+       ranked AS (SELECT doc_id, family, n_chars,
+                         row_number() OVER (PARTITION BY family
+                                            ORDER BY n_chars DESC, doc_id) AS rn
+                  FROM labeled)
+       SELECT doc_id, family, n_chars FROM ranked WHERE rn = 1
+       ORDER BY doc_id""") { (s, dir) =>
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val labels = components(verifiedPairs(s, dir))
+    val inFamily = docs.join(labels, docs("doc_id") === labels("id"))
+      .select(col("doc_id"), col("label").as("family"), col("n_chars"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("family"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val kept = inFamily
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+    val untouched = docs
+      .join(labels, docs("doc_id") === labels("id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("family"), col("n_chars"))
+    kept.unionByName(untouched).orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(xFamilies, xSurvivors)
 }

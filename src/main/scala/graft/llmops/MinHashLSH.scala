@@ -68,6 +68,25 @@ object MinHashLSH {
     * spellings interoperate; the exploded form remains for consumers that
     * need cross-document shingle rows (TF-IDF, fingerprint positions).
     */
+  /** Shared per-doc word-3-gram hash-set base over the full `documents`
+    * table: computed and cached ONCE per data dir, reused by every
+    * full-corpus consumer (q33, x_dedup_families, x_dedup_survivors).
+    * The storage was already de-duplicated by CacheManager plan
+    * collisions (each consumer spelled the identical plan); the memo
+    * makes the sharing deliberate, so a respelling on one side can't
+    * silently fork the cache. At scale this is the corpus' one condensed
+    * shingle pass — the most expensive narrow stage of every LSH query.
+    */
+  private val wordSetsBases =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  def wordSetsBase(s: SparkSession, dir: String): DataFrame =
+    wordSetsBases.getOrElseUpdate((System.identityHashCode(s), dir), {
+      val sets = wordSets(T(s, dir, "documents"), 3).cache()
+      graft.core.CacheBin.swap(s"lsh.wordsets:$dir", sets)
+      sets
+    })
+
   def wordSets(documents: DataFrame, k: Int): DataFrame =
     documents
       .select(col("doc_id"),
@@ -210,8 +229,7 @@ object MinHashLSH {
        JOIN card cb ON cb.doc_id = b_id
        WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= $TAU
        ORDER BY a_id, b_id""") { (s, dir) =>
-    val sets = wordSets(T(s, dir, "documents"), 3).cache()
-    graft.core.CacheBin.swap("q33.sets", sets)
+    val sets = wordSetsBase(s, dir)
     val cand = candidates(bandKeys(signaturesFromSets(sets)))
     exactJaccardFromSets(cand, sets)
       .filter(col("jaccard") >= TAU)

@@ -387,8 +387,73 @@ object Extra {
       .orderBy("o_orderpriority")
   }
 
+  /** Library form of snapshot diff: (keys..., op) for op ∈
+    * added | removed | changed between two same-schema keyed snapshots.
+    * Value comparison is ONE xxhash64 fingerprint per side — at scale the
+    * join moves (key, 8 bytes) per row, never the value columns, and the
+    * full-outer join is the single shuffle (both sides hashed on the
+    * key). A 2⁻⁶⁴ fingerprint collision can only turn one `changed` row
+    * into a false `unchanged` — the standard CDC trade; use the columns
+    * themselves if that is unacceptable.
+    */
+  def datasetDiff(v1: DataFrame, v2: DataFrame, keys: Seq[String]): DataFrame = {
+    val valueCols = v1.columns.toSeq.filterNot(keys.contains)
+    require(v2.columns.toSeq.filterNot(keys.contains) == valueCols,
+      s"datasetDiff: snapshots must share the value schema, " +
+        s"got ${v1.columns.toSeq} vs ${v2.columns.toSeq}")
+    val a = v1.select(keys.map(col) :+
+      xxhash64(valueCols.map(col): _*).as("fp1"): _*)
+    val b = v2.select(keys.map(col) :+
+      xxhash64(valueCols.map(col): _*).as("fp2"): _*)
+    a.join(b, keys, "full_outer")
+      .withColumn("op",
+        when(col("fp1").isNull, lit("added"))
+          .when(col("fp2").isNull, lit("removed"))
+          .when(col("fp1") =!= col("fp2"), lit("changed")))
+      .filter(col("op").isNotNull)
+      .select(keys.map(col) :+ col("op"): _*)
+  }
+
+  /** X — dataset snapshot diff: the added/removed/changed audit between
+    * two versions of a keyed table (the explain step after any
+    * upsert/compact — x_upsert writes the new version, this reports what
+    * it did). Snapshots derive deterministically from `orders`: v1 drops
+    * keys ≡0 (mod 7); v2 drops keys ≡0 (mod 11) and reprices keys ≡0
+    * (mod 5). Both engines compute identical doubles from the same
+    * column, so `changed` never depends on cross-engine float noise.
+    */
+  val xDatasetDiff = Q(
+    "x_dataset_diff",
+    """WITH v1 AS (SELECT o_orderkey AS k, o_totalprice AS price,
+                          o_orderstatus AS status
+                   FROM orders WHERE o_orderkey % 7 <> 0),
+            v2 AS (SELECT o_orderkey AS k,
+                          CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 1.1
+                               ELSE o_totalprice END AS price,
+                          o_orderstatus AS status
+                   FROM orders WHERE o_orderkey % 11 <> 0)
+       SELECT coalesce(v1.k, v2.k) AS k,
+              CASE WHEN v1.k IS NULL THEN 'added'
+                   WHEN v2.k IS NULL THEN 'removed'
+                   ELSE 'changed' END AS op
+       FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+       WHERE v1.k IS NULL OR v2.k IS NULL
+          OR v1.price <> v2.price OR v1.status <> v2.status
+       ORDER BY k""") { (s, dir) =>
+    val o = T(s, dir, "orders")
+    val v1 = o.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+        col("o_orderstatus").as("status"))
+    val v2 = o.filter(col("o_orderkey") % 11 =!= 0)
+      .select(col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 1.1)
+          .otherwise(col("o_totalprice")).as("price"),
+        col("o_orderstatus").as("status"))
+    datasetDiff(v1, v2, Seq("k")).orderBy("k")
+  }
+
   val all: Seq[Q] =
     Seq(xSessionize, xSampleHash, xStringAgg, xRedact, xRegrAgg, xFillForward,
       xGroupTopK, xApproxPercentile, xResample, xJaroWinkler, xWindowNtile,
-      xCsvRoundtrip, xUpsert, xManifestPrune)
+      xCsvRoundtrip, xUpsert, xManifestPrune, xDatasetDiff)
 }

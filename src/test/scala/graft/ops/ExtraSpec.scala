@@ -150,4 +150,38 @@ class ExtraSpec extends AnyFunSuite {
     val survivors = fams.filter(_._3).map(_._1).toSet
     assert(families == survivors)
   }
+
+  test("dedup survivors keep exactly the longest member of each family") {
+    val fams = graft.llmops.DedupFamilies.xFamilies.build(spark, sf)
+      .select("doc_id", "family").as[(Long, Long)].collect()
+    val chars = graft.core.Tables(spark, sf, "documents")
+      .select("doc_id", "n_chars").as[(Long, Long)].collect().toMap
+    val kept = graft.llmops.DedupFamilies.xSurvivors.build(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    // one survivor per family, and it is the family argmax by
+    // (n_chars desc, doc_id asc)
+    val byFam = fams.groupBy(_._2)
+    assert(kept.length == byFam.size)
+    kept.foreach { case (doc, fam, n) =>
+      assert(n == chars(doc))
+      val members = byFam(fam).map(_._1)
+      val want = members.minBy(id => (-chars(id), id))
+      assert(doc == want, s"family $fam kept $doc, expected $want")
+    }
+  }
+
+  test("datasetDiff classifies added/removed/changed and drops unchanged") {
+    val v1 = Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c"),
+      (4L, 40.0, "d")).toDF("k", "price", "status")
+    val v2 = Seq((2L, 20.0, "b"), (3L, 31.0, "c"), (4L, 40.0, "e"),
+      (5L, 50.0, "f")).toDF("k", "price", "status")
+    val got = Extra.datasetDiff(v1, v2, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "removed", 3L -> "changed", 4L -> "changed",
+      5L -> "added"))   // 2 is unchanged and absent
+    // mismatched value schemas fail fast, not silently mis-hash
+    intercept[IllegalArgumentException] {
+      Extra.datasetDiff(v1, v2.withColumnRenamed("status", "st"), Seq("k"))
+    }
+  }
 }
