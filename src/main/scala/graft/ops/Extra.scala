@@ -387,6 +387,35 @@ object Extra {
       .orderBy("o_orderpriority")
   }
 
+  /** X — z-order-clustered scan: stage orders sorted along the
+    * (o_custkey, o_totalprice) space-filling curve, then answer a query
+    * banded on BOTH columns reading only the files whose two-column
+    * stats intersect both bands. Linear clustering prunes the leading
+    * column only; the z-curve prunes either/both — LakeSpec measures the
+    * file subsets. Oracle: the same aggregate over the raw table —
+    * green iff two-dimensional skipping never drops rows.
+    */
+  val xZorderPrune = Q(
+    "x_zorder_prune",
+    """SELECT o_orderpriority, count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+       FROM orders
+       WHERE o_custkey BETWEEN 100 AND 400
+         -- floor, not CAST: DuckDB CAST(double AS BIGINT) rounds to
+         -- nearest while Spark's cast truncates; floor matches both
+         AND CAST(floor(o_totalprice) AS BIGINT) BETWEEN 20000 AND 120000
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, dir) =>
+    val orders = T(s, dir, "orders")
+    val stage = scratch("zorder/orders")
+    graft.sources.Lake.writeZOrdered(orders, stage, 16,
+      "o_custkey", "o_totalprice")
+    graft.sources.Lake.readZPruned(s, stage,
+      Seq("o_custkey" -> (100L, 400L), "o_totalprice" -> (20000L, 120000L)))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), E.sumd(col("o_totalprice")).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Library form of snapshot diff: (keys..., op) for op ∈
     * added | removed | changed between two same-schema keyed snapshots.
     * Value comparison is ONE xxhash64 fingerprint per side — at scale the
@@ -455,5 +484,5 @@ object Extra {
   val all: Seq[Q] =
     Seq(xSessionize, xSampleHash, xStringAgg, xRedact, xRegrAgg, xFillForward,
       xGroupTopK, xApproxPercentile, xResample, xJaroWinkler, xWindowNtile,
-      xCsvRoundtrip, xUpsert, xManifestPrune, xDatasetDiff)
+      xCsvRoundtrip, xUpsert, xManifestPrune, xDatasetDiff, xZorderPrune)
 }

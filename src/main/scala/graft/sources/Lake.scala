@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Source/sink utilities for the lake at scale.
@@ -110,7 +110,7 @@ object Lake {
     val target = spark.read.parquet(path)
     val merged = target
       .join(updates.select(keys.map(col): _*), keys, "left_anti")
-      .unionByName(updates.select(target.columns.map(col): _*))
+      .unionByName(updates.select(target.columns.toSeq.map(col): _*))
     val tmp = path + "__rewrite_tmp"
     merged.write.mode("overwrite").parquet(tmp)
     swapInto(fs, tmp, path)
@@ -317,6 +317,119 @@ object Lake {
     re.findAllMatchIn(text).map(m =>
       (m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"),
         m.group(2).toLong, m.group(3).toLong)).toSeq
+  }
+
+  // ---- z-order clustering: multi-dimensional file skipping ----
+
+  /** Bit-interleaved z-value of two columns, each linearly scaled to
+    * [0, 2¹⁶) from the given bounds — the space-filling-curve sort key
+    * for multi-dimensional clustering. Linear clustering gives the
+    * LEADING column tight per-file bands and the trailing column none;
+    * sorting by the z-curve gives every dimension locality, so selective
+    * filters on either column (or both) skip most files.
+    *
+    * The mapping per dimension only needs to be monotone; linear min→max
+    * scaling is right for roughly uniform domains (callers pass observed
+    * bounds). For skewed domains substitute approx-quantile ranks — the
+    * interleave is unchanged. Built from shift/and/or `functions` only,
+    * so the whole key stays inside whole-stage codegen.
+    */
+  def zvalue2(a: Column, aLo: Long, aHi: Long,
+      b: Column, bLo: Long, bHi: Long): Column = {
+    def norm(c: Column, lo: Long, hi: Long): Column = {
+      val span = math.max(1L, hi - lo)
+      least(greatest((c.cast("long") - lit(lo)) * lit(65535L) / lit(span),
+        lit(0L)), lit(65535L))
+    }
+    val x = norm(a, aLo, aHi)
+    val y = norm(b, bLo, bHi)
+    (0 until 16).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Write `df` z-order-clustered on two (numeric, long-castable) columns
+    * with a per-file two-column [lo, hi] manifest (`_zmanifest.json`,
+    * underscore-prefixed → invisible to plain readers). One narrow pass
+    * computes the global bounds, one range-repartition+sort lays the
+    * curve onto `numFiles` files, one narrow post-write scan collects the
+    * per-file stats (a table format folds these into task commits).
+    */
+  def writeZOrdered(df: DataFrame, path: String, numFiles: Int,
+      colA: String, colB: String): Unit = {
+    val spark = df.sparkSession
+    val bounds = df.agg(
+      min(col(colA).cast("long")), max(col(colA).cast("long")),
+      min(col(colB).cast("long")), max(col(colB).cast("long"))).head()
+    val zv = zvalue2(col(colA), bounds.getLong(0), bounds.getLong(1),
+      col(colB), bounds.getLong(2), bounds.getLong(3))
+    df.withColumn("__zv", zv)
+      .repartitionByRange(numFiles, col("__zv"))
+      .sortWithinPartitions(col("__zv"))
+      .drop("__zv")
+      .write.mode("overwrite").parquet(path)
+    val stats = spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(colA).cast("long")).as("alo"),
+        max(col(colA).cast("long")).as("ahi"),
+        min(col(colB).cast("long")).as("blo"),
+        max(col(colB).cast("long")).as("bhi"))
+      .collect() // numFiles rows — bounded driver state by construction
+    val lines = stats.map { r =>
+      val f = r.getString(0).replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""{"file":"$f","$colA":[${r.getLong(1)},${r.getLong(2)}],""" +
+        s""""$colB":[${r.getLong(3)},${r.getLong(4)}]}"""
+    }
+    val mPath = new org.apache.hadoop.fs.Path(path, "_zmanifest.json")
+    val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(mPath, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Files of a z-ordered dataset whose per-file bands intersect EVERY
+    * given `col -> [lo, hi]` predicate band (long space). Exposed for
+    * tests/audit; readZPruned is the query path.
+    */
+  private[graft] def zPrunedFiles(fs: org.apache.hadoop.fs.FileSystem,
+      mPath: org.apache.hadoop.fs.Path,
+      bands: Seq[(String, (Long, Long))]): Seq[String] = {
+    val in = fs.open(mPath)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val fileRe = "\"file\":\"(.*?)\"".r
+    text.linesIterator.filter(_.nonEmpty).flatMap { line =>
+      val file = fileRe.findFirstMatchIn(line).map(m =>
+        m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+      val ok = bands.forall { case (c, (lo, hi)) =>
+        s"\"${java.util.regex.Pattern.quote(c)}\":\\[(-?\\d+),(-?\\d+)\\]".r
+          .findFirstMatchIn(line)
+          .exists(m => m.group(2).toLong >= lo && m.group(1).toLong <= hi)
+      }
+      if (ok) file else None
+    }.toSeq
+  }
+
+  /** Read a z-ordered dataset keeping only the files whose stats can
+    * satisfy ALL the band predicates; the residual row filter still
+    * applies on top. Falls back to a full filtered scan without a
+    * manifest.
+    */
+  def readZPruned(spark: SparkSession, path: String,
+      bands: Seq[(String, (Long, Long))]): DataFrame = {
+    val mPath = new org.apache.hadoop.fs.Path(path, "_zmanifest.json")
+    val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base =
+      if (!fs.exists(mPath)) spark.read.parquet(path)
+      else {
+        val keep = zPrunedFiles(fs, mPath, bands)
+        if (keep.isEmpty) spark.read.parquet(path).limit(0)
+        else spark.read.parquet(keep: _*)
+      }
+    bands.foldLeft(base) { case (df, (c, (lo, hi))) =>
+      df.filter(col(c).cast("long") >= lo && col(c).cast("long") <= hi)
+    }
   }
 
   /** Format round-trips (csv/json/orc share the same DataFrameReader/

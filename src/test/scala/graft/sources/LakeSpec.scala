@@ -190,6 +190,50 @@ class LakeSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == orders.count())
   }
 
+  test("z-order prunes on BOTH dimensions where linear clustering can't") {
+    val orders = graft.core.Tables(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val files = 16
+    val zdir = Files.createTempDirectory("graft_z").toString + "/orders"
+    Lake.writeZOrdered(orders, zdir, files, "o_custkey", "o_totalprice")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val mPath = new org.apache.hadoop.fs.Path(zdir, "_zmanifest.json")
+    // narrow bands on each dimension, sized to the sf0.001 domain
+    // (custkey ~1-150, totalprice ~1k-500k)
+    val ck = "o_custkey" -> (40L, 70L)
+    val tp = "o_totalprice" -> (20000L, 120000L)
+    val byCust = Lake.zPrunedFiles(fs, mPath, Seq(ck)).length
+    val byPrice = Lake.zPrunedFiles(fs, mPath, Seq(tp)).length
+    val byBoth = Lake.zPrunedFiles(fs, mPath, Seq(ck, tp)).length
+    // the z-curve gives EVERY dimension locality: each single-column
+    // band must already skip files, and the conjunction skips more
+    assert(byCust < files, s"custkey band touched all $files files")
+    assert(byPrice < files, s"price band touched all $files files")
+    assert(byBoth <= math.min(byCust, byPrice))
+    // linear clustering on (custkey, price) gives price NO locality:
+    // the same price band touches every linearly-clustered file
+    val ldir = Files.createTempDirectory("graft_lin").toString + "/orders"
+    Lake.writeClustered(orders, ldir, files, "o_custkey", "o_totalprice")
+    val linTouched = spark.read.parquet(ldir)
+      .groupBy(input_file_name())
+      .agg(min(col("o_totalprice").cast("long")).as("lo"),
+        max(col("o_totalprice").cast("long")).as("hi"))
+      .filter(col("hi") >= tp._2._1 && col("lo") <= tp._2._2)
+      .count()
+    assert(byPrice < linTouched,
+      s"z-order ($byPrice files) should beat linear clustering " +
+        s"($linTouched files) on the trailing dimension")
+    // and pruning never changes the answer
+    val pruned = Lake.readZPruned(spark, zdir, Seq(ck, tp))
+    val full = spark.read.parquet(zdir)
+      .filter(col("o_custkey").between(40, 70) &&
+        col("o_totalprice").cast("long").between(20000L, 120000L))
+    assert(pruned.count() == full.count() && pruned.count() > 0)
+    // plain readers are unaffected by the underscore manifest
+    assert(spark.read.parquet(zdir).count() == orders.count())
+  }
+
   test("csv/json/orc round-trips preserve rows") {
     val nation = graft.core.Tables(spark, sf, "nation")
     val n = nation.count()
