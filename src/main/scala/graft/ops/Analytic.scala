@@ -790,6 +790,39 @@ object Analytic {
       .orderBy("event_type")
   }
 
+  /** X — salted equi-join under the oracle gate: event_type joins a
+    * 5-row type dim, the worst join-key skew possible (every row of the
+    * fact lands on one of 5 reducers in a plain shuffle join). The salt
+    * spreads each hot key over 8 tasks; replicating the dim 8× is the
+    * explicit, bounded cost. The dim here would of course broadcast —
+    * the query pins the SHUFFLE path (broadcast threshold 0 would be the
+    * cluster spelling) because salting only matters when the right side
+    * can't broadcast; results hash-match the plain-join oracle, proving
+    * the rewrite is semantics-free.
+    */
+  val xSaltedJoin = Q(
+    "x_salted_join",
+    """SELECT t.type_group, count(*) AS n,
+       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+       FROM events e
+       JOIN (SELECT DISTINCT event_type,
+                    CASE WHEN event_type IN ('click', 'view') THEN 'browse'
+                         ELSE 'act' END AS type_group
+             FROM events) t ON e.event_type = t.event_type
+       GROUP BY t.type_group ORDER BY t.type_group""") { (s, dir) =>
+    val events = T(s, dir, "events")
+    val dim = events.select(col("event_type")).distinct()
+      .withColumn("type_group",
+        when(col("event_type").isin("click", "view"), lit("browse"))
+          .otherwise(lit("act")))
+      .withColumnRenamed("event_type", "t_event_type")
+    Skew.saltedJoin(events, dim, "event_type", "t_event_type", salts = 8)
+      .groupBy(col("type_group"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("val_sum"))
+      .orderBy("type_group")
+  }
+
   /** X — pivot: per-user event-type counts as columns (Spark's native
     * RelationalGroupedDataset.pivot with explicit values so the plan needs
     * no extra distinct pass; oracle spells it as conditional aggregation).
@@ -834,7 +867,8 @@ object Analytic {
   val all: Seq[Q] = Seq(
     q19, q19b, q19c, q19d, q20, q20b, q21, q21b, q21c, q22, q22b, q22c, q22d, q23,
     q24, q24b, q24c, q25, q25b, q26, q26b, q26c, q27, xPivot, xUnpivot,
-    xSaltedAgg, xRange, xArgMinMax, xEditDistance, xHaving, xDistinct,
+    xSaltedAgg, xSaltedJoin, xRange, xArgMinMax, xEditDistance, xHaving,
+    xDistinct,
     xLimitOffset, xValues, xIlike, xRecursive, xLateral, xTryCast,
     xHistogram, xSha, xPrintf, xMapHof, xNullSafeJoin, xJsonArray)
 }
