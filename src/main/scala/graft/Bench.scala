@@ -20,6 +20,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // state-store provider knob for the streaming queries (experiment:
+    // RocksDB vs the default HDFS-backed in-memory store). Unset = default.
+    sys.env.get("SPARK_GRAFT_STATESTORE").foreach {
+      case "rocksdb" => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      case other => System.err.println(s"unknown SPARK_GRAFT_STATESTORE: $other")
+    }
     // warm the session once (JIT, codegen cache, FS/footer caches) so the
     // first timed query isn't charged session startup
     graft.core.Tables.names.foreach { t =>
