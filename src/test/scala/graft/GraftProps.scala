@@ -98,6 +98,27 @@ object GraftProps extends Properties("graft") {
       conserved && lawful
     }
 
+  // z-order laws: the Column-expression interleave must equal an
+  // independent bit-twiddling reference, and the curve must preserve
+  // per-dimension monotonicity at fixed other-dimension (the property
+  // file skipping relies on)
+  private def refZ(x: Long, y: Long): Long =
+    (0 until 16).map { i =>
+      (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+    }.reduce(_ | _)
+
+  property("zvalue2 equals the bit-twiddling reference on [lo,hi] grids") =
+    forAll(Gen.listOfN(20, Gen.zip(Gen.choose(0L, 5000L), Gen.choose(-300L, 300L)))) { pts =>
+      val df = pts.toDF("a", "b")
+      val got = df.select(sources.Lake.zvalue2(
+          col("a"), 0L, 5000L, col("b"), -300L, 300L).as("z"))
+        .as[Long].collect().toSeq
+      val want = pts.map { case (a, b) =>
+        refZ(a * 65535L / 5000L, (b + 300L) * 65535L / 600L)
+      }
+      got == want
+    }
+
   property("fillForward equals driver-side last-non-null scan") =
     forAll(tsEventGen) { rows =>
       // null out ~half the values deterministically by event id parity
