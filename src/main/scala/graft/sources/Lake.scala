@@ -362,6 +362,13 @@ object Lake {
     val bounds = df.agg(
       min(col(colA).cast("long")), max(col(colA).cast("long")),
       min(col(colB).cast("long")), max(col(colB).cast("long"))).head()
+    // an empty input (or all-null cluster column) has no bounds to scale
+    // into — write the plain layout with no manifest; readZPruned falls
+    // back to a full filtered scan, so readers stay correct
+    if ((0 to 3).exists(bounds.isNullAt)) {
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val zv = zvalue2(col(colA), bounds.getLong(0), bounds.getLong(1),
       col(colB), bounds.getLong(2), bounds.getLong(3))
     df.withColumn("__zv", zv)
@@ -378,8 +385,15 @@ object Lake {
       .collect() // numFiles rows — bounded driver state by construction
     val lines = stats.map { r =>
       val f = r.getString(0).replace("\\", "\\\\").replace("\"", "\\\"")
-      s"""{"file":"$f","$colA":[${r.getLong(1)},${r.getLong(2)}],""" +
-        s""""$colB":[${r.getLong(3)},${r.getLong(4)}]}"""
+      // a file whose cluster column is all null has no band: publish the
+      // full range so no predicate ever prunes it (correctness over skips)
+      def band(loIdx: Int): (Long, Long) =
+        if (r.isNullAt(loIdx) || r.isNullAt(loIdx + 1))
+          (Long.MinValue, Long.MaxValue)
+        else (r.getLong(loIdx), r.getLong(loIdx + 1))
+      val (alo, ahi) = band(1)
+      val (blo, bhi) = band(3)
+      s"""{"file":"$f","$colA":[$alo,$ahi],"$colB":[$blo,$bhi]}"""
     }
     val mPath = new org.apache.hadoop.fs.Path(path, "_zmanifest.json")
     val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -232,6 +232,10 @@ class LakeSpec extends AnyFunSuite {
     assert(pruned.count() == full.count() && pruned.count() > 0)
     // plain readers are unaffected by the underscore manifest
     assert(spark.read.parquet(zdir).count() == orders.count())
+    // an EMPTY input writes a readable plain layout (no manifest, no NPE)
+    val edir = Files.createTempDirectory("graft_zempty").toString + "/orders"
+    Lake.writeZOrdered(orders.limit(0), edir, files, "o_custkey", "o_totalprice")
+    assert(Lake.readZPruned(spark, edir, Seq(ck, tp)).count() == 0)
   }
 
   test("csv/json/orc round-trips preserve rows") {
