@@ -17,7 +17,8 @@ object SparkEntry {
     ops.Relational.all ++ ops.Analytic.all ++ ops.Extra.all ++
       plans.AsOfQueries.all ++ streaming.StreamOps.all ++
       ops.Udfs.all ++ llmops.Dedup.all ++ llmops.MinHashLSH.all ++
-      llmops.DedupFamilies.all ++ llmops.Incremental.all ++
+      llmops.DedupFamilies.all ++ llmops.DedupPipeline.all ++
+      llmops.Incremental.all ++
       llmops.Curation.all ++
       llmops.VectorSearch.all ++ llmops.Chunking.all ++ llmops.TextStats.all ++
       llmops.SimHash.all ++ llmops.Multimodal.all

@@ -53,4 +53,46 @@ object DedupPipeline {
       .withColumn("n_tokens", size(words).cast("long"))
       .filter(col("n_tokens") >= minTokens)
   }
+
+  /** X — the composed pipeline under the oracle gate: all three stages
+    * (exact dedup → capped-LSH near-dup removal → token floor) in one
+    * driver-contract query, oracle-replicated stage by stage in SQL
+    * (brute-force Jaccard stands in for LSH: exact verification makes
+    * banding a cost knob, so both spell the same answer). This is the
+    * query a corpus clean-up actually runs; the pieces are graded
+    * individually elsewhere (q32/q33/x_dedup_*), this grades their
+    * composition order.
+    */
+  val xPipeline = graft.core.Q(
+    "x_curation_pipeline",
+    s"""WITH exact AS (
+         SELECT doc_id, text, lang FROM (
+           SELECT doc_id, text, lang,
+                  row_number() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS rn
+           FROM documents) WHERE rn = 1),
+       words AS (SELECT doc_id, string_split(text, ' ') AS t FROM exact),
+       sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+              FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 1))) AS i)
+              WHERE len(t) >= 3),
+       card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+       inter AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS i
+                 FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                 GROUP BY 1, 2),
+       losers AS (SELECT DISTINCT b_id AS doc_id FROM inter
+                  JOIN card ca ON ca.doc_id = a_id
+                  JOIN card cb ON cb.doc_id = b_id
+                  WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= ${MinHashLSH.TAU})
+       SELECT e.doc_id, e.lang,
+              CAST(len(string_split(e.text, ' ')) AS BIGINT) AS n_tokens
+       FROM exact e LEFT JOIN losers l ON l.doc_id = e.doc_id
+       WHERE l.doc_id IS NULL
+         AND len(string_split(e.text, ' ')) >= 10
+       ORDER BY e.doc_id""") { (s, dir) =>
+    run(graft.core.Tables(s, dir, "documents"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[graft.core.Q] = Seq(xPipeline)
 }
