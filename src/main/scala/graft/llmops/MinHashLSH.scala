@@ -80,12 +80,18 @@ object MinHashLSH {
   private val wordSetsBases =
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
-  def wordSetsBase(s: SparkSession, dir: String): DataFrame =
-    wordSetsBases.getOrElseUpdate((System.identityHashCode(s), dir), {
+  def wordSetsBase(s: SparkSession, dir: String): DataFrame = {
+    val key = (System.identityHashCode(s), dir)
+    // eq-check the memoized frame's session (identityHashCode can recur
+    // after a stopped session is collected) — same discipline as
+    // VectorSearch.embeddingsBase
+    wordSetsBases.get(key).filter(_.sparkSession eq s).getOrElse {
       val sets = wordSets(T(s, dir, "documents"), 3).cache()
       graft.core.CacheBin.swap(s"lsh.wordsets:$dir", sets)
+      wordSetsBases.put(key, sets)
       sets
-    })
+    }
+  }
 
   def wordSets(documents: DataFrame, k: Int): DataFrame =
     documents

@@ -40,16 +40,22 @@ object VectorSearch {
   private val bases =
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
-  def embeddingsBase(s: SparkSession, dir: String): DataFrame =
-    bases.getOrElseUpdate((System.identityHashCode(s), dir), {
+  def embeddingsBase(s: SparkSession, dir: String): DataFrame = {
+    val key = (System.identityHashCode(s), dir)
+    // eq-check the memoized frame's session: identityHashCode can recur
+    // after the original session is stopped and collected, and a frame
+    // bound to a dead session must never be served
+    bases.get(key).filter(_.sparkSession eq s).getOrElse {
       val df = T(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("emb"),
           graft.functions.ArrayOps.l2normalize(col("embedding")).as("n_emb"))
         .cache()
       graft.core.CacheBin.swap(s"vector.base:$dir", df)
+      bases.put(key, df)
       df
-    })
+    }
+  }
 
   /** cosine(a, b) — mirrors DuckDB's dot/(sqrt(na)*sqrt(nb)) shape. */
   def cosine(a: Column, b: Column): Column =

@@ -430,10 +430,11 @@ object Extra {
     require(v2.columns.toSeq.filterNot(keys.contains) == valueCols,
       s"datasetDiff: snapshots must share the value schema, " +
         s"got ${v1.columns.toSeq} vs ${v2.columns.toSeq}")
-    val a = v1.select(keys.map(col) :+
-      xxhash64(valueCols.map(col): _*).as("fp1"): _*)
-    val b = v2.select(keys.map(col) :+
-      xxhash64(valueCols.map(col): _*).as("fp2"): _*)
+    // key-only snapshots still diff (added/removed; `changed` can't occur):
+    // a constant fingerprint keeps the plan shape without a 0-arg hash
+    val fpCols = if (valueCols.isEmpty) Seq(lit(0L)) else valueCols.map(col)
+    val a = v1.select(keys.map(col) :+ xxhash64(fpCols: _*).as("fp1"): _*)
+    val b = v2.select(keys.map(col) :+ xxhash64(fpCols: _*).as("fp2"): _*)
     a.join(b, keys, "full_outer")
       .withColumn("op",
         when(col("fp1").isNull, lit("added"))
