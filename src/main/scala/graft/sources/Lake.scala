@@ -221,6 +221,33 @@ object Lake {
     spark.read.parquet(currentVersion(spark, path).getOrElse(
       throw new IllegalStateException(s"no committed version under $path")))
 
+  /** Committed version numbers still on disk, oldest first (the current
+    * one plus the one-generation grace window writeVersioned keeps).
+    */
+  def versions(spark: SparkSession, path: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    versionDirs(fs, root)
+      .filter { case (_, p) =>
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) }
+      .map(_._1)
+  }
+
+  /** Time-travel read of a specific committed version. Retention here is
+    * one grace generation (writeVersioned retires older dirs), so this
+    * serves "compare against the previous publish" — x_dataset_diff's
+    * input shape — not unbounded history; a table format's log extends
+    * the same mechanism indefinitely.
+    */
+  def readVersion(spark: SparkSession, path: String, version: Long): DataFrame = {
+    val candidates = versions(spark, path)
+    if (!candidates.contains(version))
+      throw new IllegalStateException(
+        s"version $version not on disk under $path (have: " +
+          s"${candidates.mkString(", ")})")
+    spark.read.parquet(s"$path/v=$version")
+  }
+
   /** compact(), but behind the version indirection: rewrites the current
     * version's files into ~targetBytes outputs as version n+1; readers of
     * version n are undisturbed (its directory survives one generation).

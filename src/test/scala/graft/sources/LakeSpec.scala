@@ -136,6 +136,21 @@ class LakeSpec extends AnyFunSuite {
     assert(!new java.io.File(v0Dir.stripPrefix("file:")).exists())
     assert(new java.io.File(v1Dir.stripPrefix("file:")).exists())
     assert(Lake.readCurrent(spark, root).count() == 10)
+    // time travel: both on-disk committed versions are addressable, and
+    // diffing current against previous is the dataset-diff input shape
+    assert(Lake.versions(spark, root) == Seq(1L, 2L))
+    assert(Lake.readVersion(spark, root, 1L).count() == n)
+    assert(Lake.readVersion(spark, root, 2L).count() == 10)
+    val diff = graft.ops.Extra.datasetDiff(
+      Lake.readVersion(spark, root, 1L).select("event_id", "value"),
+      Lake.readVersion(spark, root, 2L).select("event_id", "value"),
+      Seq("event_id"))
+    assert(diff.filter(col("op") === "removed").count() == n - 10)
+    // a retired version fails loudly, naming what IS available
+    val err = intercept[IllegalStateException] {
+      Lake.readVersion(spark, root, 0L)
+    }
+    assert(err.getMessage.contains("have: 1, 2"))
   }
 
   test("versioned reader ignores an uncommitted (no _SUCCESS) version") {
