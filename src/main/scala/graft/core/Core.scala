@@ -76,14 +76,21 @@ object CacheBin {
   def swap(key: String, dfs: DataFrame*): Unit = {
     val prev = live.put(key, dfs)
     prev.foreach(_.foreach { old =>
-      // a previous generation can belong to an already-stopped session
-      // (test suites churn sessions); dropping it is then a no-op, not
-      // an error
+      // a previous generation owned by an already-stopped session (test
+      // suites churn sessions) is skipped outright; any OTHER failure is
+      // reported, not swallowed — a silently-kept generation defeats the
+      // bin's purpose and would read as an unexplained cache leak
       try {
-        val carried = dfs.exists(
-          _.queryExecution.analyzed.sameResult(old.queryExecution.analyzed))
-        if (!carried) old.unpersist(false)
-      } catch { case _: Exception => }
+        if (!old.sparkSession.sparkContext.isStopped) {
+          val carried = dfs.exists(
+            _.queryExecution.analyzed.sameResult(old.queryExecution.analyzed))
+          if (!carried) old.unpersist(false)
+        }
+      } catch {
+        case e: Exception =>
+          System.err.println(
+            s"CacheBin: dropping previous '$key' generation failed: $e")
+      }
     })
   }
 }

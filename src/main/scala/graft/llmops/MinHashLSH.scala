@@ -81,13 +81,17 @@ object MinHashLSH {
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
   def wordSetsBase(s: SparkSession, dir: String): DataFrame = {
+    // same discipline as VectorSearch.embeddingsBase: sweep stopped
+    // sessions' entries, eq-check the served frame's session, and scope
+    // the bin key to the session so parallel live sessions sharing one
+    // CacheManager never unpersist each other's generation
+    wordSetsBases.filterInPlace(
+      (_, df) => !df.sparkSession.sparkContext.isStopped)
     val key = (System.identityHashCode(s), dir)
-    // eq-check the memoized frame's session (identityHashCode can recur
-    // after a stopped session is collected) — same discipline as
-    // VectorSearch.embeddingsBase
     wordSetsBases.get(key).filter(_.sparkSession eq s).getOrElse {
       val sets = wordSets(T(s, dir, "documents"), 3).cache()
-      graft.core.CacheBin.swap(s"lsh.wordsets:$dir", sets)
+      graft.core.CacheBin.swap(
+        s"lsh.wordsets:${System.identityHashCode(s)}:$dir", sets)
       wordSetsBases.put(key, sets)
       sets
     }

@@ -41,6 +41,10 @@ object VectorSearch {
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
   def embeddingsBase(s: SparkSession, dir: String): DataFrame = {
+    // entries of stopped sessions are dead weight (each pins the dead
+    // session's plan state) — sweep them on every lookup; the map holds
+    // at most live-sessions × dirs entries
+    bases.filterInPlace((_, df) => !df.sparkSession.sparkContext.isStopped)
     val key = (System.identityHashCode(s), dir)
     // eq-check the memoized frame's session: identityHashCode can recur
     // after the original session is stopped and collected, and a frame
@@ -51,7 +55,10 @@ object VectorSearch {
           col("embedding").cast("array<double>").as("emb"),
           graft.functions.ArrayOps.l2normalize(col("embedding")).as("n_emb"))
         .cache()
-      graft.core.CacheBin.swap(s"vector.base:$dir", df)
+      // the bin key is SESSION-scoped: two live sessions sharing one
+      // CacheManager must not unpersist each other's base generation
+      graft.core.CacheBin.swap(
+        s"vector.base:${System.identityHashCode(s)}:$dir", df)
       bases.put(key, df)
       df
     }

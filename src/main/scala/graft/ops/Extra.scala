@@ -431,8 +431,15 @@ object Extra {
       s"datasetDiff: snapshots must share the value schema, " +
         s"got ${v1.columns.toSeq} vs ${v2.columns.toSeq}")
     // key-only snapshots still diff (added/removed; `changed` can't occur):
-    // a constant fingerprint keeps the plan shape without a 0-arg hash
-    val fpCols = if (valueCols.isEmpty) Seq(lit(0L)) else valueCols.map(col)
+    // a constant fingerprint keeps the plan shape without a 0-arg hash.
+    // Each value column contributes its null INDICATOR as well: xxhash64
+    // skips null children (the running hash passes through unchanged), so
+    // without the indicator (null, "x") and ("x", null) fingerprint
+    // identically — a deterministic false "unchanged", not the documented
+    // 2^-64 random collision.
+    val fpCols =
+      if (valueCols.isEmpty) Seq(lit(0L))
+      else valueCols.flatMap(c => Seq(col(c), isnull(col(c)).cast("int")))
     val a = v1.select(keys.map(col) :+ xxhash64(fpCols: _*).as("fp1"): _*)
     val b = v2.select(keys.map(col) :+ xxhash64(fpCols: _*).as("fp2"): _*)
     a.join(b, keys, "full_outer")

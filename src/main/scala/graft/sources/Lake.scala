@@ -443,10 +443,14 @@ object Lake {
     text.linesIterator.filter(_.nonEmpty).flatMap { line =>
       val file = fileRe.findFirstMatchIn(line).map(m =>
         m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+      // a band column ABSENT from a manifest line must keep the file
+      // (Option.forall, not .exists): the manifest has no evidence to
+      // prune on — a typo'd or non-clustered column degrades to a full
+      // scan, never to silently-zero rows ("correctness over skips")
       val ok = bands.forall { case (c, (lo, hi)) =>
         s"\"${java.util.regex.Pattern.quote(c)}\":\\[(-?\\d+),(-?\\d+)\\]".r
           .findFirstMatchIn(line)
-          .exists(m => m.group(2).toLong >= lo && m.group(1).toLong <= hi)
+          .forall(m => m.group(2).toLong >= lo && m.group(1).toLong <= hi)
       }
       if (ok) file else None
     }.toSeq

@@ -183,5 +183,14 @@ class ExtraSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Extra.datasetDiff(v1, v2.withColumnRenamed("status", "st"), Seq("k"))
     }
+    // a null SHIFT between columns is a change: xxhash64 skips null
+    // children, so without null indicators (null, "x") and ("x", null)
+    // fingerprint identically and the change vanishes
+    val n1 = Seq((1L, Option.empty[String], Option("x")))
+      .toDF("k", "a", "b")
+    val n2 = Seq((1L, Option("x"), Option.empty[String]))
+      .toDF("k", "a", "b")
+    assert(Extra.datasetDiff(n1, n2, Seq("k"))
+      .as[(Long, String)].collect().toMap == Map(1L -> "changed"))
   }
 }

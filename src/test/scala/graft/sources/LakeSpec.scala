@@ -251,6 +251,12 @@ class LakeSpec extends AnyFunSuite {
     val edir = Files.createTempDirectory("graft_zempty").toString + "/orders"
     Lake.writeZOrdered(orders.limit(0), edir, files, "o_custkey", "o_totalprice")
     assert(Lake.readZPruned(spark, edir, Seq(ck, tp)).count() == 0)
+    // a band on a column the manifest doesn't carry degrades to a full
+    // filtered scan (keeps every file) — never silently-zero rows
+    val ok = "o_orderkey" -> (1L, 100L)
+    assert(Lake.zPrunedFiles(fs, mPath, Seq(ok)).length == files)
+    assert(Lake.readZPruned(spark, zdir, Seq(ok)).count() ==
+      orders.filter(col("o_orderkey").between(1, 100)).count())
   }
 
   test("csv/json/orc round-trips preserve rows") {
