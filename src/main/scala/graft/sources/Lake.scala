@@ -290,25 +290,14 @@ object Lake {
     * like a table format's file statistics, without the format. At write
     * scale the stats would be folded into the writer's task commit; here
     * they cost one narrow post-write scan of the key column.
+    *
+    * The single-column manifest is the 1-band case of the z-order
+    * machinery below — one shared format, writer, and parser.
     */
   def writeClusteredWithManifest(df: DataFrame, path: String, numFiles: Int,
       clusterCol: String): Unit = {
     writeClustered(df, path, numFiles, clusterCol)
-    val spark = df.sparkSession
-    val stats = spark.read.parquet(path)
-      .groupBy(input_file_name().as("file"))
-      .agg(min(col(clusterCol).cast("long")).as("lo"),
-        max(col(clusterCol).cast("long")).as("hi"))
-      .collect() // numFiles rows — bounded driver state by construction
-    val lines = stats.map { r =>
-      val f = r.getString(0).replace("\\", "\\\\").replace("\"", "\\\"")
-      s"""{"file":"$f","lo":${r.getLong(1)},"hi":${r.getLong(2)}}"""
-    }
-    val mPath = new org.apache.hadoop.fs.Path(path, "_manifest.json")
-    val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(mPath, true)
-    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
+    writeStatsManifest(df.sparkSession, path, "_manifest.json", Seq(clusterCol))
   }
 
   /** Read only the files whose manifest band intersects [lo, hi], with the
@@ -317,34 +306,104 @@ object Lake {
     * no manifest exists.
     */
   def readPruned(spark: SparkSession, path: String, clusterCol: String,
-      lo: Long, hi: Long): DataFrame = {
-    val mPath = new org.apache.hadoop.fs.Path(path, "_manifest.json")
+      lo: Long, hi: Long): DataFrame =
+    readBandPruned(spark, path, "_manifest.json", Seq(clusterCol -> (lo, hi)))
+
+  /** (file, lo, hi) rows of a single-column stats manifest. */
+  private[graft] def manifestEntries(fs: org.apache.hadoop.fs.FileSystem,
+      mPath: org.apache.hadoop.fs.Path,
+      clusterCol: String): Seq[(String, Long, Long)] = {
+    val re = s"\"${java.util.regex.Pattern.quote(clusterCol)}\":\\[(-?\\d+),(-?\\d+)\\]".r
+    manifestLines(fs, mPath).flatMap { line =>
+      for {
+        f <- fileOf(line)
+        m <- re.findFirstMatchIn(line)
+      } yield (f, m.group(1).toLong, m.group(2).toLong)
+    }
+  }
+
+  /** Per-file [lo, hi] stats manifest over the given (long-castable)
+    * columns: one JSON line per file, `{"file":"...","col":[lo,hi],...}`.
+    * One narrow post-write scan; `numFiles` rows of driver state.
+    */
+  private def writeStatsManifest(spark: SparkSession, path: String,
+      manifestName: String, cols: Seq[String]): Unit = {
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"${c}__lo"),
+      max(col(c).cast("long")).as(s"${c}__hi")))
+    val stats = spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val lines = stats.map { r =>
+      val f = r.getString(0).replace("\\", "\\\\").replace("\"", "\\\"")
+      val bands = cols.zipWithIndex.map { case (c, i) =>
+        // a file whose cluster column is all null has no band: publish
+        // the full range so no predicate ever prunes it
+        val (lo, hi) =
+          if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i))
+            (Long.MinValue, Long.MaxValue)
+          else (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))
+        s""""$c":[$lo,$hi]"""
+      }
+      s"""{"file":"$f",${bands.mkString(",")}}"""
+    }
+    val mPath = new org.apache.hadoop.fs.Path(path, manifestName)
+    val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(mPath, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def manifestLines(fs: org.apache.hadoop.fs.FileSystem,
+      mPath: org.apache.hadoop.fs.Path): Seq[String] = {
+    val in = fs.open(mPath)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    text.linesIterator.filter(_.nonEmpty).toSeq
+  }
+
+  private def fileOf(line: String): Option[String] =
+    "\"file\":\"(.*?)\"".r.findFirstMatchIn(line).map(m =>
+      m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+
+  /** Shared band-pruned read: keep files whose stats can satisfy ALL the
+    * band predicates, then apply the residual row filters. Falls back to
+    * a full filtered scan when no manifest exists.
+    */
+  private def readBandPruned(spark: SparkSession, path: String,
+      manifestName: String, bands: Seq[(String, (Long, Long))]): DataFrame = {
+    val mPath = new org.apache.hadoop.fs.Path(path, manifestName)
     val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base =
       if (!fs.exists(mPath)) spark.read.parquet(path)
       else {
-        val keep = manifestEntries(fs, mPath)
-          .filter { case (_, flo, fhi) => fhi >= lo && flo <= hi }
-          .map(_._1)
+        val keep = prunedFiles(fs, mPath, bands)
         if (keep.isEmpty) spark.read.parquet(path).limit(0)
         else spark.read.parquet(keep: _*)
       }
-    base.filter(col(clusterCol) >= lo && col(clusterCol) <= hi)
+    bands.foldLeft(base) { case (df, (c, (lo, hi))) =>
+      df.filter(col(c).cast("long") >= lo && col(c).cast("long") <= hi)
+    }
   }
 
-  /** (file, lo, hi) rows of a `_manifest.json` (regex parse — the writer
-    * above controls the format; dependency-free like Bench's history).
+  /** Files whose per-file bands intersect EVERY `col -> [lo, hi]`
+    * predicate (long space). A band column ABSENT from a manifest line
+    * keeps the file (Option.forall): the manifest has no evidence to
+    * prune on — a typo'd or non-clustered column degrades to a full
+    * scan, never to silently-zero rows ("correctness over skips").
     */
-  private[graft] def manifestEntries(fs: org.apache.hadoop.fs.FileSystem,
-      mPath: org.apache.hadoop.fs.Path): Seq[(String, Long, Long)] = {
-    val in = fs.open(mPath)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-    val re = "\\{\"file\":\"(.*?)\",\"lo\":(-?\\d+),\"hi\":(-?\\d+)\\}".r
-    re.findAllMatchIn(text).map(m =>
-      (m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"),
-        m.group(2).toLong, m.group(3).toLong)).toSeq
-  }
+  private[graft] def prunedFiles(fs: org.apache.hadoop.fs.FileSystem,
+      mPath: org.apache.hadoop.fs.Path,
+      bands: Seq[(String, (Long, Long))]): Seq[String] =
+    manifestLines(fs, mPath).flatMap { line =>
+      val ok = bands.forall { case (c, (lo, hi)) =>
+        s"\"${java.util.regex.Pattern.quote(c)}\":\\[(-?\\d+),(-?\\d+)\\]".r
+          .findFirstMatchIn(line)
+          .forall(m => m.group(2).toLong >= lo && m.group(1).toLong <= hi)
+      }
+      if (ok) fileOf(line) else None
+    }
 
   // ---- z-order clustering: multi-dimensional file skipping ----
 
@@ -403,30 +462,7 @@ object Lake {
       .sortWithinPartitions(col("__zv"))
       .drop("__zv")
       .write.mode("overwrite").parquet(path)
-    val stats = spark.read.parquet(path)
-      .groupBy(input_file_name().as("file"))
-      .agg(min(col(colA).cast("long")).as("alo"),
-        max(col(colA).cast("long")).as("ahi"),
-        min(col(colB).cast("long")).as("blo"),
-        max(col(colB).cast("long")).as("bhi"))
-      .collect() // numFiles rows — bounded driver state by construction
-    val lines = stats.map { r =>
-      val f = r.getString(0).replace("\\", "\\\\").replace("\"", "\\\"")
-      // a file whose cluster column is all null has no band: publish the
-      // full range so no predicate ever prunes it (correctness over skips)
-      def band(loIdx: Int): (Long, Long) =
-        if (r.isNullAt(loIdx) || r.isNullAt(loIdx + 1))
-          (Long.MinValue, Long.MaxValue)
-        else (r.getLong(loIdx), r.getLong(loIdx + 1))
-      val (alo, ahi) = band(1)
-      val (blo, bhi) = band(3)
-      s"""{"file":"$f","$colA":[$alo,$ahi],"$colB":[$blo,$bhi]}"""
-    }
-    val mPath = new org.apache.hadoop.fs.Path(path, "_zmanifest.json")
-    val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(mPath, true)
-    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
+    writeStatsManifest(spark, path, "_zmanifest.json", Seq(colA, colB))
   }
 
   /** Files of a z-ordered dataset whose per-file bands intersect EVERY
@@ -435,26 +471,8 @@ object Lake {
     */
   private[graft] def zPrunedFiles(fs: org.apache.hadoop.fs.FileSystem,
       mPath: org.apache.hadoop.fs.Path,
-      bands: Seq[(String, (Long, Long))]): Seq[String] = {
-    val in = fs.open(mPath)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-    val fileRe = "\"file\":\"(.*?)\"".r
-    text.linesIterator.filter(_.nonEmpty).flatMap { line =>
-      val file = fileRe.findFirstMatchIn(line).map(m =>
-        m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
-      // a band column ABSENT from a manifest line must keep the file
-      // (Option.forall, not .exists): the manifest has no evidence to
-      // prune on — a typo'd or non-clustered column degrades to a full
-      // scan, never to silently-zero rows ("correctness over skips")
-      val ok = bands.forall { case (c, (lo, hi)) =>
-        s"\"${java.util.regex.Pattern.quote(c)}\":\\[(-?\\d+),(-?\\d+)\\]".r
-          .findFirstMatchIn(line)
-          .forall(m => m.group(2).toLong >= lo && m.group(1).toLong <= hi)
-      }
-      if (ok) file else None
-    }.toSeq
-  }
+      bands: Seq[(String, (Long, Long))]): Seq[String] =
+    prunedFiles(fs, mPath, bands)
 
   /** Read a z-ordered dataset keeping only the files whose stats can
     * satisfy ALL the band predicates; the residual row filter still
@@ -462,20 +480,8 @@ object Lake {
     * manifest.
     */
   def readZPruned(spark: SparkSession, path: String,
-      bands: Seq[(String, (Long, Long))]): DataFrame = {
-    val mPath = new org.apache.hadoop.fs.Path(path, "_zmanifest.json")
-    val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val base =
-      if (!fs.exists(mPath)) spark.read.parquet(path)
-      else {
-        val keep = zPrunedFiles(fs, mPath, bands)
-        if (keep.isEmpty) spark.read.parquet(path).limit(0)
-        else spark.read.parquet(keep: _*)
-      }
-    bands.foldLeft(base) { case (df, (c, (lo, hi))) =>
-      df.filter(col(c).cast("long") >= lo && col(c).cast("long") <= hi)
-    }
-  }
+      bands: Seq[(String, (Long, Long))]): DataFrame =
+    readBandPruned(spark, path, "_zmanifest.json", bands)
 
   /** Format round-trips (csv/json/orc share the same DataFrameReader/
     * Writer surface as parquet; schema must be supplied for the schemaless

@@ -186,7 +186,7 @@ class LakeSpec extends AnyFunSuite {
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sparkContext.hadoopConfiguration)
     val entries = Lake.manifestEntries(fs,
-      new org.apache.hadoop.fs.Path(dir, "_manifest.json"))
+      new org.apache.hadoop.fs.Path(dir, "_manifest.json"), "o_custkey")
     assert(entries.length == 8)
     // a narrow band must touch a strict subset of files (bands disjoint);
     // sf0.001 custkeys span ~1-150, so stay low in the range
