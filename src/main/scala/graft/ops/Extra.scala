@@ -416,6 +416,58 @@ object Extra {
       .orderBy("o_orderpriority")
   }
 
+  /** Library form of column profiling: one output row per requested
+    * (numeric, decimal-exact) column with count / nulls / distinct /
+    * min / max / mean — the data-quality pass a pipeline runs before
+    * training. ONE aggregation job over the table computes every
+    * column's stats (no per-column scans); the reshape to rows is a
+    * driver-side seq over k struct columns, never a shuffle.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.map { c =>
+      struct(
+        count(lit(1)).as("n"),
+        (count(lit(1)) - count(col(c))).as("nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("double").as("min_v"),
+        max(col(c)).cast("double").as("max_v"),
+        (E.sumd(col(c)) / count(col(c))).as("mean_v")).as(s"__p_$c")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map(c => struct(lit(c).as("col_name"), col(s"__p_$c").as("s")))
+    one.select(explode(array(rows: _*)).as("e"))
+      .select(col("e.col_name"), col("e.s.n").as("n"), col("e.s.nulls").as("nulls"),
+        col("e.s.n_distinct").as("n_distinct"), col("e.s.min_v").as("min_v"),
+        col("e.s.max_v").as("max_v"), col("e.s.mean_v").as("mean_v"))
+  }
+
+  /** X — column profiling under the oracle gate (decimal-exact means, so
+    * the doubles hash identically cross-engine).
+    */
+  val xProfile = Q(
+    "x_profile",
+    """SELECT * FROM (
+         SELECT 'o_custkey' AS col_name, count(*) AS n,
+                count(*) - count(o_custkey) AS nulls,
+                count(DISTINCT o_custkey) AS n_distinct,
+                CAST(min(o_custkey) AS DOUBLE) AS min_v,
+                CAST(max(o_custkey) AS DOUBLE) AS max_v,
+                CAST(sum(CAST(o_custkey AS DECIMAL(18,2))) AS DOUBLE)
+                  / count(o_custkey) AS mean_v
+         FROM orders
+         UNION ALL
+         SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+                count(DISTINCT o_totalprice),
+                CAST(min(o_totalprice) AS DOUBLE),
+                CAST(max(o_totalprice) AS DOUBLE),
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  / count(o_totalprice)
+         FROM orders)
+       ORDER BY col_name""") { (s, dir) =>
+    profile(T(s, dir, "orders"), Seq("o_custkey", "o_totalprice"))
+      .orderBy("col_name")
+  }
+
   /** Library form of snapshot diff: (keys..., op) for op ∈
     * added | removed | changed between two same-schema keyed snapshots.
     * Value comparison is ONE xxhash64 fingerprint per side — at scale the
@@ -492,5 +544,6 @@ object Extra {
   val all: Seq[Q] =
     Seq(xSessionize, xSampleHash, xStringAgg, xRedact, xRegrAgg, xFillForward,
       xGroupTopK, xApproxPercentile, xResample, xJaroWinkler, xWindowNtile,
-      xCsvRoundtrip, xUpsert, xManifestPrune, xDatasetDiff, xZorderPrune)
+      xCsvRoundtrip, xUpsert, xManifestPrune, xDatasetDiff, xZorderPrune,
+      xProfile)
 }
