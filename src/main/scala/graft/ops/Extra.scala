@@ -422,6 +422,12 @@ object Extra {
     * training. ONE aggregation job over the table computes every
     * column's stats (no per-column scans); the reshape to rows is a
     * driver-side seq over k struct columns, never a shuffle.
+    *
+    * Scale note: k exact countDistinct aggregates in one pass cost an
+    * Expand of k+1× the scan stream (Spark's multi-distinct rewrite). At
+    * 100 TB swap n_distinct to approx_count_distinct (HLL, one pass, no
+    * Expand) — the other five stats are plain partial aggregates and
+    * stay single-pass at any k.
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.map { c =>
