@@ -116,6 +116,39 @@ object Lake {
     swapInto(fs, tmp, path)
   }
 
+  /** MERGE-by-key keeping the NEWEST row per key across target ∪ updates,
+    * "newest" = max of `orderCols` (callers include a unique tiebreak).
+    * Unlike upsert(), which lets updates replace target rows
+    * unconditionally, this is safe under out-of-order and DUPLICATE
+    * delivery — applying the same batch twice, or a late batch carrying
+    * older versions, changes nothing. That idempotence is what makes it
+    * the right sink for streaming CDC apply (see x_stream_upsert): Spark's
+    * foreachBatch re-delivers a batch after a crash, and the merge
+    * absorbs the replay. One window over target ∪ updates, shuffled on
+    * the key — co-locates for free if the dataset is bucketed on it.
+    */
+  def upsertLatest(spark: SparkSession, path: String, updates: DataFrame,
+      keys: Seq[String], orderCols: Seq[Column]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverHalfSwap(fs, path)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
+      updates.limit(0).write.mode("overwrite").parquet(path) // seed schema
+    }
+    val target = spark.read.parquet(path)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(_.desc): _*)
+    val merged = target
+      .unionByName(updates.select(target.columns.toSeq.map(col): _*))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val tmp = path + "__rewrite_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    swapInto(fs, tmp, path)
+  }
+
   /** Roll back a half-completed swap left by a crash between the two
     * renames: source missing, data stranded in the __rewrite_old backup
     * (or the pre-round-3 __compact_old spelling — still recovered for one

@@ -314,5 +314,62 @@ object StreamOps {
       .orderBy("a_id", "b_id")
   }
 
-  val all: Seq[Q] = Seq(q28, q29, q29b, q30, q30b, q30c, q30d, xStreamNeardup)
+  /** X — streaming CDC apply: each micro-batch MERGEs its per-user
+    * latest event into a keyed lake table via Lake.upsertLatest (newest
+    * (ts, event_id) wins across target ∪ batch). The duplicate-delivery
+    * story is exercised for real: the source exposes the event history
+    * TWICE (copies = 2) and the stage directory persists across bench
+    * reps, so replays and duplicates hit the merge and must change
+    * nothing — the idempotence that makes foreachBatch's at-least-once
+    * delivery exactly-once at the sink. Oracle: the batch argmax over
+    * the raw history.
+    */
+  val xStreamUpsert = Q(
+    "x_stream_upsert",
+    """SELECT user_id, event_id AS last_event, CAST(ts AS TIMESTAMP) AS last_ts
+       FROM (SELECT user_id, event_id, ts,
+                    row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events)
+       WHERE rn = 1 ORDER BY user_id""") { (s, dir) =>
+    val stage = upsertStage(dir)
+    val stream = eventsStream(s, dir, copies = 2)
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val ckpt = scratchDir("graft_ckpt_upsert").toString
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // per-batch pre-aggregation: only one candidate row per key
+        // reaches the merge (batch is a plain DataFrame here, so a
+        // window is legal even though the source is a stream)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val latest = batch.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+        graft.sources.Lake.upsertLatest(batch.sparkSession, stage, latest,
+          Seq("user_id"), Seq(col("ts"), col("event_id")))
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(stage)
+      .select(col("user_id"), col("event_id").as("last_event"),
+        col("ts").as("last_ts"))
+      .orderBy("user_id")
+  }
+
+  /** Stable per-(JVM, data-dir) stage for x_stream_upsert: persisting
+    * across reps is the point — the second rep's whole replay is a
+    * duplicate and the merge must absorb it. Keyed by dir so one JVM
+    * touching two SFs never merges their histories together.
+    */
+  private val upsertStages =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def upsertStage(dir: String): String =
+    upsertStages.getOrElseUpdate(dir,
+      scratchDir("graft_upsert_stage").toString + "/latest")
+
+  val all: Seq[Q] = Seq(q28, q29, q29b, q30, q30b, q30c, q30d, xStreamNeardup,
+    xStreamUpsert)
 }

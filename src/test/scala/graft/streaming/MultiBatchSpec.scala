@@ -58,4 +58,22 @@ class MultiBatchSpec extends AnyFunSuite {
       .as[(java.sql.Timestamp, String, Long)].collect().toSet
     assert(streamed == batch)
   }
+
+  test("streaming CDC upsert: multi-batch replay equals batch argmax and " +
+      "a full duplicate replay changes nothing") {
+    val sf = "/root/testdata/sf0.001"
+    def run() = StreamOps.xStreamUpsert.build(spark, sf)
+      .as[(Long, Long, java.sql.Timestamp)].collect().toSeq
+    val first = run()
+    val want = graft.core.Tables(spark, sf, "events")
+      .select("user_id", "event_id", "ts")
+      .as[(Long, Long, java.sql.Timestamp)].collect()
+      .groupBy(_._1).map { case (_, g) =>
+        g.maxBy(r => (r._3.getTime, r._2))
+      }.toSeq.sortBy(_._1)
+    assert(first == want)
+    // the second invocation replays the ENTIRE history as duplicates
+    // into the persisted stage — the merge must absorb it bit-for-bit
+    assert(run() == first)
+  }
 }
