@@ -430,6 +430,9 @@ object Extra {
     * stay single-pass at any k.
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile: at least one column required")
+    require(cols.distinct == cols,
+      s"profile: duplicate columns in ${cols.mkString(", ")}")
     val aggs = cols.map { c =>
       struct(
         count(lit(1)).as("n"),

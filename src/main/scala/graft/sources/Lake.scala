@@ -336,11 +336,15 @@ object Lake {
   /** Read only the files whose manifest band intersects [lo, hi], with the
     * residual filter applied on top (file stats prune whole files; the
     * filter still decides rows). Falls back to a full filtered scan when
-    * no manifest exists.
+    * no manifest exists. The residual filter compares in the column's
+    * NATIVE type (fractional values keep exact-boundary semantics; the
+    * manifest's long-space stats are floor/ceil-safe for pruning because
+    * they only ever widen a file's band).
     */
   def readPruned(spark: SparkSession, path: String, clusterCol: String,
       lo: Long, hi: Long): DataFrame =
-    readBandPruned(spark, path, "_manifest.json", Seq(clusterCol -> (lo, hi)))
+    prunedBase(spark, path, "_manifest.json", Seq(clusterCol -> (lo, hi)))
+      .filter(col(clusterCol) >= lo && col(clusterCol) <= hi)
 
   /** (file, lo, hi) rows of a single-column stats manifest. */
   private[graft] def manifestEntries(fs: org.apache.hadoop.fs.FileSystem,
@@ -400,25 +404,32 @@ object Lake {
     "\"file\":\"(.*?)\"".r.findFirstMatchIn(line).map(m =>
       m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
 
-  /** Shared band-pruned read: keep files whose stats can satisfy ALL the
-    * band predicates, then apply the residual row filters. Falls back to
-    * a full filtered scan when no manifest exists.
+  /** File-skipping only: the dataset restricted to files whose stats can
+    * satisfy ALL the band predicates (no residual row filter — callers
+    * decide the row-level comparison semantics). Falls back to the full
+    * dataset when no manifest exists.
     */
-  private def readBandPruned(spark: SparkSession, path: String,
+  private def prunedBase(spark: SparkSession, path: String,
       manifestName: String, bands: Seq[(String, (Long, Long))]): DataFrame = {
     val mPath = new org.apache.hadoop.fs.Path(path, manifestName)
     val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val base =
-      if (!fs.exists(mPath)) spark.read.parquet(path)
-      else {
-        val keep = prunedFiles(fs, mPath, bands)
-        if (keep.isEmpty) spark.read.parquet(path).limit(0)
-        else spark.read.parquet(keep: _*)
-      }
-    bands.foldLeft(base) { case (df, (c, (lo, hi))) =>
-      df.filter(col(c).cast("long") >= lo && col(c).cast("long") <= hi)
+    if (!fs.exists(mPath)) spark.read.parquet(path)
+    else {
+      val keep = prunedFiles(fs, mPath, bands)
+      if (keep.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(keep: _*)
     }
   }
+
+  /** Shared band-pruned read in LONG space (stats space): file skipping +
+    * cast-to-long residual filters, matching the manifest's semantics.
+    */
+  private def readBandPruned(spark: SparkSession, path: String,
+      manifestName: String, bands: Seq[(String, (Long, Long))]): DataFrame =
+    bands.foldLeft(prunedBase(spark, path, manifestName, bands)) {
+      case (df, (c, (lo, hi))) =>
+        df.filter(col(c).cast("long") >= lo && col(c).cast("long") <= hi)
+    }
 
   /** Files whose per-file bands intersect EVERY `col -> [lo, hi]`
     * predicate (long space). A band column ABSENT from a manifest line

@@ -329,30 +329,38 @@ object StreamOps {
     """SELECT user_id, event_id AS last_event, CAST(ts AS TIMESTAMP) AS last_ts
        FROM (SELECT user_id, event_id, ts,
                     row_number() OVER (PARTITION BY user_id
-                                       ORDER BY ts DESC, event_id DESC) AS rn
+                                       ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                                event_id DESC) AS rn
              FROM events)
        WHERE rn = 1 ORDER BY user_id""") { (s, dir) =>
     val stage = upsertStage(dir)
     val stream = eventsStream(s, dir, copies = 2)
       .select(col("user_id"), col("event_id"), col("ts"))
     val ckpt = scratchDir("graft_ckpt_upsert").toString
-    val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // per-batch pre-aggregation: only one candidate row per key
-        // reaches the merge (batch is a plain DataFrame here, so a
-        // window is legal even though the source is a stream)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("user_id"))
-          .orderBy(col("ts").desc, col("event_id").desc)
-        val latest = batch.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1).drop("rn")
-        graft.sources.Lake.upsertLatest(batch.sparkSession, stage, latest,
-          Seq("user_id"), Seq(col("ts"), col("event_id")))
-      }
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // same pinned state/shuffle width as runToMemory: the per-batch
+    // window + merge move a few hundred rows — 32-way shuffles and
+    // 32-file stage rewrites per batch are pure overhead
+    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // per-batch pre-aggregation: only one candidate row per key
+          // reaches the merge (batch is a plain DataFrame here, so a
+          // window is legal even though the source is a stream)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"))
+            .orderBy(col("ts").desc, col("event_id").desc)
+          val latest = batch.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).drop("rn")
+          graft.sources.Lake.upsertLatest(batch.sparkSession, stage, latest,
+            Seq("user_id"), Seq(col("ts"), col("event_id")))
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
     s.read.parquet(stage)
       .select(col("user_id"), col("event_id").as("last_event"),
         col("ts").as("last_ts"))

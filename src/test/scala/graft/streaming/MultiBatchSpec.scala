@@ -65,11 +65,15 @@ class MultiBatchSpec extends AnyFunSuite {
     def run() = StreamOps.xStreamUpsert.build(spark, sf)
       .as[(Long, Long, java.sql.Timestamp)].collect().toSeq
     val first = run()
+    // rank at MICROsecond precision like the engine does — getTime is
+    // millis and would tie where the real timestamps differ
+    def us(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
     val want = graft.core.Tables(spark, sf, "events")
       .select("user_id", "event_id", "ts")
       .as[(Long, Long, java.sql.Timestamp)].collect()
       .groupBy(_._1).map { case (_, g) =>
-        g.maxBy(r => (r._3.getTime, r._2))
+        g.maxBy(r => (us(r._3), r._2))
       }.toSeq.sortBy(_._1)
     assert(first == want)
     // the second invocation replays the ENTIRE history as duplicates
