@@ -247,6 +247,44 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** X — per-document word-distribution Shannon entropy: the
+    * information-density quality signal (boilerplate and keyword-stuffed
+    * spam score low, natural prose high). Distributed shape: explode →
+    * per-(doc, word) count → per-doc partition-sum window → per-doc agg;
+    * the only shuffle key is doc_id (plus the word within the count
+    * agg's composite key), so it rides the same two-level plan as TF-IDF
+    * at any corpus size. Rounded to 6 digits on both engines to absorb
+    * summation-order ulps in the -Σ p·log2(p) reduction (the same
+    * contract as the transcendental queries).
+    */
+  val xWordEntropy = Q(
+    "x_word_entropy",
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+       t AS (SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM c)
+       SELECT doc_id,
+              round(-sum((CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n)) + 0.0, 6)
+                AS entropy,
+              count(*) AS n_distinct_words
+       FROM t GROUP BY doc_id
+       ORDER BY doc_id""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val counts = T(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val withN = counts
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("doc_id"))))
+    val p = col("c").cast("double") / col("n")
+    withN.groupBy(col("doc_id"))
+      // `+ 0.0` normalizes the -0.0 a single-word doc produces (p=1 →
+      // -sum(0.0) = -0.0) to +0.0 — the driver hashes RENDERED values,
+      // and "-0.0" vs "0.0" would mismatch even though they compare equal.
+      .agg(round(-sum(p * log2(p)) + lit(0.0), 6).as("entropy"),
+        count(lit(1)).as("n_distinct_words"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q35, q35b, xTfIdf, xQuality, xTokenCount, xLangId,
-    xRepetition, xQualityRules)
+    xRepetition, xQualityRules, xWordEntropy)
 }

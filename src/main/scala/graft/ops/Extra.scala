@@ -550,9 +550,82 @@ object Extra {
     datasetDiff(v1, v2, Seq("k")).orderBy("k")
   }
 
+  /** X — deterministic mode + exact median per group. Spark's built-in
+    * `mode` is tie-arbitrary, so the mode here is spelled as the
+    * explicit argmax (count desc, value asc) — one count agg plus a
+    * per-group top-1 window, the same plan shape as x_group_topk, and
+    * the identical spelling in the oracle makes ties deterministic on
+    * both engines. Median is the built-in exact interpolated median on
+    * both ((a+b)/2 of exactly-representable quantities — bit-identical).
+    */
+  val xModeMedian = Q(
+    "x_mode_median",
+    """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS c
+                  FROM lineitem GROUP BY l_returnflag, l_quantity),
+       r AS (SELECT l_returnflag, l_quantity, c,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY c DESC, l_quantity ASC) AS rn
+             FROM c),
+       m AS (SELECT l_returnflag, median(l_quantity) AS median_qty
+             FROM lineitem GROUP BY l_returnflag)
+       SELECT r.l_returnflag, r.l_quantity AS mode_qty, r.c AS mode_n,
+              m.median_qty
+       FROM r JOIN m ON r.l_returnflag = m.l_returnflag
+       WHERE r.rn = 1
+       ORDER BY r.l_returnflag""") { (s, dir) =>
+    val li = T(s, dir, "lineitem")
+    val counts = li.groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("c").desc, col("l_quantity").asc)
+    val mode = counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+        col("c").as("mode_n"))
+    val med = li.groupBy(col("l_returnflag"))
+      .agg(median(col("l_quantity")).as("median_qty"))
+    mode.join(med, "l_returnflag").orderBy("l_returnflag")
+  }
+
+  /** X — parquet schema evolution: two batches land with different
+    * schemas (the second adds `o_orderstatus`), and a `mergeSchema` read
+    * unifies them — old rows surface the new column as NULL, exactly the
+    * `union_by_name` contract. The staging write is per-batch overwrite
+    * into the shared scratch root; the read proves the merged scan
+    * (footer-merge is a driver-side metadata pass, the data files are
+    * never rewritten — the cheap half of schema evolution that a real
+    * lake does daily).
+    */
+  val xSchemaEvolution = Q(
+    "x_schema_evolution",
+    """SELECT o_orderstatus,
+              count(*) AS n,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+       FROM (
+         SELECT o_totalprice, NULL AS o_orderstatus
+         FROM orders WHERE o_orderkey % 3 = 0
+         UNION ALL
+         SELECT o_totalprice, o_orderstatus
+         FROM orders WHERE o_orderkey % 3 = 1)
+       GROUP BY o_orderstatus
+       ORDER BY o_orderstatus NULLS FIRST""") { (s, dir) =>
+    val orders = T(s, dir, "orders")
+    val root = scratch("schevo/orders")
+    orders.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$root/batch=1")
+    orders.filter(col("o_orderkey") % 3 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .write.mode("overwrite").parquet(s"$root/batch=2")
+    s.read.option("mergeSchema", "true").parquet(s"$root/batch=1", s"$root/batch=2")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), E.sumd(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first)
+  }
+
   val all: Seq[Q] =
     Seq(xSessionize, xSampleHash, xStringAgg, xRedact, xRegrAgg, xFillForward,
       xGroupTopK, xApproxPercentile, xResample, xJaroWinkler, xWindowNtile,
       xCsvRoundtrip, xUpsert, xManifestPrune, xDatasetDiff, xZorderPrune,
-      xProfile)
+      xProfile, xModeMedian, xSchemaEvolution)
 }

@@ -1,0 +1,182 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.{Q, Tables => T}
+
+/** Round-5 time-series coverage: linear gap interpolation, missing-bucket
+  * detection (calendar anti-join + island compression), and the
+  * cumulative-distinct rollup a usage dashboard needs.
+  *
+  * Scale posture: interpolation and island detection are one window pass
+  * each over the series key (the shuffle is the partition key, nothing
+  * more); gap detection explodes a bounded calendar (hours between a
+  * key's min and max — time is the one dimension that does NOT grow with
+  * corpus size) and anti-joins it against the observed buckets on the
+  * same key, so the only shuffles are the per-key aggregations. The one
+  * global window (cumulative distinct users over days) is over the date
+  * dimension — bounded at any corpus scale — and is fed by a per-day
+  * pre-aggregation, never by raw events.
+  */
+object Timeseries {
+
+  /** Library form: fill nulls in `valueCol` by linear interpolation
+    * against a numeric `orderCol` within each `partCol` series; boundary
+    * nulls take the nearest non-null neighbor (backfill at the head,
+    * forward-fill at the tail). Two window passes (one forward, one
+    * backward) over the same partitioning — Spark evaluates both frames
+    * in a single sort of the series.
+    *
+    * Determinism contract: the interpolation arithmetic is written in
+    * the exact same IEEE order as the oracle SQL (`prev + (next - prev)
+    * * ((k - pk) / (nk - pk))`, long-to-double division), so results are
+    * bit-identical cross-engine with no rounding needed.
+    */
+  def interpolateLinear(df: DataFrame, partCol: String, orderCol: String,
+      valueCol: String): DataFrame = {
+    val wFwd = Window.partitionBy(col(partCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBwd = Window.partitionBy(col(partCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val k = col(orderCol)
+    df.withColumn("__prev_v", last(col(valueCol), ignoreNulls = true).over(wFwd))
+      .withColumn("__prev_k",
+        last(when(col(valueCol).isNotNull, k), ignoreNulls = true).over(wFwd))
+      .withColumn("__next_v", first(col(valueCol), ignoreNulls = true).over(wBwd))
+      .withColumn("__next_k",
+        first(when(col(valueCol).isNotNull, k), ignoreNulls = true).over(wBwd))
+      .withColumn(valueCol,
+        when(col(valueCol).isNotNull, col(valueCol))
+          .when(col("__prev_v").isNull, col("__next_v"))
+          .when(col("__next_v").isNull, col("__prev_v"))
+          .otherwise(col("__prev_v") + (col("__next_v") - col("__prev_v")) *
+            ((k - col("__prev_k")) / (col("__next_k") - col("__prev_k")))))
+      .drop("__prev_v", "__prev_k", "__next_v", "__next_k")
+  }
+
+  /** X — linear interpolation of a gapped series: null out every 7th
+    * order's price, then reconstruct it from the nearest non-null
+    * neighbors within the priority series. The shape every sensor /
+    * metrics pipeline needs after x_resample's bucketing.
+    */
+  val xInterpolate = Q(
+    "x_interpolate",
+    """WITH s AS (SELECT o_orderpriority, o_orderkey,
+              CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS price
+            FROM orders),
+       f AS (SELECT o_orderpriority, o_orderkey, price,
+              last_value(price IGNORE NULLS) OVER
+                (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+              last_value(CASE WHEN price IS NOT NULL THEN o_orderkey END IGNORE NULLS) OVER
+                (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_k,
+              first_value(price IGNORE NULLS) OVER
+                (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+              first_value(CASE WHEN price IS NOT NULL THEN o_orderkey END IGNORE NULLS) OVER
+                (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_k
+             FROM s)
+       SELECT o_orderpriority, o_orderkey,
+              CASE WHEN price IS NOT NULL THEN price
+                   WHEN prev_v IS NULL THEN next_v
+                   WHEN next_v IS NULL THEN prev_v
+                   ELSE prev_v + (next_v - prev_v) *
+                        ((o_orderkey - prev_k) / (next_k - prev_k)) END AS price,
+              (price IS NULL) AS was_gap
+       FROM f
+       ORDER BY o_orderpriority, o_orderkey""") { (s, dir) =>
+    val gapped = T(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("o_totalprice")).as("price"))
+    interpolateLinear(gapped, "o_orderpriority", "o_orderkey", "price")
+      .withColumn("was_gap", col("o_orderkey") % 7 === 0)
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
+  /** X — missing-bucket detection with island compression: per user,
+    * the hours between their first and last event with no activity,
+    * compressed into consecutive runs (the classic gaps-and-islands
+    * `bucket_index - row_number` trick). Reports per user: total missing
+    * hours, number of distinct gaps, and the longest gap. Users with
+    * full coverage have no missing rows and drop out (same on both
+    * engines).
+    */
+  val xGapDetect = Q(
+    "x_gap_detect",
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+       ev AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM e),
+       span AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM ev GROUP BY user_id),
+       allh AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+                FROM span),
+       miss AS (SELECT a.user_id, a.h FROM allh a
+                WHERE NOT EXISTS (SELECT 1 FROM ev
+                                  WHERE ev.user_id = a.user_id AND ev.h = a.h)),
+       isl AS (SELECT user_id, h,
+                epoch_us(h) // 3600000000 -
+                  row_number() OVER (PARTITION BY user_id ORDER BY h) AS grp
+               FROM miss),
+       g AS (SELECT user_id, grp, count(*) AS c FROM isl GROUP BY user_id, grp)
+       SELECT user_id, CAST(sum(c) AS BIGINT) AS n_missing,
+              count(*) AS n_gaps, max(c) AS max_gap
+       FROM g GROUP BY user_id
+       ORDER BY user_id""") { (s, dir) =>
+    val ev = T(s, dir, "events")
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .distinct()
+    val span = ev.groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val allh = span.select(col("user_id"),
+      explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val miss = allh.join(ev, Seq("user_id", "h"), "left_anti")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+    miss
+      .withColumn("grp", expr("unix_micros(h) div 3600000000") -
+        row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n_missing"), count(lit(1)).as("n_gaps"),
+        max(col("c")).as("max_gap"))
+      .orderBy("user_id")
+  }
+
+  /** X — daily active users + cumulative distinct users: DAU is a plain
+    * per-day distinct agg; the cumulative series uses the first-seen
+    * trick (min day per user, then a running sum of new users over the
+    * date dimension) instead of a `count(DISTINCT) OVER` rescan — the
+    * running window is over DAYS (bounded forever), never over raw
+    * events, so the single-partition final window is a non-issue at any
+    * corpus size.
+    */
+  val xWindowDistinct = Q(
+    "x_window_distinct",
+    """WITH e AS (SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS d
+                  FROM events),
+       dau AS (SELECT d, count(DISTINCT user_id) AS dau FROM e GROUP BY d),
+       f AS (SELECT user_id, min(d) AS d0 FROM e GROUP BY user_id),
+       nu AS (SELECT d0 AS d, count(*) AS nu FROM f GROUP BY d0)
+       SELECT dau.d, dau.dau,
+              CAST(sum(coalesce(nu.nu, 0)) OVER
+                (ORDER BY dau.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_users
+       FROM dau LEFT JOIN nu ON dau.d = nu.d
+       ORDER BY dau.d""") { (s, dir) =>
+    val byDay = T(s, dir, "events")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+    val dau = byDay.groupBy(col("d")).agg(countDistinct(col("user_id")).as("dau"))
+    val nu = byDay.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+      .groupBy(col("d0").as("d")).agg(count(lit(1)).as("nu"))
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dau.join(nu, Seq("d"), "left")
+      .select(col("d"), col("dau"),
+        sum(coalesce(col("nu"), lit(0L))).over(w).as("cum_users"))
+      .orderBy("d")
+  }
+
+  val all: Seq[Q] = Seq(xInterpolate, xGapDetect, xWindowDistinct)
+}
