@@ -15,11 +15,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // One retry per query: a transient driver-side hiccup (e.g. a glob
+    // listing briefly returning empty under concurrent FS churn — observed
+    // once against the fixture-blob directory) would otherwise turn a
+    // correct query red for the whole round. A retry that also fails is a
+    // real failure and is reported as before.
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      def attempt(): Unit =
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      try attempt()
+      catch {
+        case e1: Throwable =>
+          System.err.println(s"[verify] $name attempt 1 failed " +
+            s"(${e1.getMessage}); retrying")
+          Thread.sleep(500)
+          try attempt()
+          catch { case e2: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e2.getMessage}")
+          }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
