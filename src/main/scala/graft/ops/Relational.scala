@@ -412,7 +412,10 @@ object Relational {
   }
 
   /** Q13a — equi key + range residual: hash join on l_partkey with the
-    * residual evaluated post-probe (never a cartesian product).
+    * residual evaluated post-probe (never a cartesian product). No
+    * broadcast hint: part is fact-sized at scale (20M rows at sf100) —
+    * AQE broadcasts at small SF and shuffle-joins when it outgrows the
+    * threshold, exactly like the q09/q10 customer joins.
     */
   val q13 = Q(
     "q13_range_join",
@@ -423,7 +426,7 @@ object Relational {
        GROUP BY p_partkey ORDER BY p_partkey""") { (s, dir) =>
     val p = T(s, dir, "part")
     val l = T(s, dir, "lineitem")
-    l.join(broadcast(p), col("l_partkey") === col("p_partkey")
+    l.join(p, col("l_partkey") === col("p_partkey")
         && col("l_quantity") > col("p_size"))
       .groupBy(col("p_partkey"))
       .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("qty"))
