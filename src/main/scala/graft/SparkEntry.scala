@@ -15,14 +15,15 @@ object SparkEntry {
   /** Every declared query, in SURVEY §2b order. */
   def registry: Seq[Q] =
     ops.Relational.all ++ ops.Analytic.all ++ ops.Extra.all ++
-      ops.Timeseries.all ++
+      ops.Timeseries.all ++ ops.Scd.all ++
       plans.AsOfQueries.all ++ streaming.StreamOps.all ++
       ops.Udfs.all ++ llmops.Dedup.all ++ llmops.MinHashLSH.all ++
       llmops.DedupFamilies.all ++ llmops.DedupPipeline.all ++
       llmops.Incremental.all ++
       llmops.Curation.all ++
       llmops.VectorSearch.all ++ llmops.Chunking.all ++ llmops.TextStats.all ++
-      llmops.SimHash.all ++ llmops.Multimodal.all
+      llmops.SimHash.all ++ llmops.Multimodal.all ++
+      llmops.WebClean.all ++ llmops.HeavyHitters.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -336,6 +336,30 @@ object Extra {
       .orderBy("o_orderpriority")
   }
 
+  /** X — ORC sink + source round-trip: same contract as the CSV twin but
+    * through the columnar ORC format (schema travels with the file, so
+    * no explicit schema on read). Lineitem exercises decimals-as-double,
+    * dates, and low-cardinality strings through ORC's encodings; the
+    * oracle aggregates the original parquet — green iff the format
+    * round-trip is bit-lossless.
+    */
+  val xOrcRoundtrip = Q(
+    "x_orc_roundtrip",
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         max(l_shipdate) AS last_ship
+       FROM lineitem GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus""") { (s, dir) =>
+    val li = T(s, dir, "lineitem")
+    val out = scratch("orcrt/lineitem")
+    graft.sources.Lake.writeAs(li, "orc", out)
+    graft.sources.Lake.readAs(s, "orc", out)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), E.sumd(col("l_extendedprice")).as("total"),
+        max(col("l_shipdate")).as("last_ship"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   /** X — key-based MERGE (upsert) through the real Lake.upsert sink:
     * stage orders to parquet, merge an updates set (every 97th key gets
     * a new status and +1000 price, one brand-new key appends), read the
@@ -626,6 +650,6 @@ object Extra {
   val all: Seq[Q] =
     Seq(xSessionize, xSampleHash, xStringAgg, xRedact, xRegrAgg, xFillForward,
       xGroupTopK, xApproxPercentile, xResample, xJaroWinkler, xWindowNtile,
-      xCsvRoundtrip, xUpsert, xManifestPrune, xDatasetDiff, xZorderPrune,
-      xProfile, xModeMedian, xSchemaEvolution)
+      xCsvRoundtrip, xOrcRoundtrip, xUpsert, xManifestPrune, xDatasetDiff,
+      xZorderPrune, xProfile, xModeMedian, xSchemaEvolution)
 }
