@@ -102,5 +102,46 @@ object Chunking {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(xDocChunk, xStratifiedSample, xPackSequences)
+  /** X — C4-style span-level dedup: cut every document into fixed
+    * non-overlapping spans, keep only the FIRST occurrence of each span
+    * corpus-wide ((doc_id, offset) order), and report per doc how much
+    * survives. This is the line/paragraph dedup stage of a crawl
+    * pipeline (C4 removed duplicate three-sentence spans the same way).
+    *
+    * Scale posture: ONE shuffle keyed on the span digest (the window
+    * partition), then a per-doc re-aggregation — the span stream is
+    * narrow (doc_id, offset, 16-byte digest), never the full text, and
+    * the hot key is a span duplicated millions of times, which the
+    * digest partitioning spreads no worse than the dedup groupBy any
+    * exact-dedup pipeline runs.
+    */
+  val SPAN = 40
+
+  val xSpanDedup = Q(
+    "x_span_dedup",
+    s"""WITH chunks AS (
+         SELECT doc_id, off, md5(substr(text, off + 1, $SPAN)) AS d
+         FROM documents,
+              LATERAL (SELECT unnest(generate_series(0, greatest(length(text) - 1, 0), $SPAN)) AS off)),
+       r AS (SELECT doc_id,
+                    row_number() OVER (PARTITION BY d ORDER BY doc_id, off) AS rn
+             FROM chunks)
+       SELECT doc_id, count(*) AS n_spans,
+              CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       FROM r GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+    val w = Window.partitionBy(col("d")).orderBy(col("doc_id"), col("off"))
+    T(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          greatest(length(col("text")) - 1, lit(0)), lit(SPAN))).as("off"))
+      .select(col("doc_id"), col("off"),
+        md5(expr(s"substring(text, off + 1, $SPAN)")).as("d"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(xDocChunk, xStratifiedSample, xPackSequences, xSpanDedup)
 }

@@ -360,6 +360,24 @@ object Extra {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** X — row-level provenance: every row tagged with the file it was
+    * read from (`input_file_name()`), the audit column a lake ingest
+    * keeps so any training example can be traced back to its source
+    * object. Derived-fact oracle: the fixture tables are single-file, so
+    * the checkable cross-engine fact is the constant basename — the
+    * Spark side still genuinely derives it per row from the scan.
+    */
+  val xProvenance = Q(
+    "x_provenance",
+    """SELECT doc_id, 'documents.parquet' AS file_name, source
+       FROM documents ORDER BY doc_id""") { (s, dir) =>
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        regexp_extract(input_file_name(), "[^/]+$", 0).as("file_name"),
+        col("source"))
+      .orderBy("doc_id")
+  }
+
   /** X — key-based MERGE (upsert) through the real Lake.upsert sink:
     * stage orders to parquet, merge an updates set (every 97th key gets
     * a new status and +1000 price, one brand-new key appends), read the
@@ -650,6 +668,6 @@ object Extra {
   val all: Seq[Q] =
     Seq(xSessionize, xSampleHash, xStringAgg, xRedact, xRegrAgg, xFillForward,
       xGroupTopK, xApproxPercentile, xResample, xJaroWinkler, xWindowNtile,
-      xCsvRoundtrip, xOrcRoundtrip, xUpsert, xManifestPrune, xDatasetDiff,
-      xZorderPrune, xProfile, xModeMedian, xSchemaEvolution)
+      xCsvRoundtrip, xOrcRoundtrip, xProvenance, xUpsert, xManifestPrune,
+      xDatasetDiff, xZorderPrune, xProfile, xModeMedian, xSchemaEvolution)
 }

@@ -153,6 +153,31 @@ class Round5Spec extends AnyFunSuite {
     assert(path.endsWith("/doc/7") && page == "7")
   }
 
+  test("x_span_dedup: kept <= total, and a duplicated doc loses all spans") {
+    val rows = graft.llmops.Chunking.xSpanDedup.build(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, kept) =>
+      assert(kept >= 0 && kept <= n, s"doc $id kept $kept of $n")
+    }
+    // the fixture corpus contains exact duplicate texts (x_exact_dedup
+    // relies on them) — their later copies must keep zero spans
+    val dupIds = graft.core.Tables(spark, sf, "documents")
+      .groupBy(col("text")).agg(min(col("doc_id")).as("first"),
+        max(col("doc_id")).as("last"), count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("last").as[Long].collect()
+    if (dupIds.nonEmpty) {
+      val byId = rows.map(r => r._1 -> r._3).toMap
+      dupIds.foreach(id => assert(byId(id) == 0, s"dup doc $id kept spans"))
+    }
+  }
+
+  test("x_provenance derives the real scan file name per row") {
+    val got = graft.ops.Extra.xProvenance.build(spark, sf)
+      .select("file_name").distinct().as[String].collect()
+    assert(got.toSeq == Seq("documents.parquet"))
+  }
+
   // --- ORC round-trip ---
 
   test("ORC round-trip is lossless for lineitem") {
