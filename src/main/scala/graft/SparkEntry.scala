@@ -23,7 +23,8 @@ object SparkEntry {
       llmops.Curation.all ++
       llmops.VectorSearch.all ++ llmops.Chunking.all ++ llmops.TextStats.all ++
       llmops.SimHash.all ++ llmops.Multimodal.all ++
-      llmops.WebClean.all ++ llmops.HeavyHitters.all ++ llmops.Bpe.all
+      llmops.WebClean.all ++ llmops.HeavyHitters.all ++ llmops.Bpe.all ++
+      llmops.LangModel.all ++ llmops.QualityModel.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

