@@ -61,19 +61,37 @@ object Bpe {
     toks
   }
 
-  /** Train `numMerges` BPE merges on the word histogram of `textCol`. */
-  def trainMerges(docs: DataFrame, textCol: String,
-      numMerges: Int): Seq[(String, String)] = {
+  /** Train `numMerges` BPE merges on the word histogram of `textCol`.
+    *
+    * Two training paths over the same histogram, same learned merges:
+    *   - histogram ≤ `driverHistMax` rows (the normal case — even a
+    *     100 TB web corpus has a word vocabulary in the tens of millions,
+    *     bounded driver state of the same class as the k-means centroid
+    *     table): collect it once and run the merge loop locally. 24
+    *     distributed aggregation jobs over a vocabulary-sized table are
+    *     pure job-scheduling floor; the corpus-sized work (histogram
+    *     build, tokenizer apply) stays distributed either way.
+    *   - histogram larger than that: the fully-distributed loop — one
+    *     pair-count aggregation + 1-row argmax per merge round.
+    */
+  def trainMerges(docs: DataFrame, textCol: String, numMerges: Int,
+      driverHistMax: Int = 1 << 22): Seq[(String, String)] = {
     val spark = docs.sparkSession
     import spark.implicits._
     // the one corpus-wide pass: word histogram (vocabulary-sized)
-    var hist: Dataset[(Long, List[String])] = docs
+    val histDf: Dataset[(Long, String)] = docs
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).count()
       .select(col("count"), col("w"))
       .as[(Long, String)]
-      .map { case (c, w) => (c, w.map(_.toString).toList) }
+    // the +1 row proves overflow without a separate count() job
+    val head = histDf.limit(driverHistMax + 1).collect()
+    if (head.length <= driverHistMax)
+      return trainMergesLocal(
+        head.map { case (c, w) => (c, w.map(_.toString).toList) }, numMerges)
+    var hist: Dataset[(Long, List[String])] =
+      histDf.map { case (c, w) => (c, w.map(_.toString).toList) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     for (_ <- 1 to numMerges) {
       // adjacent-pair counts weighted by word frequency — one shuffle
@@ -93,6 +111,37 @@ object Bpe {
         // next round's plan doesn't stack numMerges map stages deep
         hist = prev.map { case (c, toks) => (c, mergeOnce(toks, a, b)) }
           .localCheckpoint(true)
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Driver-side merge loop over a collected histogram — identical
+    * semantics to the distributed loop (count-weighted adjacent pairs,
+    * ties on count DESC then pair ASC, stop merging at count ≤ 1).
+    */
+  private def trainMergesLocal(hist0: Array[(Long, List[String])],
+      numMerges: Int): Seq[(String, String)] = {
+    var hist = hist0
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    var done = false
+    while (round < numMerges && !done) {
+      round += 1
+      val pairs = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      hist.foreach { case (c, toks) =>
+        toks.zip(toks.tail).foreach { p =>
+          pairs.update(p, pairs.getOrElse(p, 0L) + c)
+        }
+      }
+      // max-count pair; a top count ≤ 1 can never recover (counts only
+      // shrink once no pair repeats), so further rounds are no-ops
+      val best = pairs.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.headOption
+      best match {
+        case Some(((a, b), c)) if c > 1 =>
+          merges += ((a, b))
+          hist = hist.map { case (c0, toks) => (c0, mergeOnce(toks, a, b)) }
+        case _ => done = true
       }
     }
     merges.toSeq

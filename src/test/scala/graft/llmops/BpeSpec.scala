@@ -65,6 +65,17 @@ class BpeSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.length >= 4)
   }
 
+  test("forced-distributed trainer learns the same merges as the local path") {
+    val texts = Seq(
+      "low low low low low lower lower newest newest newest",
+      "newest newest newest widest widest widest low")
+    val df = texts.toDF("text")
+    // driverHistMax = 0 forces the distributed aggregation loop
+    val dist = Bpe.trainMerges(df, "text", 8, driverHistMax = 0)
+    val local = Bpe.trainMerges(df, "text", 8)
+    assert(dist == local && local == refTrain(texts, 8))
+  }
+
   test("distributed trainer matches the reference on fixture docs") {
     val texts = graft.core.Tables(spark, sf, "documents")
       .select("text").as[String].collect().toSeq
