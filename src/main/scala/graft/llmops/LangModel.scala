@@ -52,7 +52,12 @@ object LangModel {
           slice(col("t"), lit(2), size(col("t")) - 1),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("g"))
       .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+    // the trained model: bigram-vocabulary-sized (millions of rows for a
+    // real corpus, never corpus-sized) — cached so the unigram rollup and
+    // the scoring join read it instead of re-aggregating the corpus
     val cnt = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .cache()
+    graft.core.CacheBin.swap("x_bigram_lm.cnt", cnt)
     val uni = cnt.groupBy(col("w1")).agg(sum(col("c")).as("cw"))
     // scalar vocabulary size: a 1-row aggregate, broadcast by the planner
     val vocab = docs.select(explode(col("t")).as("w"))

@@ -67,8 +67,11 @@ object QualityModel {
       .setOutputCol("features")
       .transform(featurize(docs))
       .select(col("doc_id"), col("features"), col("label"))
+    // 15 iterations: L-BFGS on standardized, near-separable 4-feature data
+    // converges in <10 (measured: accuracy identical to maxIter=50); each
+    // extra iteration is a whole treeAggregate job
     val model = new LogisticRegression()
-      .setMaxIter(50).setRegParam(1e-4).setStandardization(true)
+      .setMaxIter(15).setRegParam(1e-4).setStandardization(true)
       .fit(data)
     val scored = model.transform(data)
     val row = scored.agg(
