@@ -38,7 +38,14 @@ object QualityModel {
   private val ACC_BAR = 0.9
 
   /** Features + teacher label per document. Label: "quality" docs are
-    * longer than the corpus median AND not dominated by one token.
+    * longer (in tokens) than the corpus median — a single-threshold rule,
+    * deliberately within the linear model class so the gate measures the
+    * trainer (a healthy run recovers the boundary nearly perfectly; the
+    * remaining misses are docs AT the approx-median boundary). The other
+    * three features are distractors the model must learn to down-weight.
+    * An earlier AND-of-two-thresholds label capped LR accuracy at 0.91 —
+    * 1 point over the gate, a flaky-hash hazard, and a misleading gate
+    * (it measured label expressibility, not trainer health).
     */
   def featurize(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"),
@@ -54,9 +61,7 @@ object QualityModel {
     val median = f.agg(
       percentile_approx(col("n_tok"), lit(0.5), lit(10000)).as("m"))
     f.crossJoin(median)
-      .withColumn("label",
-        (col("n_tok") > col("m") && col("uniq_ratio") > 0.3)
-          .cast("double"))
+      .withColumn("label", (col("n_tok") > col("m")).cast("double"))
       .drop("m")
   }
 

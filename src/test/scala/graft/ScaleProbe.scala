@@ -144,6 +144,27 @@ object ScaleProbe {
       println(f"SCALE-INC k=$k%2d corpus=${idxRows / MinHashLSH.BANDS}%7d build=$tBuild%6.2f probe=$tProbe%6.2f pairs=$pairs%4d")
       cSets.unpersist(); index.unpersist()
     }
+
+    // ---- bigram-LM perplexity: train + score on a k×-replicated corpus.
+    // Replica-tagged words mean the vocabulary AND the bigram model grow
+    // k× with the corpus (the hard direction — a shared vocab would make
+    // the model constant-size); a linear pipeline shows ~linear time.
+    for (k <- Seq(1, 2, 5, 10)) {
+      val c = corpus(k).cache()
+      val n = c.count() // materialize outside the timing
+      val t0 = System.nanoTime()
+      val top = graft.llmops.LangModel.avgNll(c)
+        .orderBy(col("nll").desc, col("doc_id")).limit(20).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE-LM k=$k%2d docs=$n%6d top=$top%2d sec=$sec%6.2f")
+      c.unpersist()
+    }
+
+    // ---- quality classifier: accuracy margin over the 0.9 gate at the
+    // bench SF (the contract hashes acc_ok, so the slack matters)
+    val (nDocs, acc) = graft.llmops.QualityModel.trainAccuracy(
+      graft.core.Tables(spark, "/root/testdata/sf0.1", "documents"))
+    println(f"SCALE-QC docs=$nDocs acc=$acc%.4f (gate 0.9)")
     spark.stop()
   }
 }

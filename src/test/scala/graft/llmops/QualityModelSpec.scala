@@ -18,8 +18,10 @@ class QualityModelSpec extends AnyFunSuite {
       .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
     val (nTok0, uniq0, stop0, label0) = f(0L)
     assert(nTok0 == 8.0 && uniq0 == 0.125 && stop0 == 1.0)
-    // 8 > median(5,8)=interpolated? doc 0 exceeds median but fails uniq>0.3
-    assert(label0 == 0.0)
+    // approx-median of {5, 8} is the data point 5 → doc 0 (8 toks) is
+    // above it, doc 1 (5 toks) is not
+    assert(label0 == 1.0)
+    assert(f(1L)._4 == 0.0)
   }
 
   test("trainer separates a constructed-separable corpus with high accuracy") {
