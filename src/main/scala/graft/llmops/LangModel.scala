@@ -36,40 +36,58 @@ object LangModel {
   /** Add-k smoothing constant: P(w2|w1) = (c(w1,w2)+k) / (c(w1·)+k·V). */
   private val SMOOTH_K = 0.5
 
-  /** Per-document average negative log-likelihood under an add-k bigram LM
-    * trained on `docs` itself (columns: doc_id, text). Returns
-    * (doc_id, nll) with nll rounded to 6 decimals — library form, reused
-    * by the contract query and the spec's independent recomputation.
+  /** (doc_id, w1, w2) bigram stream — bigrams stay inside the row until
+    * explode, so there is no per-doc window/shuffle.
     */
-  def avgNll(docs0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val docs = docs0.select(col("doc_id"), split(col("text"), " ").as("t"))
-    // bigrams stay inside the row until explode — no per-doc window/shuffle
-    val bg = docs
-      .filter(size(col("t")) >= 2)
-      .select(col("doc_id"),
-        explode(zip_with(
-          slice(col("t"), lit(1), size(col("t")) - 1),
-          slice(col("t"), lit(2), size(col("t")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("g"))
-      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+  private def bigrams(docs: org.apache.spark.sql.DataFrame) = docs
+    .filter(size(col("t")) >= 2)
+    .select(col("doc_id"),
+      explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("g"))
+    .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+
+  /** Per-document average negative log-likelihood of `score` under an
+    * add-k bigram LM trained on `train` (both: doc_id, text). Unseen
+    * bigrams take the smoothing floor (c=0, and cw=0 for an unseen
+    * history word) — exactly the high-perplexity signal cross-corpus
+    * scoring exists to surface. Returns (doc_id, nll) rounded to 6
+    * decimals — library form, reused by both contract queries and the
+    * spec's independent recomputation.
+    */
+  def avgNllCross(train0: org.apache.spark.sql.DataFrame,
+      score0: org.apache.spark.sql.DataFrame,
+      cacheKey: String = "x_bigram_lm.cnt"): org.apache.spark.sql.DataFrame = {
+    val train = train0.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val score = score0.select(col("doc_id"), split(col("text"), " ").as("t"))
     // the trained model: bigram-vocabulary-sized (millions of rows for a
     // real corpus, never corpus-sized) — cached so the unigram rollup and
     // the scoring join read it instead of re-aggregating the corpus
-    val cnt = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val cnt = bigrams(train).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
       .cache()
-    graft.core.CacheBin.swap("x_bigram_lm.cnt", cnt)
+    graft.core.CacheBin.swap(cacheKey, cnt)
     val uni = cnt.groupBy(col("w1")).agg(sum(col("c")).as("cw"))
     // scalar vocabulary size: a 1-row aggregate, broadcast by the planner
-    val vocab = docs.select(explode(col("t")).as("w"))
+    val vocab = train.select(explode(col("t")).as("w"))
       .agg(countDistinct(col("w")).as("v"))
-    bg.join(cnt, Seq("w1", "w2"))
-      .join(uni, Seq("w1"))
+    bigrams(score)
+      .join(cnt, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
       .crossJoin(vocab)
       .groupBy(col("doc_id"))
       .agg(round(
-        sum(-log((col("c") + SMOOTH_K) / (col("cw") + col("v") * SMOOTH_K)))
+        sum(-log((coalesce(col("c"), lit(0L)) + SMOOTH_K) /
+          (coalesce(col("cw"), lit(0L)) + col("v") * SMOOTH_K)))
           / count(lit(1)), 6).as("nll"))
   }
+
+  /** Self-trained scoring (the x_bigram_lm contract): model and corpus
+    * are the same document set, so every bigram is in-model.
+    */
+  def avgNll(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    avgNllCross(docs, docs)
 
   val xBigramLm = Q(
     "x_bigram_lm",
@@ -90,15 +108,59 @@ object LangModel {
        SELECT CAST(row_number() OVER (ORDER BY nll DESC, doc_id) AS BIGINT) AS rank,
               doc_id
        FROM scored ORDER BY rank LIMIT 20""") { (s, dir) =>
-    val scored = avgNll(T(s, dir, "documents").select("doc_id", "text"))
-    // top-20 via TakeOrdered, then rank the 20 survivors (tiny, 1 task)
-    val top = scored.orderBy(col("nll").desc, col("doc_id")).limit(20)
-    top.select(
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("nll").desc, col("doc_id"))).cast("long").as("rank"),
-        col("doc_id"))
-      .orderBy("rank")
+    rankTop20(avgNll(T(s, dir, "documents").select("doc_id", "text")))
   }
 
-  val all: Seq[Q] = Seq(xBigramLm)
+  /** top-20 via TakeOrdered, then rank the 20 survivors (tiny, 1 task) */
+  private def rankTop20(scored: org.apache.spark.sql.DataFrame) = scored
+    .orderBy(col("nll").desc, col("doc_id")).limit(20)
+    .select(
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("nll").desc, col("doc_id"))).cast("long").as("rank"),
+      col("doc_id"))
+    .orderBy("rank")
+
+  /** X — cross-corpus perplexity (the CCNet setup proper): train the LM
+    * on a REFERENCE split (here lang='en' — standing in for "clean
+    * wikipedia") and score EVERY document against it; the most-perplexed
+    * docs are the most out-of-domain. Unseen bigrams hit the smoothing
+    * floor instead of being dropped — a document the model has never
+    * seen anything like must rank high, not vanish from the join.
+    *
+    * Same 100 TB shape as x_bigram_lm; the only difference is the model
+    * pass reads the (smaller) reference split.
+    */
+  val xLmCrossPpl = Q(
+    "x_lm_crossppl",
+    s"""WITH twords AS (SELECT string_split(text,' ') AS t FROM documents
+                       WHERE lang = 'en'),
+       tbg AS (SELECT t[i] AS w1, t[i+1] AS w2
+               FROM twords, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) s
+               WHERE len(t) >= 2),
+       cnt AS (SELECT w1, w2, count(*) AS c FROM tbg GROUP BY 1,2),
+       uni AS (SELECT w1, sum(c) AS cw FROM cnt GROUP BY 1),
+       vocab AS (SELECT count(DISTINCT w) AS v
+                 FROM (SELECT unnest(t) AS w FROM twords) u),
+       swords AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+       sbg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+               FROM swords, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) s
+               WHERE len(t) >= 2),
+       scored AS (SELECT sbg.doc_id,
+                    round(sum(-ln((coalesce(cnt.c, 0) + $SMOOTH_K)
+                                  /(coalesce(uni.cw, 0) + $SMOOTH_K*vocab.v)))
+                          / count(*), 6) AS nll
+                  FROM sbg LEFT JOIN cnt USING (w1, w2)
+                       LEFT JOIN uni USING (w1) CROSS JOIN vocab
+                  GROUP BY sbg.doc_id)
+       SELECT CAST(row_number() OVER (ORDER BY nll DESC, doc_id) AS BIGINT) AS rank,
+              doc_id
+       FROM scored ORDER BY rank LIMIT 20""") { (s, dir) =>
+    val docs = T(s, dir, "documents")
+    rankTop20(avgNllCross(
+      docs.filter(col("lang") === "en").select("doc_id", "text"),
+      docs.select("doc_id", "text"),
+      cacheKey = "x_lm_crossppl.cnt"))
+  }
+
+  val all: Seq[Q] = Seq(xBigramLm, xLmCrossPpl)
 }

@@ -78,10 +78,22 @@ object QualityModel {
     val model = new LogisticRegression()
       .setMaxIter(15).setRegParam(1e-4).setStandardization(true)
       .fit(data)
-    val scored = model.transform(data)
-    val row = scored.agg(
-      count(lit(1)).as("n"),
-      avg((col("prediction") === col("label")).cast("double")).as("acc"))
+    // score with pure column expressions over the model's coefficient
+    // vector (the decision boundary is sign(w·x + b)), NOT with
+    // model.transform(): the fitted model carries its training summary,
+    // the summary holds the SparkSession, and a transform closure would
+    // try to serialize that whole chain into tasks — which blows up with
+    // NotSerializableException(ObservationManager) as soon as anything in
+    // the JVM has used the Observation API on the session. Doubles-as-
+    // literals also keep the scoring pass in whole-stage codegen.
+    val w = model.coefficients.toArray
+    val feats = Seq("n_tok", "avg_len", "uniq_ratio", "stop_ratio")
+    val margin = feats.zip(w).map { case (f, wi) => col(f) * wi }
+      .reduce(_ + _) + model.intercept
+    val row = featurize(docs)
+      .select(col("label"), (margin > 0).cast("double").as("prediction"))
+      .agg(count(lit(1)).as("n"),
+        avg((col("prediction") === col("label")).cast("double")).as("acc"))
       .head()
     (row.getLong(0), row.getDouble(1))
   }

@@ -46,6 +46,23 @@ class LangModelSpec extends AnyFunSuite {
     assert(nll(0L) < nll(1L))
   }
 
+  test("cross scoring gives unseen bigrams the smoothing floor, not a drop") {
+    val train = Seq((0L, "a b a b a b")).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "a b a b"),   // fully in-model
+      (11L, "x y x y"))   // fully out-of-model (w1 unseen too)
+    .toDF("doc_id", "text")
+    val got = LangModel.avgNllCross(train, score, cacheKey = "spec.cross")
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet == Set(10L, 11L), "OOV doc must not vanish from output")
+    assert(got(11L) > got(10L), "out-of-model doc must be more perplexed")
+    // exact floor: every bigram of doc 11 has c=0 and cw=0 (unseen history
+    // word), so p = k/(k*v) = 1/v with v = |{a, b}| = 2
+    val floor = BigDecimal(-math.log(1.0 / 2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got(11L) - floor) < 1e-9)
+  }
+
   test("contract query returns ranks 1..20 with distinct docs on sf0.001") {
     val out = LangModel.xBigramLm.build(spark, "/root/testdata/sf0.001")
       .as[(Long, Long)].collect()
