@@ -141,7 +141,8 @@ object Bench {
     "q30_stream_stream_join", "q33_minhash_neardup", "q34_vector_topk",
     "x_char_ngram_jaccard", "x_embed_nn", "x_embed_neardup", "x_ann_ivf",
     "x_dedup_families", "x_incremental_neardup", "x_curation_pipeline",
-    "x_zorder_prune", "x_profile")
+    "x_zorder_prune", "x_profile",
+    "x_bigram_lm", "x_quality_classifier", "x_bpe_tokenize")
 
   private def headline(name: String): Boolean = headlineNames.contains(name)
 

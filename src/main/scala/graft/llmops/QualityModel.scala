@@ -67,10 +67,14 @@ object QualityModel {
 
   /** Train LR on the featurized docs, return (n_docs, train accuracy). */
   def trainAccuracy(docs: DataFrame): (Long, Double) = {
+    // featurization runs once: the cached frame feeds every L-BFGS pass
+    // (spark.ml re-reads its input per iteration) AND the scoring pass
+    val feat = featurize(docs).cache()
+    graft.core.CacheBin.swap("x_quality_classifier.feat", feat)
     val data = new VectorAssembler()
       .setInputCols(Array("n_tok", "avg_len", "uniq_ratio", "stop_ratio"))
       .setOutputCol("features")
-      .transform(featurize(docs))
+      .transform(feat)
       .select(col("doc_id"), col("features"), col("label"))
     // 15 iterations: L-BFGS on standardized, near-separable 4-feature data
     // converges in <10 (measured: accuracy identical to maxIter=50); each
@@ -90,7 +94,7 @@ object QualityModel {
     val feats = Seq("n_tok", "avg_len", "uniq_ratio", "stop_ratio")
     val margin = feats.zip(w).map { case (f, wi) => col(f) * wi }
       .reduce(_ + _) + model.intercept
-    val row = featurize(docs)
+    val row = feat
       .select(col("label"), (margin > 0).cast("double").as("prediction"))
       .agg(count(lit(1)).as("n"),
         avg((col("prediction") === col("label")).cast("double")).as("acc"))
