@@ -142,7 +142,8 @@ object Bench {
     "x_char_ngram_jaccard", "x_embed_nn", "x_embed_neardup", "x_ann_ivf",
     "x_dedup_families", "x_incremental_neardup", "x_curation_pipeline",
     "x_zorder_prune", "x_profile",
-    "x_bigram_lm", "x_quality_classifier", "x_bpe_tokenize")
+    "x_bigram_lm", "x_lm_crossppl", "x_quality_classifier",
+    "x_bpe_tokenize")
 
   private def headline(name: String): Boolean = headlineNames.contains(name)
 

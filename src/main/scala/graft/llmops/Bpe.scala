@@ -64,27 +64,33 @@ object Bpe {
   /** Train `numMerges` BPE merges on the word histogram of `textCol`.
     *
     * Two training paths over the same histogram, same learned merges:
-    *   - histogram ≤ `driverHistMax` rows (the normal case — even a
-    *     100 TB web corpus has a word vocabulary in the tens of millions,
-    *     bounded driver state of the same class as the k-means centroid
-    *     table): collect it once and run the merge loop locally. 24
-    *     distributed aggregation jobs over a vocabulary-sized table are
-    *     pure job-scheduling floor; the corpus-sized work (histogram
-    *     build, tokenizer apply) stays distributed either way.
+    *   - histogram ≤ `driverHistMax` rows (≈4M words — covers normalized/
+    *     tokenizer-ready corpora; raw web text with typo/URL vocabularies
+    *     in the tens of millions overflows it deliberately, since those
+    *     rows collect to GBs of driver heap): collect it once and run the
+    *     merge loop locally. 24 distributed aggregation jobs over a
+    *     vocabulary-sized table are pure job-scheduling floor; the
+    *     corpus-sized work (histogram build, tokenizer apply) stays
+    *     distributed either way.
     *   - histogram larger than that: the fully-distributed loop — one
-    *     pair-count aggregation + 1-row argmax per merge round.
+    *     pair-count aggregation + 1-row argmax per merge round, over the
+    *     CACHED histogram (the corpus is never re-scanned).
     */
   def trainMerges(docs: DataFrame, textCol: String, numMerges: Int,
       driverHistMax: Int = 1 << 22): Seq[(String, String)] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // the one corpus-wide pass: word histogram (vocabulary-sized)
+    // the one corpus-wide pass: word histogram (vocabulary-sized) —
+    // cached so the overflow probe and every distributed merge round read
+    // the materialized histogram, never the corpus again
     val histDf: Dataset[(Long, String)] = docs
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).count()
       .select(col("count"), col("w"))
       .as[(Long, String)]
+      .cache()
+    graft.core.CacheBin.swap("bpe.hist", histDf.toDF())
     // the +1 row proves overflow without a separate count() job
     val head = histDf.limit(driverHistMax + 1).collect()
     if (head.length <= driverHistMax)
@@ -93,7 +99,10 @@ object Bpe {
     var hist: Dataset[(Long, List[String])] =
       histDf.map { case (c, w) => (c, w.map(_.toString).toList) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    for (_ <- 1 to numMerges) {
+    var round = 0
+    var done = false
+    while (round < numMerges && !done) {
+      round += 1
       // adjacent-pair counts weighted by word frequency — one shuffle
       // over the histogram, then a 1-row argmax to the driver
       val top = hist.flatMap { case (c, toks) =>
@@ -111,14 +120,30 @@ object Bpe {
         // next round's plan doesn't stack numMerges map stages deep
         hist = prev.map { case (c, toks) => (c, mergeOnce(toks, a, b)) }
           .localCheckpoint(true)
-      }
+      } else done = true // counts only shrink — further rounds are no-ops
     }
     merges.toSeq
   }
 
+  /** UTF-8-byte lexicographic order — what Spark's `orderBy` uses for
+    * string columns. The local path must tie-break identically or the two
+    * paths could learn different merge sequences on non-BMP text (UTF-16
+    * `String.compareTo` orders surrogate pairs differently).
+    */
+  private[llmops] val utf8Order: Ordering[String] = (x: String, y: String) => {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    var r = 0
+    while (r == 0 && i < n) { r = (a(i) & 0xff) - (b(i) & 0xff); i += 1 }
+    if (r != 0) r else a.length - b.length
+  }
+
   /** Driver-side merge loop over a collected histogram — identical
     * semantics to the distributed loop (count-weighted adjacent pairs,
-    * ties on count DESC then pair ASC, stop merging at count ≤ 1).
+    * ties on count DESC then pair ASC in UTF-8 byte order, stop merging
+    * at count ≤ 1).
     */
   private def trainMergesLocal(hist0: Array[(Long, List[String])],
       numMerges: Int): Seq[(String, String)] = {
@@ -136,6 +161,7 @@ object Bpe {
       }
       // max-count pair; a top count ≤ 1 can never recover (counts only
       // shrink once no pair repeats), so further rounds are no-ops
+      implicit val ord: Ordering[String] = utf8Order
       val best = pairs.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.headOption
       best match {
         case Some(((a, b), c)) if c > 1 =>

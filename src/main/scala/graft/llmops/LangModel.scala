@@ -156,9 +156,12 @@ object LangModel {
               doc_id
        FROM scored ORDER BY rank LIMIT 20""") { (s, dir) =>
     val docs = T(s, dir, "documents")
-    rankTop20(avgNllCross(
-      docs.filter(col("lang") === "en").select("doc_id", "text"),
-      docs.select("doc_id", "text"),
+    val ref = docs.filter(col("lang") === "en").select("doc_id", "text")
+    // an empty reference split would make every probability 0/0 (NULL in
+    // Spark, inf in DuckDB) and silently degrade the ranking to NULLS-LAST
+    // noise — fail loudly instead
+    require(!ref.isEmpty, "x_lm_crossppl: reference split (lang='en') is empty")
+    rankTop20(avgNllCross(ref, docs.select("doc_id", "text"),
       cacheKey = "x_lm_crossppl.cnt"))
   }
 

@@ -65,6 +65,20 @@ class BpeSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.length >= 4)
   }
 
+  test("local tie-break orders strings by UTF-8 bytes like Spark orderBy") {
+    val emoji = "😀" // U+1F600, UTF-8 F0 9F 98 80
+    val lig = "ﬀ"         // U+FB00,  UTF-8 EF AC 80
+    // UTF-16 code-unit order says emoji < lig; UTF-8 byte order (what a
+    // Spark string orderBy uses) says the opposite — the local path must
+    // follow Spark or the two trainers diverge on non-BMP ties
+    assert(emoji.compareTo(lig) < 0)
+    assert(Bpe.utf8Order.compare(emoji, lig) > 0)
+    // agreement with Spark's actual sort on the same pair
+    val sorted = Seq(emoji, lig).toDF("s").orderBy("s")
+      .as[String].collect().toSeq
+    assert(sorted == Seq(emoji, lig).sorted(Bpe.utf8Order))
+  }
+
   test("forced-distributed trainer learns the same merges as the local path") {
     val texts = Seq(
       "low low low low low lower lower newest newest newest",
