@@ -104,7 +104,11 @@ object Curation {
       groupCol: String, weights: Map[String, Double],
       budget: Double): org.apache.spark.sql.DataFrame = {
     val nl = count(lit(1)).over(Window.partitionBy(col(groupCol)))
-    val wt = element_at(typedLit[Map[String, Double]](weights), col(groupCol))
+    // try_element_at, NOT element_at: under Spark 4's default ANSI mode a
+    // group value absent from the weights map must yield NULL (dropping
+    // the group, like the oracle's inner join on the weight table), not
+    // throw MAP_KEY_DOES_NOT_EXIST for the whole query
+    val wt = try_element_at(typedLit[Map[String, Double]](weights), col(groupCol))
     val thr = floor(least(lit(1.0), wt * lit(budget) / nl) * 65536)
       .cast("long")
     df.withColumn("ht", lpad(lower(hex(thr)), 5, "0"))

@@ -85,9 +85,10 @@ object Incremental {
   val xIncrementalNeardup = Q(
     "x_incremental_neardup", crossSetNeardupOracle) { (s, dir) =>
     val docs = T(s, dir, "documents")
-    // same plan as q33's sets => the cached corpus signatures are shared
-    val sets = MinHashLSH.wordSets(docs, 3).cache()
-    graft.core.CacheBin.swap("x_incremental_neardup.sets", sets)
+    // the SHARED word-3-gram set base (one cached shingle pass per dir) —
+    // not a private wordSets().cache() that only coincided with q33's via
+    // CacheManager plan collision
+    val sets = MinHashLSH.wordSetsBase(s, dir)
     // cutoff from the FULL table (the band frame excludes <3-word docs —
     // deriving the watermark from it would diverge from the oracle when
     // the max-id document is short)
@@ -128,8 +129,7 @@ object Incremental {
          AND CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= ${MinHashLSH.TAU}
        ORDER BY a_id, b_id""") { (s, dir) =>
     val docs = T(s, dir, "documents")
-    val sets = MinHashLSH.wordSets(docs, 3).cache()
-    graft.core.CacheBin.swap("x_split_leakage.sets", sets)
+    val sets = MinHashLSH.wordSetsBase(s, dir)
     val bands = MinHashLSH.bandKeys(MinHashLSH.signaturesFromSets(sets))
       .withColumn("holdout", holdoutColumn)
     val cand = bands.as("x").join(bands.as("y"), Seq("band", "bh"))

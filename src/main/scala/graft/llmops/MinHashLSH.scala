@@ -131,16 +131,26 @@ object MinHashLSH {
       (0 until numHashes).map(i => col("sig")(i).as(s"m$i")): _*)
   }
 
-  /** (doc_id, band, bh) — one row per band key. */
-  def bandKeys(sig: DataFrame, bands: Int = BANDS,
-      rowsPerBand: Int = ROWS_PER_BAND): DataFrame = {
-    val bandStructs = (0 until bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+  /** THE band-hash spelling: (band, bh) structs over signature minhash
+    * values addressed by index. Every producer of band keys — batch
+    * (bandKeys) or per-row streaming (x_stream_neardup) — goes through
+    * this one definition; a private copy that drifted (different hash,
+    * band layout, or column order) would silently empty the (band, bh)
+    * equi-join and report zero near-dups.
+    */
+  def bandStructs(minhashAt: Int => org.apache.spark.sql.Column,
+      bands: Int = BANDS, rowsPerBand: Int = ROWS_PER_BAND): Seq[org.apache.spark.sql.Column] =
+    (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => minhashAt(b * rowsPerBand + r))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
     }
-    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
+
+  /** (doc_id, band, bh) — one row per band key. */
+  def bandKeys(sig: DataFrame, bands: Int = BANDS,
+      rowsPerBand: Int = ROWS_PER_BAND): DataFrame =
+    sig.select(col("doc_id"),
+        explode(array(bandStructs(i => col(s"m$i"), bands, rowsPerBand): _*)).as("e"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
-  }
 
   /** Band INDEX for cross-set probing: each doc's band keys joined with
     * its shingle-hash set and cardinality (doc_id, band, bh, hs, c), so a

@@ -27,11 +27,36 @@ object StreamOps {
     * overhead — a REAL deployment points checkpointLocation at durable
     * shared storage instead.
     */
+  private val liveScratch =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+
+  /** Recursive delete; missing paths and races are fine. */
+  private def rmTree(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(q => try Files.deleteIfExists(q) catch { case _: Exception => })
+    }
+
+  // tmpfs is RAM: anything this harness leaves behind in /dev/shm is
+  // leaked memory that outlives the JVM. Checkpoints are deleted as soon
+  // as their replay terminates (see runToMemory); source-symlink/stage
+  // dirs live until JVM exit because their streams' plans may be re-run
+  // lazily — the shutdown hook sweeps whatever remains.
+  private lazy val sweepOnExit: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var p = liveScratch.poll()
+      while (p != null) { rmTree(p); p = liveScratch.poll() }
+    }))
+
   private def scratchDir(prefix: String): java.nio.file.Path = {
+    sweepOnExit
     val shm = java.nio.file.Paths.get("/dev/shm")
-    if (Files.isDirectory(shm) && Files.isWritable(shm))
+    val p = if (Files.isDirectory(shm) && Files.isWritable(shm))
       Files.createTempDirectory(shm, prefix)
     else Files.createTempDirectory(prefix)
+    liveScratch.add(p)
+    p
   }
 
   /** Streaming view of the events table (nanos ts → micros timestamp,
@@ -40,34 +65,57 @@ object StreamOps {
     * a SINGLE source, cheaper than unioning N streaming sources (each
     * source pays its own per-batch planning and offset tracking).
     */
-  private def eventsStream(s: SparkSession, dir: String, copies: Int = 1): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$dir/events.parquet"
-    // the streaming file source wants a directory; expose the single
-    // parquet file through temp dir symlinks
-    val streamDir = scratchDir("graft_stream_events")
+  /** The streaming file source wants a DIRECTORY; expose a single parquet
+    * file through temp-dir symlinks (`copies` > 1 = N× duplicated rows
+    * from one source, cheaper than unioning N streaming sources). Returns
+    * the raw file stream with the file's batch-read schema — shared by
+    * eventsStream and the documents stream in x_stream_neardup.
+    */
+  private def fileStream(s: SparkSession, path: String, prefix: String,
+      copies: Int = 1): DataFrame = {
+    val streamDir = scratchDir(prefix)
+    val name = new java.io.File(path).getName
     (1 to copies).foreach { i =>
       Files.createSymbolicLink(
-        streamDir.resolve(s"events_$i.parquet"),
-        java.nio.file.Paths.get(path))
+        streamDir.resolve(s"${i}_$name"), java.nio.file.Paths.get(path))
     }
-    val rawSchema = s.read.parquet(path).schema
-    s.readStream.schema(rawSchema).parquet(streamDir.toString)
+    s.readStream.schema(s.read.parquet(path).schema)
+      .parquet(streamDir.toString)
+  }
+
+  private def eventsStream(s: SparkSession, dir: String, copies: Int = 1): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    fileStream(s, s"$dir/events.parquet", "graft_stream_events", copies)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
   /** Run a streaming DataFrame into a memory sink to completion; return
     * the sink contents.
     */
-  private def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
-    val ckpt = scratchDir(s"graft_ckpt_$name").toString
-    val spark = df.sparkSession
-    // state-store commit cost scales with partition count; these replays
-    // are tiny per-batch, so pin a small state partitioning for the run
-    // (a real deployment sizes this to keyspace ÷ executor memory)
+  /** Run `body` with shuffle/state partitioning pinned to 4 and a fresh
+    * checkpoint dir, restoring the conf and deleting the checkpoint
+    * (state store + offsets, the bulk of the tmpfs footprint) when the
+    * replay terminates. State-store commit cost scales with partition
+    * count and these replays are tiny per-batch — a real deployment
+    * sizes this to keyspace ÷ executor memory and keeps the checkpoint
+    * on durable shared storage.
+    */
+  private def withPinnedReplay[T](spark: SparkSession, ckptPrefix: String)(
+      body: String => T): T = {
+    val ckpt = scratchDir(ckptPrefix)
     val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    try body(ckpt.toString)
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", oldParts)
+      rmTree(ckpt)
+      liveScratch.remove(ckpt)
+    }
+  }
+
+  private def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val spark = df.sparkSession
+    withPinnedReplay(spark, s"graft_ckpt_$name") { ckpt =>
       val q = df.writeStream
         .format("memory").queryName(name)
         .outputMode(mode)
@@ -75,7 +123,7 @@ object StreamOps {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", oldParts)
+    }
     spark.table(name)
   }
 
@@ -189,9 +237,15 @@ object StreamOps {
           (user, n, cents)
       }
       .toDF("user_id", "n_events", "cents")
+    // collapse per-batch snapshots to the LATEST state atomically: the
+    // snapshot with the highest n_events wins as a pair. Independent
+    // max(n)/max(cents) would be wrong whenever cents is not monotone
+    // (any negative event value) — it could combine n from the last
+    // snapshot with cents from a mid-stream one.
     runToMemory(updated, "q30b_mem", OutputMode.Update())
       .groupBy("user_id")
-      .agg(max(col("n_events")).as("n_events"), max(col("cents")).as("cents"))
+      .agg(max(struct(col("n_events"), col("cents"))).as("s"))
+      .select(col("user_id"), col("s.n_events"), col("s.cents"))
       .orderBy("user_id")
   }
 
@@ -281,16 +335,11 @@ object StreamOps {
       .select(col("band"), col("bh"), col("doc_id").as("a_id"),
         col("hs").as("ha"), col("c").as("ca"))
     // stream side: per-row signature, no shuffle before the join
-    val streamDir = scratchDir("graft_stream_docs")
-    Files.createSymbolicLink(streamDir.resolve("documents.parquet"),
-      java.nio.file.Paths.get(s"$dir/documents.parquet"))
-    val schema = s.read.parquet(s"$dir/documents.parquet").schema
-    val bandsPerRow = (0 until L.BANDS).map { b =>
-      val rows = (0 until L.ROWS_PER_BAND)
-        .map(r => col("sig")(b * L.ROWS_PER_BAND + r))
-      struct(lit(b).as("band"), xxhash64(rows: _*).as("bh"))
-    }
-    val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+    // the shared band-hash spelling (MinHashLSH.bandStructs) — both sides
+    // of the (band, bh) join MUST hash identically or recall silently
+    // drops to zero
+    val bandsPerRow = L.bandStructs(i => col("sig")(i))
+    val stream = fileStream(s, s"$dir/documents.parquet", "graft_stream_docs")
       .filter(col("doc_id") >= cut)
       // native per-row shingle-hash set (same values as the corpus side's
       // wordSets — byte-range hashing, no HOF interpretation)
@@ -336,13 +385,10 @@ object StreamOps {
     val stage = upsertStage(dir)
     val stream = eventsStream(s, dir, copies = 2)
       .select(col("user_id"), col("event_id"), col("ts"))
-    val ckpt = scratchDir("graft_ckpt_upsert").toString
     // same pinned state/shuffle width as runToMemory: the per-batch
     // window + merge move a few hundred rows — 32-way shuffles and
     // 32-file stage rewrites per batch are pure overhead
-    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    withPinnedReplay(s, "graft_ckpt_upsert") { ckpt =>
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           // per-batch pre-aggregation: only one candidate row per key
@@ -360,7 +406,7 @@ object StreamOps {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+    }
     s.read.parquet(stage)
       .select(col("user_id"), col("event_id").as("last_event"),
         col("ts").as("last_ts"))
