@@ -48,6 +48,11 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    // 1-min loadavg before/after the timed sweep: the box gets EXTERNAL
+    // load spikes that double-to-quadruple timings, and without this the
+    // permanent bench record can't distinguish a spike from a regression
+    // (round 5's record overstated the total 1.6x).
+    val loadStart = loadavg()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .map { case (name, fn) =>
@@ -72,50 +77,97 @@ object Bench {
     }
     // regression check vs the previous bench run at the same SF, if any
     val prev = previousBench(sfDir)
-    val vsPrev = results.flatMap { case (name, t) =>
+    val flagged = results.collect {
+      case (n, t) if prev.get(n).exists(p => isRegression(t, p)) => n
+    }
+    // Confirmation rep: an external load spike on this box inflates a
+    // contiguous alphabetical block of queries 3-15x (round-5's driver run
+    // flagged 18 phantom regressions that way). Re-measure each flagged
+    // query once, after the full sweep, and keep the better time — a real
+    // regression reproduces, a spike doesn't.
+    val (confirmedTimes, regressions) = confirmRegressions(
+      flagged, results.toMap, prev,
+      name => {
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      })
+    val dismissed = flagged.filterNot(regressions.contains)
+    if (dismissed.nonEmpty)
+      System.err.println(s"BENCH SPIKE DISMISSED (confirmation rep reverted): ${dismissed.mkString(",")}")
+    val results2 = results.map { case (n, t) => n -> confirmedTimes.getOrElse(n, t) }
+    val vsPrev = results2.flatMap { case (name, t) =>
       prev.get(name).collect { case p if p > 0 && t > 0 =>
         name -> BigDecimal(t / p).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
       }
     }
-    val resultMap = results.toMap
-    val regressions = vsPrev.collect {
-      case (n, _) if isRegression(resultMap(n), prev(n)) => n
-    }
-    regressions.foreach(n => System.err.println(s"BENCH REGRESSION >2x vs prev round: $n"))
+    regressions.foreach(n => System.err.println(s"BENCH REGRESSION >2x vs prev round (survived confirmation rep): $n"))
+    val loadEnd = loadavg()
     def fmt(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    val qs = results2.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // The driver captures only the LAST 2000 chars of stdout; a 144-query
     // map is ~4 KB, so printing it inline guarantees the driver's parse
     // fails (BENCH_r01..r04 all have "parsed": null). The stdout line
     // carries the total plus a headline subset that fits the window; the
     // complete per-query map goes to stderr and bench_history.jsonl.
-    val headQs = results.filter { case (k, _) => headline(k) }
+    val headQs = results2.filter { case (k, _) => headline(k) }
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val vp = vsPrev.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map(e => s"\"$e\"").mkString("[", ",", "]")
     val regs = regressions.map(r => s"\"$r\"").mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ > 0) match {
+    val dism = dismissed.map(r => s"\"$r\"").mkString("[", ",", "]")
+    val loads = s"[${fmt(loadStart)},${fmt(loadEnd)}]"
+    val total = results2.map(_._2).filter(_ > 0) match {
       case s if s.nonEmpty => s.sum
       case _ => 0.0
     }
     System.err.println(s"""BENCH FULL {"queries":$qs,"vs_prev":$vp}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$headQs,"errors":$errs,"regressions":$regs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results2.size},"queries":$headQs,"errors":$errs,"regressions":$regs,"spikes_dismissed":$dism,"loadavg":$loads,"sf":"$sfDir"}""")
     // persist this run APPEND-ONLY: one JSONL line per full run, so every
     // round's per-query numbers stay auditable on disk (the pre-round-4
     // overwrite destroyed round N-1's numbers each run; the driver's
     // truncated tail capture was the only — lossy — record)
     if (only.isEmpty) try {
       val w = new java.io.FileWriter(historyFile, true) // append
-      try w.write(s"""{"run":${runCount() + 1},"sf":"$sfDir","queries":$qs}""" + "\n")
+      try w.write(s"""{"run":${runCount() + 1},"sf":"$sfDir","loadavg":$loads,"spikes_dismissed":$dism,"queries":$qs}""" + "\n")
       finally w.close()
     } catch { case _: Exception => } // read-only checkout: skip, don't fail
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
+
+  /** Re-measure each flagged query once and keep the better (smaller)
+    * valid time; a flag that no longer trips [[isRegression]] against the
+    * same previous-run time was an external load spike, not a code change,
+    * and is dropped. Pure apart from the injected `remeasure` so the spike
+    * scenario is unit-testable (BenchGateSpec).
+    *
+    * @return (updated per-query times, flags that survived confirmation)
+    */
+  def confirmRegressions(
+      flagged: Seq[String],
+      times: Map[String, Double],
+      prev: Map[String, Double],
+      remeasure: String => Double): (Map[String, Double], Seq[String]) = {
+    val updated = flagged.foldLeft(times) { (ts, name) =>
+      val t2 = remeasure(name)
+      if (t2 > 0 && (ts(name) <= 0 || t2 < ts(name))) ts.updated(name, t2) else ts
+    }
+    val survived = flagged.filter(n =>
+      prev.get(n).exists(p => isRegression(updated(n), p)))
+    (updated, survived)
+  }
+
+  /** 1-minute loadavg from /proc/loadavg, or -1 where unreadable. */
+  private def loadavg(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      .split("\\s+")(0).toDouble
+    catch { case _: Exception => -1.0 }
 
   /** Material-regression gate (unit-tested in BenchGateSpec):
     *   - big mover: >2x AND now >0.5 s AND >1 s absolute slowdown, OR

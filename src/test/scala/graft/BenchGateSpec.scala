@@ -32,4 +32,40 @@ class BenchGateSpec extends AnyFunSuite {
     assert(!Bench.isRegression(cur = 1.0, prevT = -1.0))
     assert(!Bench.isRegression(cur = 0.0, prevT = 0.0))
   }
+
+  // --- confirmation rep: a transient load spike must not reach the record ---
+
+  test("transient 5x spike is dismissed by the confirmation rep") {
+    // round-5 shape: prev 1.3 s, spiked sweep measured 6.5 s, but the
+    // confirmation rep at normal load reverts to ~prev
+    val (times, survived) = Bench.confirmRegressions(
+      flagged = Seq("q_spiked"),
+      times = Map("q_spiked" -> 6.5, "q_ok" -> 0.2),
+      prev = Map("q_spiked" -> 1.3, "q_ok" -> 0.2),
+      remeasure = _ => 1.35)
+    assert(survived.isEmpty)
+    assert(times("q_spiked") === 1.35) // record keeps the idle-load time
+    assert(times("q_ok") === 0.2)     // unflagged queries untouched
+  }
+
+  test("a real regression survives the confirmation rep") {
+    val (times, survived) = Bench.confirmRegressions(
+      flagged = Seq("q_slow"),
+      times = Map("q_slow" -> 6.5),
+      prev = Map("q_slow" -> 1.3),
+      remeasure = _ => 6.2) // reproduces: genuinely slower code
+    assert(survived === Seq("q_slow"))
+    assert(times("q_slow") === 6.2)
+  }
+
+  test("confirmation rep never replaces a time with a worse or crashed one") {
+    val (times, survived) = Bench.confirmRegressions(
+      flagged = Seq("q_a", "q_b"),
+      times = Map("q_a" -> 3.4, "q_b" -> 3.4),
+      prev = Map("q_a" -> 1.3, "q_b" -> 1.3),
+      remeasure = n => if (n == "q_a") 9.9 else -1.0)
+    assert(times("q_a") === 3.4) // worse rep ignored
+    assert(times("q_b") === 3.4) // crashed rep ignored
+    assert(survived === Seq("q_a", "q_b")) // both still flagged
+  }
 }
