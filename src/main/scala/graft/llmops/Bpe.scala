@@ -91,11 +91,14 @@ object Bpe {
       .as[(Long, String)]
       .cache()
     graft.core.CacheBin.swap("bpe.hist", histDf.toDF())
-    // the +1 row proves overflow without a separate count() job
-    val head = histDf.limit(driverHistMax + 1).collect()
-    if (head.length <= driverHistMax)
+    // cardinality probe on the cached histogram first (one cheap job that
+    // also materializes the cache): the old limit(+1).collect() probe
+    // pulled a ~4M-row head onto the driver even when the answer was
+    // "overflow, discard it" — exactly the corpora the cap exists for
+    if (histDf.count() <= driverHistMax)
       return trainMergesLocal(
-        head.map { case (c, w) => (c, w.map(_.toString).toList) }, numMerges)
+        histDf.collect().map { case (c, w) => (c, w.map(_.toString).toList) },
+        numMerges)
     var hist: Dataset[(Long, List[String])] =
       histDf.map { case (c, w) => (c, w.map(_.toString).toList) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]

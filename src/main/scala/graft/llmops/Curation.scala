@@ -45,20 +45,23 @@ object Curation {
        WHERE NOT split.holdout
        GROUP BY sh.doc_id ORDER BY sh.doc_id""") { (s, dir) =>
     val docs = T(s, dir, "documents")
-    // per-row native gram-hash sets (already distinct) exploded to 8-byte
-    // rows: no gram strings, no per-doc distinct shuffle (collision odds
-    // ~|grams|²/2⁶⁴ — the same accepted class as exactJaccard's hashes);
-    // cached — both the bench side and the train side read this frame
-    val grams = docs
+    // per-row native gram-hash sets (already distinct): no gram strings,
+    // no per-doc distinct shuffle (collision odds ~|grams|²/2⁶⁴ — the
+    // same accepted class as exactJaccard's hashes). The CACHED frame is
+    // one array row per doc — caching the exploded (doc, gram) stream
+    // would pin a corpus-scale intermediate at 100 TB; two cheap explodes
+    // over the condensed rows (bench side, train side) beat that.
+    val gramSets = docs
       .select(col("doc_id"), Incremental.holdoutColumn.as("holdout"),
-        explode(graft.functions.ArrayOps.wordShingleHashes(col("text"), K))
-          .as("g"))
+        graft.functions.ArrayOps.wordShingleHashes(col("text"), K).as("hs"))
       .cache()
-    graft.core.CacheBin.swap("x_ngram_contamination.grams", grams)
-    val bench = grams.filter(col("holdout")).select(col("g")).distinct()
-    // (doc_id, g) is unique by construction, so a plain count after the
-    // membership join IS the distinct-gram hit count
-    grams.filter(!col("holdout"))
+    graft.core.CacheBin.swap("x_ngram_contamination.gram_sets", gramSets)
+    val bench = gramSets.filter(col("holdout"))
+      .select(explode(col("hs")).as("g")).distinct()
+    // (doc_id, g) is unique by construction (per-row sets), so a plain
+    // count after the membership join IS the distinct-gram hit count
+    gramSets.filter(!col("holdout"))
+      .select(col("doc_id"), explode(col("hs")).as("g"))
       .join(bench, "g")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))

@@ -22,7 +22,8 @@ object DedupPipeline {
       documents: DataFrame,
       minTokens: Int = 10,
       tau: Double = MinHashLSH.TAU,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000,
+      sharedSets: Option[DataFrame] = None): DataFrame = {
 
     // 1. exact
     val wDigest = Window.partitionBy(col("digest")).orderBy(col("doc_id"))
@@ -37,8 +38,19 @@ object DedupPipeline {
     // boilerplate, the main source of giant LSH buckets) and with a
     // hot-bucket cap so one templated family can never go quadratic
     // inside a single shuffle key — see cappedCandidates' scaladoc.
-    val sets = MinHashLSH.wordSets(exact, 3).cache()
-    graft.core.CacheBin.swap("dedup_pipeline.sets", sets)
+    // The shingle pass is the pipeline's most expensive narrow stage;
+    // when the caller already holds the corpus-wide condensed set base
+    // (MinHashLSH.wordSetsBase), restrict it to stage-1 survivors with a
+    // semi join on doc_id instead of re-hashing the deduped text — the
+    // condensed rows move, the text is never touched a second time.
+    val sets = sharedSets match {
+      case Some(base) =>
+        base.join(exact.select("doc_id"), Seq("doc_id"), "left_semi")
+      case None =>
+        val s = MinHashLSH.wordSets(exact, 3).cache()
+        graft.core.CacheBin.swap("dedup_pipeline.sets", s)
+        s
+    }
     val cand = MinHashLSH.cappedCandidates(
       MinHashLSH.bandKeys(MinHashLSH.signaturesFromSets(sets)), maxBucket)
     val losers = MinHashLSH.exactJaccardFromSets(cand, sets)
@@ -89,7 +101,8 @@ object DedupPipeline {
        WHERE l.doc_id IS NULL
          AND len(string_split(e.text, ' ')) >= 10
        ORDER BY e.doc_id""") { (s, dir) =>
-    run(graft.core.Tables(s, dir, "documents"))
+    run(graft.core.Tables(s, dir, "documents"),
+        sharedSets = Some(MinHashLSH.wordSetsBase(s, dir)))
       .select(col("doc_id"), col("lang"), col("n_tokens"))
       .orderBy("doc_id")
   }

@@ -128,7 +128,6 @@ object Incremental {
        WHERE sa.holdout <> sb.holdout
          AND CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= ${MinHashLSH.TAU}
        ORDER BY a_id, b_id""") { (s, dir) =>
-    val docs = T(s, dir, "documents")
     val sets = MinHashLSH.wordSetsBase(s, dir)
     val bands = MinHashLSH.bandKeys(MinHashLSH.signaturesFromSets(sets))
       .withColumn("holdout", holdoutColumn)

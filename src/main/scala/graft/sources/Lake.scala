@@ -361,7 +361,10 @@ object Lake {
 
   /** Per-file [lo, hi] stats manifest over the given (long-castable)
     * columns: one JSON line per file, `{"file":"...","col":[lo,hi],...}`.
-    * One narrow post-write scan; `numFiles` rows of driver state.
+    * One narrow post-write scan, STREAMED through `toLocalIterator` — a
+    * 100 TB table has 10⁵–10⁶ files, and collect()ing one row per file
+    * would scale driver memory with the table; this holds one partition
+    * of stats rows at a time and keeps driver memory flat.
     */
   private def writeStatsManifest(spark: SparkSession, path: String,
       manifestName: String, cols: Seq[String]): Unit = {
@@ -371,25 +374,29 @@ object Lake {
     val stats = spark.read.parquet(path)
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
-      .collect()
-    val lines = stats.map { r =>
-      val f = r.getString(0).replace("\\", "\\\\").replace("\"", "\\\"")
-      val bands = cols.zipWithIndex.map { case (c, i) =>
-        // a file whose cluster column is all null has no band: publish
-        // the full range so no predicate ever prunes it
-        val (lo, hi) =
-          if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i))
-            (Long.MinValue, Long.MaxValue)
-          else (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))
-        s""""$c":[$lo,$hi]"""
-      }
-      s"""{"file":"$f",${bands.mkString(",")}}"""
-    }
+      .toLocalIterator()
     val mPath = new org.apache.hadoop.fs.Path(path, manifestName)
     val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(mPath, true)
-    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
+    val w = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(out, "UTF-8"))
+    try {
+      while (stats.hasNext) {
+        val r = stats.next()
+        val f = r.getString(0).replace("\\", "\\\\").replace("\"", "\\\"")
+        val bands = cols.zipWithIndex.map { case (c, i) =>
+          // a file whose cluster column is all null has no band: publish
+          // the full range so no predicate ever prunes it
+          val (lo, hi) =
+            if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i))
+              (Long.MinValue, Long.MaxValue)
+            else (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))
+          s""""$c":[$lo,$hi]"""
+        }
+        w.write(s"""{"file":"$f",${bands.mkString(",")}}""")
+        w.write("\n")
+      }
+    } finally w.close()
   }
 
   private def manifestLines(fs: org.apache.hadoop.fs.FileSystem,

@@ -30,12 +30,16 @@ object StreamOps {
   private val liveScratch =
     new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
 
-  /** Recursive delete; missing paths and races are fine. */
+  /** Recursive delete; missing paths and races are fine. The walk stream
+    * is closed after materializing the paths — each open Files.walk holds
+    * a directory file descriptor, and the shutdown hook sweeps many dirs.
+    */
   private def rmTree(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(q => try Files.deleteIfExists(q) catch { case _: Exception => })
+      val walk = Files.walk(p)
+      val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      paths.foreach(q => try Files.deleteIfExists(q) catch { case _: Exception => })
     }
 
   // tmpfs is RAM: anything this harness leaves behind in /dev/shm is
@@ -92,22 +96,38 @@ object StreamOps {
   /** Run a streaming DataFrame into a memory sink to completion; return
     * the sink contents.
     */
-  /** Run `body` with shuffle/state partitioning pinned to 4 and a fresh
+  /** Run `body` with shuffle/state partitioning pinned to 1 and a fresh
     * checkpoint dir, restoring the conf and deleting the checkpoint
     * (state store + offsets, the bulk of the tmpfs footprint) when the
     * replay terminates. State-store commit cost scales with partition
-    * count and these replays are tiny per-batch — a real deployment
-    * sizes this to keyspace ÷ executor memory and keeps the checkpoint
-    * on durable shared storage.
+    * count and these replays move a few hundred KB per batch — a real
+    * deployment sizes this to keyspace ÷ executor memory and keeps the
+    * checkpoint on durable shared storage. No-data micro-batches are
+    * disabled for the replay: every append-mode query here emits eagerly
+    * (dedup on first sight, inner interval join on match) and the
+    * aggregations run Complete mode, so the extra watermark-flush batch
+    * per query is pure scheduling floor.
+    *
+    * The session conf is GLOBAL, so replays are serialized under a lock —
+    * two interleaved replays (parallel test suites sharing the session)
+    * could otherwise restore each other's pinned values.
     */
+  private val replayLock = new Object
   private def withPinnedReplay[T](spark: SparkSession, ckptPrefix: String)(
-      body: String => T): T = {
+      body: String => T): T = replayLock.synchronized {
     val ckpt = scratchDir(ckptPrefix)
     val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val oldNoData = spark.conf.getOption(noDataKey)
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    spark.conf.set(noDataKey, "false")
     try body(ckpt.toString)
     finally {
       spark.conf.set("spark.sql.shuffle.partitions", oldParts)
+      oldNoData match {
+        case Some(v) => spark.conf.set(noDataKey, v)
+        case None => spark.conf.unset(noDataKey)
+      }
       rmTree(ckpt)
       liveScratch.remove(ckpt)
     }
@@ -286,11 +306,15 @@ object StreamOps {
         AND a.event_type = 'signup' AND b.event_type = 'purchase'
         AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
        ORDER BY signup_id, purchase_id""") { (s, dir) =>
-    val signups = eventsStream(s, dir)
+    // ONE streaming source, self-joined: each readStream source pays its
+    // own per-batch file listing, offset tracking, and planning — both
+    // join sides are filters of the same events replay
+    val ev = eventsStream(s, dir)
+    val signups = ev
       .filter(col("event_type") === "signup")
       .select(col("event_id").as("signup_id"), col("user_id"), col("ts").as("a_ts"))
       .withWatermark("a_ts", "2 hours")
-    val purchases = eventsStream(s, dir)
+    val purchases = ev
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id").as("uid2"),
         col("ts").as("b_ts"))
@@ -386,8 +410,8 @@ object StreamOps {
     val stream = eventsStream(s, dir, copies = 2)
       .select(col("user_id"), col("event_id"), col("ts"))
     // same pinned state/shuffle width as runToMemory: the per-batch
-    // window + merge move a few hundred rows — 32-way shuffles and
-    // 32-file stage rewrites per batch are pure overhead
+    // window + merge move a few hundred rows — wide shuffles and
+    // many-file stage rewrites per batch are pure overhead
     withPinnedReplay(s, "graft_ckpt_upsert") { ckpt =>
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
