@@ -16,9 +16,11 @@ import graft.core.{Q, Tables => T}
   * op with REAL decoders for the formats the JDK ships: PNG via
   * javax.imageio and WAV via javax.sound (width/height/pixel stats and
   * sample-rate/duration are decoded from actual bytes, oracle-checked
-  * against header parses). Only video frame demux remains a byte-block
-  * stub — no container demuxer exists in the JDK; the mapPartitions
-  * plumbing it sits in is the real shape a decoder drops into.
+  * against header parses). Frame demux is real too: the .mpng fixtures
+  * are concatenated-PNG containers and pngFrameBounds walks the actual
+  * chunk structure (signature → length-typed chunks → IEND) to cut frame
+  * boundaries — a different container format swaps only that walk, the
+  * Spark plumbing (generator over mapPartitions) is format-agnostic.
   */
 object Multimodal {
 
@@ -201,31 +203,65 @@ object Multimodal {
     StructField("frame_idx", IntegerType),
     StructField("frame", BinaryType)))
 
-  /** Frame sampling: one row per sampled fixed-size frame of each media
-    * blob. The frame boundaries here are byte-block STUBS for a real
-    * container demuxer; the Spark shape — a generator (1 blob row → N
-    * frame rows) over mapPartitions, binary payload per row — is exactly
-    * how video sampling lands in a DataFrame at scale.
+  /** Frame boundaries of a concatenated-PNG container, derived from the
+    * REAL format structure: each frame is an 8-byte PNG signature followed
+    * by (4-byte big-endian length, 4-byte type, data, 4-byte CRC) chunks
+    * through IEND — the frame ends after IEND's CRC. A truncated trailing
+    * frame (signature present, no complete IEND) is dropped, like a
+    * demuxer discarding a torn tail write. Returns [start, end) byte
+    * offsets per frame.
     */
-  def sampleFrames(binaryFiles: DataFrame, frameBytes: Int, every: Int): DataFrame = {
+  private[llmops] def pngFrameBounds(bytes: Array[Byte]): Seq[(Int, Int)] = {
+    val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    def sigAt(p: Int): Boolean =
+      p + 8 <= bytes.length && (0 until 8).forall(i => bytes(p + i) == sig(i))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var pos = 0
+    var ok = true
+    while (ok && sigAt(pos)) {
+      var p = pos + 8
+      var ended = false
+      while (!ended && p + 12 <= bytes.length) {
+        val len = ((bytes(p) & 0xff) << 24) | ((bytes(p + 1) & 0xff) << 16) |
+          ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+        val isEnd = bytes(p + 4) == 'I' && bytes(p + 5) == 'E' &&
+          bytes(p + 6) == 'N' && bytes(p + 7) == 'D'
+        p += 12 + len // length + type + data + crc
+        ended = isEnd
+      }
+      if (ended && p <= bytes.length) { out += ((pos, p)); pos = p }
+      else ok = false
+    }
+    out.toSeq
+  }
+
+  /** Container demux: one row per frame of each concatenated-PNG blob,
+    * boundaries from the real chunk structure (pngFrameBounds). The Spark
+    * shape — a generator (1 blob row → N frame rows) over mapPartitions,
+    * binary payload per row — is how video sampling lands in a DataFrame
+    * at scale; a different container format swaps only the bounds walk.
+    */
+  def demuxPngFrames(binaryFiles: DataFrame): DataFrame = {
     val spark = binaryFiles.sparkSession
     val rdd = binaryFiles.select(col("path"), col("content")).rdd.mapPartitions { it =>
       it.flatMap { row =>
         val path = row.getString(0)
         val bytes = row.getAs[Array[Byte]](1)
         val name = path.substring(path.lastIndexOf('/') + 1)
-        val nFrames = bytes.length / frameBytes
-        (0 until nFrames by every).map { i =>
-          Row(name, i, bytes.slice(i * frameBytes, (i + 1) * frameBytes))
+        pngFrameBounds(bytes).zipWithIndex.map { case ((a, b), i) =>
+          Row(name, i, java.util.Arrays.copyOfRange(bytes, a, b))
         }
       }
     }
     spark.createDataFrame(rdd, frameSchema)
   }
 
-  /** Resize stub: fixed-ratio downsample of the binary payload (every
-    * k-th byte) standing in for an image resampler; shape-preserving
-    * (binary in → smaller binary out, metadata carried through).
+  /** REAL image resize over binary frames: decode via `javax.imageio`,
+    * integer-factor downscale with a nearest-neighbor Graphics2D draw
+    * (deterministic — no filtering kernel), re-encode as PNG.
+    * Shape-preserving (binary in → smaller binary out, metadata carried
+    * through); frames that don't decode pass through unchanged.
     */
   def resize(frames: DataFrame, factor: Int): DataFrame = {
     val spark = frames.sparkSession
@@ -234,30 +270,109 @@ object Multimodal {
     val rdd = frames.rdd.mapPartitions { it =>
       it.map { row =>
         val bytes = row.getAs[Array[Byte]](frameIdx)
-        val out = Array.tabulate(bytes.length / factor)(i => bytes(i * factor))
+        val out =
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (img == null) bytes
+            else {
+              val w = math.max(1, img.getWidth / factor)
+              val h = math.max(1, img.getHeight / factor)
+              val typ = if (img.getType == java.awt.image.BufferedImage.TYPE_CUSTOM)
+                java.awt.image.BufferedImage.TYPE_INT_ARGB else img.getType
+              val dst = new java.awt.image.BufferedImage(w, h, typ)
+              val g = dst.createGraphics()
+              try {
+                g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+                g.drawImage(img, 0, 0, w, h, null)
+              } finally g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(dst, "png", bos)
+              bos.toByteArray
+            }
+          } catch { case _: Exception => bytes }
         Row.fromSeq(row.toSeq.updated(frameIdx, out))
       }
     }
     spark.createDataFrame(rdd, schema)
   }
 
-  /** X — frame-sample + resize over the fixture blobs. The byte-block
-    * demux contract is fully size-derivable, so the oracle re-derives it:
-    * frames are 256-byte blocks (partial tail dropped), every 2nd frame
-    * is sampled, and the 4× resize leaves 64 bytes per frame.
+  /** Per-frame decoded metadata: byte length + javax.imageio dimensions. */
+  private def frameMeta(frames: DataFrame): DataFrame = {
+    val spark = frames.sparkSession
+    val schema = StructType(Seq(
+      StructField("file_name", StringType),
+      StructField("frame_idx", IntegerType),
+      StructField("frame_bytes", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)))
+    val rdd = frames.select(col("file_name"), col("frame_idx"), col("frame"))
+      .rdd.mapPartitions { it =>
+        it.map { row =>
+          val bytes = row.getAs[Array[Byte]](2)
+          val img =
+            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+            catch { case _: Exception => None }
+          val (w, h) = img match {
+            case Some(i) => (Integer.valueOf(i.getWidth), Integer.valueOf(i.getHeight))
+            case None => (null, null)
+          }
+          Row(row.getString(0), row.getInt(1), bytes.length.toLong, w, h)
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** One IHDR byte of the frame starting at 1-based blob offset `p`
+    * (SQL hex-string arithmetic; fixture dims < 256 keep every field in
+    * its LSB).
+    */
+  private def frByte(off: Int): String =
+    s"(strpos('0123456789ABCDEF', substr(hx, 2*(p+$off)-1, 1))-1)*16 + " +
+      s"strpos('0123456789ABCDEF', substr(hx, 2*(p+$off), 1))-1"
+
+  /** X — container demux + per-frame decode + 2× resize over the
+    * concatenated-PNG fixtures. Frame boundaries come from the REAL chunk
+    * structure on the Spark side; the oracle independently re-derives
+    * them by scanning for the PNG signature in the blob's hex rendering
+    * and reads each frame's IHDR width/height bytes directly (offsets 19
+    * and 23 from the frame start are the dimension LSBs). The resized
+    * dims are re-DECODED from the re-encoded frames, while the oracle
+    * computes the same integer halving arithmetically — a disagreement in
+    * either direction (demux drift, resize off-by-one) hash-fails.
     */
   val xFrames = Q(
     "x_media_frames",
-    s"""SELECT parse_filename(filename) AS file_name,
-          CAST(i AS BIGINT) AS frame_idx, CAST(64 AS BIGINT) AS frame_bytes
-        FROM read_blob('$blobDir/*.bin'),
-             LATERAL (SELECT unnest(generate_series(0, CAST(size // 256 AS BIGINT) - 1, 2)) AS i)
-        ORDER BY file_name, frame_idx""") { (s, dir) =>
-    val frames = sampleFrames(
-      s.read.format("binaryFile").load(s"$blobDir/*.bin"), frameBytes = 256, every = 2)
-    resize(frames, factor = 4)
+    s"""WITH b AS (SELECT parse_filename(filename) AS file_name,
+                          hex(content) AS hx, size
+                   FROM read_blob('$blobDir/*.mpng')),
+        pos AS (SELECT file_name, size, hx, i AS p
+                FROM b, LATERAL (SELECT unnest(generate_series(1, CAST(size - 7 AS BIGINT))) AS i)
+                WHERE substr(hx, 2*i - 1, 16) = '89504E470D0A1A0A'),
+        fr AS (SELECT file_name, size, hx, p,
+                      row_number() OVER (PARTITION BY file_name ORDER BY p) - 1 AS frame_idx,
+                      lead(p) OVER (PARTITION BY file_name ORDER BY p) AS nxt
+               FROM pos)
+        SELECT file_name, CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST(coalesce(nxt, size + 1) - p AS BIGINT) AS frame_bytes,
+               CAST(${frByte(19)} AS BIGINT) AS width,
+               CAST(${frByte(23)} AS BIGINT) AS height,
+               CAST((${frByte(19)}) // 2 AS BIGINT) AS rs_width,
+               CAST((${frByte(23)}) // 2 AS BIGINT) AS rs_height
+        FROM fr ORDER BY file_name, frame_idx""") { (s, dir) =>
+    val frames = demuxPngFrames(
+      s.read.format("binaryFile").load(s"$blobDir/*.mpng"))
+    val orig = frameMeta(frames)
+    val rs = frameMeta(resize(frames, factor = 2))
+      .select(col("file_name"), col("frame_idx"),
+        col("width").as("rs_width"), col("height").as("rs_height"))
+    orig.join(rs, Seq("file_name", "frame_idx"))
       .select(col("file_name"), col("frame_idx").cast("long").as("frame_idx"),
-        length(col("frame")).cast("long").as("frame_bytes"))
+        col("frame_bytes"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("rs_width").cast("long").as("rs_width"),
+        col("rs_height").cast("long").as("rs_height"))
       .orderBy("file_name", "frame_idx")
   }
 

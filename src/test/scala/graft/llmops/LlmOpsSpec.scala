@@ -105,17 +105,40 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(again.count() == survivors.size)
   }
 
-  test("frame sampling generates every-2nd 256-byte frame; resize shrinks 4x") {
-    val blobs = spark.read.format("binaryFile").load(s"${Multimodal.blobDir}/*.bin")
-    val frames = Multimodal.sampleFrames(blobs, frameBytes = 256, every = 2)
-    val f0 = frames.filter(col("file_name") === "doc_0.bin")
+  test("PNG container demux cuts frames at real chunk boundaries; 2x resize halves dims") {
+    // bounds walker against the committed fixture: clip_doc_302.mpng is 5
+    // concatenated PNG streams; every cut must land on a signature and
+    // every frame must independently re-decode with the generator's dims
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"${Multimodal.blobDir}/clip_doc_302.mpng"))
+    val bounds = Multimodal.pngFrameBounds(bytes)
+    assert(bounds.length == 5)
+    assert(bounds.head._1 == 0 && bounds.last._2 == bytes.length)
+    assert(bounds.sliding(2).forall { case Seq((_, e), (s2, _)) => e == s2 })
+    // a truncated tail frame (torn write) is dropped, not mis-cut
+    assert(Multimodal.pngFrameBounds(bytes.dropRight(7)).length == 4)
+
+    val frames = Multimodal.demuxPngFrames(
+      spark.read.format("binaryFile").load(s"${Multimodal.blobDir}/*.mpng"))
+    val f302 = frames.filter(col("file_name") === "clip_doc_302.mpng")
       .orderBy("frame_idx").collect()
-    // doc_0.bin is 1000 bytes -> 3 full frames -> sampled idx 0, 2
-    assert(f0.map(_.getInt(1)).toSeq == Seq(0, 2))
-    assert(f0.forall(_.getAs[Array[Byte]](2).length == 256))
-    val resized = Multimodal.resize(frames, 4)
-      .filter(col("file_name") === "doc_0.bin").collect()
-    assert(resized.forall(_.getAs[Array[Byte]](2).length == 64))
+    assert(f302.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3, 4))
+    val dims = f302.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](2)))
+      (img.getWidth, img.getHeight)
+    }
+    assert(dims.toSeq == Seq((31, 9), (31, 9), (37, 19), (41, 23), (43, 29)))
+
+    val rs = Multimodal.resize(frames, 2)
+      .filter(col("file_name") === "clip_doc_302.mpng")
+      .orderBy("frame_idx").collect()
+    val rsDims = rs.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](2)))
+      (img.getWidth, img.getHeight)
+    }
+    assert(rsDims.toSeq == Seq((15, 4), (15, 4), (18, 9), (20, 11), (21, 14)))
   }
 
   test("media feature extraction: real byte metadata, null dims for raw blobs") {
