@@ -22,6 +22,11 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // comma-separated section filter for re-measuring one family without
+    // paying the whole probe: neardup,nn,inc,lm,bpe,contam,qc
+    val only = sys.env.get("SPARK_GRAFT_PROBE")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def want(section: String): Boolean = only.forall(_.contains(section))
     val base = graft.core.Tables(spark, "/root/testdata/sf0.1", "documents")
       .select(col("doc_id"), col("text")).cache()
     val baseN = base.count()
@@ -45,7 +50,7 @@ object ScaleProbe {
     }
 
     timeNearDup(1) // warm codegen + shuffle machinery before measuring
-    Seq(1, 2, 5, 10).foreach { k =>
+    if (want("neardup")) Seq(1, 2, 5, 10).foreach { k =>
       val (pairs, sec) = timeNearDup(k)
       println(f"SCALE k=$k%2d docs=${baseN * k}%6d pairs=$pairs%5d sec=$sec%7.2f")
     }
@@ -92,7 +97,7 @@ object ScaleProbe {
       (System.nanoTime() - t0) / 1e9
     }
 
-    for (clustered <- Seq(false, true); k <- Seq(10, 25, 50)) {
+    for (clustered <- Seq(false, true); k <- Seq(10, 25, 50); if want("nn")) {
       val c = embCorpus(k, clustered)
       c.count() // materialize the corpus outside both timings
       val lists = math.max(16, math.sqrt((embN * k).toDouble).toInt) // ~√n lists
@@ -111,7 +116,7 @@ object ScaleProbe {
     val batchCut = (baseN * 0.9).toLong
     val batch = base.filter(col("doc_id") >= batchCut).cache()
     batch.count()
-    for (k <- Seq(1, 2, 5, 10)) {
+    for (k <- Seq(1, 2, 5, 10); if want("inc")) {
       val corpusDocs = (0 until k).map { i =>
         val text =
           if (i == 0) col("text")
@@ -149,7 +154,7 @@ object ScaleProbe {
     // Replica-tagged words mean the vocabulary AND the bigram model grow
     // k× with the corpus (the hard direction — a shared vocab would make
     // the model constant-size); a linear pipeline shows ~linear time.
-    for (k <- Seq(1, 2, 5, 10)) {
+    for (k <- Seq(1, 2, 5, 10); if want("lm")) {
       val c = corpus(k).cache()
       val n = c.count() // materialize outside the timing
       val t0 = System.nanoTime()
@@ -160,11 +165,52 @@ object ScaleProbe {
       c.unpersist()
     }
 
+    // ---- BPE merge training: the word histogram (and so the driver-side
+    // merge-loop state) grows k× with the corpus because replica-tagged
+    // words never collide across replicas — the hard direction for the
+    // histogram formulation. Same merge count as x_bpe_tokenize (24).
+    for (k <- Seq(1, 2, 5, 10); if want("bpe")) {
+      val c = corpus(k).cache()
+      val n = c.count() // materialize outside the timing
+      val t0 = System.nanoTime()
+      val merges = graft.llmops.Bpe.trainMerges(c, "text", 24)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE-BPE k=$k%2d docs=$n%6d merges=${merges.length}%2d sec=$sec%6.2f")
+      c.unpersist()
+    }
+
+    // ---- n-gram contamination: per-row gram-set build + hashed
+    // membership join (x_ngram_contamination's plan). The holdout split
+    // is doc_id-hashed, so BOTH sides grow k× — bench grams and train
+    // grams alike — the worst direction for the gram join.
+    for (k <- Seq(1, 2, 5, 10); if want("contam")) {
+      val c = corpus(k).cache()
+      val n = c.count()
+      val t0 = System.nanoTime()
+      val gramSets = c.select(col("doc_id"),
+        graft.llmops.Incremental.holdoutColumn.as("holdout"),
+        graft.functions.ArrayOps.wordShingleHashes(col("text"), 8).as("hs"))
+        .cache()
+      val bench = gramSets.filter(col("holdout"))
+        .select(explode(col("hs")).as("g")).distinct()
+      val flagged = gramSets.filter(!col("holdout"))
+        .select(col("doc_id"), explode(col("hs")).as("g"))
+        .join(bench, "g")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+        .count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE-CONTAM k=$k%2d docs=$n%6d flagged=$flagged%5d sec=$sec%6.2f")
+      gramSets.unpersist()
+      c.unpersist()
+    }
+
     // ---- quality classifier: accuracy margin over the 0.9 gate at the
     // bench SF (the contract hashes acc_ok, so the slack matters)
-    val (nDocs, acc) = graft.llmops.QualityModel.trainAccuracy(
-      graft.core.Tables(spark, "/root/testdata/sf0.1", "documents"))
-    println(f"SCALE-QC docs=$nDocs acc=$acc%.4f (gate 0.9)")
+    if (want("qc")) {
+      val (nDocs, acc) = graft.llmops.QualityModel.trainAccuracy(
+        graft.core.Tables(spark, "/root/testdata/sf0.1", "documents"))
+      println(f"SCALE-QC docs=$nDocs acc=$acc%.4f (gate 0.9)")
+    }
     spark.stop()
   }
 }
