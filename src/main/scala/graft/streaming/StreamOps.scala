@@ -75,6 +75,14 @@ object StreamOps {
     * the raw file stream with the file's batch-read schema — shared by
     * eventsStream and the documents stream in x_stream_neardup.
     */
+  /** Memoized batch-read schema per file: every replay otherwise pays a
+    * fresh footer-probing batch datasource just to pin the stream schema.
+    * (Keyed by path alone — the nanosAsLong conf is always set before
+    * the events path is probed, so the schema is stable per file.)
+    */
+  private val fileSchemas = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.types.StructType]
+
   private def fileStream(s: SparkSession, path: String, prefix: String,
       copies: Int = 1): DataFrame = {
     val streamDir = scratchDir(prefix)
@@ -83,7 +91,8 @@ object StreamOps {
       Files.createSymbolicLink(
         streamDir.resolve(s"${i}_$name"), java.nio.file.Paths.get(path))
     }
-    s.readStream.schema(s.read.parquet(path).schema)
+    s.readStream
+      .schema(fileSchemas.getOrElseUpdate(path, s.read.parquet(path).schema))
       .parquet(streamDir.toString)
   }
 
