@@ -25,13 +25,20 @@ object DedupPipeline {
       maxBucket: Int = 10000,
       sharedSets: Option[DataFrame] = None): DataFrame = {
 
-    // 1. exact
+    // 1. exact — cache the digest-window LOSERS (rows beyond the min-id
+    // survivor), not the survivors: the losers are the SMALL side (only
+    // duplicates), and with them cached the md5 window over the corpus
+    // runs ONCE even though the survivor frame feeds several consumers
+    // below (each consumer is then a cheap anti join against the cached
+    // loser ids instead of a fresh corpus-wide window shuffle).
     val wDigest = Window.partitionBy(col("digest")).orderBy(col("doc_id"))
-    val exact = documents
+    val exactLosers = documents
       .withColumn("digest", md5(col("text")))
       .withColumn("rn", row_number().over(wDigest))
-      .filter(col("rn") === 1)
-      .drop("rn")
+      .filter(col("rn") > 1)
+      .select("doc_id").cache()
+    graft.core.CacheBin.swap("dedup_pipeline.exact_losers", exactLosers)
+    val exact = documents.join(exactLosers, Seq("doc_id"), "left_anti")
 
     // 2. near-dup: kill the b-side (higher id) of every verified pair.
     // Banding runs AFTER exact dedup (stage 1 collapsed identical
@@ -40,12 +47,12 @@ object DedupPipeline {
     // inside a single shuffle key — see cappedCandidates' scaladoc.
     // The shingle pass is the pipeline's most expensive narrow stage;
     // when the caller already holds the corpus-wide condensed set base
-    // (MinHashLSH.wordSetsBase), restrict it to stage-1 survivors with a
-    // semi join on doc_id instead of re-hashing the deduped text — the
-    // condensed rows move, the text is never touched a second time.
+    // (MinHashLSH.wordSetsBase), restrict it to stage-1 survivors with an
+    // anti join on the cached loser ids instead of re-hashing the deduped
+    // text — the condensed rows move, the text is never touched twice.
     val sets = sharedSets match {
       case Some(base) =>
-        base.join(exact.select("doc_id"), Seq("doc_id"), "left_semi")
+        base.join(exactLosers, Seq("doc_id"), "left_anti")
       case None =>
         val s = MinHashLSH.wordSets(exact, 3).cache()
         graft.core.CacheBin.swap("dedup_pipeline.sets", s)
