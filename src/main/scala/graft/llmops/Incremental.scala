@@ -43,14 +43,16 @@ object Incremental {
       : org.apache.spark.sql.DataFrame =
     docs.agg(floor(max(col("doc_id")) * lit(0.8)).cast("long").as("cut"))
 
-  /** The cutoff as a driver scalar (for streaming filters, where the
-    * cross-joined column form isn't available).
+  /** The cutoff as a driver scalar — one tiny max() job, bounded driver
+    * state (the k-means-centroid discipline). Every batch consumer uses
+    * this too, not just streaming: as a LITERAL the id-watermark filters
+    * push down to the parquet scan (`PushedFilters: [GreaterThanOrEqual
+    * (doc_id, ...)]`), where the cross-joined scalar-subquery column form
+    * was unpushable AND re-derived the full-table max once per plan
+    * branch — x_bloom_dedup's old plan carried 18 corpus scans for this.
     */
   def cutoffValue(docs: org.apache.spark.sql.DataFrame): Long =
     cutoffFrame(docs).first().getLong(0)
-
-  private def withCutoff(docs: org.apache.spark.sql.DataFrame) =
-    docs.crossJoin(broadcast(cutoffFrame(docs)))
 
   /** Deterministic ~10% holdout split used by x_split_leakage and
     * x_ngram_contamination — the engine-agnostic md5-prefix recipe
@@ -92,13 +94,13 @@ object Incremental {
     // cutoff from the FULL table (the band frame excludes <3-word docs —
     // deriving the watermark from it would diverge from the oracle when
     // the max-id document is short)
+    val cut = cutoffValue(docs)
     val bands = MinHashLSH.bandKeys(MinHashLSH.signaturesFromSets(sets))
-      .crossJoin(broadcast(cutoffFrame(docs)))
     // "stored index" side: corpus band keys, keyed (band, bh)
-    val index = bands.filter(col("doc_id") < col("cut"))
+    val index = bands.filter(col("doc_id") < cut)
       .select(col("band"), col("bh"), col("doc_id").as("a_id"))
     // incoming batch side: only ITS bands are computed per batch
-    val incoming = bands.filter(col("doc_id") >= col("cut"))
+    val incoming = bands.filter(col("doc_id") >= cut)
       .select(col("band"), col("bh"), col("doc_id").as("b_id"))
     val cand = index.join(incoming, Seq("band", "bh"))
       .select(col("a_id"), col("b_id")).distinct()
@@ -149,10 +151,11 @@ object Incremental {
          AND NOT EXISTS (SELECT 1 FROM documents o, cut
                          WHERE o.doc_id < cut.c AND o.text = d.text)
        ORDER BY d.doc_id""") { (s, dir) =>
-    val split = withCutoff(T(s, dir, "documents"))
-      .withColumn("h", xxhash64(col("text")))
-    val corpus = split.filter(col("doc_id") < col("cut"))
-    val batch = split.filter(col("doc_id") >= col("cut"))
+    val docs = T(s, dir, "documents")
+    val cut = cutoffValue(docs)
+    val split = docs.withColumn("h", xxhash64(col("text")))
+    val corpus = split.filter(col("doc_id") < cut)
+    val batch = split.filter(col("doc_id") >= cut)
     // corpus digest sketch: ONE aggregate row (bytes, not the digest set),
     // wired into the probe as a scalar subquery — native expressions,
     // codegen'd, the same plan shape Spark's runtime row filtering injects
