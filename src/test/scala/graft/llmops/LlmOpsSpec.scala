@@ -36,6 +36,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(math.abs(df(3L) + 1.0) < 1e-12)
   }
 
+  test("k-means cluster assignment separates two planted clusters") {
+    // two tight clusters on the unit circle: around (1,0) and (0,1);
+    // lowest-id init seeds one centroid in each
+    val pts = (0 until 10).map { i =>
+      val base = if (i % 2 == 0) (1.0, 0.001 * i) else (0.001 * i, 1.0)
+      val n = math.sqrt(base._1 * base._1 + base._2 * base._2)
+      (i.toLong, Array(base._1 / n, base._2 / n))
+    }
+    val df = pts.toDF("vec_id", "n_emb")
+    val got = VectorSearch.clusterAssignments(df, k = 2, iterations = 2)
+      .as[(Long, Int, Double)].collect()
+    assert(got.length == 10)                       // every vector assigned once
+    val byCid = got.groupBy(_._2).view.mapValues(_.map(_._1 % 2).toSet)
+    assert(byCid.size == 2)                        // both clusters used
+    assert(byCid.values.toSet == Set(Set(0L), Set(1L))) // parity = planted cluster
+    assert(got.forall(_._3 > 0.9))                 // tight: own-centroid sim high
+  }
+
   test("embed near-dup list-pair pruning returns exactly the brute-force pairs") {
     val sf = "/root/testdata/sf0.001"
     val pruned = VectorSearch.xEmbedNearDup.build(spark, sf)
