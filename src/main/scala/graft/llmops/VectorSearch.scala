@@ -226,6 +226,14 @@ object VectorSearch {
        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                     CAST(b.embedding AS DOUBLE[])) >= $COSINE_TAU
        ORDER BY a_id, b_id""") { (s, dir) =>
+    cosineNearDupPairs(s, dir).orderBy("a_id", "b_id")
+  }
+
+  /** All (a_id < b_id) pairs with cosine ≥ COSINE_TAU — the exact
+    * list-pair-bounded computation behind x_embed_neardup, shared with
+    * x_semdedup (survivor selection is a pure composition on top).
+    */
+  def cosineNearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val raw = embeddingsBase(s, dir).select("vec_id", "emb", "n_emb")
     val k = 16
     val centroids = kmeansCentroids(raw.select(col("vec_id"), col("n_emb")), k, 1)
@@ -272,7 +280,29 @@ object VectorSearch {
       .filter(cosine(col("x_emb"), col("y_emb")) >= COSINE_TAU)
       .select(least(col("x_id"), col("y_id")).as("a_id"),
         greatest(col("x_id"), col("y_id")).as("b_id"))
-      .orderBy("a_id", "b_id")
+  }
+
+  /** X — semantic-dedup survivors (the SemDeDup decision applied with the
+    * suite's min-id convention): keep a vector iff NO lower-id vector is
+    * cosine-similar at τ — i.e. drop the b-side of every exact pair. A
+    * pure composition over cosineNearDupPairs, so unlike SemDeDup's
+    * within-cluster approximation the answer is EXACT and the DuckDB
+    * NOT-EXISTS oracle spells the identical predicate. At scale the pair
+    * stream is the list-pair-bounded one, never n².
+    */
+  val xSemDedup = Q(
+    "x_semdedup",
+    s"""SELECT e.vec_id FROM embeddings e
+       WHERE NOT EXISTS (
+         SELECT 1 FROM embeddings a
+         WHERE a.vec_id < e.vec_id
+           AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])) >= $COSINE_TAU)
+       ORDER BY vec_id""") { (s, dir) =>
+    val ids = embeddingsBase(s, dir).select(col("vec_id"))
+    val losers = cosineNearDupPairs(s, dir)
+      .select(col("b_id").as("vec_id")).distinct()
+    ids.join(losers, Seq("vec_id"), "left_anti").orderBy("vec_id")
   }
 
   /** Deterministic distributed k-means over normalized vectors (cosine
@@ -517,5 +547,5 @@ object VectorSearch {
   }
 
   val all: Seq[Q] = Seq(q34, xNearestNeighbor, xEmbedNearDup, xAnnIvf,
-    xEmbedCluster)
+    xEmbedCluster, xSemDedup)
 }

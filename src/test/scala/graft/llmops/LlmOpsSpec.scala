@@ -36,6 +36,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(math.abs(df(3L) + 1.0) < 1e-12)
   }
 
+  test("semantic dedup survivors equal ids minus higher-id cosine partners (brute force)") {
+    val sf = "/root/testdata/sf0.001"
+    val got = VectorSearch.xSemDedup.build(spark, sf).as[Long].collect().toSet
+    val e = graft.core.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val losers = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .filter(VectorSearch.cosine(col("a.emb"), col("b.emb")) >= VectorSearch.COSINE_TAU)
+      .select(col("b.vec_id")).as[Long].collect().toSet
+    val all = e.select(col("vec_id")).as[Long].collect().toSet
+    assert(got == all -- losers)
+    assert(losers.nonEmpty) // the fixture plants cosine-dups: test has teeth
+  }
+
   test("k-means cluster assignment separates two planted clusters") {
     // two tight clusters on the unit circle: around (1,0) and (0,1);
     // lowest-id init seeds one centroid in each
