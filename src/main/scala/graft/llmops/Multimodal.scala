@@ -211,7 +211,7 @@ object Multimodal {
     * demuxer discarding a torn tail write. Returns [start, end) byte
     * offsets per frame.
     */
-  private[llmops] def pngFrameBounds(bytes: Array[Byte]): Seq[(Int, Int)] = {
+  private[graft] def pngFrameBounds(bytes: Array[Byte]): Seq[(Int, Int)] = {
     val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
       .map(_.toByte)
     def sigAt(p: Int): Boolean =

@@ -194,3 +194,81 @@ object ShingleHashProps extends Properties("shingle") {
         .toSeq == refCharGrams(text, k)
     }
 }
+
+/** PNG container demux + bench confirmation-rep laws — pure JVM, cheap
+  * samples.
+  */
+object DemuxBenchProps extends Properties("demux_bench") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(200)
+
+  /** A structurally valid grayscale PNG (same construction as the .mpng
+    * fixture generator, independent of the demuxer under test).
+    */
+  private def png(w: Int, h: Int, seed: Int): Array[Byte] = {
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val tb = tag.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      java.nio.ByteBuffer.allocate(12 + data.length)
+        .putInt(data.length).put(tb).put(data).putInt(crc.getValue.toInt)
+        .array()
+    }
+    val raw = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      raw.write(0)
+      for (x <- 0 until w) raw.write((x * 31 + y * 17 + seed) % 256)
+    }
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw.toByteArray); d.finish()
+    val buf = new Array[Byte](raw.size() + 64)
+    val idat = java.util.Arrays.copyOf(buf, d.deflate(buf))
+    d.end()
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++ chunk("IEND", Array.empty)
+  }
+
+  private val framesGen: Gen[List[(Int, Int, Int)]] =
+    Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, for {
+      w <- Gen.choose(1, 24); h <- Gen.choose(1, 24); s <- Gen.choose(0, 255)
+    } yield (w, h, s)))
+
+  property("pngFrameBounds recovers every concatenated frame exactly") =
+    forAll(framesGen) { specs =>
+      val parts = specs.map { case (w, h, s) => png(w, h, s) }
+      val blob = parts.reduce(_ ++ _)
+      val bounds = graft.llmops.Multimodal.pngFrameBounds(blob)
+      val lengths = parts.map(_.length)
+      val starts = lengths.scanLeft(0)(_ + _).init
+      bounds == starts.zip(lengths).map { case (a, l) => (a, a + l) }
+    }
+
+  property("truncated tail frame is dropped, earlier frames intact") =
+    forAll(framesGen, Gen.choose(1, 11)) { (specs, cut) =>
+      val parts = specs.map { case (w, h, s) => png(w, h, s) }
+      val blob = parts.reduce(_ ++ _)
+      val trunc = blob.dropRight(math.min(cut, parts.last.length - 1))
+      graft.llmops.Multimodal.pngFrameBounds(trunc).length == parts.length - 1
+    }
+
+  private val timesGen: Gen[Map[String, Double]] =
+    Gen.mapOfN(6, for {
+      n <- Gen.identifier.map(_.take(6)); t <- Gen.choose(0.01, 10.0)
+    } yield (n, t)).suchThat(_.nonEmpty)
+
+  property("confirmation rep: survivors are flagged, times never worsen") =
+    forAll(timesGen, Gen.choose(0.5, 3.0)) { (times, factor) =>
+      val prev = times.map { case (k, v) => k -> v / factor }
+      val flagged = times.keys.filter(n =>
+        Bench.isRegression(times(n), prev(n))).toSeq
+      val (updated, survived) = Bench.confirmRegressions(
+        flagged, times, prev, n => times(n) * 0.9)
+      survived.forall(flagged.contains) &&
+        updated.forall { case (k, v) => v <= times(k) } &&
+        (times.keySet -- flagged).forall(k => updated(k) == times(k))
+    }
+}
