@@ -108,6 +108,24 @@ object ScaleProbe {
       c.unpersist()
     }
 
+    // ---- k-means cluster assignment (x_embed_cluster's plan): per-vector
+    // work is two narrow passes per Lloyd iteration plus the assignment
+    // rollup; driver state is the k×dim centroid table. Clustered regime
+    // (tight replica clusters) — the corpus real embedding sets live in.
+    for (k <- Seq(10, 25, 50); if want("km")) {
+      val c = embCorpus(k, clustered = true)
+      val n = c.count() // materialize outside the timing
+      val t0 = System.nanoTime()
+      val assigned = graft.llmops.VectorSearch
+        .clusterAssignments(c, 16, 2)
+        .groupBy(col("cid")).agg(count(lit(1)).as("sz"))
+        .agg(sum(col("sz")), count(lit(1))).first()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE-KM k=$k%2d vecs=$n%6d assigned=${assigned.getLong(0)}%6d " +
+        f"nonempty=${assigned.getLong(1)}%2d sec=$sec%6.2f")
+      c.unpersist()
+    }
+
     // ---- incremental near-dup: fixed batch probed against a growing
     // corpus index. The claim to verify: per-batch probe cost is governed
     // by the BATCH, not the corpus (index build is the one-time linear
