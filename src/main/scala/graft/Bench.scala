@@ -122,19 +122,24 @@ object Bench {
     val regs = regressions.map(r => s"\"$r\"").mkString("[", ",", "]")
     val dism = dismissed.map(r => s"\"$r\"").mkString("[", ",", "]")
     val loads = s"[${fmt(loadStart)},${fmt(loadEnd)}]"
+    // sustained external load inflates every timing AND survives the
+    // confirmation rep (which runs under the same load) — mark the run so
+    // the permanent record says "don't trust regressions/totals here"
+    // in its own words instead of relying on a reader to parse loadavg
+    val loadHigh = loadStart > 1.5 || loadEnd > 1.5
     val total = results2.map(_._2).filter(_ > 0) match {
       case s if s.nonEmpty => s.sum
       case _ => 0.0
     }
     System.err.println(s"""BENCH FULL {"queries":$qs,"vs_prev":$vp}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results2.size},"queries":$headQs,"errors":$errs,"regressions":$regs,"spikes_dismissed":$dism,"loadavg":$loads,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results2.size},"queries":$headQs,"errors":$errs,"regressions":$regs,"spikes_dismissed":$dism,"loadavg":$loads,"load_high":$loadHigh,"sf":"$sfDir"}""")
     // persist this run APPEND-ONLY: one JSONL line per full run, so every
     // round's per-query numbers stay auditable on disk (the pre-round-4
     // overwrite destroyed round N-1's numbers each run; the driver's
     // truncated tail capture was the only — lossy — record)
     if (only.isEmpty) try {
       val w = new java.io.FileWriter(historyFile, true) // append
-      try w.write(s"""{"run":${runCount() + 1},"sf":"$sfDir","loadavg":$loads,"spikes_dismissed":$dism,"queries":$qs}""" + "\n")
+      try w.write(s"""{"run":${runCount() + 1},"sf":"$sfDir","loadavg":$loads,"load_high":$loadHigh,"spikes_dismissed":$dism,"queries":$qs}""" + "\n")
       finally w.close()
     } catch { case _: Exception => } // read-only checkout: skip, don't fail
     spark.stop()
