@@ -665,9 +665,40 @@ object Extra {
       .orderBy(col("o_orderstatus").asc_nulls_first)
   }
 
+  /** X — POSITIONAL JOIN (DuckDB's join-by-row-position, full-outer
+    * semantics: the shorter side null-pads). Position only exists under a
+    * defined total order, so both sides are explicitly ordered and
+    * numbered with a row_number window, then full-outer-joined on the
+    * position — the unequal lengths (5 regions vs first 3 nations)
+    * exercise the padding. The single-partition window is correct for
+    * the dimension-sized frames this operator is for; at fact scale
+    * join-by-position is an RDD zipPartitions affair and callers should
+    * prefer a real key.
+    */
+  val xPositionalJoin = Q(
+    "x_positional_join",
+    """SELECT a.r_regionkey, a.r_name, b.n_name
+       FROM (SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey) a
+       POSITIONAL JOIN
+            (SELECT n_name FROM nation ORDER BY n_nationkey LIMIT 3) b
+       ORDER BY a.r_regionkey""") { (s, dir) =>
+    val a = T(s, dir, "region")
+      .select(col("r_regionkey"), col("r_name"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("r_regionkey"))))
+    val b = T(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("n_nationkey"))))
+      .filter(col("rn") <= 3)
+      .drop("n_nationkey")
+    a.join(b, Seq("rn"), "full_outer")
+      .select(col("r_regionkey"), col("r_name"), col("n_name"))
+      .orderBy("r_regionkey")
+  }
+
   val all: Seq[Q] =
     Seq(xSessionize, xSampleHash, xStringAgg, xRedact, xRegrAgg, xFillForward,
       xGroupTopK, xApproxPercentile, xResample, xJaroWinkler, xWindowNtile,
       xCsvRoundtrip, xOrcRoundtrip, xProvenance, xUpsert, xManifestPrune,
-      xDatasetDiff, xZorderPrune, xProfile, xModeMedian, xSchemaEvolution)
+      xDatasetDiff, xZorderPrune, xProfile, xModeMedian, xSchemaEvolution,
+      xPositionalJoin)
 }
