@@ -695,10 +695,55 @@ object Extra {
       .orderBy("r_regionkey")
   }
 
+  /** X — DISTINCT ON (DuckDB's keep-first-row-per-key under an explicit
+    * order): the latest-event-per-user daily driver, spelled in Spark as
+    * the row_number()=1 window filter (also what QUALIFY desugars to —
+    * one plan covers both syntaxes). Same keyed-window shuffle shape as
+    * the SCD2/upsert family.
+    */
+  val xDistinctOn = Q(
+    "x_distinct_on",
+    """SELECT user_id, event_id AS last_event
+       FROM (SELECT DISTINCT ON (user_id) user_id, event_id
+             FROM events
+             ORDER BY user_id, CAST(ts AS TIMESTAMP) DESC, event_id DESC)
+       ORDER BY user_id""") { (s, dir) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    T(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event"))
+      .orderBy("user_id")
+  }
+
+  /** X — UNION ALL BY NAME: schema-evolved union matching columns by
+    * NAME with null padding for the missing ones (Spark's
+    * unionByName(allowMissingColumns = true)) — how heterogeneous
+    * batches with drifting schemas append into one table without
+    * positional mixups.
+    */
+  val xUnionByName = Q(
+    "x_union_by_name",
+    """SELECT o_orderkey, o_totalprice, o_orderpriority FROM (
+         SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 = 0
+         UNION ALL BY NAME
+         SELECT o_orderpriority, o_orderkey FROM orders WHERE o_orderkey % 7 = 1)
+       ORDER BY o_orderkey""") { (s, dir) =>
+    val o = T(s, dir, "orders")
+    val a = o.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val b = o.filter(col("o_orderkey") % 7 === 1)
+      .select(col("o_orderpriority"), col("o_orderkey"))
+    a.unionByName(b, allowMissingColumns = true)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .orderBy("o_orderkey")
+  }
+
   val all: Seq[Q] =
     Seq(xSessionize, xSampleHash, xStringAgg, xRedact, xRegrAgg, xFillForward,
       xGroupTopK, xApproxPercentile, xResample, xJaroWinkler, xWindowNtile,
       xCsvRoundtrip, xOrcRoundtrip, xProvenance, xUpsert, xManifestPrune,
       xDatasetDiff, xZorderPrune, xProfile, xModeMedian, xSchemaEvolution,
-      xPositionalJoin)
+      xPositionalJoin, xDistinctOn, xUnionByName)
 }
