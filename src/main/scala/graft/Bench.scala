@@ -10,6 +10,10 @@ object Bench {
   private val codegenWarmup = Seq("q34_vector_topk", "x_char_ngram_jaccard")
 
   def main(args: Array[String]): Unit = {
+    // entry loadavg, read BEFORE the session/warm-up exists: the only
+    // sample that measures the BOX rather than the bench itself (any
+    // later 1-min loadavg includes our own local[N] saturation)
+    val loadEntry = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -48,10 +52,12 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
-    // 1-min loadavg before/after the timed sweep: the box gets EXTERNAL
-    // load spikes that double-to-quadruple timings, and without this the
-    // permanent bench record can't distinguish a spike from a regression
-    // (round 5's record overstated the total 1.6x).
+    // 1-min loadavg at sweep start/end too: the box gets EXTERNAL load
+    // spikes that double-to-quadruple timings, and without the record the
+    // permanent bench artifact can't distinguish a spike from a
+    // regression (round 5's record overstated the total 1.6x). These two
+    // samples INCLUDE the bench's own load (warm-up/sweep saturate the
+    // JVM) — they contextualize the sweep; only loadEntry judges the box.
     val loadStart = loadavg()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
@@ -121,12 +127,14 @@ object Bench {
     val errs = errors.map(e => s"\"$e\"").mkString("[", ",", "]")
     val regs = regressions.map(r => s"\"$r\"").mkString("[", ",", "]")
     val dism = dismissed.map(r => s"\"$r\"").mkString("[", ",", "]")
-    val loads = s"[${fmt(loadStart)},${fmt(loadEnd)}]"
+    val loads = s"[${fmt(loadEntry)},${fmt(loadStart)},${fmt(loadEnd)}]"
     // sustained external load inflates every timing AND survives the
     // confirmation rep (which runs under the same load) — mark the run so
-    // the permanent record says "don't trust regressions/totals here"
-    // in its own words instead of relying on a reader to parse loadavg
-    val loadHigh = loadStart > 1.5 || loadEnd > 1.5
+    // the permanent record says "don't trust regressions/totals here" in
+    // its own words. Judged on the ENTRY sample only: start/end loadavg
+    // include the bench's own local[N] saturation and would flag every
+    // run (run 16 proved it: normal timings, self-load 2.8).
+    val loadHigh = loadEntry > 1.5
     val total = results2.map(_._2).filter(_ > 0) match {
       case s if s.nonEmpty => s.sum
       case _ => 0.0

@@ -222,13 +222,22 @@ object Multimodal {
     while (ok && sigAt(pos)) {
       var p = pos + 8
       var ended = false
-      while (!ended && p + 12 <= bytes.length) {
+      var corrupt = false
+      while (!ended && !corrupt && p + 12 <= bytes.length) {
         val len = ((bytes(p) & 0xff) << 24) | ((bytes(p + 1) & 0xff) << 16) |
           ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
-        val isEnd = bytes(p + 4) == 'I' && bytes(p + 5) == 'E' &&
-          bytes(p + 6) == 'N' && bytes(p + 7) == 'D'
-        p += 12 + len // length + type + data + crc
-        ended = isEnd
+        // a garbled length field (negative as signed Int, or advancing
+        // past the blob / past Int range) is corruption, not structure:
+        // treat like a truncated tail — drop this frame, stop the walk.
+        // Without the guard len = -12 would spin this loop forever and a
+        // huge len would overflow p negative into bytes(p) AIOOBE.
+        if (len < 0 || len > bytes.length - p - 12) corrupt = true
+        else {
+          val isEnd = bytes(p + 4) == 'I' && bytes(p + 5) == 'E' &&
+            bytes(p + 6) == 'N' && bytes(p + 7) == 'D'
+          p += 12 + len // length + type + data + crc
+          ended = isEnd
+        }
       }
       if (ended && p <= bytes.length) { out += ((pos, p)); pos = p }
       else ok = false

@@ -231,12 +231,32 @@ object VectorSearch {
 
   /** All (a_id < b_id) pairs with cosine ≥ COSINE_TAU — the exact
     * list-pair-bounded computation behind x_embed_neardup, shared with
-    * x_semdedup (survivor selection is a pure composition on top).
+    * x_semdedup (survivor selection is a pure composition on top). The
+    * RESULT is memoized + cached per (session, dir), same discipline as
+    * embeddingsBase: two queries consuming the pair set must not each
+    * pay the quantizer, the radii collect, and the verify join.
     */
+  private val pairsMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
   def cosineNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    pairsMemo.filterInPlace((_, df) => !df.sparkSession.sparkContext.isStopped)
+    val key = (System.identityHashCode(s), dir)
+    pairsMemo.get(key).filter(_.sparkSession eq s).getOrElse {
+      val df = buildCosinePairs(s, dir).cache()
+      graft.core.CacheBin.swap(
+        s"vector.cosine_pairs:${System.identityHashCode(s)}:$dir", df)
+      pairsMemo.put(key, df)
+      df
+    }
+  }
+
+  private def buildCosinePairs(s: SparkSession, dir: String): DataFrame = {
     val raw = embeddingsBase(s, dir).select("vec_id", "emb", "n_emb")
-    val k = 16
-    val centroids = kmeansCentroids(raw.select(col("vec_id"), col("n_emb")), k, 1)
+    val k = ANN_K
+    // the one shared quantizer per data dir (2 Lloyd iterations —
+    // quality only moves pruning strength, never the exact answer)
+    val centroids = sharedCentroids(s, dir)
     val centLit = typedLit(centroids.map(_.toSeq).toSeq)
     val own = raw
       .select(col("vec_id"), col("emb"), col("n_emb"),
@@ -448,20 +468,38 @@ object VectorSearch {
     * distributed; the only driver state is the k×dim centroid table.
     */
   def clusterAssignments(
-      normalized: DataFrame, k: Int, iterations: Int): DataFrame = {
-    val centroids = kmeansCentroids(normalized, k, iterations)
+      normalized: DataFrame, k: Int, iterations: Int): DataFrame =
+    assignFromScored(
+      scoreAgainstCentroids(normalized, kmeansCentroids(normalized, k, iterations)))
+
+  /** (vec_id, cid, sim): every vector scored against every centroid —
+    * one narrow pass; the shared first half of assignment, probing, and
+    * the cluster gates.
+    */
+  def scoreAgainstCentroids(
+      normalized: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
     val centLit = typedLit(centroids.map(_.toSeq).toSeq)
     normalized
       .select(col("vec_id"), col("n_emb"),
         posexplode(centLit).as(Seq("cid", "cent")))
+      .select(col("vec_id"), col("cid"),
+        dot(col("n_emb"), col("cent")).as("sim"))
+  }
+
+  /** argmax over a scored frame: (vec_id, cid, own_sim), lowest cid wins
+    * ties — THE assignment spelling (x_embed_cluster, ClusterProbe, and
+    * clusterAssignments all go through here; a tie-break drift between
+    * private copies would silently invalidate the probe-calibrated gate
+    * bars).
+    */
+  def assignFromScored(scored: DataFrame): DataFrame =
+    scored
       .select(col("vec_id"),
-        struct(dot(col("n_emb"), col("cent")).as("sim"),
-          (-col("cid")).as("neg")).as("cand"))
+        struct(col("sim"), (-col("cid")).as("neg")).as("cand"))
       .groupBy(col("vec_id"))
       .agg(max(col("cand")).as("best"))
       .select(col("vec_id"), (-col("best.neg")).cast("int").as("cid"),
         col("best.sim").as("own_sim"))
-  }
 
   /** Shared k-means centroid table per (session, dir): x_ann_ivf and
     * x_embed_cluster run the IDENTICAL quantizer (K=16, 2 Lloyd
@@ -516,19 +554,8 @@ object VectorSearch {
           TRUE AS balance_ok, TRUE AS cohesion_ok
         FROM embeddings""") { (s, dir) =>
     val e = embeddingsBase(s, dir).select(col("vec_id"), col("n_emb"))
-    val centLit = typedLit(sharedCentroids(s, dir).map(_.toSeq).toSeq)
-    val scored = e
-      .select(col("vec_id"), col("n_emb"),
-        posexplode(centLit).as(Seq("cid", "cent")))
-      .select(col("vec_id"), col("cid"),
-        dot(col("n_emb"), col("cent")).as("sim"))
-    val assigned = scored
-      .select(col("vec_id"),
-        struct(col("sim"), (-col("cid")).as("neg")).as("cand"))
-      .groupBy(col("vec_id"))
-      .agg(max(col("cand")).as("best"))
-      .select(col("vec_id"), (-col("best.neg")).cast("int").as("cid"),
-        col("best.sim").as("own_sim"))
+    val scored = scoreAgainstCentroids(e, sharedCentroids(s, dir))
+    val assigned = assignFromScored(scored)
     // one pass over the assignment (per-cluster rollup feeding a 1-row
     // final agg), one narrow re-score for the all-centroid mean
     val stats = assigned.groupBy(col("cid"))

@@ -22,18 +22,10 @@ object ClusterProbe {
     Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
       val dir = s"/root/testdata/$sf"
       val e = embeddingsBase(spark, dir).select(col("vec_id"), col("n_emb"))
-      val centLit = typedLit(sharedCentroids(spark, dir).map(_.toSeq).toSeq)
-      val scored = e
-        .select(col("vec_id"), col("n_emb"),
-          posexplode(centLit).as(Seq("cid", "cent")))
-        .select(col("vec_id"), col("cid"),
-          graft.functions.ArrayOps.dot(col("n_emb"), col("cent")).as("sim"))
-      val assigned = scored
-        .select(col("vec_id"),
-          struct(col("sim"), (-col("cid")).as("neg")).as("cand"))
-        .groupBy(col("vec_id")).agg(max(col("cand")).as("best"))
-        .select(col("vec_id"), (-col("best.neg")).cast("int").as("cid"),
-          col("best.sim").as("own_sim"))
+      // THE library spellings — the probe must measure exactly what the
+      // query gates, so no private copy of the assignment idiom here
+      val scored = scoreAgainstCentroids(e, sharedCentroids(spark, dir))
+      val assigned = assignFromScored(scored)
       val row = assigned.groupBy(col("cid"))
         .agg(count(lit(1)).as("sz"), sum(col("own_sim")).as("ssim"))
         .agg(sum(col("sz")).as("n"), count(lit(1)).as("nonempty"),

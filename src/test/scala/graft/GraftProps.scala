@@ -255,6 +255,24 @@ object DemuxBenchProps extends Properties("demux_bench") {
       graft.llmops.Multimodal.pngFrameBounds(trunc).length == parts.length - 1
     }
 
+  property("corrupt bytes anywhere never hang, throw, or emit bad bounds") =
+    forAll(framesGen, Gen.choose(0, Int.MaxValue),
+      Gen.listOfN(4, Gen.choose(0, 255))) { (specs, posSeed, junk) =>
+      // clobber 4 bytes at an arbitrary offset past the first signature —
+      // when they land on a chunk-length field this used to spin forever
+      // (len = -12) or overflow into an AIOOBE
+      val parts = specs.map { case (w, h, s) => png(w, h, s) }
+      val blob = parts.reduce(_ ++ _).clone()
+      val i = 8 + posSeed % math.max(1, blob.length - 12)
+      junk.zipWithIndex.foreach { case (b, j) => blob(i + j) = b.toByte }
+      val bounds = graft.llmops.Multimodal.pngFrameBounds(blob)
+      bounds.forall { case (a, b) => a >= 0 && a < b && b <= blob.length } &&
+        bounds.sliding(2).forall {
+          case Seq((_, e), (s2, _)) => e == s2
+          case _ => true
+        }
+    }
+
   private val timesGen: Gen[Map[String, Double]] =
     Gen.mapOfN(6, for {
       n <- Gen.identifier.map(_.take(6)); t <- Gen.choose(0.01, 10.0)

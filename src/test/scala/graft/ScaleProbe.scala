@@ -23,7 +23,7 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // comma-separated section filter for re-measuring one family without
-    // paying the whole probe: neardup,nn,inc,lm,bpe,contam,qc
+    // paying the whole probe: neardup,nn,km,inc,lm,bpe,contam,qc
     val only = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def want(section: String): Boolean = only.forall(_.contains(section))
@@ -49,7 +49,10 @@ object ScaleProbe {
       (pairs, (System.nanoTime() - t0) / 1e9)
     }
 
-    timeNearDup(1) // warm codegen + shuffle machinery before measuring
+    // warm codegen + shuffle machinery before measuring — only for the
+    // sections that time the near-dup machinery (a filtered run of other
+    // sections must not pay a full LSH pass)
+    if (want("neardup") || want("inc")) timeNearDup(1)
     if (want("neardup")) Seq(1, 2, 5, 10).foreach { k =>
       val (pairs, sec) = timeNearDup(k)
       println(f"SCALE k=$k%2d docs=${baseN * k}%6d pairs=$pairs%5d sec=$sec%7.2f")
@@ -133,7 +136,7 @@ object ScaleProbe {
     // finding its planted pairs there; other replicas only grow the index.
     val batchCut = (baseN * 0.9).toLong
     val batch = base.filter(col("doc_id") >= batchCut).cache()
-    batch.count()
+    if (want("inc")) batch.count()
     for (k <- Seq(1, 2, 5, 10); if want("inc")) {
       val corpusDocs = (0 until k).map { i =>
         val text =

@@ -8,7 +8,30 @@ import org.apache.spark.sql.SparkSession
   * StreamingQueryProgress breakdown of a hand-rolled copy.
   */
 object StreamFloorProbe {
-  def main(args: Array[String]): Unit = {
+  // tmpfs is RAM (same rule as StreamOps' harness): every scratch dir
+  // this probe creates is tracked and deleted before exit
+  private val scratch =
+    scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+
+  private def tmpDir(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/dev/shm"), prefix)
+    scratch += p
+    p
+  }
+
+  private def sweep(): Unit = scratch.foreach { p =>
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      paths.foreach(q =>
+        try java.nio.file.Files.deleteIfExists(q)
+        catch { case _: Exception => })
+    }
+  }
+
+  def main(args: Array[String]): Unit = try {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,10 +56,8 @@ object StreamFloorProbe {
     // progress breakdown of one replay, via a listener-free direct run
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-    val ckpt = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get("/dev/shm"), "probe_ckpt").toString
-    val streamDir = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get("/dev/shm"), "probe_src")
+    val ckpt = tmpDir("probe_ckpt").toString
+    val streamDir = tmpDir("probe_src")
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
@@ -64,8 +85,7 @@ object StreamFloorProbe {
     // variant: stateless passthrough (no agg, append) — separates the
     // stateful-agg machinery from the plain micro-batch floor
     (1 to 3).foreach { i =>
-      val ckpt2 = java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get("/dev/shm"), "probe_ckpt2").toString
+      val ckpt2 = tmpDir("probe_ckpt2").toString
       val t1 = System.nanoTime()
       val q2 = src.select(col("event_id"), col("event_type"))
         .writeStream.format("memory").queryName(s"probe_pass$i")
@@ -83,8 +103,7 @@ object StreamFloorProbe {
     // collapses, the per-run cost is Janino re-compilation (cache miss)
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     (1 to 3).foreach { i =>
-      val ckpt4 = java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get("/dev/shm"), "probe_ckpt4").toString
+      val ckpt4 = tmpDir("probe_ckpt4").toString
       val t1 = System.nanoTime()
       val q4 = agg.writeStream.format("memory").queryName(s"probe_nocg$i")
         .outputMode(OutputMode.Complete())
@@ -101,8 +120,7 @@ object StreamFloorProbe {
     // variant: stateful agg, repeated with fresh checkpoints (same plan)
     val aggReps = sys.env.getOrElse("SPARK_GRAFT_PROBE_AGG_REPS", "3").toInt
     (1 to aggReps).foreach { i =>
-      val ckpt3 = java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get("/dev/shm"), "probe_ckpt3").toString
+      val ckpt3 = tmpDir("probe_ckpt3").toString
       val t1 = System.nanoTime()
       val q3 = agg.writeStream.format("memory").queryName(s"probe_agg$i")
         .outputMode(OutputMode.Complete())
@@ -115,5 +133,5 @@ object StreamFloorProbe {
       }
     }
     spark.stop()
-  }
+  } finally sweep()
 }
