@@ -740,10 +740,40 @@ object Extra {
       .orderBy("o_orderkey")
   }
 
+  /** X — bucketed co-located join: both sides staged with
+    * `Lake.writeBucketed` on the join key (8 buckets, per-bucket sorted),
+    * then joined through the catalog tables. With matching bucket counts
+    * Spark plans the equi-join with ZERO Exchange on either side — the
+    * bucketing contract that at 100 TB turns the nightly fact⋈fact join
+    * from a corpus-wide shuffle into local merges (LakeSpec asserts the
+    * no-Exchange plan; at oracle scale AQE may broadcast the small side
+    * instead, which also moves no fact rows). The oracle runs the same
+    * join over the raw tables — staging must not change a single row.
+    */
+  val xBucketedJoin = Q(
+    "x_bucketed_join",
+    """SELECT c_mktsegment, count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       GROUP BY c_mktsegment ORDER BY c_mktsegment""") { (s, dir) =>
+    graft.sources.Lake.writeBucketed(
+      T(s, dir, "orders").select(col("o_custkey"), col("o_totalprice")),
+      "graft_bkt_orders", "o_custkey", 8)
+    graft.sources.Lake.writeBucketed(
+      T(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+      "graft_bkt_customer", "c_custkey", 8)
+    s.table("graft_bkt_orders")
+      .join(s.table("graft_bkt_customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), E.sumd(col("o_totalprice")).as("total"))
+      .orderBy("c_mktsegment")
+  }
+
   val all: Seq[Q] =
     Seq(xSessionize, xSampleHash, xStringAgg, xRedact, xRegrAgg, xFillForward,
       xGroupTopK, xApproxPercentile, xResample, xJaroWinkler, xWindowNtile,
       xCsvRoundtrip, xOrcRoundtrip, xProvenance, xUpsert, xManifestPrune,
       xDatasetDiff, xZorderPrune, xProfile, xModeMedian, xSchemaEvolution,
-      xPositionalJoin, xDistinctOn, xUnionByName)
+      xPositionalJoin, xDistinctOn, xUnionByName, xBucketedJoin)
 }
