@@ -133,7 +133,12 @@ object Bench {
     // the permanent record says "don't trust regressions/totals here" in
     // its own words. Judged on the ENTRY sample only: start/end loadavg
     // include the bench's own local[N] saturation and would flag every
-    // run (run 16 proved it: normal timings, self-load 2.8).
+    // run (run 16 proved it: normal timings, self-load 2.8). Known blind
+    // spots, accepted because loadavg cannot separate self from external
+    // load mid-sweep: external load STARTING after entry is missed (the
+    // [entry,start,end] triple is the record for a reader to judge), and
+    // a bench launched <2 min after another saturating JVM exits reads
+    // that JVM's decaying load and flags a clean run — conservative.
     val loadHigh = loadEntry > 1.5
     val total = results2.map(_._2).filter(_ > 0) match {
       case s if s.nonEmpty => s.sum

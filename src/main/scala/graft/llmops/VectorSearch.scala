@@ -231,27 +231,17 @@ object VectorSearch {
 
   /** All (a_id < b_id) pairs with cosine ≥ COSINE_TAU — the exact
     * list-pair-bounded computation behind x_embed_neardup, shared with
-    * x_semdedup (survivor selection is a pure composition on top). The
-    * RESULT is memoized + cached per (session, dir), same discipline as
-    * embeddingsBase: two queries consuming the pair set must not each
-    * pay the quantizer, the radii collect, and the verify join.
+    * x_semdedup (survivor selection is a pure composition on top).
+    *
+    * Deliberately NOT memoized as a whole: the shared INPUTS are (the
+    * embeddings base, the quantizer — both per-dir memos), but the pair
+    * join itself re-executes per call. A result-level memo would make
+    * x_embed_neardup's bench reps count a cached frame — the recorded
+    * time would measure nothing and a regression in this path could
+    * never trip the gate. Queries' bench numbers measure their own
+    * marginal work over the shared bases; here that work IS the join.
     */
-  private val pairsMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
-
   def cosineNearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    pairsMemo.filterInPlace((_, df) => !df.sparkSession.sparkContext.isStopped)
-    val key = (System.identityHashCode(s), dir)
-    pairsMemo.get(key).filter(_.sparkSession eq s).getOrElse {
-      val df = buildCosinePairs(s, dir).cache()
-      graft.core.CacheBin.swap(
-        s"vector.cosine_pairs:${System.identityHashCode(s)}:$dir", df)
-      pairsMemo.put(key, df)
-      df
-    }
-  }
-
-  private def buildCosinePairs(s: SparkSession, dir: String): DataFrame = {
     val raw = embeddingsBase(s, dir).select("vec_id", "emb", "n_emb")
     val k = ANN_K
     // the one shared quantizer per data dir (2 Lloyd iterations —

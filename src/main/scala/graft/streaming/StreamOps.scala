@@ -34,7 +34,7 @@ object StreamOps {
     * is closed after materializing the paths — each open Files.walk holds
     * a directory file descriptor, and the shutdown hook sweeps many dirs.
     */
-  private def rmTree(p: java.nio.file.Path): Unit =
+  private[graft] def rmTree(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
       val walk = Files.walk(p)
@@ -53,7 +53,7 @@ object StreamOps {
       while (p != null) { rmTree(p); p = liveScratch.poll() }
     }))
 
-  private def scratchDir(prefix: String): java.nio.file.Path = {
+  private[graft] def scratchDir(prefix: String): java.nio.file.Path = {
     sweepOnExit
     val shm = java.nio.file.Paths.get("/dev/shm")
     val p = if (Files.isDirectory(shm) && Files.isWritable(shm))

@@ -51,7 +51,11 @@ object ScaleProbe {
 
     // warm codegen + shuffle machinery before measuring — only for the
     // sections that time the near-dup machinery (a filtered run of other
-    // sections must not pay a full LSH pass)
+    // sections must not pay a full LSH pass). Consequence: a FILTERED
+    // run's first data point carries the JVM/codegen warm-up its section
+    // didn't pre-pay — same convention as the "(first-run warmup)" rows
+    // already annotated in docs/SCALING.md; compare growth from the
+    // second point, or run unfiltered for publication numbers.
     if (want("neardup") || want("inc")) timeNearDup(1)
     if (want("neardup")) Seq(1, 2, 5, 10).foreach { k =>
       val (pairs, sec) = timeNearDup(k)

@@ -8,28 +8,20 @@ import org.apache.spark.sql.SparkSession
   * StreamingQueryProgress breakdown of a hand-rolled copy.
   */
 object StreamFloorProbe {
-  // tmpfs is RAM (same rule as StreamOps' harness): every scratch dir
-  // this probe creates is tracked and deleted before exit
+  // tmpfs is RAM: scratch dirs come from StreamOps' shared harness
+  // (tmpfs-with-fallback + shutdown-hook sweep as backstop) and are also
+  // deleted eagerly in the finally below — no private copy to drift
   private val scratch =
     scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
 
   private def tmpDir(prefix: String): java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get("/dev/shm"), prefix)
+    val p = graft.streaming.StreamOps.scratchDir(prefix)
     scratch += p
     p
   }
 
-  private def sweep(): Unit = scratch.foreach { p =>
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p)) {
-      val walk = java.nio.file.Files.walk(p)
-      val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
-      paths.foreach(q =>
-        try java.nio.file.Files.deleteIfExists(q)
-        catch { case _: Exception => })
-    }
-  }
+  private def sweep(): Unit =
+    scratch.foreach(graft.streaming.StreamOps.rmTree)
 
   def main(args: Array[String]): Unit = try {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
