@@ -285,6 +285,46 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Library form of hashed bag-of-words featurization: term-frequency
+    * counts bucketed by a hash of the word — the embedding-GENERATION
+    * step that turns raw text into the sparse feature vector a trainer
+    * or hashing-trick classifier consumes (closing the corpus →
+    * embeddings loop the vector operators start from). Output is the
+    * sparse form itself, (id, bucket, cnt): one narrow pass + one hash
+    * aggregation on (id, bucket), no vocabulary table, no fit step —
+    * the hashing trick's whole point at 100 TB, where a word→index
+    * vocabulary would be a corpus-wide build + broadcast. Bucketing
+    * hashes the md5 hex prefix (engine-portable, unlike xxhash64 which
+    * DuckDB lacks); collisions fold counts, which the trick accepts.
+    */
+  def hashEmbed(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, dim: Int): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .select(col(idCol),
+        (conv(substring(md5(col("w")), 1, 4), 16, 10).cast("int") % dim)
+          .as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  val xHashEmbed = Q(
+    "x_hash_embed",
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       h AS (SELECT doc_id, substr(md5(w), 1, 4) AS hx FROM w WHERE w <> ''),
+       b AS (SELECT doc_id,
+               ((strpos('0123456789abcdef', substr(hx,1,1))-1)*4096
+              + (strpos('0123456789abcdef', substr(hx,2,1))-1)*256
+              + (strpos('0123456789abcdef', substr(hx,3,1))-1)*16
+              + (strpos('0123456789abcdef', substr(hx,4,1))-1)) % 64 AS bucket
+             FROM h)
+       SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, count(*) AS cnt
+       FROM b GROUP BY 1, 2 ORDER BY doc_id, bucket""") { (s, dir) =>
+    hashEmbed(T(s, dir, "documents"), "doc_id", "text", 64)
+      .select(col("doc_id"), col("bucket").cast("long").as("bucket"),
+        col("cnt"))
+      .orderBy("doc_id", "bucket")
+  }
+
   val all: Seq[Q] = Seq(q35, q35b, xTfIdf, xQuality, xTokenCount, xLangId,
-    xRepetition, xQualityRules, xWordEntropy)
+    xRepetition, xQualityRules, xWordEntropy, xHashEmbed)
 }
