@@ -74,7 +74,7 @@ object Bench {
           (ok && times.length < reps + 2 && times.min < 0.5)) {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
-        catch { case e: Throwable => ok = false; System.err.println(s"BENCH ERROR $name: ${e.getMessage}") }
+        catch { case scala.util.control.NonFatal(e) => ok = false; System.err.println(s"BENCH ERROR $name: ${e.getMessage}") }
         times += (System.nanoTime() - t0) / 1e9
       }
       if (!ok) errors += name
@@ -96,8 +96,10 @@ object Bench {
       name => {
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
+        // NonFatal only: an OOM/fatal JVM error must abort the sweep, not
+        // be recorded as a quiet -1 on a possibly-broken JVM
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
+        catch { case scala.util.control.NonFatal(_) => -1.0 }
       })
     val dismissed = flagged.filterNot(regressions.contains)
     if (dismissed.nonEmpty)

@@ -139,16 +139,24 @@ object VectorSearch {
          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
        WHERE rn = 1 ORDER BY vec_id""") { (s, dir) =>
     val e = embeddingsBase(s, dir).select(col("vec_id"), col("n_emb"))
-    exactNearestNeighbor(e).orderBy("vec_id")
+    // the one shared per-dir quantizer (memoized): a private per-call
+    // k-means pays driver-synchronized iteration jobs on every run for a
+    // quantizer that only moves pruning strength, never the exact answer
+    exactNearestNeighbor(e, quantizer = Some(sharedCentroids(s, dir)))
+      .orderBy("vec_id")
   }
 
   /** Library form of the exact branch-and-bound NN search: input needs
-    * (vec_id, n_emb [normalized]); returns (vec_id, nn_id).
+    * (vec_id, n_emb [normalized]); returns (vec_id, nn_id). Pass a
+    * precomputed `quantizer` (e.g. sharedCentroids) to skip the private
+    * k-means — centroid quality only affects pruning strength, never
+    * correctness (the radius bound adapts to loose clusters).
     */
-  def exactNearestNeighbor(e: DataFrame, k: Int = 16): DataFrame = {
-    // one Lloyd iteration: centroid quality only affects pruning strength,
-    // never correctness (the radius bound adapts to loose clusters)
-    val centroids = kmeansCentroids(e, k, 1)
+  def exactNearestNeighbor(e: DataFrame, k: Int = 16,
+      quantizer: Option[Array[Array[Double]]] = None): DataFrame = {
+    // one Lloyd iteration when self-quantizing: quality only moves
+    // pruning strength (see above)
+    val centroids = quantizer.getOrElse(kmeansCentroids(e, k, 1))
     val centLit = typedLit(centroids.map(_.toSeq).toSeq)
     // nearest-centroid assignment; keep csim to derive the list radius.
     // cached: feeds the radius agg, both join sides, and the bound scan

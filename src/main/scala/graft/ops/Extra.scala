@@ -753,10 +753,15 @@ object Extra {
   /** One-time bucketed staging per (session, dir): the tables are the
     * durable artifact the operator is about (written once, joined by
     * every later job), so bench reps must time the co-located JOIN, not
-    * two repeated saveAsTable rewrites.
+    * two repeated saveAsTable rewrites. Same sweep/eq discipline as
+    * VectorSearch.centroidMemo: the value holds the staging session so
+    * stopped-session entries can be swept and an identityHashCode reuse
+    * after GC can never satisfy a new session whose catalog was never
+    * populated.
     */
   private val bucketStaged =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), Boolean]
+    scala.collection.concurrent.TrieMap
+      .empty[(Int, String), org.apache.spark.sql.SparkSession]
 
   val xBucketedJoin = Q(
     "x_bucketed_join",
@@ -768,15 +773,17 @@ object Extra {
     // one dir's join from the other's staged tables
     val suffix = java.lang.Integer.toHexString(dir.hashCode)
     val (ot, ct) = (s"graft_bkt_orders_$suffix", s"graft_bkt_customer_$suffix")
-    bucketStaged.getOrElseUpdate((System.identityHashCode(s), dir), {
+    bucketStaged.filterInPlace((_, sess) => !sess.sparkContext.isStopped)
+    val stageKey = (System.identityHashCode(s), dir)
+    if (!bucketStaged.get(stageKey).exists(_ eq s)) {
       graft.sources.Lake.writeBucketed(
         T(s, dir, "orders").select(col("o_custkey"), col("o_totalprice")),
         ot, "o_custkey", 8)
       graft.sources.Lake.writeBucketed(
         T(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
         ct, "c_custkey", 8)
-      true
-    })
+      bucketStaged.put(stageKey, s)
+    }
     s.table(ot)
       .join(s.table(ct),
         col("o_custkey") === col("c_custkey"))

@@ -75,13 +75,17 @@ object StreamOps {
     * the raw file stream with the file's batch-read schema — shared by
     * eventsStream and the documents stream in x_stream_neardup.
     */
-  /** Memoized batch-read schema per file: every replay otherwise pays a
-    * fresh footer-probing batch datasource just to pin the stream schema.
-    * (Keyed by path alone — the nanosAsLong conf is always set before
-    * the events path is probed, so the schema is stable per file.)
+  /** Memoized batch-read schema per (path, mtime): every replay otherwise
+    * pays a fresh footer-probing batch datasource just to pin the stream
+    * schema. The mtime in the key invalidates the entry if a file is
+    * rewritten in place with a different schema. The conf caveat remains:
+    * eventsStream sets nanosAsLong before the events path is ever probed,
+    * so the memoized schema is the nanos-aware one; a foreign session
+    * probing the same path without that conf would see the same schema
+    * only because the conf is global to this JVM's graft sessions.
     */
   private val fileSchemas = scala.collection.concurrent.TrieMap
-    .empty[String, org.apache.spark.sql.types.StructType]
+    .empty[(String, Long), org.apache.spark.sql.types.StructType]
 
   private def fileStream(s: SparkSession, path: String, prefix: String,
       copies: Int = 1): DataFrame = {
@@ -91,8 +95,10 @@ object StreamOps {
       Files.createSymbolicLink(
         streamDir.resolve(s"${i}_$name"), java.nio.file.Paths.get(path))
     }
+    val mtime = new java.io.File(path).lastModified
     s.readStream
-      .schema(fileSchemas.getOrElseUpdate(path, s.read.parquet(path).schema))
+      .schema(fileSchemas.getOrElseUpdate((path, mtime),
+        s.read.parquet(path).schema))
       .parquet(streamDir.toString)
   }
 

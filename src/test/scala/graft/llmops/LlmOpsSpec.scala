@@ -172,6 +172,39 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rsDims.toSeq == Seq((15, 4), (15, 4), (18, 9), (20, 11), (21, 14)))
   }
 
+  test("mpng fixtures hold the invariants the oracle contract assumes") {
+    // x_media_frames' DuckDB oracle is weaker than the engine on purpose
+    // (it counts a torn tail as a frame, treats ANY embedded signature
+    // byte-pattern as a frame start, and computes dims // 2 where resize
+    // clamps max(1, d / factor)); the hash contract holds only while the
+    // committed fixtures are pristine. Pin those invariants so a fixture
+    // regeneration can't silently diverge the two sides.
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
+    val dirFiles = new java.io.File(Multimodal.blobDir).listFiles()
+      .filter(_.getName.endsWith(".mpng")).sortBy(_.getName)
+    assert(dirFiles.length == 3)
+    for (f <- dirFiles) {
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      val bounds = Multimodal.pngFrameBounds(bytes)
+      // no torn tail: chunk-walked frames tile the file exactly
+      assert(bounds.nonEmpty && bounds.head._1 == 0 && bounds.last._2 == bytes.length,
+        s"${f.getName}: frames must cover the whole file")
+      // no embedded signature: the byte-pattern occurs ONLY at frame starts
+      val sigOffsets = (0 to bytes.length - 8)
+        .filter(i => sig.indices.forall(j => bytes(i + j) == sig(j)))
+      assert(sigOffsets == bounds.map(_._1),
+        s"${f.getName}: PNG signature must appear exactly at frame starts")
+      // dims in [factor, 256): the oracle reads single IHDR LSBs and
+      // computes d // 2 with no clamp
+      for (((st, _), idx) <- bounds.zipWithIndex) {
+        val w = java.nio.ByteBuffer.wrap(bytes, st + 16, 4).getInt
+        val h = java.nio.ByteBuffer.wrap(bytes, st + 20, 4).getInt
+        assert(w >= 2 && w < 256 && h >= 2 && h < 256,
+          s"${f.getName} frame $idx: dims ($w x $h) outside [2, 256)")
+      }
+    }
+  }
+
   test("media feature extraction: real byte metadata, null dims for raw blobs") {
     val feats = Multimodal.extractFeatures(
       spark.read.format("binaryFile").load(s"${Multimodal.blobDir}/*.bin"))
