@@ -165,5 +165,66 @@ object LangModel {
       cacheKey = "x_lm_crossppl.cnt"))
   }
 
-  val all: Seq[Q] = Seq(xBigramLm, xLmCrossPpl)
+  /** Collocations below this bigram count are PMI noise (a hapax pair
+    * maximizes PMI by definition); the standard min-count floor.
+    */
+  private val PMI_MIN_COUNT = 5
+
+  /** X — PMI collocation mining: the strongest word-pair associations in
+    * the corpus (phrase detection — the word2phrase pass that decides
+    * "new_york" is one token). PMI = log(P(a,b) / (P(a)·P(b))), but log
+    * is MONOTONE, so ranking never needs the float: both engines rank by
+    * the scaled-integer ratio (c·N·10^6) div (ca·cb) — exact cross-engine
+    * integer arithmetic, same determinism discipline as x_pagerank
+    * (a float log here would differ between libm and the JVM in the last
+    * ulp and could flip ranks at rounding boundaries). Overflow bound:
+    * c·N·10^6 needs c·N < 9.2e12 — holds through sf1 (N ≈ 6M bigrams);
+    * a petabyte corpus would rank by the double ratio instead and accept
+    * tie noise, or split the product.
+    *
+    * Scale: one bigram-vocabulary-sized count table (cached — the margin
+    * rollups and the scoring join read it, never the corpus again), two
+    * margin aggs, a 1-row total, and a TakeOrderedAndProject top-20.
+    */
+  val xPmiTerms = Q(
+    "x_pmi_terms",
+    s"""WITH words AS (SELECT string_split(text,' ') AS t FROM documents),
+       bg AS (SELECT t[i] AS w1, t[i+1] AS w2
+              FROM words, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) s
+              WHERE len(t) >= 2),
+       cnt AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1,2),
+       tot AS (SELECT CAST(sum(c) AS BIGINT) AS nb FROM cnt),
+       lft AS (SELECT w1, CAST(sum(c) AS BIGINT) AS ca FROM cnt GROUP BY 1),
+       rgt AS (SELECT w2, CAST(sum(c) AS BIGINT) AS cb FROM cnt GROUP BY 1),
+       scored AS (SELECT w1, w2, c,
+                    CAST((c * nb * 1000000) // (ca * cb) AS BIGINT) AS pmi_scaled
+                  FROM cnt JOIN lft USING (w1) JOIN rgt USING (w2)
+                       CROSS JOIN tot
+                  WHERE c >= $PMI_MIN_COUNT)
+       SELECT CAST(row_number() OVER (ORDER BY pmi_scaled DESC, w1, w2) AS BIGINT) AS rank,
+              w1, w2, c, pmi_scaled
+       FROM scored ORDER BY rank LIMIT 20""") { (s, dir) =>
+    val docs = T(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val cnt = bigrams(docs).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+      .cache()
+    graft.core.CacheBin.swap("x_pmi_terms.cnt", cnt)
+    val tot = cnt.agg(sum(col("c")).as("nb"))
+    val lft = cnt.groupBy(col("w1")).agg(sum(col("c")).as("ca"))
+    val rgt = cnt.groupBy(col("w2")).agg(sum(col("c")).as("cb"))
+    val scored = cnt.filter(col("c") >= PMI_MIN_COUNT)
+      .join(lft, Seq("w1")).join(rgt, Seq("w2")).crossJoin(tot)
+      .withColumn("pmi_scaled", expr("(c * nb * 1000000) div (ca * cb)"))
+    scored
+      .orderBy(col("pmi_scaled").desc, col("w1"), col("w2")).limit(20)
+      .select(
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("pmi_scaled").desc, col("w1"), col("w2")))
+          .cast("long").as("rank"),
+        col("w1"), col("w2"), col("c"), col("pmi_scaled"))
+      .orderBy("rank")
+  }
+
+  val all: Seq[Q] = Seq(xBigramLm, xLmCrossPpl, xPmiTerms)
 }
