@@ -23,7 +23,7 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // comma-separated section filter for re-measuring one family without
-    // paying the whole probe: neardup,nn,km,inc,lm,bpe,contam,qc
+    // paying the whole probe: neardup,nn,km,inc,lm,bpe,contam,pr,qc
     val only = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def want(section: String): Boolean = only.forall(_.contains(section))
@@ -227,6 +227,38 @@ object ScaleProbe {
       println(f"SCALE-CONTAM k=$k%2d docs=$n%6d flagged=$flagged%5d sec=$sec%6.2f")
       gramSets.unpersist()
       c.unpersist()
+    }
+
+    // ---- pagerank: fixed 3-iteration budget over a k×-replicated
+    // purchase graph (disjoint replicas — node ids offset per replica, so
+    // edges and nodes both grow k× while the structure stays constant).
+    // The claim to verify: time tracks the edge list ~linearly, because
+    // the iteration count is a fixed budget and each iteration is one
+    // join + one agg over the cached edges.
+    if (want("pr")) {
+      val li = graft.core.Tables(spark, "/root/testdata/sf0.1", "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val o = graft.core.Tables(spark, "/root/testdata/sf0.1", "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val fwd = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).cast("long").as("src"),
+          (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+      val base0 = fwd
+        .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().cache()
+      val e0 = base0.count()
+      for (k <- Seq(1, 2, 5, 10)) {
+        val edges = (0 until k).map { i =>
+          base0.select((col("src") + lit(i.toLong * 10000000L)).as("src"),
+            (col("dst") + lit(i.toLong * 10000000L)).as("dst"))
+        }.reduce(_ union _)
+        val t0 = System.nanoTime()
+        val n = graft.llmops.Graph
+          .pagerank(edges, 3, cacheKey = "probe.pagerank").count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"SCALE-PR k=$k%2d edges=${e0 * k}%8d nodes=$n%7d sec=$sec%6.2f")
+      }
+      base0.unpersist()
     }
 
     // ---- quality classifier: accuracy margin over the 0.9 gate at the
