@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Emit the forked program's stdout verbatim (no "[info] " logger prefix):
+// the driver parses Bench/Verify's single JSON stdout line, and the sbt
+// log prefix is what broke every BENCH_r*.json "parsed" field so far.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
