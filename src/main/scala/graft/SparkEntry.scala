@@ -15,7 +15,7 @@ object SparkEntry {
   /** Every declared query, in SURVEY §2b order. */
   def registry: Seq[Q] =
     ops.Relational.all ++ ops.Analytic.all ++ ops.Extra.all ++
-      ops.Timeseries.all ++ ops.Scd.all ++
+      ops.Timeseries.all ++ ops.EventAnalytics.all ++ ops.Scd.all ++
       plans.AsOfQueries.all ++ streaming.StreamOps.all ++
       ops.Udfs.all ++ llmops.Dedup.all ++ llmops.MinHashLSH.all ++
       llmops.DedupFamilies.all ++ llmops.DedupPipeline.all ++

@@ -20,7 +20,13 @@ object Verify {
     // once against the fixture-blob directory) would otherwise turn a
     // correct query red for the whole round. A retry that also fails is a
     // real failure and is reported as before.
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // comma-separated name-prefix filter for quick iteration on a subset
+    // (mirrors SPARK_GRAFT_BENCH_ONLY); the driver runs unfiltered
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .foreach { case (name, fn) =>
       def attempt(): Unit =
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

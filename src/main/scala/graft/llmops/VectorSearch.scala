@@ -571,6 +571,58 @@ object VectorSearch {
           .as("cohesion_ok"))
   }
 
+  /** X — k-NN majority-vote labeling: each probe (vec_id < 5) takes the
+    * majority label of its 10 nearest neighbors by cosine (self
+    * excluded), ties broken by the smaller label — the classic
+    * label-propagation / weak-supervision primitive over an embedded
+    * corpus. Reuses the shared normalized base and the codegen'd dot;
+    * similarity is ranking-only (vec_id tiebreak), votes and the final
+    * argmax are integers, so nothing float-valued crosses engines. Same
+    * broadcast-probe single-scan shape as q34: exact at any corpus size
+    * for bounded probe sets; large probe sets route through the IVF
+    * lists (x_ann_ivf) instead.
+    */
+  val xKnnLabel = Q(
+    "x_knn_label",
+    """WITH nb AS (
+         SELECT p.vec_id AS probe_id, e.label, e.vec_id,
+                row_number() OVER (
+                  PARTITION BY p.vec_id
+                  ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                  CAST(p.embedding AS DOUBLE[])) DESC,
+                           e.vec_id) AS rn
+         FROM embeddings e
+         CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) p
+         WHERE e.vec_id <> p.vec_id),
+       v AS (SELECT probe_id, label, count(*) AS c FROM nb
+             WHERE rn <= 10 GROUP BY probe_id, label)
+       SELECT probe_id, label AS pred_label, c AS n_votes FROM (
+         SELECT probe_id, label, c,
+                row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY c DESC, label) AS rr
+         FROM v)
+       WHERE rr = 1 ORDER BY probe_id""") { (s, dir) =>
+    val e = embeddingsBase(s, dir).select("vec_id", "label", "n_emb")
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("n_emb").as("p_emb"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val votes = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("label"),
+        dot(col("n_emb"), col("p_emb")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .groupBy(col("probe_id"), col("label"))
+      .agg(count(lit(1)).as("c"))
+    votes
+      .withColumn("rr", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(col("c").desc, col("label"))))
+      .filter(col("rr") === 1)
+      .select(col("probe_id"), col("label").as("pred_label"), col("c").as("n_votes"))
+      .orderBy("probe_id")
+  }
+
   val all: Seq[Q] = Seq(q34, xNearestNeighbor, xEmbedNearDup, xAnnIvf,
-    xEmbedCluster, xSemDedup)
+    xEmbedCluster, xSemDedup, xKnnLabel)
 }

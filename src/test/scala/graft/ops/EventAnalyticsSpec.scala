@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class EventAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val events = graft.core.Tables(spark, sf, "events").cache()
+
+  test("funnel counts are monotone non-increasing and bounded by users") {
+    val rows = EventAnalytics.xFunnel.build(spark, sf)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.map(_._2).toSeq == Seq("view", "click", "purchase"))
+    val counts = rows.map(_._3)
+    assert(counts(0) >= counts(1) && counts(1) >= counts(2),
+      s"funnel widened downstream: ${counts.toSeq}")
+    val nUsers = events.select("user_id").distinct().count()
+    assert(counts(0) <= nUsers)
+    assert(counts(0) > 0, "step 1 empty — fixture has no view events?")
+  }
+
+  test("retention: offset-0 row equals the cohort size and no negative offsets") {
+    val rows = EventAnalytics.xRetention.build(spark, sf)
+      .as[(java.sql.Date, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 >= 0), "negative day offset")
+    // each cohort's offset-0 count is its total membership: every member
+    // is by definition active on their first day
+    val cohortSizes = events
+      .select(col("user_id"), col("ts").cast("date").as("d"))
+      .groupBy("user_id").agg(min(col("d")).as("c"))
+      .groupBy("c").count().as[(java.sql.Date, Long)].collect().toMap
+    rows.filter(_._2 == 0L).foreach { case (c, _, n) =>
+      assert(cohortSizes(c) == n, s"cohort $c offset-0 count $n != size ${cohortSizes(c)}")
+    }
+    // retention never exceeds the cohort size at any offset
+    rows.foreach { case (c, off, n) =>
+      assert(n <= cohortSizes(c), s"cohort $c offset $off exceeds cohort size")
+    }
+  }
+
+  test("transitions: totals add up to (events - users with events)") {
+    val rows = EventAnalytics.xTransitions.build(spark, sf)
+      .as[(String, String, Long)].collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_._3).sum
+    val nEvents = events.count()
+    val nUsersWithEvents = events.select("user_id").distinct().count()
+    // each user's k-event sequence yields exactly k-1 transitions
+    assert(total == nEvents - nUsersWithEvents,
+      s"transition total $total != $nEvents - $nUsersWithEvents")
+    val types = Set("view", "click", "purchase", "signup", "error")
+    rows.foreach { case (f, t, n) =>
+      assert(types(f) && types(t) && n > 0)
+    }
+  }
+
+  test("IQR outliers lie strictly outside the fences; fences from true quartiles") {
+    val out = EventAnalytics.xOutlierIqr.build(spark, sf)
+      .as[(Long, String, Long)].collect()
+    assert(out.nonEmpty, "fixture produced no outliers — fence math suspect")
+    val byType = events
+      .select(col("event_type"), expr("CAST(round(value*100) AS BIGINT)").as("c"))
+      .as[(String, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted)
+    out.foreach { case (_, et, cents) =>
+      val xs = byType(et)
+      val q1 = xs((xs.length + 3) / 4 - 1)
+      val q3 = xs((3 * xs.length + 3) / 4 - 1)
+      assert(2 * cents > 2 * q3 + 3 * (q3 - q1) || 2 * cents < 2 * q1 - 3 * (q3 - q1),
+        s"$et flagged $cents inside fences [$q1,$q3]")
+    }
+  }
+
+  test("winsorized sum is bounded by n*[p05, p95] and below the raw sum's tail") {
+    val rows = EventAnalytics.xWinsorize.build(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.length >= 2)
+    rows.foreach { case (et, n, wsum, p05, p95) =>
+      assert(p05 <= p95, s"$et p05 > p95")
+      assert(wsum >= n * p05 && wsum <= n * p95, s"$et winsorized sum out of range")
+    }
+  }
+
+  test("decay score: every user's decayed score is <= raw cents and >= same-day cents") {
+    val decayed = EventAnalytics.xDecayScore.build(spark, sf)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(decayed.nonEmpty)
+    val raw = events
+      .select(col("user_id"), expr("CAST(round(value*100) AS BIGINT)").as("c"))
+      .groupBy("user_id").agg(sum("c").as("s"), count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect()
+    raw.foreach { case (u, s, n) =>
+      val (d, dn) = decayed(u)
+      assert(dn == n, s"user $u event count drifted")
+      assert(d <= s, s"user $u decayed score exceeds raw sum")
+      assert(d >= 0)
+    }
+  }
+
+  test("RFM buckets are quartiles: each bucket holds n/4 +- 1 users, all buckets present") {
+    val rows = EventAnalytics.xRfm.build(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val n = rows.length
+    for ((name, pick) <- Seq[(String, ((Long, Long, Long, Long, Long, Long, Long)) => Long)](
+        ("r", _._5), ("f", _._6), ("m", _._7))) {
+      val hist = rows.groupBy(pick).view.mapValues(_.length).toMap
+      assert(hist.keySet == Set(1L, 2L, 3L, 4L), s"$name buckets missing: ${hist.keySet}")
+      assert(hist.values.forall(c => math.abs(c - n / 4.0) <= 1),
+        s"$name bucket sizes skewed: $hist")
+    }
+    // monetary bucket 1 users all have monetary >= bucket 4 users' max
+    val b1min = rows.filter(_._7 == 1L).map(_._4).min
+    val b4max = rows.filter(_._7 == 4L).map(_._4).max
+    assert(b1min >= b4max, "monetary bucket 1 overlaps bucket 4")
+  }
+
+  test("knn label: predictions exist for all probes with valid labels") {
+    val rows = graft.llmops.VectorSearch.xKnnLabel.build(spark, sf)
+      .as[(Long, Int, Long)].collect()
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    val labels = graft.core.Tables(spark, sf, "embeddings")
+      .select("label").distinct().as[Int].collect().toSet
+    rows.foreach { case (p, l, votes) =>
+      assert(labels(l), s"probe $p predicted unseen label $l")
+      assert(votes >= 1 && votes <= 10)
+    }
+  }
+}
