@@ -325,6 +325,87 @@ object TextStats {
       .orderBy("doc_id", "bucket")
   }
 
+  /** BM25 parameters (the standard Okapi defaults). */
+  val BM25_K1 = 1.2
+  val BM25_B = 0.75
+
+  /** The fixed query for the contract run (three mid-frequency corpus
+    * terms); the library form takes any term list.
+    */
+  val BM25_QUERY = Seq("spark", "join", "stream")
+
+  /** X — BM25 retrieval scoring: rank documents against a fixed term
+    * query with the Okapi formula (the Lucene `+1` idf variant so the
+    * log argument stays positive at any df):
+    *   Σ_t ln(1 + (N − df_t + 0.5)/(df_t + 0.5)) ·
+    *       tf_td·(k1+1) / (tf_td + k1·(1 − b + b·dl_d/avgdl))
+    *
+    * Cross-engine float discipline: a float SUM over query terms would be
+    * addition-order-dependent, so the per-term contributions are computed
+    * as COLUMNS (conditional aggs) and added in one fixed left-to-right
+    * expression spelled identically in both engines; the corpus constants
+    * (N, df_t, avgdl) ride a broadcast 1-row frame (exact integer sums,
+    * one double division each). Ordering uses the ROUNDED score with a
+    * doc_id tiebreak, so the published rank can never hinge on a
+    * sub-rounding difference.
+    *
+    * Scale posture: one narrow scan builds (doc_id, dl, tf per term) with
+    * map-side partial aggs; the stats frame is 1 row; top-20 is a
+    * TakeOrderedAndProject. For ad-hoc multi-term queries at corpus scale
+    * the same shape generalizes to an inverted-index join (posting lists
+    * per term), which is what x_tfidf's doc-term frame is.
+    */
+  val xBm25 = Q(
+    "x_bm25",
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       d AS (SELECT doc_id, len(ws) AS dl,
+                    len(list_filter(ws, x -> x = '${BM25_QUERY(0)}')) AS tf1,
+                    len(list_filter(ws, x -> x = '${BM25_QUERY(1)}')) AS tf2,
+                    len(list_filter(ws, x -> x = '${BM25_QUERY(2)}')) AS tf3
+             FROM w),
+       stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(dl) AS BIGINT) AS sdl,
+                        CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+                        CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+                        CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+                 FROM d),
+       scored AS (SELECT doc_id,
+           round(
+             ln(1.0 + (CAST(n AS DOUBLE) - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / (CAST(sdl AS DOUBLE) / n)))
+           + ln(1.0 + (CAST(n AS DOUBLE) - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / (CAST(sdl AS DOUBLE) / n)))
+           + ln(1.0 + (CAST(n AS DOUBLE) - df3 + 0.5) / (df3 + 0.5)) * (tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * dl / (CAST(sdl AS DOUBLE) / n))), 6) AS score
+         FROM d CROSS JOIN stats)
+       SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+              doc_id, score
+       FROM scored ORDER BY rank LIMIT 20""") { (s, dir) =>
+    val d = T(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+        size(filter(col("ws"), _ === BM25_QUERY(0))).cast("long").as("tf1"),
+        size(filter(col("ws"), _ === BM25_QUERY(1))).cast("long").as("tf2"),
+        size(filter(col("ws"), _ === BM25_QUERY(2))).cast("long").as("tf3"))
+    val stats = d.agg(
+      count(lit(1)).as("n"), sum(col("dl")).as("sdl"),
+      sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
+      sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("df2"),
+      sum(when(col("tf3") > 0, 1L).otherwise(0L)).as("df3"))
+    def contrib(tf: String, df: String) =
+      log(lit(1.0) + (col("n").cast("double") - col(df) + lit(0.5)) / (col(df) + lit(0.5))) *
+        (col(tf) * lit(2.2)) /
+        (col(tf) + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") /
+          (col("sdl").cast("double") / col("n"))))
+    val scored = d.crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(contrib("tf1", "df1") + contrib("tf2", "df2") + contrib("tf3", "df3"), 6)
+          .as("score"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(20)
+      .select(
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))).cast("long").as("rank"),
+        col("doc_id"), col("score"))
+      .orderBy("rank")
+  }
+
   val all: Seq[Q] = Seq(q35, q35b, xTfIdf, xQuality, xTokenCount, xLangId,
-    xRepetition, xQualityRules, xWordEntropy, xHashEmbed)
+    xRepetition, xQualityRules, xWordEntropy, xHashEmbed, xBm25)
 }

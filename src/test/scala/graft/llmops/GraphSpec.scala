@@ -52,4 +52,48 @@ class GraphSpec extends AnyFunSuite {
     assert(total <= Graph.SCALE &&
       total > Graph.SCALE - (got.size.toLong + 1) * (Graph.ITERS + 1))
   }
+
+  test("common neighbors: ordered pairs, counts verified against a brute recount") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Graph.xCommonNeighbors.build(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.length == 20)
+    assert(rows.map(_._1).toSeq == (1L to 20L))
+    rows.foreach { case (_, s1, s2, c) => assert(s1 < s2 && c >= 1) }
+    val commons = rows.map(_._4)
+    assert(commons.zip(commons.tail).forall { case (a, b) => a >= b },
+      "counts not non-increasing by rank")
+    // brute recount of the top pair from the raw fact tables
+    val (_, t1, t2, tc) = rows.head
+    val e = graft.core.Tables(spark, sf, "lineitem")
+      .join(graft.core.Tables(spark, sf, "orders"),
+        org.apache.spark.sql.functions.expr("l_orderkey = o_orderkey"))
+      .select("o_custkey", "l_suppkey").distinct()
+      .as[(Long, Long)].collect().groupBy(_._2).view
+      .mapValues(_.map(_._1).toSet).toMap
+    assert((e(t1) & e(t2)).size.toLong == tc, s"top pair ($t1,$t2) recount mismatch")
+  }
+
+  test("bm25: ranks are dense, scores non-increasing, and zero-tf docs score 0") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.llmops.TextStats.xBm25.build(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(rows.length == 20)
+    assert(rows.map(_._1).toSeq == (1L to 20L))
+    val scores = rows.map(_._3)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(scores.forall(s => s >= 0.0 && s.isFinite))
+    // a doc containing none of the query terms must score exactly 0 and
+    // can therefore never out-rank any doc with a hit
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables(spark, sf, "documents")
+    val noHit = docs.filter(
+      !col("text").contains(TextStats.BM25_QUERY(0)) &&
+      !col("text").contains(TextStats.BM25_QUERY(1)) &&
+      !col("text").contains(TextStats.BM25_QUERY(2)))
+      .select("doc_id").as[Long].collect().toSet
+    rows.filter(r => noHit(r._2)).foreach { case (_, id, s) =>
+      assert(s == 0.0, s"zero-tf doc $id scored $s")
+    }
+  }
 }
