@@ -23,7 +23,7 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // comma-separated section filter for re-measuring one family without
-    // paying the whole probe: neardup,nn,km,inc,lm,bpe,contam,pr,qc
+    // paying the whole probe: neardup,nn,km,inc,lm,bpe,contam,pr,qc,evt,cn
     val only = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def want(section: String): Boolean = only.forall(_.contains(section))
@@ -259,6 +259,82 @@ object ScaleProbe {
         println(f"SCALE-PR k=$k%2d edges=${e0 * k}%8d nodes=$n%7d sec=$sec%6.2f")
       }
       base0.unpersist()
+    }
+
+    // ---- event analytics (round 7): the pack's two heaviest shapes on a
+    // k×-replicated events table (disjoint replicas — user_id and
+    // event_id offset per replica, so users AND events grow k× with
+    // constant per-user density). (a) the per-type rank pass behind
+    // x_outlier_iqr / x_winsorize — a corpus-scale window sort, the
+    // pack's only full-data window; (b) x_retention's day-grain dedup +
+    // per-user cohort join. Both should track events ~linearly.
+    if (want("evt")) {
+      val ev0 = graft.core.Tables(spark, "/root/testdata/sf0.1", "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"), col("value")).cache()
+      val evN = ev0.count()
+      for (k <- Seq(1, 2, 5, 10)) {
+        val ev = (0 until k).map { i =>
+          ev0.select((col("event_id") + lit(i.toLong * 100000000L)).as("event_id"),
+            (col("user_id") + lit(i.toLong * 10000000L)).as("user_id"),
+            col("event_type"), col("ts"), col("value"))
+        }.reduce(_ union _)
+        val t0 = System.nanoTime()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("cents"), col("event_id"))
+        val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+        val e = ev.select(col("event_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        val fences = e.withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wn))
+          .groupBy("event_type")
+          .agg(min(when(expr("rn = (n + 3) div 4"), col("cents"))).as("lo"),
+            min(when(expr("rn = (3 * n + 3) div 4"), col("cents"))).as("hi"))
+        val outliers = e.join(broadcast(fences), Seq("event_type"))
+          .filter(lit(2) * col("cents") > lit(2) * col("hi") + lit(3) * (col("hi") - col("lo")))
+          .count()
+        val tOut = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val du = ev.select(col("user_id"), col("ts").cast("date").as("d")).distinct()
+        val coh = du.groupBy("user_id").agg(min(col("d")).as("c0"))
+        val retRows = du.join(coh, Seq("user_id"))
+          .groupBy(col("c0"), datediff(col("d"), col("c0")).as("off"))
+          .agg(count(lit(1))).count()
+        val tRet = (System.nanoTime() - t1) / 1e9
+        println(f"SCALE-EVT k=$k%2d events=${evN * k}%8d outliers=$outliers%6d " +
+          f"rank_pass=$tOut%6.2f retention=$tRet%6.2f (ret_rows=$retRows)")
+      }
+      ev0.unpersist()
+    }
+
+    // ---- common neighbors (round 7): the co-occurrence pair join on a
+    // k×-replicated purchase graph (disjoint replicas — constant
+    // per-customer degree). The claim: candidate pairs and time grow k×
+    // (linear), NOT k² — the blowup only comes from degree growth, which
+    // the documented hub-cap bounds.
+    if (want("cn")) {
+      val li = graft.core.Tables(spark, "/root/testdata/sf0.1", "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val o = graft.core.Tables(spark, "/root/testdata/sf0.1", "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val e0 = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct().cache()
+      val n0 = e0.count()
+      for (k <- Seq(1, 2, 5, 10)) {
+        val e = (0 until k).map { i =>
+          e0.select((col("c") + lit(i.toLong * 10000000L)).as("c"),
+            (col("s") + lit(i.toLong * 10000000L)).as("s"))
+        }.reduce(_ union _)
+        val t0 = System.nanoTime()
+        val pairs = e.as("a").join(e.as("b"),
+            col("a.c") === col("b.c") && col("a.s") < col("b.s"))
+          .groupBy(col("a.s"), col("b.s")).agg(count(lit(1)).as("common"))
+          .count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"SCALE-CN k=$k%2d edges=${n0 * k}%8d pairs=$pairs%9d sec=$sec%6.2f")
+      }
+      e0.unpersist()
     }
 
     // ---- quality classifier: accuracy margin over the 0.9 gate at the
