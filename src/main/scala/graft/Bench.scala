@@ -34,8 +34,11 @@ object Bench {
     }
     // warm the session once (JIT, codegen cache, FS/footer caches) so the
     // first timed query isn't charged session startup
+    // through the Tables loader, not a raw read: events.parquet is
+    // TIMESTAMP(NANOS) and a raw vectorized read fails the task (so the
+    // events footer/JIT warm-up silently never happened before)
     graft.core.Tables.names.foreach { t =>
-      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      try graft.core.Tables(spark, sfDir, t).count()
       catch { case _: Throwable => }
     }
     // compile the custom-expression codegen paths before timing starts

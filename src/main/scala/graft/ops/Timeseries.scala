@@ -178,5 +178,38 @@ object Timeseries {
       .orderBy("d")
   }
 
-  val all: Seq[Q] = Seq(xInterpolate, xGapDetect, xWindowDistinct)
+  /** X — rolling median (7-event window) of each user's spend: the
+    * robust-smoothing primitive a metrics pipeline uses where a rolling
+    * mean would chase outliers. EXACT discrete median — the
+    * ceil(n/2)-th smallest cents value in the frame, never an
+    * interpolated float — so both engines pick the identical element
+    * (DuckDB's `quantile_disc(0.5)` selects the same index; verified
+    * n∈{3,4} and windowed). One window pass per user; the frame is
+    * rows-bounded (7), so the sort-per-frame cost is O(1) per row and
+    * the shuffle key is the series key — the same posture as
+    * x_interpolate.
+    */
+  val xRollingMedian = Q(
+    "x_rolling_median",
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events)
+       SELECT user_id, event_id,
+              quantile_disc(cents, 0.5) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med_cents
+       FROM e ORDER BY user_id, event_id""") { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-6, Window.currentRow)
+    T(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("arr", sort_array(collect_list(col("cents")).over(w)))
+      .select(col("user_id"), col("event_id"),
+        expr("element_at(arr, CAST((size(arr) + 1) div 2 AS INT))").as("med_cents"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val all: Seq[Q] = Seq(xInterpolate, xGapDetect, xWindowDistinct,
+    xRollingMedian)
 }

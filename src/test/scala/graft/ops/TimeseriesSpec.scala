@@ -49,6 +49,30 @@ class TimeseriesSpec extends AnyFunSuite {
       ("b", 2L, Some(5.0)), ("b", 3L, Some(5.0)))) // tail forward-fill
   }
 
+  test("rolling median picks the exact middle element of each 7-row frame") {
+    val rows = Timeseries.xRollingMedian.build(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // independent recompute on the driver for a handful of users
+    val ev = graft.core.Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        expr("CAST(round(value*100) AS BIGINT)").as("c"))
+      .as[(Long, Long, java.sql.Timestamp, Long)].collect()
+      .groupBy(_._1)
+    val got = rows.groupBy(_._1)
+    ev.view.take(5).foreach { case (u, es) =>
+      // full-precision order: getTime is millis-truncated, getNanos
+      // carries the sub-second part the window actually sorts on
+      val ordered = es.sortBy(e => (e._3.getTime / 1000, e._3.getNanos, e._2)).map(_._4)
+      val expect = ordered.indices.map { i =>
+        val frame = ordered.slice(math.max(0, i - 6), i + 1).sorted
+        frame((frame.length + 1) / 2 - 1)
+      }
+      val mine = got(u).sortBy(_._2).map(_._3).toSeq
+      assert(mine == expect, s"user $u rolling medians diverge")
+    }
+  }
+
   test("gap detection island counts are self-consistent") {
     val rows = Timeseries.xGapDetect.build(spark, sf)
       .as[(Long, Long, Long, Long)].collect()
