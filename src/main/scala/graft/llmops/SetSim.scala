@@ -1,0 +1,116 @@
+package graft.llmops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Q, Tables => T}
+
+/** Exact set-similarity self-join via PREFIX FILTERING (AllPairs /
+  * PPJoin, Bayardo et al. WWW'07; Chaudhuri et al. ICDE'06) — the other
+  * classic scale path to "all document pairs with Jaccard ≥ t" besides
+  * MinHash LSH (q33). Where LSH is probabilistic (banding trades recall
+  * for candidate count, gated by a measured-recall contract), prefix
+  * filtering is EXACT: order the element universe by ascending document
+  * frequency, index only the first |x| − ⌈t·|x|⌉ + 1 elements of each
+  * set (its "prefix"), and any pair with Jaccard ≥ t provably shares a
+  * prefix element — so candidates = pairs co-occurring in some RARE
+  * element, and a verification pass computes the true intersection.
+  * The result is the brute-force answer by construction, which is
+  * exactly what the oracle computes.
+  *
+  * The set universe is the word-3-gram shingle hash set of each
+  * document — the SAME shared cached base q33 / x_dedup_families /
+  * x_dedup_survivors condense the corpus into (MinHashLSH.wordSetsBase:
+  * one narrow per-row pass, no shingle-stream shuffle), so in a
+  * pipeline that runs both operators the corpus is shingled once.
+  * Threshold 3/5 sits BELOW q33's LSH band design point: the exact
+  * path is how you sweep a threshold regime the banding wasn't tuned
+  * for without re-deriving band/row parameters.
+  *
+  * Scale posture (10^9-document corpus):
+  *   - Prefix filtering DOES pay one corpus-scale exploded shuffle (the
+  *     df dictionary + the per-doc (df, h) re-sort) — the price of an
+  *     exact guarantee; LSH exists to avoid it when recall < 1 is
+  *     acceptable. The candidate join itself is keyed by each doc's
+  *     RAREST ~(1−t) fraction of shingles, so the hub-shingle blowup
+  *     (boilerplate shared by every page) is excluded by construction —
+  *     the same role the LSH hot-bucket cap plays (MinHashLSH.scala:
+  *     188-204), but with zero completeness loss.
+  *   - Candidate count is Σ_h df_prefix(h)² over prefix occurrences
+  *     only; verification touches candidates, not the pair space, and
+  *     costs one codegen'd merge scan per pair (SortedLongArrayIntersect)
+  *     on the already-cached sorted hash arrays.
+  *   - All similarity arithmetic is integer cross-multiplication
+  *     (J ≥ 3/5 ⇔ 5·|a∩b| ≥ 3·|a∪b|); no floats cross engines. Hash
+  *     collisions perturb a count with probability ~|A||B|/2^64 per
+  *     pair (the q33 contract, MinHashLSH.scala:211-214).
+  */
+object SetSim {
+
+  /** Jaccard threshold 3/5 as an integer rational. */
+  val T_NUM = 3
+  val T_DEN = 5
+
+  /** All pairs (a < b) with Jaccard(set a, set b) ≥ num/den — exact,
+    * via prefix-filtered candidates + merge-scan verification. `sets`
+    * is (doc_id, hs sorted-distinct long array, c = |hs|), the
+    * MinHashLSH.wordSets shape.
+    */
+  def similarPairs(sets: DataFrame, num: Int, den: Int): DataFrame = {
+    val el = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+    val df = el.groupBy("h").agg(count(lit(1)).as("df"))
+    // per-doc elements in global (df asc, h asc) order; prefix length
+    // L − ⌈t·L⌉ + 1 with ⌈t·L⌉ = (num·L + den − 1) div den
+    val pre = el.join(df, "h")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ot"))
+      .select(col("doc_id"),
+        explode(expr(s"""slice(transform(ot, x -> x.h), 1,
+                 size(ot) - (($num * size(ot) + ${den - 1}) div $den) + 1)"""))
+          .as("h"))
+    val cand = pre.as("a").join(pre.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("a_id"), col("hs").as("ha"),
+        col("c").as("ca")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("hs").as("hb"),
+        col("c").as("cb")), "b_id")
+      .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"),
+        graft.functions.ArrayOps.sortedIntersectCount(col("ha"), col("hb"))
+          .cast("long").as("inter"),
+        col("ca"), col("cb"))
+      .filter(lit(den) * col("inter") >= lit(num) * (col("ca") + col("cb") - col("inter")))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("ca") + col("cb") - col("inter")).cast("long").as("uni"))
+  }
+
+  /** X — exact word-shingle similarity self-join over `documents` at
+    * Jaccard ≥ 3/5. The oracle is the definitionally-correct brute
+    * force (shared-shingle pair counts, q33's spelling with an integer
+    * threshold); the engine answers it with prefix filtering —
+    * identical rows, exact by construction.
+    */
+  val xSetSimJoin = Q(
+    "x_setsim_join",
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+              FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 1))) AS i)
+              WHERE len(t) >= 3),
+       card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+       inter AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS i
+                 FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                 GROUP BY 1, 2)
+       SELECT a_id AS doc_a, b_id AS doc_b, CAST(i AS BIGINT) AS inter,
+              CAST(ca.c + cb.c - i AS BIGINT) AS uni
+       FROM inter
+       JOIN card ca ON ca.doc_id = a_id
+       JOIN card cb ON cb.doc_id = b_id
+       WHERE $T_DEN * i >= $T_NUM * (ca.c + cb.c - i)
+       ORDER BY doc_a, doc_b""") { (s, dir) =>
+    similarPairs(MinHashLSH.wordSetsBase(s, dir), T_NUM, T_DEN)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val all: Seq[Q] = Seq(xSetSimJoin)
+}
