@@ -219,7 +219,8 @@ object Bench {
     "x_zorder_prune", "x_profile",
     "x_bigram_lm", "x_lm_crossppl", "x_quality_classifier",
     "x_bpe_tokenize", "x_embed_cluster",
-    "x_pagerank", "x_pmi_terms", "x_common_neighbors", "x_bm25")
+    "x_pagerank", "x_pmi_terms", "x_common_neighbors", "x_bm25",
+    "x_setsim_join")
 
   private def headline(name: String): Boolean = headlineNames.contains(name)
 
