@@ -62,6 +62,21 @@ object ScaleProbe {
       println(f"SCALE k=$k%2d docs=${baseN * k}%6d pairs=$pairs%5d sec=$sec%7.2f")
     }
 
+    // ---- exact prefix-filtered set-similarity join ----
+    // replicas share no shingles (per-replica word prefix), so the true
+    // pair set grows k-fold; sub-quadratic time = the prefix filter is
+    // doing its job (brute force would grow k² in candidate volume)
+    if (want("setsim")) Seq(1, 2, 5, 10).foreach { k =>
+      val t0 = System.nanoTime()
+      val sets = MinHashLSH.wordSets(corpus(k), 3).cache()
+      val pairs = graft.llmops.SetSim
+        .similarPairs(sets, graft.llmops.SetSim.T_NUM, graft.llmops.SetSim.T_DEN)
+        .count()
+      sets.unpersist()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE-SETSIM k=$k%2d docs=${baseN * k}%6d pairs=$pairs%5d sec=$sec%7.2f")
+    }
+
     // ---- exact nearest-neighbor: IVF radius-bound vs all-pairs ----
     // replicas get cyclically-rotated vectors: distinct clusters per
     // replica (norm-preserving), which is the clustered regime real
