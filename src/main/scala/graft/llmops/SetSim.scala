@@ -50,23 +50,31 @@ object SetSim {
   val T_NUM = 3
   val T_DEN = 5
 
-  /** All pairs (a < b) with Jaccard(set a, set b) ≥ num/den — exact,
-    * via prefix-filtered candidates + merge-scan verification. `sets`
-    * is (doc_id, hs sorted-distinct long array, c = |hs|), the
-    * MinHashLSH.wordSets shape.
+  /** Exploded (doc_id, h) element stream of a wordSets-shaped frame. */
+  private def elements(sets: DataFrame): DataFrame =
+    sets.select(col("doc_id"), explode(col("hs")).as("h"))
+
+  /** Per-doc PREFIX elements under the global (df asc, h asc) order:
+    * the first L − ⌈t·L⌉ + 1 of each set, with ⌈t·L⌉ = (num·L + den − 1)
+    * div den — the rarest ~(1−t) fraction, the only elements that need
+    * indexing for threshold num/den (Jaccard or containment alike).
     */
-  def similarPairs(sets: DataFrame, num: Int, den: Int): DataFrame = {
-    val el = sets.select(col("doc_id"), explode(col("hs")).as("h"))
-    val df = el.groupBy("h").agg(count(lit(1)).as("df"))
-    // per-doc elements in global (df asc, h asc) order; prefix length
-    // L − ⌈t·L⌉ + 1 with ⌈t·L⌉ = (num·L + den − 1) div den
-    val pre = el.join(df, "h")
+  private def prefixes(el: DataFrame, num: Int, den: Int): DataFrame =
+    el.join(el.groupBy("h").agg(count(lit(1)).as("df")), "h")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ot"))
       .select(col("doc_id"),
         explode(expr(s"""slice(transform(ot, x -> x.h), 1,
                  size(ot) - (($num * size(ot) + ${den - 1}) div $den) + 1)"""))
           .as("h"))
+
+  /** All pairs (a < b) with Jaccard(set a, set b) ≥ num/den — exact,
+    * via prefix-filtered candidates + merge-scan verification. `sets`
+    * is (doc_id, hs sorted-distinct long array, c = |hs|), the
+    * MinHashLSH.wordSets shape.
+    */
+  def similarPairs(sets: DataFrame, num: Int, den: Int): DataFrame = {
+    val pre = prefixes(elements(sets), num, den)
     val cand = pre.as("a").join(pre.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
@@ -83,6 +91,65 @@ object SetSim {
       .filter(lit(den) * col("inter") >= lit(num) * (col("ca") + col("cb") - col("inter")))
       .select(col("doc_a"), col("doc_b"), col("inter"),
         (col("ca") + col("cb") - col("inter")).cast("long").as("uni"))
+  }
+
+  /** Containment threshold 4/5 as an integer rational. */
+  val C_NUM = 4
+  val C_DEN = 5
+
+  /** All ordered pairs (a ≠ b) with containment |A∩B| / |A| ≥ num/den —
+    * "document a is mostly inside document b": the asymmetric variant
+    * that catches quotes, boilerplate inclusion, and subset documents
+    * that symmetric Jaccard misses (a short doc inside a long one has
+    * tiny Jaccard but containment ≈ 1). Prefix filtering adapts: the
+    * CONTAINED side indexes its rarest |A| − ⌈t·|A|⌉ + 1 elements (if
+    * |A∩B| ≥ α, at most α−1 of A's elements lie past its prefix, so
+    * one shared element is in the prefix), while the CONTAINING side
+    * must index every element — containment puts no lower bound on how
+    * deep in B's frequency order the shared elements sit. Candidate
+    * volume is still governed by the A-prefix: an element only joins if
+    * it is among SOMEBODY's rarest fraction, so corpus-wide boilerplate
+    * (in every full set, in nobody's prefix) never generates a pair.
+    */
+  def containedPairs(sets: DataFrame, num: Int, den: Int): DataFrame = {
+    val el = elements(sets)
+    val cand = prefixes(el, num, den).as("a").join(el.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("a_id"), col("hs").as("ha"),
+        col("c").as("ca")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
+      .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"),
+        graft.functions.ArrayOps.sortedIntersectCount(col("ha"), col("hb"))
+          .cast("long").as("inter"),
+        col("ca"))
+      .filter(lit(den) * col("inter") >= lit(num) * col("ca"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("ca").cast("long").as("ca"))
+  }
+
+  /** X — containment self-join over `documents` at |A∩B|/|A| ≥ 4/5.
+    * Brute-force oracle (shared-shingle counts, both directions).
+    */
+  val xContainmentJoin = Q(
+    "x_containment_join",
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+              FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 1))) AS i)
+              WHERE len(t) >= 3),
+       card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+       inter AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS i
+                 FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id != y.doc_id
+                 GROUP BY 1, 2)
+       SELECT a_id AS doc_a, b_id AS doc_b, CAST(i AS BIGINT) AS inter,
+              CAST(ca.c AS BIGINT) AS ca
+       FROM inter JOIN card ca ON ca.doc_id = a_id
+       WHERE $C_DEN * i >= $C_NUM * ca.c
+       ORDER BY doc_a, doc_b""") { (s, dir) =>
+    containedPairs(MinHashLSH.wordSetsBase(s, dir), C_NUM, C_DEN)
+      .orderBy("doc_a", "doc_b")
   }
 
   /** X — exact word-shingle similarity self-join over `documents` at
@@ -112,5 +179,5 @@ object SetSim {
       .orderBy("doc_a", "doc_b")
   }
 
-  val all: Seq[Q] = Seq(xSetSimJoin)
+  val all: Seq[Q] = Seq(xSetSimJoin, xContainmentJoin)
 }

@@ -36,6 +36,47 @@ class SetSimSpec extends AnyFunSuite {
     assert(got.nonEmpty) // the corpus has near-dup families; none found = broken
   }
 
+  /** Brute-force containment reference: ordered pairs, |A∩B|/|A| ≥ num/den. */
+  private def referenceContain(docs: Seq[(Long, String)], num: Int, den: Int)
+      : Set[(Long, Long, Long, Long)] = {
+    val sets = docs.map { case (id, t) =>
+      val w = t.split(" ", -1)
+      id -> w.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a != b
+      inter = (sa & sb).size.toLong
+      if den * inter >= num.toLong * sa.size
+    } yield (a, b, inter, sa.size.toLong)).toSet
+  }
+
+  test("containment join equals brute force on the sf0.001 corpus") {
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val got = SetSim.xContainmentJoin.build(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.toSet == referenceContain(docs, SetSim.C_NUM, SetSim.C_DEN))
+    assert(got.nonEmpty)
+  }
+
+  test("containment catches a short doc inside a long one that Jaccard misses") {
+    // doc 1's 3 shingles all appear in doc 2 (containment 1.0), but doc 2
+    // has many more shingles, so Jaccard is far below 3/5
+    val docs = Seq(
+      1L -> "a b c d e",
+      2L -> "a b c d e f g h i j k l m n o p q r s t",
+      3L -> "z y x w v u")
+    val sets = MinHashLSH.wordSets(docs.toDF("doc_id", "text"), 3)
+    val contain = SetSim.containedPairs(sets, SetSim.C_NUM, SetSim.C_DEN)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(contain == referenceContain(docs, SetSim.C_NUM, SetSim.C_DEN))
+    assert(contain.contains((1L, 2L, 3L, 3L)))     // fully contained
+    assert(!contain.exists(p => p._1 == 2L))       // not the other direction
+    val sim = SetSim.similarPairs(sets, SetSim.T_NUM, SetSim.T_DEN)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(!sim.exists(p => p._1 == 1L && p._2 == 2L)) // Jaccard misses it
+  }
+
   test("prefix filter is complete on adversarial small sets") {
     // 3-word docs (single shingle, prefix length 1), identical docs
     // (J = 1), a pair exactly at the threshold (inter 3, union 5 via
