@@ -54,27 +54,63 @@ object SetSim {
   private def elements(sets: DataFrame): DataFrame =
     sets.select(col("doc_id"), explode(col("hs")).as("h"))
 
-  /** Per-doc PREFIX elements under the global (df asc, h asc) order:
-    * the first L − ⌈t·L⌉ + 1 of each set, with ⌈t·L⌉ = (num·L + den − 1)
-    * div den — the rarest ~(1−t) fraction, the only elements that need
-    * indexing for threshold num/den (Jaccard or containment alike).
+  /** Per-doc element arrays re-sorted into the global (df asc, h asc)
+    * order — the threshold-INDEPENDENT half of prefix computation (df
+    * dictionary + per-doc re-sort), shared by every prefix-filtered
+    * operator regardless of threshold.
     */
-  private def prefixes(el: DataFrame, num: Int, den: Int): DataFrame =
+  def orderedSets(el: DataFrame): DataFrame =
     el.join(el.groupBy("h").agg(count(lit(1)).as("df")), "h")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ot"))
-      .select(col("doc_id"),
-        explode(expr(s"""slice(transform(ot, x -> x.h), 1,
-                 size(ot) - (($num * size(ot) + ${den - 1}) div $den) + 1)"""))
-          .as("h"))
+
+  /** Shared per-doc df-ordered element-array base over the full
+    * `documents` table: computed and cached once per (session, dir) and
+    * reused by x_setsim_join AND x_containment_join (their thresholds
+    * differ, but the df dictionary and the per-doc re-sort — the two
+    * wide stages — do not). Same memo discipline as
+    * MinHashLSH.wordSetsBase / VectorSearch.embeddingsBase.
+    */
+  private val orderedBases =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  def orderedBase(s: SparkSession, dir: String): DataFrame = {
+    orderedBases.filterInPlace(
+      (_, df) => !df.sparkSession.sparkContext.isStopped)
+    val key = (System.identityHashCode(s), dir)
+    orderedBases.get(key).filter(_.sparkSession eq s).getOrElse {
+      val ord = orderedSets(elements(MinHashLSH.wordSetsBase(s, dir))).cache()
+      graft.core.CacheBin.swap(
+        s"setsim.ordered:${System.identityHashCode(s)}:$dir", ord)
+      orderedBases.put(key, ord)
+      ord
+    }
+  }
+
+  /** PREFIX elements of a df-ordered base: the first L − ⌈t·L⌉ + 1 of
+    * each set, with ⌈t·L⌉ = (num·L + den − 1) div den — the rarest
+    * ~(1−t) fraction, the only elements that need indexing for
+    * threshold num/den (Jaccard or containment alike).
+    */
+  private def prefixesFromOrdered(ord: DataFrame, num: Int, den: Int): DataFrame =
+    ord.select(col("doc_id"),
+      explode(expr(s"""slice(transform(ot, x -> x.h), 1,
+               size(ot) - (($num * size(ot) + ${den - 1}) div $den) + 1)"""))
+        .as("h"))
+
+  private def prefixes(el: DataFrame, num: Int, den: Int): DataFrame =
+    prefixesFromOrdered(orderedSets(el), num, den)
 
   /** All pairs (a < b) with Jaccard(set a, set b) ≥ num/den — exact,
     * via prefix-filtered candidates + merge-scan verification. `sets`
     * is (doc_id, hs sorted-distinct long array, c = |hs|), the
     * MinHashLSH.wordSets shape.
     */
-  def similarPairs(sets: DataFrame, num: Int, den: Int): DataFrame = {
-    val pre = prefixes(elements(sets), num, den)
+  def similarPairs(sets: DataFrame, num: Int, den: Int): DataFrame =
+    similarFromPrefixes(sets, prefixes(elements(sets), num, den), num, den)
+
+  private def similarFromPrefixes(sets: DataFrame, pre: DataFrame,
+      num: Int, den: Int): DataFrame = {
     val cand = pre.as("a").join(pre.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
@@ -111,9 +147,13 @@ object SetSim {
     * it is among SOMEBODY's rarest fraction, so corpus-wide boilerplate
     * (in every full set, in nobody's prefix) never generates a pair.
     */
-  def containedPairs(sets: DataFrame, num: Int, den: Int): DataFrame = {
+  def containedPairs(sets: DataFrame, num: Int, den: Int): DataFrame =
+    containedFromPrefixes(sets, prefixes(elements(sets), num, den), num, den)
+
+  private def containedFromPrefixes(sets: DataFrame, pre: DataFrame,
+      num: Int, den: Int): DataFrame = {
     val el = elements(sets)
-    val cand = prefixes(el, num, den).as("a").join(el.as("b"),
+    val cand = pre.as("a").join(el.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
@@ -148,7 +188,9 @@ object SetSim {
        FROM inter JOIN card ca ON ca.doc_id = a_id
        WHERE $C_DEN * i >= $C_NUM * ca.c
        ORDER BY doc_a, doc_b""") { (s, dir) =>
-    containedPairs(MinHashLSH.wordSetsBase(s, dir), C_NUM, C_DEN)
+    val sets = MinHashLSH.wordSetsBase(s, dir)
+    containedFromPrefixes(sets,
+        prefixesFromOrdered(orderedBase(s, dir), C_NUM, C_DEN), C_NUM, C_DEN)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -175,7 +217,9 @@ object SetSim {
        JOIN card cb ON cb.doc_id = b_id
        WHERE $T_DEN * i >= $T_NUM * (ca.c + cb.c - i)
        ORDER BY doc_a, doc_b""") { (s, dir) =>
-    similarPairs(MinHashLSH.wordSetsBase(s, dir), T_NUM, T_DEN)
+    val sets = MinHashLSH.wordSetsBase(s, dir)
+    similarFromPrefixes(sets,
+        prefixesFromOrdered(orderedBase(s, dir), T_NUM, T_DEN), T_NUM, T_DEN)
       .orderBy("doc_a", "doc_b")
   }
 
