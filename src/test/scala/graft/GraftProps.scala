@@ -119,6 +119,49 @@ object GraftProps extends Properties("graft") {
       got == want
     }
 
+  // random tiny corpora over a tiny vocabulary (dense overlaps — the
+  // adversarial regime for prefix completeness: many pairs sit exactly
+  // at the threshold) — the prefix-filtered joins must equal brute force
+  private val corpusGen = Gen.listOfN(12, for {
+    len <- Gen.choose(3, 9)
+    ws <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d", "e"))
+  } yield ws.mkString(" ")).map(_.zipWithIndex.map {
+    case (t, i) => (i.toLong, t)
+  })
+
+  private def shingleSets(docs: Seq[(Long, String)]) =
+    docs.map { case (id, t) =>
+      id -> t.split(" ").sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+
+  property("prefix-filtered Jaccard join equals brute force") =
+    forAll(corpusGen) { docs =>
+      val sets = llmops.MinHashLSH.wordSets(docs.toDF("doc_id", "text"), 3)
+      val got = llmops.SetSim.similarPairs(sets, 3, 5)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val want = (for {
+        (a, sa) <- shingleSets(docs); (b, sb) <- shingleSets(docs) if a < b
+        inter = (sa & sb).size.toLong
+        uni = sa.size + sb.size - inter
+        if 5 * inter >= 3 * uni
+      } yield (a, b, inter, uni)).toSet
+      got == want
+    }
+
+  property("prefix-filtered containment join equals brute force") =
+    forAll(corpusGen) { docs =>
+      val sets = llmops.MinHashLSH.wordSets(docs.toDF("doc_id", "text"), 3)
+      val got = llmops.SetSim.containedPairs(sets, 4, 5)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val want = (for {
+        (a, sa) <- shingleSets(docs); (b, sb) <- shingleSets(docs) if a != b
+        inter = (sa & sb).size.toLong
+        if 5 * inter >= 4 * sa.size
+      } yield (a, b, inter, sa.size.toLong)).toSet
+      got == want
+    }
+
   property("fillForward equals driver-side last-non-null scan") =
     forAll(tsEventGen) { rows =>
       // null out ~half the values deterministically by event id parity
