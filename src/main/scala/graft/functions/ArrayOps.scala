@@ -99,6 +99,51 @@ case class SortedLongArrayIntersect(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All unordered pairs of a SORTED-DISTINCT long array, each packed as
+  * (a << 32) | b with a < b — the pair-generation kernel for
+  * co-occurrence counting (common neighbors, co-purchase). Emitting the
+  * k(k-1)/2 pairs as ONE primitive array per group (then `explode`)
+  * replaces the equi-self-join: no second read of the edge frame, and
+  * the downstream count groups on a SINGLE long key (Spark's fastest
+  * hash-agg path). Inputs must be nonnegative ints stored as longs
+  * (< 2^31), so the packing is collision-free and unpack is two shifts.
+  */
+object PackedPairsImpl {
+  def compute(xs: Array[Long]): Array[Long] = {
+    val k = xs.length
+    val out = new Array[Long](k * (k - 1) / 2)
+    var n = 0
+    var i = 0
+    while (i < k) {
+      val hi = xs(i) << 32
+      var j = i + 1
+      while (j < k) { out(n) = hi | xs(j); n += 1; j += 1 }
+      i += 1
+    }
+    out
+  }
+}
+
+case class SortedLongArrayPackedPairs(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      PackedPairsImpl.compute(a.asInstanceOf[ArrayData].toLongArray()))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.PackedPairsImpl.compute($a.toLongArray()));")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** MinHash signature of a hash-set array in ONE pass — n_hashes mins
   * computed per element with an inline splitmix64-style remix, no
   * intermediate arrays. Replaces nested higher-order functions, which
@@ -331,6 +376,12 @@ object ArrayOps {
   def minhashSignature(hs: Column, numHashes: Int): Column =
     ExpressionUtils.column(MinHashSignature(
       ExpressionUtils.expression(hs), numHashes))
+
+  /** Column form of SortedLongArrayPackedPairs (sorted-distinct input,
+    * values < 2^31). */
+  def packedPairs(a: Column): Column =
+    ExpressionUtils.column(SortedLongArrayPackedPairs(
+      ExpressionUtils.expression(a)))
 
   /** Column form of SortedLongArrayIntersect (inputs must be sorted). */
   def sortedIntersectCount(a: Column, b: Column): Column =

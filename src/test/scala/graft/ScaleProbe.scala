@@ -352,6 +352,52 @@ object ScaleProbe {
       e0.unpersist()
     }
 
+    // ---- degree-capped common neighbors on a HUB-SKEWED graph (round
+    // 9): inject h hub customers, each connected to EVERY supplier —
+    // the regime disjoint-replica SCALE-CN can't produce (constant
+    // degree) and the one that breaks uncapped pair generation: each
+    // hub alone contributes S(S-1)/2 pairs. The claim under test:
+    // uncapped candidates grow ~500k per hub while the capped variant's
+    // stay EXACTLY flat (hubs are dropped whole before pair generation).
+    if (want("cnskew")) {
+      val li = graft.core.Tables(spark, "/root/testdata/sf0.1", "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val o = graft.core.Tables(spark, "/root/testdata/sf0.1", "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val e0 = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast("long").as("c"),
+          col("l_suppkey").cast("long").as("s"))
+        .distinct().cache()
+      e0.count()
+      val sup = e0.select(col("s")).distinct().cache()
+      val nSup = sup.count()
+      for (h <- Seq(0, 4, 16)) {
+        val hubs = spark.range(h)
+          .select((col("id") + 900000000L).as("c")).crossJoin(sup)
+        val e = e0.select(col("c"), col("s")).union(hubs)
+        def pairsOf(capped: Boolean): (Long, Double) = {
+          val t0 = System.nanoTime()
+          val sets = e.repartition(col("c")).groupBy(col("c"))
+            .agg(sort_array(collect_set(col("s"))).as("ss"))
+          val kept = if (capped)
+            sets.filter(size(col("ss")) <= graft.llmops.Graph.DEGREE_CAP)
+          else sets
+          // candidate volume = the exploded pair STREAM (what the agg
+          // shuffle carries), not the distinct group count (saturates
+          // at S(S-1)/2 and would hide the hub blowup)
+          val n = kept
+            .select(explode(graft.functions.ArrayOps.packedPairs(col("ss"))).as("p"))
+            .count()
+          (n, (System.nanoTime() - t0) / 1e9)
+        }
+        val (pu, su) = pairsOf(capped = false)
+        val (pc, sc) = pairsOf(capped = true)
+        println(f"SCALE-CN-SKEW hubs=$h%2d sup=$nSup uncapped_pairs=$pu%9d " +
+          f"sec=$su%6.2f capped_pairs=$pc%9d sec=$sc%6.2f")
+      }
+      sup.unpersist(); e0.unpersist()
+    }
+
     // ---- quality classifier: accuracy margin over the 0.9 gate at the
     // bench SF (the contract hashes acc_ok, so the slack matters)
     if (want("qc")) {

@@ -74,6 +74,49 @@ class GraphSpec extends AnyFunSuite {
     assert((e(t1) & e(t2)).size.toLong == tc, s"top pair ($t1,$t2) recount mismatch")
   }
 
+  test("packedPairs emits exactly the a<b pairs of a sorted-distinct array") {
+    import org.apache.spark.sql.functions._
+    val got = Seq(Seq(2L, 5L, 9L), Seq(7L), Seq.empty[Long])
+      .toDF("ss")
+      .select(graft.functions.ArrayOps.packedPairs(col("ss")).as("ps"))
+      .as[Seq[Long]].collect()
+    assert(got(0) == Seq((2L << 32) | 5L, (2L << 32) | 9L, (5L << 32) | 9L))
+    assert(got(1).isEmpty && got(2).isEmpty)
+  }
+
+  test("capped common neighbors matches a driver-side capped recount at sf0.01") {
+    // sf0.01 is the smallest SF where the cap bites (308 of 1500
+    // customers exceed DEGREE_CAP=40; at sf0.001 max degree is 10)
+    val sf = "/root/testdata/sf0.01"
+    val rows = Graph.xCommonNeighborsCapped.build(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.length == 20)
+    assert(rows.map(_._1).toSeq == (1L to 20L))
+    // recount: customers kept iff degree <= cap; pair counts from scratch
+    val edges = graft.core.Tables(spark, sf, "lineitem")
+      .join(graft.core.Tables(spark, sf, "orders"),
+        org.apache.spark.sql.functions.expr("l_orderkey = o_orderkey"))
+      .select("o_custkey", "l_suppkey").distinct()
+      .as[(Long, Long)].collect()
+    val kept = edges.groupBy(_._1).values
+      .filter(_.length <= Graph.DEGREE_CAP)
+    val counts = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    kept.foreach { es =>
+      val ss = es.map(_._2).sorted
+      for (i <- ss.indices; j <- (i + 1) until ss.length)
+        counts((ss(i), ss(j))) = counts.getOrElse((ss(i), ss(j)), 0L) + 1L
+    }
+    val want = counts.toSeq
+      .map { case ((s1, s2), c) => (s1, s2, c) }
+      .sortBy { case (s1, s2, c) => (-c, s1, s2) }
+      .take(20)
+      .zipWithIndex
+      .map { case ((s1, s2, c), i) => (i + 1L, s1, s2, c) }
+    assert(rows.toSeq == want)
+    assert(kept.nonEmpty && kept.size < edges.groupBy(_._1).size,
+      "cap must bite at this SF for the spec to be meaningful")
+  }
+
   test("bm25: ranks are dense, scores non-increasing, and zero-tf docs score 0") {
     val sf = "/root/testdata/sf0.001"
     val rows = graft.llmops.TextStats.xBm25.build(spark, sf)
