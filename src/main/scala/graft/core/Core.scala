@@ -14,17 +14,29 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    // rejects; read it as raw nanos and convert to a micros timestamp (the
-    // data is whole-micros, so this is lossless). DuckDB reads the same
-    // column as TIMESTAMP_NS — oracle SQL casts outputs to TIMESTAMP (us)
-    // to keep both engines' output types aligned.
+    // events.ts has shipped as parquet TIMESTAMP(NANOS) in some lake
+    // generations (which Spark's vectorized reader rejects — read as raw
+    // nanos and convert; whole-micros data, lossless) and as naive
+    // TIMESTAMP(MICROS) in others (Spark reads TIMESTAMP_NTZ — cast to
+    // the session-tz TIMESTAMP; the session tz is pinned to UTC, so the
+    // micros value is unchanged). Both normalize to the same TIMESTAMP
+    // column; DuckDB reads the same file natively either way, and oracle
+    // SQL casts outputs to TIMESTAMP (us) to keep output types aligned.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") df.withColumn("ts", normTs(df, "ts")) else df
   }
+
+  /** Schema-adaptive timestamp normalization (see apply): raw-long nanos
+    * → micros TIMESTAMP; TIMESTAMP_NTZ / TIMESTAMP → session-tz
+    * TIMESTAMP (no-op on the stored micros under the pinned UTC tz).
+    */
+  def normTs(df: DataFrame, colName: String): Column =
+    df.schema(colName).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr(s"timestamp_micros($colName div 1000)")
+      case _ => col(colName).cast(org.apache.spark.sql.types.TimestampType)
+    }
 
   /** Register every table as a temp view (for spark.sql-authored queries). */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -46,11 +46,24 @@ object Graph {
   /** Fixed iteration budget for the contract query. */
   val ITERS = 3
 
-  /** Scaled-integer PageRank over a directed edge list (src, dst) —
-    * library form. Every node must have at least one out-edge (feed an
-    * undirected graph as both directions, as x_pagerank does); dangling
-    * nodes would leak rank mass silently. Returns (id, pr) with pr the
-    * SCALE-scaled integer rank after `iters` sweeps.
+  /** Scaled-integer PageRank over an ARBITRARY directed edge list
+    * (src, dst) — library form. Safe on graphs with dangling (sink)
+    * nodes: the node universe is src ∪ dst, and each sweep redistributes
+    * the total sink rank mass uniformly (the standard dangling-node
+    * correction), so no rank mass silently leaks when a node has
+    * in-edges but no out-edges. The update rule becomes
+    *   pr'(v) = teleport + (85 · (Σ_{u→v} pr(u) div deg(u) + dm div N)) div 100
+    * with dm = Σ_{sinks s} pr(s). On a graph where every node has an
+    * out-edge (e.g. an undirected graph fed as both directions, as
+    * x_pagerank does) the sink set is empty, dm = 0, and the recurrence
+    * reduces exactly to the documented no-sink rule — same ranks,
+    * bit for bit. Returns (id, pr) for EVERY node (sinks and sources
+    * included), pr the SCALE-scaled integer rank after `iters` sweeps.
+    *
+    * Scale posture: the sink frame and the per-sweep dm are node-sized
+    * and 1-row respectively (dm rides a broadcast, never a collect);
+    * the extra left join per sweep is node-frame × node-frame on id —
+    * dwarfed by the edge join it accompanies.
     */
   def pagerank(edges: DataFrame, iters: Int,
       cacheKey: String = "graph.pagerank.edges"): DataFrame = {
@@ -58,10 +71,14 @@ object Graph {
     // the one corpus-scale cached artifact: (src, dst, out-degree),
     // scanned by every iteration
     val ed = edges.join(deg, "src").cache()
-    // the node frame is read twice (count for the scalars, rank init) —
-    // cache it alongside the edges in the same bin generation
-    val nodes = ed.select(col("src").as("id")).distinct().cache()
-    graft.core.CacheBin.swap(cacheKey, ed, nodes)
+    // node universe = src ∪ dst; read by every sweep (rank init + the
+    // keep-every-node left join), cached in the same bin generation
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct().cache()
+    // sinks: nodes with no out-edge — their mass is redistributed
+    val sinks = nodes.join(edges.select(col("src").as("id")).distinct(),
+      Seq("id"), "left_anti").cache()
+    graft.core.CacheBin.swap(cacheKey, ed, nodes, sinks)
     // node count: a driver scalar (like the k-means centroid table) — a
     // cross-joined 1-row frame would be re-derived per plan branch and
     // block pushdown (see graft-driver-contract notes on watermarks)
@@ -70,12 +87,18 @@ object Graph {
     val teleport = (15L * SCALE) / (100L * n)
     var pr = nodes.withColumn("pr", lit(SCALE / n))
     for (_ <- 1 to iters) {
-      pr = ed.join(pr, col("src") === col("id"))
+      val sc = ed.join(pr, col("src") === col("id"))
         .select(col("dst"), expr("pr div d").as("contrib"))
         .groupBy("dst")
         .agg(sum(col("contrib")).as("sc"))
-        .select(col("dst").as("id"),
-          (lit(teleport) + expr("(85 * sc) div 100")).as("pr"))
+      val dm = pr.join(sinks, "id")
+        .agg(coalesce(sum(col("pr")), lit(0L)).as("dm"))
+      pr = nodes.join(sc, col("id") === col("dst"), "left")
+        .crossJoin(broadcast(dm))
+        .select(col("id"),
+          (lit(teleport) + expr(
+            s"(85 * (coalesce(sc, CAST(0 AS BIGINT)) + dm div ${n}L)) div 100"))
+            .as("pr"))
     }
     pr
   }

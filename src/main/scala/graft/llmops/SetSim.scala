@@ -36,9 +36,16 @@ import graft.core.{Q, Tables => T}
   *     the same role the LSH hot-bucket cap plays (MinHashLSH.scala:
   *     188-204), but with zero completeness loss.
   *   - Candidate count is Σ_h df_prefix(h)² over prefix occurrences
-  *     only; verification touches candidates, not the pair space, and
-  *     costs one codegen'd merge scan per pair (SortedLongArrayIntersect)
-  *     on the already-cached sorted hash arrays.
+  *     only, further cut at JOIN time by PPJoin's length filter
+  *     (den·min(ca,cb) ≥ num·max(ca,cb) — mismatched-size pairs can
+  *     never reach the threshold) and positional filter (the overlap
+  *     upper bound 1 + min(ca−pa, cb−pb) at the shared prefix element
+  *     must reach the required overlap α) — both necessary conditions,
+  *     so zero completeness loss; SCALE-SETSIM measures the candidate
+  *     reduction at identical output. Verification touches candidates,
+  *     not the pair space, and costs one codegen'd merge scan per pair
+  *     (SortedLongArrayIntersect) on the already-cached sorted hash
+  *     arrays.
   *   - All similarity arithmetic is integer cross-multiplication
   *     (J ≥ 3/5 ⇔ 5·|a∩b| ≥ 3·|a∪b|); no floats cross engines. Hash
   *     collisions perturb a count with probability ~|A||B|/2^64 per
@@ -90,16 +97,65 @@ object SetSim {
   /** PREFIX elements of a df-ordered base: the first L − ⌈t·L⌉ + 1 of
     * each set, with ⌈t·L⌉ = (num·L + den − 1) div den — the rarest
     * ~(1−t) fraction, the only elements that need indexing for
-    * threshold num/den (Jaccard or containment alike).
+    * threshold num/den (Jaccard or containment alike). Emits
+    * (doc_id, h, p, c) with p the element's 1-based position in the
+    * df-ordered set and c = |set| — the metadata PPJoin's length and
+    * positional filters consume at candidate-join time.
     */
   private def prefixesFromOrdered(ord: DataFrame, num: Int, den: Int): DataFrame =
-    ord.select(col("doc_id"),
-      explode(expr(s"""slice(transform(ot, x -> x.h), 1,
-               size(ot) - (($num * size(ot) + ${den - 1}) div $den) + 1)"""))
-        .as("h"))
+    ord.select(col("doc_id"), size(col("ot")).cast("long").as("c"),
+        posexplode(expr(s"""slice(transform(ot, x -> x.h), 1,
+               size(ot) - (($num * size(ot) + ${den - 1}) div $den) + 1)""")))
+      .select(col("doc_id"), col("col").as("h"),
+        (col("pos") + lit(1)).cast("long").as("p"), col("c"))
+
+  /** FULL element stream of a df-ordered base with the same positional
+    * metadata — the probing side of the containment join, which must
+    * index every element (containment puts no lower bound on how deep
+    * in B's frequency order the shared elements sit).
+    */
+  private def orderedElements(ord: DataFrame): DataFrame =
+    ord.select(col("doc_id"), size(col("ot")).cast("long").as("c"),
+        posexplode(expr("transform(ot, x -> x.h)")))
+      .select(col("doc_id"), col("col").as("h"),
+        (col("pos") + lit(1)).cast("long").as("p"), col("c"))
 
   private def prefixes(el: DataFrame, num: Int, den: Int): DataFrame =
     prefixesFromOrdered(orderedSets(el), num, den)
+
+  /** Positional prefix stream of a wordSets-shaped frame — exposed for
+    * the SCALE-SETSIM probe to count candidates with and without the
+    * PPJoin filters.
+    */
+  def prefixStream(sets: DataFrame, num: Int, den: Int): DataFrame =
+    prefixes(elements(sets), num, den)
+
+  /** PPJoin candidate pairs (a < b) for Jaccard ≥ num/den: prefix match
+    * plus, when `ppFilters` (the production path), the LENGTH filter —
+    * J ≥ t forces den·min(ca,cb) ≥ num·max(ca,cb) — and the POSITIONAL
+    * filter — overlap ≤ 1 + min(ca−pa, cb−pb) for the pair's FIRST
+    * shared element in global df-order, which must reach
+    * α = ⌈num·(ca+cb)/(num+den)⌉. Both are NECESSARY conditions, so
+    * filtering keeps exactness: the first shared element lies in both
+    * prefixes (if it didn't, fewer than ⌈t·L⌉ ≤ α shared elements could
+    * remain past the prefix) and its row satisfies the bound, so every
+    * true pair survives the OR-over-matching-rows semantics of the
+    * distinct. The unfiltered variant exists only for the SCALE-SETSIM
+    * probe to measure what the filters save.
+    */
+  def candidatePairs(pre: DataFrame, num: Int, den: Int,
+      ppFilters: Boolean = true): DataFrame = {
+    val base = col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id")
+    val cond = if (!ppFilters) base else base &&
+      lit(den) * col("a.c") >= lit(num) * col("b.c") &&
+      lit(den) * col("b.c") >= lit(num) * col("a.c") &&
+      lit(num + den) * (lit(1L) +
+        least(col("a.c") - col("a.p"), col("b.c") - col("b.p"))) >=
+        lit(num) * (col("a.c") + col("b.c"))
+    pre.as("a").join(pre.as("b"), cond)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+  }
 
   /** All pairs (a < b) with Jaccard(set a, set b) ≥ num/den — exact,
     * via prefix-filtered candidates + merge-scan verification. `sets`
@@ -111,10 +167,7 @@ object SetSim {
 
   private def similarFromPrefixes(sets: DataFrame, pre: DataFrame,
       num: Int, den: Int): DataFrame = {
-    val cand = pre.as("a").join(pre.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
+    val cand = candidatePairs(pre, num, den)
     cand
       .join(sets.select(col("doc_id").as("a_id"), col("hs").as("ha"),
         col("c").as("ca")), "a_id")
@@ -147,16 +200,37 @@ object SetSim {
     * it is among SOMEBODY's rarest fraction, so corpus-wide boilerplate
     * (in every full set, in nobody's prefix) never generates a pair.
     */
-  def containedPairs(sets: DataFrame, num: Int, den: Int): DataFrame =
-    containedFromPrefixes(sets, prefixes(elements(sets), num, den), num, den)
+  def containedPairs(sets: DataFrame, num: Int, den: Int): DataFrame = {
+    val ord = orderedSets(elements(sets))
+    containedFromPrefixes(sets, prefixesFromOrdered(ord, num, den), ord,
+      num, den)
+  }
 
-  private def containedFromPrefixes(sets: DataFrame, pre: DataFrame,
-      num: Int, den: Int): DataFrame = {
-    val el = elements(sets)
-    val cand = pre.as("a").join(el.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+  /** PPJoin candidates for containment |A∩B|/|A| ≥ num/den: A-prefix ×
+    * B-full-set match plus, when `ppFilters`, the LENGTH filter —
+    * overlap ≤ |B| must reach α = ⌈num·ca/den⌉, so den·cb ≥ num·ca —
+    * and the POSITIONAL filter — 1 + min(ca−pa, cb−pb) ≥ α, i.e.
+    * den·(1 + min) ≥ num·ca. Necessary conditions again: the first
+    * shared element in global df-order sits in A's prefix (α here IS
+    * ⌈t·ca⌉, the exact bound the prefix length is built from) and
+    * trivially in B's full stream, and its row passes the bound.
+    */
+  def containmentCandidates(pre: DataFrame, el: DataFrame, num: Int,
+      den: Int, ppFilters: Boolean = true): DataFrame = {
+    val base = col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id")
+    val cond = if (!ppFilters) base else base &&
+      lit(den) * col("b.c") >= lit(num) * col("a.c") &&
+      lit(den) * (lit(1L) +
+        least(col("a.c") - col("a.p"), col("b.c") - col("b.p"))) >=
+        lit(num) * col("a.c")
+    pre.as("a").join(el.as("b"), cond)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
+  }
+
+  private def containedFromPrefixes(sets: DataFrame, pre: DataFrame,
+      ord: DataFrame, num: Int, den: Int): DataFrame = {
+    val cand = containmentCandidates(pre, orderedElements(ord), num, den)
     cand
       .join(sets.select(col("doc_id").as("a_id"), col("hs").as("ha"),
         col("c").as("ca")), "a_id")
@@ -189,8 +263,9 @@ object SetSim {
        WHERE $C_DEN * i >= $C_NUM * ca.c
        ORDER BY doc_a, doc_b""") { (s, dir) =>
     val sets = MinHashLSH.wordSetsBase(s, dir)
+    val ord = orderedBase(s, dir)
     containedFromPrefixes(sets,
-        prefixesFromOrdered(orderedBase(s, dir), C_NUM, C_DEN), C_NUM, C_DEN)
+        prefixesFromOrdered(ord, C_NUM, C_DEN), ord, C_NUM, C_DEN)
       .orderBy("doc_a", "doc_b")
   }
 

@@ -346,8 +346,17 @@ object TextStats {
     * expression spelled identically in both engines; the corpus constants
     * (N, df_t, avgdl) ride a broadcast 1-row frame (exact integer sums,
     * one double division each). Ordering uses the ROUNDED score with a
-    * doc_id tiebreak, so the published rank can never hinge on a
-    * sub-rounding difference.
+    * doc_id tiebreak. Residual cross-engine risk, acknowledged: ln/log
+    * come from different libm implementations (DuckDB's C++ libm vs JVM
+    * Math.log), so a 1-ulp difference in a raw score can still push it
+    * across a 6-decimal rounding boundary and flip top-20 membership —
+    * rounding shrinks the exposure from "any 1-ulp difference" to
+    * "a value within ~1 ulp of a boundary", it does not eliminate it.
+    * The fixture corpus has no score within 1e-12 of a boundary (checked
+    * in GraphSpec's bm25 margin test — observed boundary distances
+    * bottom out around 5e-10, still ~6 orders of magnitude more than a
+    * few-ulp libm disagreement can move a score), which is what keeps
+    * the hash contract honest at oracle scale.
     *
     * Scale posture: one narrow scan builds (doc_id, dl, tf per term) with
     * map-side partial aggs; the stats frame is 1 row; top-20 is a
@@ -355,6 +364,36 @@ object TextStats {
     * the same shape generalizes to an inverted-index join (posting lists
     * per term), which is what x_tfidf's doc-term frame is.
     */
+  /** Per-doc UNROUNDED BM25 score for the contract query — the Q body
+    * rounds this to 6 decimals; the spec's margin test reads it raw to
+    * verify no fixture score sits within 1e-9 of a rounding boundary
+    * (the condition under which the acknowledged libm-ulp risk could
+    * actually flip a hash).
+    */
+  def bm25Raw(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val d = T(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+        size(filter(col("ws"), _ === BM25_QUERY(0))).cast("long").as("tf1"),
+        size(filter(col("ws"), _ === BM25_QUERY(1))).cast("long").as("tf2"),
+        size(filter(col("ws"), _ === BM25_QUERY(2))).cast("long").as("tf3"))
+    val stats = d.agg(
+      count(lit(1)).as("n"), sum(col("dl")).as("sdl"),
+      sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
+      sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("df2"),
+      sum(when(col("tf3") > 0, 1L).otherwise(0L)).as("df3"))
+    def contrib(tf: String, df: String) =
+      log(lit(1.0) + (col("n").cast("double") - col(df) + lit(0.5)) / (col(df) + lit(0.5))) *
+        (col(tf) * lit(2.2)) /
+        (col(tf) + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") /
+          (col("sdl").cast("double") / col("n"))))
+    d.crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (contrib("tf1", "df1") + contrib("tf2", "df2") + contrib("tf3", "df3"))
+          .as("raw"))
+  }
+
   val xBm25 = Q(
     "x_bm25",
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -378,26 +417,8 @@ object TextStats {
        SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
               doc_id, score
        FROM scored ORDER BY rank LIMIT 20""") { (s, dir) =>
-    val d = T(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
-        size(filter(col("ws"), _ === BM25_QUERY(0))).cast("long").as("tf1"),
-        size(filter(col("ws"), _ === BM25_QUERY(1))).cast("long").as("tf2"),
-        size(filter(col("ws"), _ === BM25_QUERY(2))).cast("long").as("tf3"))
-    val stats = d.agg(
-      count(lit(1)).as("n"), sum(col("dl")).as("sdl"),
-      sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
-      sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("df2"),
-      sum(when(col("tf3") > 0, 1L).otherwise(0L)).as("df3"))
-    def contrib(tf: String, df: String) =
-      log(lit(1.0) + (col("n").cast("double") - col(df) + lit(0.5)) / (col(df) + lit(0.5))) *
-        (col(tf) * lit(2.2)) /
-        (col(tf) + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") /
-          (col("sdl").cast("double") / col("n"))))
-    val scored = d.crossJoin(broadcast(stats))
-      .select(col("doc_id"),
-        round(contrib("tf1", "df1") + contrib("tf2", "df2") + contrib("tf3", "df3"), 6)
-          .as("score"))
+    val scored = bm25Raw(s, dir)
+      .select(col("doc_id"), round(col("raw"), 6).as("score"))
     scored.orderBy(col("score").desc, col("doc_id")).limit(20)
       .select(
         row_number().over(org.apache.spark.sql.expressions.Window

@@ -70,7 +70,12 @@ object VectorSearch {
 
   /** Q34 — exact top-10 cosine neighbors for probe vectors (vec_id < 5).
     * Similarity is used only for ranking (with vec_id tiebreak), never
-    * output — so cross-engine last-ulp float noise cannot flip the hash.
+    * output. The two engines compute cosine with structurally different
+    * arithmetic (normalize-then-dot here vs dot-over-norms in DuckDB),
+    * so the ranking similarity is rounded to 6 decimals on BOTH sides:
+    * a last-ulp arithmetic difference can then only flip the top-10 when
+    * a true value lands within ~1 ulp of a rounding boundary (residual
+    * risk, not zero — the x_bm25 caveat).
     */
   val q34 = Q(
     "q34_vector_topk",
@@ -78,8 +83,8 @@ object VectorSearch {
          SELECT p.vec_id AS probe_id, e.vec_id AS vec_id, e.label,
                 row_number() OVER (
                   PARTITION BY p.vec_id
-                  ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                                  CAST(p.embedding AS DOUBLE[])) DESC,
+                  ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                        CAST(p.embedding AS DOUBLE[])), 6) DESC,
                            e.vec_id) AS rn
          FROM embeddings e
          CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) p)
@@ -90,7 +95,7 @@ object VectorSearch {
       .select(col("vec_id").as("probe_id"), col("n_emb").as("p_emb"))
     val scored = e.crossJoin(broadcast(probes))
       .select(col("probe_id"), col("vec_id"), col("label"),
-        dot(col("n_emb"), col("p_emb")).as("sim"))
+        round(dot(col("n_emb"), col("p_emb")), 6).as("sim"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     scored
@@ -577,7 +582,13 @@ object VectorSearch {
     * label-propagation / weak-supervision primitive over an embedded
     * corpus. Reuses the shared normalized base and the codegen'd dot;
     * similarity is ranking-only (vec_id tiebreak), votes and the final
-    * argmax are integers, so nothing float-valued crosses engines. Same
+    * argmax are integers, so nothing float-valued crosses engines. The
+    * two engines compute cosine with structurally different arithmetic
+    * (normalize-then-dot here vs dot-over-norms in DuckDB), so the
+    * ranking similarity is ROUNDED to 6 decimals on both sides before
+    * the rn<=10 cutoff: a sub-ulp arithmetic difference can then only
+    * flip the neighbor set when a true value lands within ~1 ulp of a
+    * rounding boundary (residual, not zero — the x_bm25 caveat). Same
     * broadcast-probe single-scan shape as q34: exact at any corpus size
     * for bounded probe sets; large probe sets route through the IVF
     * lists (x_ann_ivf) instead.
@@ -588,8 +599,8 @@ object VectorSearch {
          SELECT p.vec_id AS probe_id, e.label, e.vec_id,
                 row_number() OVER (
                   PARTITION BY p.vec_id
-                  ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                                  CAST(p.embedding AS DOUBLE[])) DESC,
+                  ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                        CAST(p.embedding AS DOUBLE[])), 6) DESC,
                            e.vec_id) AS rn
          FROM embeddings e
          CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) p
@@ -610,7 +621,7 @@ object VectorSearch {
     val votes = e.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"), col("label"),
-        dot(col("n_emb"), col("p_emb")).as("sim"))
+        round(dot(col("n_emb"), col("p_emb")), 6).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 10)
       .groupBy(col("probe_id"), col("label"))

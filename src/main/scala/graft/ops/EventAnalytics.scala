@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.{Q, Tables => T}
@@ -19,9 +19,11 @@ import graft.core.{Q, Tables => T}
   * event types grow far slower than events, so the expensive passes are
   * single-scan with map-side partial aggregation. The one global-order
   * window family (ntile in x_rfm) runs on the per-user rollup, never on
-  * raw events; at true 100 TB user counts the same API would swap ntile
-  * for range-partitioned bucketing by pre-computed quantile boundaries
-  * (approx_percentile over the rollup) — noted at the query.
+  * raw events; at true 100 TB user counts the same API swaps ntile for
+  * bucketing by pre-computed quantile boundary VALUES — implemented and
+  * graded as x_rfm_scaled (exact boundaries from a domain-sized value
+  * histogram; assignment is a broadcast comparison, no global-order
+  * window over the rollup at all).
   *
   * Determinism: all cross-engine outputs are integers (cents via
   * `CAST(round(value*100) AS BIGINT)`, counts, day offsets) or exact
@@ -225,6 +227,15 @@ object EventAnalytics {
     * engagement score a ranking pipeline feeds from; one scan + one
     * user-keyed agg at any scale. The corpus max-day is a 1-row
     * broadcast, like x_pmi_terms's total.
+    *
+    * ASSUMES cents >= 0: the integer divisions differ on negative
+    * operands (Spark `div` truncates toward zero, DuckDB `//` floors),
+    * so a dataset with refunds/negative values would diverge between
+    * engines — e.g. -3 div 2 = -1 in Spark but -3 // 2 = -2 in DuckDB.
+    * The events fixture is all-positive (0.03..327.53); a production
+    * variant would clamp (`greatest(cents, 0)`) or decay magnitude and
+    * sign separately. Every other `div` in the inventory operates on
+    * provably nonnegative quantities (counts, scaled ranks).
     */
   val xDecayScore = Q(
     "x_decay_score",
@@ -297,6 +308,109 @@ object EventAnalytics {
       .orderBy("user_id")
   }
 
+  /** Exact 3 quartile-boundary values (the k_j-th smallest of `m`,
+    * k_j = ⌈j·n/4⌉, j = 1..3) from a DOMAIN-sized value histogram:
+    * groupBy(value) reduces with map-side combine to one row per
+    * distinct value (cents ≤ ~33k values, recency = days, freq = small
+    * counts — bounded by the value domain, NOT by user count), and the
+    * cumulative window runs over that tiny frame only. Returns a 1-row
+    * frame (b1, b2, b3) ready to broadcast.
+    */
+  private def bounds3(u: DataFrame, m: Column, n: DataFrame): DataFrame = {
+    val cum = u.groupBy(m.as("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)))
+    cum.crossJoin(broadcast(n)).agg(
+      min(when(col("cum") >= expr("(1*n + 3) div 4"), col("v"))).as("b1"),
+      min(when(col("cum") >= expr("(2*n + 3) div 4"), col("v"))).as("b2"),
+      min(when(col("cum") >= expr("(3*n + 3) div 4"), col("v"))).as("b3"))
+  }
+
+  /** X — RFM segmentation, the 100 TB formulation: identical per-user
+    * rollup to x_rfm, but quartile membership comes from comparing each
+    * metric to its exact quartile boundary VALUES instead of a global
+    * ntile sort — r/f/m_bucket = 1 + #{boundaries strictly below the
+    * value} (descending metrics negated first, so "bucket 1" is still
+    * the best-customers quartile). Ties therefore share a bucket (the
+    * defensible semantics ntile's arbitrary tie-split lacks), which is
+    * the one deliberate contract difference from x_rfm.
+    *
+    * Scale posture — the refinement the x_rfm scaladoc promises: the
+    * only window runs over a value-DOMAIN-sized histogram (bounds3), the
+    * boundaries ride a 1-row broadcast, and assignment is a map-side
+    * comparison on the user rollup — no global-order window touches a
+    * user-count-sized frame anywhere in the plan. Boundaries are exact
+    * order statistics (integer values, integer ranks), so the oracle
+    * reproduces them bit-for-bit from row_number over the same rollup.
+    */
+  val xRfmScaled = Q(
+    "x_rfm_scaled",
+    """WITH mx AS (SELECT max(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)) AS d1
+                   FROM events),
+       u AS (SELECT user_id,
+                    CAST(datediff('day',
+                           max(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)),
+                           (SELECT d1 FROM mx)) AS BIGINT) AS recency,
+                    count(*) AS freq,
+                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS monetary
+             FROM events GROUP BY user_id),
+       n AS (SELECT count(*) AS n FROM u),
+       br AS (SELECT
+                min(CASE WHEN rn = (1*(SELECT n FROM n)+3)//4 THEN v END) AS rb1,
+                min(CASE WHEN rn = (2*(SELECT n FROM n)+3)//4 THEN v END) AS rb2,
+                min(CASE WHEN rn = (3*(SELECT n FROM n)+3)//4 THEN v END) AS rb3
+              FROM (SELECT recency AS v, row_number() OVER (ORDER BY recency) AS rn FROM u)),
+       bf AS (SELECT
+                min(CASE WHEN rn = (1*(SELECT n FROM n)+3)//4 THEN v END) AS fb1,
+                min(CASE WHEN rn = (2*(SELECT n FROM n)+3)//4 THEN v END) AS fb2,
+                min(CASE WHEN rn = (3*(SELECT n FROM n)+3)//4 THEN v END) AS fb3
+              FROM (SELECT -freq AS v, row_number() OVER (ORDER BY -freq) AS rn FROM u)),
+       bm AS (SELECT
+                min(CASE WHEN rn = (1*(SELECT n FROM n)+3)//4 THEN v END) AS mb1,
+                min(CASE WHEN rn = (2*(SELECT n FROM n)+3)//4 THEN v END) AS mb2,
+                min(CASE WHEN rn = (3*(SELECT n FROM n)+3)//4 THEN v END) AS mb3
+              FROM (SELECT -monetary AS v, row_number() OVER (ORDER BY -monetary) AS rn FROM u))
+       SELECT user_id, recency, freq, monetary,
+              CAST(1 + (CASE WHEN recency > rb1 THEN 1 ELSE 0 END)
+                     + (CASE WHEN recency > rb2 THEN 1 ELSE 0 END)
+                     + (CASE WHEN recency > rb3 THEN 1 ELSE 0 END) AS BIGINT) AS r_bucket,
+              CAST(1 + (CASE WHEN -freq > fb1 THEN 1 ELSE 0 END)
+                     + (CASE WHEN -freq > fb2 THEN 1 ELSE 0 END)
+                     + (CASE WHEN -freq > fb3 THEN 1 ELSE 0 END) AS BIGINT) AS f_bucket,
+              CAST(1 + (CASE WHEN -monetary > mb1 THEN 1 ELSE 0 END)
+                     + (CASE WHEN -monetary > mb2 THEN 1 ELSE 0 END)
+                     + (CASE WHEN -monetary > mb3 THEN 1 ELSE 0 END) AS BIGINT) AS m_bucket
+       FROM u, br, bf, bm ORDER BY user_id""") { (s, dir) =>
+    val ev = T(s, dir, "events")
+    val mx = ev.agg(max(col("ts").cast("date")).as("d1"))
+    val u = ev.select(col("user_id"), cents.as("cents"), col("ts").cast("date").as("d"))
+      .groupBy("user_id")
+      .agg(max(col("d")).as("dmax"), count(lit(1)).as("freq"),
+        sum(col("cents")).as("monetary"))
+      .crossJoin(broadcast(mx))
+      .select(col("user_id"),
+        datediff(col("d1"), col("dmax")).cast("long").as("recency"),
+        col("freq"), col("monetary"))
+      .cache()
+    graft.core.CacheBin.swap("evt.rfm_scaled.rollup", u)
+    val n = u.agg(count(lit(1)).as("n"))
+    val rb = bounds3(u, col("recency"), n)
+      .select(col("b1").as("rb1"), col("b2").as("rb2"), col("b3").as("rb3"))
+    val fb = bounds3(u, -col("freq"), n)
+      .select(col("b1").as("fb1"), col("b2").as("fb2"), col("b3").as("fb3"))
+    val mb = bounds3(u, -col("monetary"), n)
+      .select(col("b1").as("mb1"), col("b2").as("mb2"), col("b3").as("mb3"))
+    def bucket(v: Column, b: String): Column =
+      lit(1L) + (v > col(s"${b}1")).cast("long") +
+        (v > col(s"${b}2")).cast("long") + (v > col(s"${b}3")).cast("long")
+    u.crossJoin(broadcast(rb)).crossJoin(broadcast(fb)).crossJoin(broadcast(mb))
+      .select(col("user_id"), col("recency"), col("freq"), col("monetary"),
+        bucket(col("recency"), "rb").as("r_bucket"),
+        bucket(-col("freq"), "fb").as("f_bucket"),
+        bucket(-col("monetary"), "mb").as("m_bucket"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(xFunnel, xRetention, xTransitions, xOutlierIqr,
-    xWinsorize, xDecayScore, xRfm)
+    xWinsorize, xDecayScore, xRfm, xRfmScaled)
 }

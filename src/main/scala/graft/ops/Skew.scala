@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.{Q, Tables => T}
 
 /** Skew-mitigation utilities for hot keys at scale.
   *
@@ -52,4 +53,49 @@ object Skew {
         && saltedLeft("_salt") === saltedRight("_salt"))
       .drop("_salt")
   }
+
+  /** Salt count for the graded hub query: spreads the hub key over 8
+    * reducers — sized to the local[32] test rig; a cluster deployment
+    sizes this to hub-row-count ÷ target-partition-rows. */
+  val HUB_SALTS = 8
+
+  /** X — the salted join GRADED end-to-end on a deliberately hub-skewed
+    * key: every l_orderkey ≡ 0 (mod 3) collapses onto key 1, so ~1/3 of
+    * the fact table lands on ONE join key (1,921 of 6,000 rows at
+    * sf0.001) — the regime where a plain shuffle join puts a third of
+    * the corpus in one task. The engine answers through saltedJoin
+    * (fact salted 8 ways, dim replicated 8×) and re-aggregates; the
+    * oracle is the plain join — identical rows proves salting is
+    * result-transparent, and SkewAndFunctionsSpec asserts the
+    * stage-metric bound (salted max-partition ≤ half the naive hub
+    * partition with AQE off) that makes the skew win measurable rather
+    * than asserted.
+    *
+    * Scale posture: at 100 TB the first choice for a skewed fact×dim
+    * join is broadcast(dim) — no shuffle, skew irrelevant; saltedJoin is
+    * the fallback when the dim exceeds broadcast budget, and AQE's
+    * OptimizeSkewedJoin covers the sort-merge case at runtime. This
+    * query grades the fallback path. Output is exact integers (counts +
+    * cent sums) grouped by the dim attribute — dim-cardinality-sized.
+    */
+  val xSkewJoinHub = Q(
+    "x_skew_join_hub",
+    """WITH f AS (SELECT CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE l_orderkey END AS k,
+                         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+                  FROM lineitem),
+       d AS (SELECT o_orderkey AS k, o_orderpriority AS pri FROM orders)
+       SELECT pri, CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS cents
+       FROM f JOIN d USING (k) GROUP BY pri ORDER BY pri""") { (s, dir) =>
+    val f = T(s, dir, "lineitem").select(
+      when(col("l_orderkey") % 3 === 0, lit(1L)).otherwise(col("l_orderkey")).as("k"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+    val d = T(s, dir, "orders")
+      .select(col("o_orderkey").as("kd"), col("o_orderpriority").as("pri"))
+    saltedJoin(f, d, "k", "kd", HUB_SALTS)
+      .groupBy("pri")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .orderBy("pri")
+  }
+
+  val all: Seq[Q] = Seq(xSkewJoinHub)
 }

@@ -104,8 +104,10 @@ object StreamOps {
 
   private def eventsStream(s: SparkSession, dir: String, copies: Int = 1): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    fileStream(s, s"$dir/events.parquet", "graft_stream_events", copies)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val st = fileStream(s, s"$dir/events.parquet", "graft_stream_events", copies)
+    // same lake-generation schema drift as Tables.apply: raw-long nanos
+    // vs native timestamp — normalize identically
+    st.withColumn("ts", graft.core.Tables.normTs(st, "ts"))
   }
 
   /** Run a streaming DataFrame into a memory sink to completion; return

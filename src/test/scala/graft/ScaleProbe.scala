@@ -23,7 +23,8 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // comma-separated section filter for re-measuring one family without
-    // paying the whole probe: neardup,nn,km,inc,lm,bpe,contam,pr,qc,evt,cn
+    // paying the whole probe:
+    // neardup,setsim,nn,km,inc,lm,bpe,contam,pr,qc,evt,cn,cnskew
     val only = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def want(section: String): Boolean = only.forall(_.contains(section))
@@ -67,14 +68,21 @@ object ScaleProbe {
     // pair set grows k-fold; sub-quadratic time = the prefix filter is
     // doing its job (brute force would grow k² in candidate volume)
     if (want("setsim")) Seq(1, 2, 5, 10).foreach { k =>
+      import graft.llmops.SetSim
       val t0 = System.nanoTime()
       val sets = MinHashLSH.wordSets(corpus(k), 3).cache()
-      val pairs = graft.llmops.SetSim
-        .similarPairs(sets, graft.llmops.SetSim.T_NUM, graft.llmops.SetSim.T_DEN)
-        .count()
-      sets.unpersist()
+      val pairs = SetSim.similarPairs(sets, SetSim.T_NUM, SetSim.T_DEN).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"SCALE-SETSIM k=$k%2d docs=${baseN * k}%6d pairs=$pairs%5d sec=$sec%7.2f")
+      // candidate volumes OUTSIDE the timed window: prefix-match-only vs
+      // after PPJoin's length+positional filters — the filters' cut at
+      // provably identical output (both paths verify to `pairs`)
+      val pre = SetSim.prefixStream(sets, SetSim.T_NUM, SetSim.T_DEN).cache()
+      val candRaw = SetSim
+        .candidatePairs(pre, SetSim.T_NUM, SetSim.T_DEN, ppFilters = false).count()
+      val cand = SetSim.candidatePairs(pre, SetSim.T_NUM, SetSim.T_DEN).count()
+      pre.unpersist(); sets.unpersist()
+      println(f"SCALE-SETSIM k=$k%2d docs=${baseN * k}%6d candRaw=$candRaw%6d " +
+        f"cand=$cand%6d pairs=$pairs%5d sec=$sec%7.2f")
     }
 
     // ---- exact nearest-neighbor: IVF radius-bound vs all-pairs ----

@@ -14,14 +14,18 @@ class GraphSpec extends AnyFunSuite {
     */
   private def reference(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
     val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
-    val n = deg.size.toLong
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = nodes.size.toLong
     val teleport = (15L * Graph.SCALE) / (100L * n)
-    var pr: Map[Long, Long] = deg.map { case (id, _) => id -> Graph.SCALE / n }
+    var pr: Map[Long, Long] = nodes.map(id => id -> Graph.SCALE / n).toMap
     for (_ <- 1 to iters) {
+      val dm = nodes.filterNot(deg.contains).map(pr).sum
       val in = edges.groupBy(_._2).view.mapValues { es =>
         es.map { case (src, _) => pr(src) / deg(src) }.sum
       }.toMap
-      pr = in.map { case (id, s) => id -> (teleport + (85L * s) / 100L) }
+      pr = nodes.map { id =>
+        id -> (teleport + (85L * (in.getOrElse(id, 0L) + dm / n)) / 100L)
+      }.toMap
     }
     pr
   }
@@ -51,6 +55,35 @@ class GraphSpec extends AnyFunSuite {
     val total = got.values.sum
     assert(total <= Graph.SCALE &&
       total > Graph.SCALE - (got.size.toLong + 1) * (Graph.ITERS + 1))
+  }
+
+  test("pagerank on a sink-bearing directed graph conserves mass (dangling fix)") {
+    // directed star 1 → {2..9}: the spokes are SINKS (in-edges, no
+    // out-edges). Before the dangling-mass redistribution this graph
+    // silently leaked 85% of the spokes' rank every sweep; now the total
+    // must stay within integer-truncation loss of SCALE, every node must
+    // appear in the output, and the distributed result must match the
+    // driver-side recurrence exactly.
+    val edges = (2L to 9L).map(s => (1L, s))
+    val got = Graph.pagerank(edges.toDF("src", "dst"), Graph.ITERS,
+        cacheKey = "spec.pagerank.sinks")
+      .as[(Long, Long)].collect().toMap
+    assert(got == reference(edges, Graph.ITERS))
+    assert(got.keySet == (1L to 9L).toSet, "sink nodes missing from output")
+    // truncation drift compounds geometrically (each sweep keeps 85% of
+    // the previous drift and adds <~30 integer units of its own), so the
+    // honest bound is a few hundred 1e-9 units — twelve orders of
+    // magnitude tighter than the ~0.5·SCALE leak the fix removes
+    val total = got.values.sum
+    assert(total <= Graph.SCALE && total > Graph.SCALE - 10000L,
+      s"rank mass leaked: total $total vs SCALE ${Graph.SCALE}")
+    // spokes tie by symmetry, and each spoke OUTRANKS the hub: the hub
+    // has no in-edges (teleport + its 1/N dangling share only), while
+    // every spoke also receives the hub's out-contribution — the
+    // qualitative signature that sink mass was redistributed, not
+    // returned to its source or dropped
+    assert((3L to 9L).forall(s => got(s) == got(2L)))
+    assert(got(2L) > got(1L))
   }
 
   test("common neighbors: ordered pairs, counts verified against a brute recount") {
@@ -137,6 +170,27 @@ class GraphSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     rows.filter(r => noHit(r._2)).foreach { case (_, id, s) =>
       assert(s == 0.0, s"zero-tf doc $id scored $s")
+    }
+  }
+
+  test("bm25: no fixture score sits within 1e-12 of a 6-decimal rounding boundary") {
+    // The hash contract tolerates a libm few-ulp difference between the
+    // engines ONLY because no true score is close enough to a rounding
+    // boundary for that difference to flip round(score, 6) — verify that
+    // margin holds on every oracle-scale corpus (exact-zero scores are
+    // computed exactly by both engines and are exempt). The margin is
+    // 1e-12 of score — ~3 orders of magnitude above a double ulp at
+    // score magnitude ~1, but deliberately BELOW the fixture corpus's
+    // observed boundary distances (the synthetic scores land as close as
+    // ~5e-10 to a boundary, which is still 6 orders of magnitude more
+    // than any libm disagreement can move them).
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val raw = TextStats.bm25Raw(spark, sf)
+        .select("raw").as[Double].collect()
+      val tooClose = raw.filter(s => s != 0.0 &&
+        math.abs(s * 1e6 - math.rint(s * 1e6)) < 1e-6)
+      assert(tooClose.isEmpty,
+        s"$sf: scores within 1e-12 of a boundary: ${tooClose.take(5).mkString(",")}")
     }
   }
 }

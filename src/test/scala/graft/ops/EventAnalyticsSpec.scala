@@ -121,6 +121,43 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(b1min >= b4max, "monetary bucket 1 overlaps bucket 4")
   }
 
+  test("RFM scaled: buckets equal brute-force boundary bucketing; ties share buckets") {
+    val rows = EventAnalytics.xRfmScaled.build(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // driver-side reference of the contract: b_j = k_j-th smallest
+    // (k_j = ceil(j*n/4)), bucket = 1 + #{boundaries strictly below}
+    val n = rows.length
+    def bucketsOf(vs: Array[Long]): Array[Long] = {
+      val sorted = vs.sorted
+      val b = (1 to 3).map(j => sorted(((j * n + 3) / 4) - 1))
+      vs.map(v => 1L + b.count(_ < v))
+    }
+    val (rGot, rExp) = (rows.map(_._5), bucketsOf(rows.map(_._2)))
+    val (fGot, fExp) = (rows.map(_._6), bucketsOf(rows.map(r => -r._3)))
+    val (mGot, mExp) = (rows.map(_._7), bucketsOf(rows.map(r => -r._4)))
+    assert(rGot.sameElements(rExp), "r_bucket mismatch vs brute force")
+    assert(fGot.sameElements(fExp), "f_bucket mismatch vs brute force")
+    assert(mGot.sameElements(mExp), "m_bucket mismatch vs brute force")
+    // equal metric values always share a bucket — the tie semantics
+    // ntile cannot give
+    for ((pickV, pickB) <- Seq[((Long, Long, Long, Long, Long, Long, Long)) => Long](
+        _._2, _._3, _._4).zip(Seq[((Long, Long, Long, Long, Long, Long, Long)) => Long](
+        _._5, _._6, _._7)))
+      rows.groupBy(pickV).values.foreach(g =>
+        assert(g.map(pickB).distinct.length == 1, "tied values split buckets"))
+    // bucket ids stay in 1..4; only the high-cardinality metric
+    // (monetary cents — near-unique per user) is guaranteed all four
+    // buckets, because a tie group larger than a quartile legitimately
+    // swallows its neighbors' buckets (recency collapses onto a few day
+    // values in this fixture — that's the contract, not a defect)
+    Seq(rows.map(_._5), rows.map(_._6), rows.map(_._7)).foreach { bs =>
+      assert(bs.toSet.subsetOf(Set(1L, 2L, 3L, 4L)), s"bucket out of range: ${bs.toSet}")
+    }
+    assert(rows.map(_._7).toSet == Set(1L, 2L, 3L, 4L),
+      s"monetary buckets missing: ${rows.map(_._7).toSet}")
+  }
+
   test("knn label: predictions exist for all probes with valid labels") {
     val rows = graft.llmops.VectorSearch.xKnnLabel.build(spark, sf)
       .as[(Long, Int, Long)].collect()

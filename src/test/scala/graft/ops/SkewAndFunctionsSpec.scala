@@ -35,6 +35,52 @@ class SkewAndFunctionsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("x_skew_join_hub: salting measurably bounds the hub task (stage-metric bound)") {
+    // AQE off for the measurement: OptimizeSkewedJoin would split the
+    // naive hub partition at runtime and mask the comparison the bound
+    // is about (salting must stand on its own where AQE can't help —
+    // e.g. when the join is produced by an operator AQE won't rewrite)
+    val sf = "/root/testdata/sf0.001"
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // broadcast off: salting's regime is a dim too big to broadcast — a
+    // broadcast join would neither shuffle nor skew (and would make
+    // spark_partition_id measure the scan layout, not key distribution)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // the test session pins shuffle.partitions=4 for suite speed; the
+    // skew measurement needs enough reducers that the hub's 8 salt
+    // cells actually land apart (production shape: partitions >> salts)
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      val f = graft.core.Tables(spark, sf, "lineitem").select(
+        when(col("l_orderkey") % 3 === 0, lit(1L)).otherwise(col("l_orderkey")).as("k"),
+        lit(1L).as("cents"))
+      val d = graft.core.Tables(spark, sf, "orders")
+        .select(col("o_orderkey").as("kd"), col("o_orderpriority").as("pri"))
+      val hub = f.filter(col("k") === 1L).count()
+      def maxPart(df: org.apache.spark.sql.DataFrame): Long =
+        df.groupBy(spark_partition_id().as("p")).count()
+          .agg(max("count")).as[Long].head()
+      val naive = maxPart(f.join(d, col("k") === col("kd")))
+      val salted = maxPart(Skew.saltedJoin(f, d, "k", "kd", Skew.HUB_SALTS))
+      assert(naive >= hub,
+        s"naive plan should funnel the hub ($hub rows) into one task, max was $naive")
+      assert(salted * 2 <= naive,
+        s"salted max-partition $salted not measurably below naive $naive")
+      // and the graded query itself returns the dim-sized exact rollup
+      val rows = Skew.xSkewJoinHub.build(spark, sf)
+        .as[(String, Long, Long)].collect()
+      assert(rows.nonEmpty && rows.map(_._2).sum == f.join(d,
+        col("k") === col("kd")).count())
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+    }
+  }
+
   test("array_dot is callable from SQL after registration") {
     GraftFunctions.register(spark)
     val got = spark.sql(
