@@ -55,10 +55,10 @@ object StreamFloorProbe {
       java.nio.file.Paths.get(s"$dir/events.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val t0 = System.nanoTime()
-    val src = spark.readStream
+    val src0 = spark.readStream
       .schema(spark.read.parquet(s"$dir/events.parquet").schema)
       .parquet(streamDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val src = src0.withColumn("ts", graft.core.Tables.normTs(src0, "ts"))
     val tSrc = System.nanoTime()
     val agg = src.groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -123,6 +123,42 @@ object StreamFloorProbe {
       q3.recentProgress.foreach { p =>
         println(s"PROBE agg batch=${p.batchId} rows=${p.numInputRows} durationMs=${p.durationMs}")
       }
+    }
+
+    // conf sweep: candidate floor cuts, 3 fresh-checkpoint reps each
+    // (min reported) — anything that moves the stateful floor by >10%
+    // graduates into the replay harness
+    val sweepConfs: Seq[(String, Seq[(String, String)])] = Seq(
+      "baseline" -> Seq(),
+      "schemaCheckOff" -> Seq(
+        "spark.sql.streaming.stateStore.stateSchemaCheck" -> "false"),
+      "maint10m" -> Seq(
+        "spark.sql.streaming.stateStore.maintenanceInterval" -> "600s"),
+      "retain1" -> Seq(
+        "spark.sql.streaming.minBatchesToRetain" -> "1"),
+      "allThree" -> Seq(
+        "spark.sql.streaming.stateStore.stateSchemaCheck" -> "false",
+        "spark.sql.streaming.stateStore.maintenanceInterval" -> "600s",
+        "spark.sql.streaming.minBatchesToRetain" -> "1"))
+    sweepConfs.foreach { case (label, confs) =>
+      val olds = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val times = (1 to 3).map { _ =>
+        val c = tmpDir("probe_sweep").toString
+        val t1 = System.nanoTime()
+        val q = agg.writeStream.format("memory")
+          .queryName(s"probe_sweep_${label}_${System.nanoTime()}")
+          .outputMode(OutputMode.Complete())
+          .option("checkpointLocation", c)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        (System.nanoTime() - t1) / 1e9
+      }
+      olds.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      println(f"PROBE sweep $label%-15s min=${times.min}%.3f s reps=${times.map(t => f"$t%.2f").mkString(",")}")
     }
     spark.stop()
   } finally sweep()
