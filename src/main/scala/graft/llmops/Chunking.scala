@@ -143,5 +143,85 @@ object Chunking {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(xDocChunk, xStratifiedSample, xPackSequences, xSpanDedup)
+  /** X — deterministic token-budget subsampling (the data-MIXING
+    * primitive: "give me ~20% of the corpus tokens, split equally across
+    * languages, reproducibly"). The global budget is an exact fifth of
+    * the corpus token count; each language gets its largest-remainder
+    * equal share (B div L, +1 for the first B mod L languages in name
+    * order); within a language, docs are taken in the md5-of-id
+    * deterministic-shuffle order while the inclusive running token count
+    * stays within budget. Everything is integers; the selection is a
+    * pure function of the corpus.
+    *
+    * Scale posture — the naive spelling (one cumsum window per language)
+    * serializes each language on one task, and a real corpus has a
+    * dominant language. This build is TWO-LEVEL: docs bucket by their
+    * md5 PREFIX (256 buckets/lang; the bucket order refines the doc
+    * order, so per-bucket token sums + a bucket-level running offset
+    * reproduce the global cumsum exactly), the bucket-offset window runs
+    * on a (lang × 256)-sized frame, whole buckets whose offset already
+    * exceeds the budget are pruned BEFORE the expensive within-bucket
+    * window (off > budget ⇒ every doc in the bucket is over), and the
+    * within-bucket cumsum partitions by (lang, bucket) — 256-way
+    * parallel per language, and the prefix width is the knob. The
+    * oracle computes the naive single-window spelling; identical rows
+    * prove the decomposition exact.
+    */
+  val BUDGET_DEN = 5
+
+  val xTokenBudget = Q(
+    "x_token_budget",
+    s"""WITH t AS (SELECT doc_id, lang,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens
+         FROM documents),
+       b AS (SELECT CAST(sum(n_tokens) // $BUDGET_DEN AS BIGINT) AS btot FROM t),
+       l AS (SELECT lang, CAST(row_number() OVER (ORDER BY lang) AS BIGINT) AS lrank
+             FROM (SELECT DISTINCT lang FROM t)),
+       n AS (SELECT count(*) AS nl FROM l),
+       a AS (SELECT lang,
+                    CAST(btot // nl + (CASE WHEN lrank <= btot % nl THEN 1 ELSE 0 END) AS BIGINT) AS budget
+             FROM l, b, n),
+       c AS (SELECT doc_id, lang, n_tokens,
+                    sum(n_tokens) OVER (PARTITION BY lang
+                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             FROM t)
+       SELECT c.doc_id, c.lang, c.n_tokens, CAST(c.cum AS BIGINT) AS cum_tokens
+       FROM c JOIN a ON a.lang = c.lang
+       WHERE c.cum <= a.budget ORDER BY c.doc_id""") { (s, dir) =>
+    val t = T(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+          .cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("bkt", substring(col("h"), 1, 2))
+    val btot = t.agg(expr(s"sum(n_tokens) div $BUDGET_DEN").as("btot"))
+    val langs = t.select("lang").distinct()
+      .withColumn("lrank",
+        row_number().over(Window.orderBy("lang")).cast("long"))
+    val nl = langs.agg(count(lit(1)).as("nl"))
+    val alloc = langs.crossJoin(broadcast(btot)).crossJoin(broadcast(nl))
+      .select(col("lang"),
+        (expr("btot div nl") +
+          when(col("lrank") <= expr("btot % nl"), 1L).otherwise(0L)).as("budget"))
+    // bucket-level token sums + running offsets: a (lang x 256)-sized
+    // frame; off > budget buckets can never contribute a selected row
+    val boff = t.groupBy("lang", "bkt").agg(sum("n_tokens").as("bt"))
+      .withColumn("off", coalesce(
+        sum(col("bt")).over(Window.partitionBy("lang").orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(broadcast(alloc), "lang")
+      .filter(col("off") <= col("budget"))
+      .select(col("lang"), col("bkt"), col("off"), col("budget"))
+    val wIn = Window.partitionBy("lang", "bkt").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    t.join(broadcast(boff), Seq("lang", "bkt"))
+      .withColumn("cum_tokens", col("off") + sum(col("n_tokens")).over(wIn))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(xDocChunk, xStratifiedSample, xPackSequences, xSpanDedup,
+    xTokenBudget)
 }
