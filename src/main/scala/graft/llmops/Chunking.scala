@@ -189,7 +189,17 @@ object Chunking {
        SELECT c.doc_id, c.lang, c.n_tokens, CAST(c.cum AS BIGINT) AS cum_tokens
        FROM c JOIN a ON a.lang = c.lang
        WHERE c.cum <= a.budget ORDER BY c.doc_id""") { (s, dir) =>
-    val t = T(s, dir, "documents")
+    tokenBudgetSelect(T(s, dir, "documents"))
+  }
+
+  /** The x_token_budget machinery over any (doc_id, lang, text) frame —
+    * exposed so the property suite can drive adversarial corpora
+    * (empty texts, single-language, budgets of zero) through the bucket
+    * decomposition against a driver-side brute force.
+    */
+  def tokenBudgetSelect(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val t = docs
       .select(col("doc_id"), col("lang"),
         expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
           .cast("long").as("n_tokens"),

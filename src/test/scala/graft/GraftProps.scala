@@ -181,6 +181,43 @@ object GraftProps extends Properties("graft") {
       got == want
     }
 
+  // adversarial token-budget corpora: empty texts (0 tokens), skewed
+  // language sizes, single-language cases, budgets that round to 0
+  private val budgetCorpusGen = Gen.listOfN(15, for {
+    lang <- Gen.oneOf("en", "de", "fr")
+    len <- Gen.choose(0, 8)
+    ws <- Gen.listOfN(len, Gen.oneOf("tok", "word", "x9", "!!"))
+  } yield (lang, ws.mkString(" "))).map(_.zipWithIndex.map {
+    case ((l, t), i) => (i.toLong, l, t)
+  })
+
+  property("token budget: bucket decomposition equals naive greedy on adversarial corpora") =
+    forAll(budgetCorpusGen) { docs =>
+      val got = llmops.Chunking.tokenBudgetSelect(
+          docs.toDF("doc_id", "lang", "text"))
+        .as[(Long, String, Long, Long)].collect().toSeq
+      // driver-side naive reference (the oracle's spelling)
+      def md5hex(s: String) =
+        java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      def nTok(t: String) =
+        "[a-z]+|[0-9]+|[^a-z0-9 ]".r.findAllIn(t).length.toLong
+      val toks = docs.map { case (id, l, t) => (id, l, nTok(t)) }
+      val btot = toks.map(_._3).sum / llmops.Chunking.BUDGET_DEN
+      val langs = toks.map(_._2).distinct.sorted
+      val budget = langs.zipWithIndex.map { case (l, i) =>
+        l -> (btot / langs.length + (if (i < btot % langs.length) 1L else 0L))
+      }.toMap
+      val want = toks.groupBy(_._2).toSeq.flatMap { case (lang, ds) =>
+        var cum = 0L
+        ds.sortBy(d => (md5hex(d._1.toString), d._1)).flatMap { case (id, _, n) =>
+          cum += n
+          if (cum <= budget(lang)) Some((id, lang, n, cum)) else None
+        }
+      }.sortBy(_._1)
+      got == want
+    }
+
 }
 
 /** Shingle-hash expression laws — PURE JVM (no Spark jobs per sample),
