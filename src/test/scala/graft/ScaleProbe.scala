@@ -24,7 +24,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     // comma-separated section filter for re-measuring one family without
     // paying the whole probe:
-    // neardup,setsim,nn,km,inc,lm,bpe,contam,pr,qc,evt,cn,cnskew
+    // neardup,setsim,nn,km,inc,lm,bpe,contam,pr,qc,evt,cn,cnskew,budget
     val only = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def want(section: String): Boolean = only.forall(_.contains(section))
@@ -83,6 +83,36 @@ object ScaleProbe {
       pre.unpersist(); sets.unpersist()
       println(f"SCALE-SETSIM k=$k%2d docs=${baseN * k}%6d candRaw=$candRaw%6d " +
         f"cand=$cand%6d pairs=$pairs%5d sec=$sec%7.2f")
+    }
+
+    // ---- token-budget subsampling: growth + bucket parallelism ----
+    // replicated docs keep their language (the budget splits by lang), so
+    // corpus tokens, per-lang budgets, and the selected set all grow ~k×;
+    // the heavy window partitions by (lang, md5-prefix bucket), so the
+    // largest single window partition is ~1/256 of a language regardless
+    // of corpus size — the claim that distinguishes this spelling from
+    // the naive one-window-per-language form
+    if (want("budget")) {
+      val langBase = graft.core.Tables(spark, "/root/testdata/sf0.1", "documents")
+        .select(col("doc_id"), col("lang"), col("text")).cache()
+      langBase.count()
+      def budgetCorpus(k: Int) = (0 until k).map { i =>
+        langBase.select(
+          (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+          col("lang"),
+          expr(s"array_join(transform(split(text, ' '), w -> concat('r$i', w)), ' ')")
+            .as("text"))
+      }.reduce(_ union _)
+      Seq(1, 2, 5, 10).foreach { k =>
+        val t0 = System.nanoTime()
+        val sel = graft.llmops.Chunking.tokenBudgetSelect(budgetCorpus(k))
+        val n = sel.count()
+        val toks = sel.agg(sum(col("n_tokens"))).head().getLong(0)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"SCALE-BUDGET k=$k%2d docs=${baseN * k}%6d selected=$n%6d " +
+          f"tokens=$toks%9d sec=$sec%7.2f")
+      }
+      langBase.unpersist()
     }
 
     // ---- exact nearest-neighbor: IVF radius-bound vs all-pairs ----
