@@ -12,6 +12,36 @@ class Round8Spec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("PQ: codes well-formed, ADC recall clears the bar at sf0.001 and sf0.01") {
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val e = graft.llmops.VectorSearch.embeddingsBase(spark, dir)
+        .select("vec_id", "n_emb")
+      val cb = graft.llmops.VectorSearch.pqCodebooks(e, graft.llmops.VectorSearch.PQ_ITERS)
+      // full codebooks: every (block, cid) slot present, correct width
+      val cbRows = cb.as[(Int, Int, Seq[Double], Double)].collect()
+      assert(cbRows.length ==
+        graft.llmops.VectorSearch.PQ_BLOCKS * graft.llmops.VectorSearch.PQ_K)
+      val dim = e.select(size(col("n_emb"))).as[Int].head()
+      assert(cbRows.forall(_._3.length == dim / graft.llmops.VectorSearch.PQ_BLOCKS))
+      // every vector gets exactly PQ_BLOCKS codes in [0, PQ_K)
+      val codes = graft.llmops.VectorSearch.assignCodes(
+        graft.llmops.VectorSearch.subvectors(e), cb)
+        .as[(Long, Int, Int)].collect()
+      val n = e.count()
+      assert(codes.length == n * graft.llmops.VectorSearch.PQ_BLOCKS)
+      assert(codes.forall(c => c._3 >= 0 && c._3 < graft.llmops.VectorSearch.PQ_K))
+      // recall facts: printed for bar calibration, asserted >= bar
+      val rec = graft.llmops.VectorSearch.pqRecall(spark, dir)
+        .as[(Long, Double, Boolean)].collect()
+      info(s"$dir PQ recalls: ${rec.map(r => s"${r._1}:${r._2}").mkString(" ")}")
+      assert(rec.length == 5)
+      assert(rec.forall(_._3),
+        s"$dir: probes below bar: ${rec.filterNot(_._3).mkString(",")}")
+    }
+  }
+
   test("token budget: bucket-refined selection equals the naive greedy prefix") {
     val got = graft.llmops.Chunking.xTokenBudget.build(spark, sf)
       .as[(Long, String, Long, Long)].collect()
