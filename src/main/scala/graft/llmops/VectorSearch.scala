@@ -783,12 +783,34 @@ object VectorSearch {
         expr("zip_with(n_emb, best.ccent, (a, b) -> a - b)").as("n_emb"))
   }
 
+  /** The built PQ index — (codebooks, code table with coarse cid) —
+    * memoized per (session, dir) with the embeddingsBase discipline: an
+    * index is built ONCE and searched many times; a bench rep or a
+    * second query re-building codebooks from scratch would measure
+    * index construction, not search.
+    */
+  private val pqMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (DataFrame, DataFrame)]
+
+  def pqIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    pqMemo.filterInPlace((_, v) => !v._1.sparkSession.sparkContext.isStopped)
+    val key = (System.identityHashCode(s), dir)
+    pqMemo.get(key).filter(_._1.sparkSession eq s).getOrElse {
+      val e = embeddingsBase(s, dir).select("vec_id", "n_emb")
+      val resid = coarseResiduals(s, dir, e)
+      val cb = pqCodebooks(resid.select("vec_id", "n_emb"), PQ_ITERS).cache()
+      val codes = assignCodes(subvectors(resid.select("vec_id", "n_emb")), cb)
+        .join(resid.select("vec_id", "ccid"), Seq("vec_id")).cache()
+      graft.core.CacheBin.swap(
+        s"pq.index:${System.identityHashCode(s)}:$dir", cb, codes)
+      pqMemo.put(key, (cb, codes))
+      (cb, codes)
+    }
+  }
+
   def pqRecall(s: SparkSession, dir: String): DataFrame = {
     val e = embeddingsBase(s, dir).select("vec_id", "n_emb")
-    val resid = coarseResiduals(s, dir, e)
-    val cb = pqCodebooks(resid.select("vec_id", "n_emb"), PQ_ITERS)
-    val codes = assignCodes(subvectors(resid.select("vec_id", "n_emb")), cb)
-      .join(resid.select("vec_id", "ccid"), Seq("vec_id"))
+    val (cb, codes) = pqIndex(s, dir)
     // probe-side tables, both broadcast: the residual-codebook LUT
     // (probes x PQ_BLOCKS x PQ_K) and the coarse term dot(p, ccent)
     // (probes x ANN_K)

@@ -37,6 +37,12 @@ class MemoDisciplineSpec extends AnyFunSuite {
     val ob = SetSim.orderedBase(b, sf)
     assert(!(oa eq ob) && (oa.sparkSession eq a) && (ob.sparkSession eq b))
 
+    val (cba, codesA) = VectorSearch.pqIndex(a, sf)
+    val (cbb, codesB) = VectorSearch.pqIndex(b, sf)
+    assert(!(codesA eq codesB) &&
+      (cba.sparkSession eq a) && (cbb.sparkSession eq b))
+    assert(VectorSearch.pqIndex(a, sf)._2 eq codesA, "second lookup must memo-hit")
+
     // populating B's generation must not unpersist A's (the CacheBin
     // keys are session-scoped): A's base is still marked for caching
     assert(ea1.storageLevel.useMemory,
