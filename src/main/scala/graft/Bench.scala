@@ -39,12 +39,13 @@ object Bench {
     // events footer/JIT warm-up silently never happened before)
     graft.core.Tables.names.foreach { t =>
       try graft.core.Tables(spark, sfDir, t).count()
-      catch { case _: Throwable => }
+      catch { case scala.util.control.NonFatal(_) => }
     }
     // compile the custom-expression codegen paths before timing starts
     codegenWarmup.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
-        try fn(spark, sfDir).count() catch { case _: Throwable => }
+        try fn(spark, sfDir).count()
+        catch { case scala.util.control.NonFatal(_) => }
       }
     }
     // min of N reps per query: single-machine timings here vary ±50%

@@ -808,39 +808,15 @@ object VectorSearch {
     }
   }
 
-  def pqRecall(s: SparkSession, dir: String): DataFrame = {
-    val e = embeddingsBase(s, dir).select("vec_id", "n_emb")
-    val (cb, codes) = pqIndex(s, dir)
-    // probe-side tables, both broadcast: the residual-codebook LUT
-    // (probes x PQ_BLOCKS x PQ_K) and the coarse term dot(p, ccent)
-    // (probes x ANN_K)
-    val probeFrame = e.filter(col("vec_id") < 5)
-    val probes = subvectors(probeFrame)
-      .select(col("vec_id").as("probe_id"), col("block"), col("sub"))
-    val lut = probes.join(broadcast(cb), Seq("block"))
-      .select(col("probe_id"), col("block"), col("cid"),
-        dot(col("sub"), col("cent")).as("psim"))
-    val centLit = typedLit(sharedCentroids(s, dir).map(_.toSeq).toSeq)
-    val coarseLut = probeFrame
-      .select(col("vec_id").as("probe_id"), col("n_emb"),
-        posexplode(centLit).as(Seq("ccid", "ccent")))
-      .select(col("probe_id"), col("ccid"),
-        dot(col("n_emb"), col("ccent")).as("csim"))
+  /** Stage 2 of every PQ-backed search + the recall audit, shared by
+    * x_pq_recall and x_ivfpq_search: exact re-rank of the ADC shortlist
+    * (touches probes × PQ_SHORTLIST raw vectors, never the corpus), the
+    * exact brute-force twin, and the per-probe recall@10 report.
+    */
+  private def rerankAndRecall(
+      e: DataFrame, short: DataFrame, bar: Double): DataFrame = {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("vec_id"))
-    // stage 1: ADC shortlist off the compressed codes (no raw vectors):
-    // sim ~ dot(p, ccent[v]) + sum_b dot(p_b, residCodebook[b, code_b])
-    val short = codes.join(broadcast(lut), Seq("block", "cid"))
-      .groupBy(col("probe_id"), col("vec_id"), col("ccid"))
-      .agg(sum(col("psim")).as("rsim"))
-      .join(broadcast(coarseLut), Seq("probe_id", "ccid"))
-      .select(col("probe_id"), col("vec_id"),
-        (col("rsim") + col("csim")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= PQ_SHORTLIST)
-      .select(col("probe_id"), col("vec_id"))
-    // stage 2: exact re-rank of the shortlist only — touches
-    // probes x PQ_SHORTLIST raw vectors, not the corpus
     val approx = short
       .join(e, Seq("vec_id"))
       .join(broadcast(e.filter(col("vec_id") < 5)
@@ -866,8 +842,56 @@ object VectorSearch {
       .join(hits, Seq("probe_id"), "left")
       .select(col("probe_id"),
         coalesce(col("recall"), lit(0.0)).as("recall"),
-        (coalesce(col("recall"), lit(0.0)) >= PQ_RECALL_BAR).as("recall_ok"))
+        (coalesce(col("recall"), lit(0.0)) >= bar).as("recall_ok"))
       .orderBy("probe_id")
+  }
+
+  /** Probe-side residual-codebook LUT: (probe_id, block, cid, psim) —
+    * probes × PQ_BLOCKS × PQ_K rows behind a broadcast.
+    */
+  private def pqProbeLut(probeFrame: DataFrame, cb: DataFrame): DataFrame =
+    subvectors(probeFrame)
+      .select(col("vec_id").as("probe_id"), col("block"), col("sub"))
+      .join(broadcast(cb), Seq("block"))
+      .select(col("probe_id"), col("block"), col("cid"),
+        dot(col("sub"), col("cent")).as("psim"))
+
+  /** Probe-side coarse term dot(p, ccent): (probe_id, ccid, csim) —
+    * probes × ANN_K rows.
+    */
+  private def pqCoarseLut(
+      s: SparkSession, dir: String, probeFrame: DataFrame): DataFrame = {
+    val centLit = typedLit(sharedCentroids(s, dir).map(_.toSeq).toSeq)
+    probeFrame
+      .select(col("vec_id").as("probe_id"), col("n_emb"),
+        posexplode(centLit).as(Seq("ccid", "ccent")))
+      .select(col("probe_id"), col("ccid"),
+        dot(col("n_emb"), col("ccent")).as("csim"))
+  }
+
+  def pqRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddingsBase(s, dir).select("vec_id", "n_emb")
+    val (cb, codes) = pqIndex(s, dir)
+    // probe-side tables, both broadcast: the residual-codebook LUT
+    // (probes x PQ_BLOCKS x PQ_K) and the coarse term dot(p, ccent)
+    // (probes x ANN_K)
+    val probeFrame = e.filter(col("vec_id") < 5)
+    val lut = pqProbeLut(probeFrame, cb)
+    val coarseLut = pqCoarseLut(s, dir, probeFrame)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    // stage 1: ADC shortlist off the compressed codes (no raw vectors):
+    // sim ~ dot(p, ccent[v]) + sum_b dot(p_b, residCodebook[b, code_b])
+    val short = codes.join(broadcast(lut), Seq("block", "cid"))
+      .groupBy(col("probe_id"), col("vec_id"), col("ccid"))
+      .agg(sum(col("psim")).as("rsim"))
+      .join(broadcast(coarseLut), Seq("probe_id", "ccid"))
+      .select(col("probe_id"), col("vec_id"),
+        (col("rsim") + col("csim")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= PQ_SHORTLIST)
+      .select(col("probe_id"), col("vec_id"))
+    rerankAndRecall(e, short, PQ_RECALL_BAR)
   }
 
   /** X — PQ compression + two-stage ADC search graded by recall against
@@ -882,6 +906,89 @@ object VectorSearch {
     pqRecall(s, dir).select(col("probe_id"), col("recall_ok")).orderBy("probe_id")
   }
 
+  // ---- IVF-PQ: the two halves composed into the billion-vector layout.
+  // x_ann_ivf prunes which lists are read; x_pq_recall compresses what a
+  // list read costs; a production index (FAISS IndexIVFPQ) is their
+  // COMPOSITION: probe the nprobe nearest coarse lists, ADC-score only
+  // those lists' codes, exact re-rank the shortlist. Scanned codes per
+  // probe = the probed lists' sizes — nprobe/nlists of the corpus on a
+  // balanced quantizer (measured in ScaleProbe section `ivfpq`), at
+  // 8 bytes/vector; the raw corpus is touched only for the
+  // PQ_SHORTLIST-sized re-rank.
+
+  /** nprobe for the composed search. The composition inherits BOTH
+    * error sources (coarse prune can drop a list holding a true
+    * neighbor; ADC mis-ranks near-ties, repaired only within the
+    * shortlist), so recall was re-measured for the composed path, not
+    * assumed from the halves. Measured (IvfPqProbe, all three SFs):
+    * nprobe=2 dips to 0.7, nprobe=4 to 0.7–0.8; nprobe=6 holds
+    * worst-probe 0.9 everywhere — the same floor as bare PQ (0.9–1.0),
+    * i.e. the prune costs at most nothing measurable once the shortlist
+    * is 6.4× the answer size. Scanned-code fraction at nprobe=6:
+    * 0.363–0.388 vs the ideal nprobe/nlists = 0.375 (quantizer balanced
+    * within ±0.013 of ideal at every SF).
+    */
+  val IVFPQ_NPROBE = 6
+  /** Same bar as the bare-PQ stage: measured composed floor is 0.9
+    * (IVFPQ_NPROBE scaladoc); 0.8 leaves one-hit slack so last-ulp
+    * centroid noise can't flip the hash.
+    */
+  val IVFPQ_RECALL_BAR = 0.8
+
+  /** The pruned code stream behind x_ivfpq_search: codes of the nprobe
+    * best coarse lists per probe, (probe_id, csim, vec_id, block, cid).
+    * Exposed so ScaleProbe can count scanned codes — the quantity whose
+    * ratio to the full code table IS the IVF-PQ claim (≈ nprobe/nlists).
+    */
+  def ivfpqScannedCodes(
+      s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    val e = embeddingsBase(s, dir).select("vec_id", "n_emb")
+    val (_, codes) = pqIndex(s, dir)
+    val probed = pqCoarseLut(s, dir, e.filter(col("vec_id") < 5))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("csim").desc, col("ccid"))))
+      .filter(col("crank") <= nprobe)
+      .drop("crank")
+    // the equi-join against the broadcast probed-list table IS the
+    // prune: a code row is read once per probe that probes its list,
+    // never for the (nlists - nprobe) unprobed lists
+    codes.join(broadcast(probed), Seq("ccid"))
+  }
+
+  def ivfpqRecall(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    val e = embeddingsBase(s, dir).select("vec_id", "n_emb")
+    val (cb, codes) = pqIndex(s, dir)
+    val lut = pqProbeLut(e.filter(col("vec_id") < 5), cb)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    // stage 1: ADC over the probed lists' codes ONLY. csim rides the
+    // probed-list table (it was computed to RANK the lists), so the
+    // coarse term costs no second join; max() collapses the constant.
+    val short = ivfpqScannedCodes(s, dir, nprobe)
+      .join(broadcast(lut), Seq("probe_id", "block", "cid"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg((sum(col("psim")) + max(col("csim"))).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= PQ_SHORTLIST)
+      .select(col("probe_id"), col("vec_id"))
+    rerankAndRecall(e, short, IVFPQ_RECALL_BAR)
+  }
+
+  /** X — the composed IVF-PQ search graded by recall against the exact
+    * twin (derived-fact oracle, the x_ann_ivf contract): coarse-prune to
+    * nprobe lists, ADC over only those lists' 64×-compressed codes,
+    * exact re-rank of the shortlist — and every probe must still recover
+    * ≥ IVFPQ_RECALL_BAR of the true top-10.
+    */
+  val xIvfPqSearch = Q(
+    "x_ivfpq_search",
+    """SELECT vec_id AS probe_id, TRUE AS recall_ok
+       FROM embeddings WHERE vec_id < 5 ORDER BY probe_id""") { (s, dir) =>
+    ivfpqRecall(s, dir, IVFPQ_NPROBE)
+      .select(col("probe_id"), col("recall_ok")).orderBy("probe_id")
+  }
+
   val all: Seq[Q] = Seq(q34, xNearestNeighbor, xEmbedNearDup, xAnnIvf,
-    xEmbedCluster, xSemDedup, xKnnLabel, xPqRecall)
+    xEmbedCluster, xSemDedup, xKnnLabel, xPqRecall, xIvfPqSearch)
 }
