@@ -351,12 +351,16 @@ object TextStats {
     * Math.log), so a 1-ulp difference in a raw score can still push it
     * across a 6-decimal rounding boundary and flip top-20 membership —
     * rounding shrinks the exposure from "any 1-ulp difference" to
-    * "a value within ~1 ulp of a boundary", it does not eliminate it.
-    * The fixture corpus has no score within 1e-12 of a boundary (checked
-    * in GraphSpec's bm25 margin test — observed boundary distances
-    * bottom out around 5e-10, still ~6 orders of magnitude more than a
-    * few-ulp libm disagreement can move a score), which is what keeps
-    * the hash contract honest at oracle scale.
+    * "a value within ~1 ulp of a decision boundary (k+0.5)·1e-6", it
+    * does not eliminate it. The fixture corpus has no score within
+    * 1e-12 of a decision boundary (GraphSpec's bm25 margin test, which
+    * measures |frac(s·1e6) − 0.5| — distance to the round-half boundary,
+    * corrected in round 9: the round-8 version measured distance to the
+    * nearest 6-decimal VALUE, the safe direction, not the dangerous
+    * one). Observed minimum boundary distances: 1.0e-9 at sf0.001,
+    * 1.9e-10 at sf0.01 — 5+ orders of magnitude more than the ~1e-15 a
+    * few-ulp libm disagreement can move a magnitude-~1 score, which is
+    * what keeps the hash contract honest at oracle scale.
     *
     * Scale posture: one narrow scan builds (doc_id, dl, tf per term) with
     * map-side partial aggs; the stats frame is 1 row; top-20 is a
@@ -366,9 +370,10 @@ object TextStats {
     */
   /** Per-doc UNROUNDED BM25 score for the contract query — the Q body
     * rounds this to 6 decimals; the spec's margin test reads it raw to
-    * verify no fixture score sits within 1e-9 of a rounding boundary
-    * (the condition under which the acknowledged libm-ulp risk could
-    * actually flip a hash).
+    * verify no fixture score sits within 1e-12 of a round-half decision
+    * boundary (the condition under which the acknowledged libm-ulp risk
+    * could actually flip a hash). Same margin, measurement, and
+    * boundary definition as the xBm25 scaladoc above.
     */
   def bm25Raw(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
