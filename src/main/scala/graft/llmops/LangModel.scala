@@ -63,15 +63,22 @@ object LangModel {
     val score = score0.select(col("doc_id"), split(col("text"), " ").as("t"))
     // the trained model: bigram-vocabulary-sized (millions of rows for a
     // real corpus, never corpus-sized) — cached so the unigram rollup and
-    // the scoring join read it instead of re-aggregating the corpus
+    // the scoring join read it instead of re-aggregating the corpus.
+    // The model is ALL THREE frames, not just cnt: uni (word-vocab-sized
+    // rollup) and vocab (1 row, but computing it is a full explode pass
+    // over the training corpus) are as much trained state as the bigram
+    // counts — leaving them uncached made every bench rep and every
+    // downstream reuse re-train a third of the model (round-8 verdict
+    // item: the crossppl warm rep was paying a full reference-split scan
+    // per invocation just to recount the vocabulary).
     val cnt = bigrams(train).groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c"))
       .cache()
-    graft.core.CacheBin.swap(cacheKey, cnt)
-    val uni = cnt.groupBy(col("w1")).agg(sum(col("c")).as("cw"))
+    val uni = cnt.groupBy(col("w1")).agg(sum(col("c")).as("cw")).cache()
     // scalar vocabulary size: a 1-row aggregate, broadcast by the planner
     val vocab = train.select(explode(col("t")).as("w"))
-      .agg(countDistinct(col("w")).as("v"))
+      .agg(countDistinct(col("w")).as("v")).cache()
+    graft.core.CacheBin.swap(cacheKey, cnt, uni, vocab)
     bigrams(score)
       .join(cnt, Seq("w1", "w2"), "left")
       .join(uni, Seq("w1"), "left")
