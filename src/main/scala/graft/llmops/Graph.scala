@@ -182,6 +182,23 @@ object Graph {
     *     are hash-uniform (no hot (s1,s2) key — a group's size is
     *     bounded by the co-purchase count), so a salt only multiplies
     *     the group space and strictly increases shuffle volume.
+    *   - BOUND-PRUNING the agg (round-9 negative result, CnBound probe):
+    *     the idea — drop pairs whose count provably can't reach the
+    *     top-20, using common(s1,s2) ≤ min(deg(s1), deg(s2)) against
+    *     L = the capped variant's 20th count (a valid lower bound on
+    *     the exact 20th) — prunes NOTHING on this graph, measured
+    *     exactly: supplier degrees span 518–679 while L = 21 (exact
+    *     20th = 47), so 0 of 12,544,866 pair rows have min-deg < L.
+    *     The deeper reason: the co-occurrence graph is COMPLETE
+    *     (499,500 distinct pairs = every possible supplier pair) with a
+    *     near-flat count distribution (top-20 ≈ 47–51 vs mean ≈ 25) —
+    *     there is no sparsity for any per-pair upper bound to grab. A
+    *     Misra–Gries candidate pass fails by the same arithmetic:
+    *     separating count-47 candidates in a 12.5M-row stream needs
+    *     ~stream/Δ ≈ 570k counters, MORE than the 499.5k groups — it
+    *     degenerates into the full agg plus an exact recount pass. For
+    *     an exact answer on a complete pair graph the Σk² exchange is
+    *     irreducible; the capped variant IS the scale path.
     */
   val xCommonNeighbors = Q(
     "x_common_neighbors",
