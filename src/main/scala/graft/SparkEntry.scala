@@ -23,7 +23,7 @@ object SparkEntry {
       llmops.Incremental.all ++
       llmops.Curation.all ++
       llmops.VectorSearch.all ++ llmops.Chunking.all ++ llmops.TextStats.all ++
-      llmops.SimHash.all ++ llmops.Multimodal.all ++
+      llmops.SimHash.all ++ llmops.Multimodal.all ++ llmops.ImagePhash.all ++
       llmops.WebClean.all ++ llmops.HeavyHitters.all ++ llmops.Bpe.all ++
       llmops.LangModel.all ++ llmops.QualityModel.all ++ llmops.Graph.all ++
       llmops.SetSim.all

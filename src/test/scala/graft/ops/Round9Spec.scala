@@ -31,4 +31,49 @@ class Round9Spec extends AnyFunSuite {
       assert(frac > 0.05, s"$dir: scan fraction implausibly low ($frac)")
     }
   }
+
+  test("image phash: decoded dHashes equal the closed form; banded join finds exactly the planted pairs") {
+    import org.apache.spark.sql.functions._
+    val P = graft.llmops.ImagePhash
+
+    // the generator's closed form, recomputed driver-side: the decode +
+    // pool + hash path must land on bit-identical hashes
+    def formulaHash(w: Int, h: Int, kx: Int, ky: Int, seed: Int,
+        px: Int, py: Int, delta: Int): (Long, Long) = {
+      val sums = Array.ofDim[Long](8, 9); val ns = Array.ofDim[Long](8, 9)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * kx + y * ky + seed +
+          (if (x < px && y < py) delta else 0)) % 256
+        sums(y * 8 / h)(x * 9 / w) += v; ns(y * 8 / h)(x * 9 / w) += 1
+      }
+      var hi = 0L; var lo = 0L
+      for (cy <- 0 until 8; i <- 0 until 8) {
+        val bit = if (sums(cy)(i) * ns(cy)(i + 1) > sums(cy)(i + 1) * ns(cy)(i)) 1L else 0L
+        if (cy < 4) hi |= bit << (cy * 8 + i) else lo |= bit << ((cy - 4) * 8 + i)
+      }
+      (hi, lo)
+    }
+    val spec = Seq(
+      (101, 17, 9, 31, 17, 3, 0, 0, 0), (102, 33, 21, 31, 17, 7, 0, 0, 0),
+      (103, 120, 77, 31, 17, 11, 0, 0, 0), (104, 120, 77, 31, 17, 11, 27, 30, 100),
+      (105, 90, 60, 73, 41, 5, 0, 0, 0), (106, 90, 60, 73, 41, 5, 30, 23, 100),
+      (107, 64, 48, 7, 113, 29, 0, 0, 0))
+    val expected = spec.map { case (id, w, h, kx, ky, sd, px, py, d) =>
+      id.toLong -> formulaHash(w, h, kx, ky, sd, px, py, d) }.toMap
+    val got = P.dhashes(spark).as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == expected,
+      s"decoded hashes diverge from the closed form: got $got")
+
+    val pairs = P.xImagePhashNeardup.build(spark, "/root/testdata/sf0.001")
+    // banded, never O(n²): the candidate join must be an equi-join on
+    // the band keys, not a cartesian/nested-loop product
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate join is not banded:\n$plan")
+    val found = pairs.as[(Long, Long, Long)].collect().toSeq
+    assert(found == Seq((103L, 104L, 4L), (105L, 106L, 4L)),
+      s"unexpected near-dup pairs: $found")
+  }
 }
