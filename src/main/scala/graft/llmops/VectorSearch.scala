@@ -696,20 +696,34 @@ object VectorSearch {
     val spark = e.sparkSession
     import spark.implicits._
     val sub = subvectors(e)
-    // deterministic STRIDE init: the PQ_K seed subvectors per block come
-    // from vectors evenly spaced across the id-ordered corpus — the
-    // PQ_K-lowest-ids alternative seeds near-coincident centroids
-    // whenever neighboring ids are similar (id-clustered corpora),
-    // starving clusters; on this corpus the two inits measure within
-    // noise of each other, the stride is insurance for the general case
-    val nVec = e.count()
+    // deterministic STRIDE init, seeded from the vec_id DOMAIN instead
+    // of a global rank (round-8 ADVICE item): when ids are dense
+    // (max − min + 1 == n, true of this lake at every SF), the seed ids
+    // min + i·stride are EXACTLY the evenly-spaced rows round 8's
+    // row_number window selected — same seeds, same codebooks, same
+    // measured recalls — for the price of one 1-row (min, max, count)
+    // agg and a broadcast-join fetch, replacing the full per-block
+    // corpus sort through PQ_BLOCKS tasks plus a separate count() job.
+    // Sparse-id fallback: the PQ_K smallest by xxhash64(vec_id) via a
+    // bounded TakeOrderedAndProject top-K — pseudo-random spread with
+    // no window either; measured one recall hit weaker on this corpus
+    // (worst probe 0.8 vs 0.9 at nprobe=6), which is why the dense
+    // path keeps the stride seeds.
+    val (mn, mx, nVec) = e
+      .agg(min(col("vec_id")), max(col("vec_id")), count(lit(1)))
+      .as[(Long, Long, Long)].head()
     val stride = math.max(1L, nVec / PQ_K)
+    val seedIds: Seq[(Long, Int)] =
+      if (mx - mn + 1 == nVec)
+        (0 until math.min(PQ_K.toLong, nVec).toInt)
+          .map(i => (mn + i * stride, i))
+      else
+        e.select(col("vec_id"), xxhash64(col("vec_id")).as("hk"))
+          .orderBy(col("hk"), col("vec_id")).limit(PQ_K)
+          .as[(Long, Long)].collect()
+          .sortBy(t => (t._2, t._1)).map(_._1).zipWithIndex.toSeq
     var cents: Seq[(Int, Int, Seq[Double])] = sub
-      .withColumn("r", row_number().over(
-        Window.partitionBy(col("block")).orderBy(col("vec_id"))))
-      .filter((col("r") - 1) % stride === 0 && col("r") <= stride * PQ_K)
-      .withColumn("cid",
-        ((col("r") - 1) / stride).cast("int"))
+      .join(broadcast(seedIds.toDF("vec_id", "cid")), "vec_id")
       .select(col("block"), col("cid"), col("sub"))
       .as[(Int, Int, Seq[Double])].collect().toSeq
     def centDf(): DataFrame = cents
