@@ -233,7 +233,9 @@ class LlmOpsSpec extends AnyFunSuite {
       .orderBy("file_name").collect()
     assert(feats.map(r => (r.getString(0), r.getInt(3), r.getInt(4))).toSeq ==
       Seq(("img_doc_101.png", 17, 9), ("img_doc_102.png", 33, 21),
-        ("img_doc_103.png", 120, 77)))
+        ("img_doc_103.png", 120, 77), ("img_doc_104.png", 120, 77),
+        ("img_doc_105.png", 90, 60), ("img_doc_106.png", 90, 60),
+        ("img_doc_107.png", 64, 48)))
     assert(feats.forall(_.getString(5).matches("[0-9a-f]{32}")))
   }
 }
