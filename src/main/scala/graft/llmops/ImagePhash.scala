@@ -125,9 +125,12 @@ object ImagePhash {
     s"($i,$w,$h,$kx,$ky,$sd,$px,$py,$d)"
   }.mkString(", ")
 
-  val xImagePhashNeardup = Q(
-    "x_image_phash_neardup",
-    s"""WITH spec(img_id, w, h, kx, ky, seed, px, py, delta) AS (VALUES
+  /** The oracle's closed-form dHash pipeline (spec → pixels → pooled
+    * cells → bits → two 32-bit hash lanes), shared by both image
+    * queries' SQL.
+    */
+  private val hashCte =
+    s"""spec(img_id, w, h, kx, ky, seed, px, py, delta) AS (VALUES
          $specValues),
        pix AS (SELECT img_id, (x*9)//w AS cx, (y*8)//h AS cy,
                  (x*kx + y*ky + seed +
@@ -148,16 +151,20 @@ object ImagePhash {
                     CAST(sum(CASE WHEN cy >= 4
                           THEN bit * (CAST(1 AS BIGINT) << ((cy-4)*8 + cx))
                           ELSE 0 END) AS BIGINT) AS lo
-                  FROM bits GROUP BY 1)
-       SELECT CAST(a.img_id AS BIGINT) AS a_id,
-              CAST(b.img_id AS BIGINT) AS b_id,
-              CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
-                   AS BIGINT) AS hamming
-       FROM hashes a JOIN hashes b ON a.img_id < b.img_id
-       WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
-             <= $MAX_HAMMING_IMG
-       ORDER BY a_id, b_id""") { (s, dir) =>
-    val hashes = dhashes(s)
+                  FROM bits GROUP BY 1)"""
+
+  /** Banded near-dup pairs (a_id, b_id, hamming) over the decoded
+    * hashes — the engine half both image queries build on.
+    */
+  def neardupPairs(s: SparkSession): DataFrame =
+    neardupPairsFromHashes(dhashes(s))
+
+  /** The banded candidate + Hamming-verify stage over ANY
+    * (img_id, hi, lo) frame — split out so GraftProps can drive it with
+    * generated hashes (the pigeonhole-exactness property: ≤ 6 flipped
+    * bits can never escape all 8 bands).
+    */
+  def neardupPairsFromHashes(hashes: DataFrame): DataFrame = {
     // 8 bands of 8 bits: bands 0-3 slice hi, 4-7 slice lo
     val bands = hashes.select(col("img_id"), col("hi"), col("lo"),
       explode(array((0 until 8).map { b =>
@@ -180,8 +187,59 @@ object ImagePhash {
           bit_count(col("la").bitwiseXOR(col("lb")))).cast("long"))
       .filter(col("hamming") <= MAX_HAMMING_IMG)
       .select(col("a_id"), col("b_id"), col("hamming"))
-      .orderBy("a_id", "b_id")
   }
 
-  val all: Seq[Q] = Seq(xImagePhashNeardup)
+  val xImagePhashNeardup = Q(
+    "x_image_phash_neardup",
+    s"""WITH $hashCte
+       SELECT CAST(a.img_id AS BIGINT) AS a_id,
+              CAST(b.img_id AS BIGINT) AS b_id,
+              CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+                   AS BIGINT) AS hamming
+       FROM hashes a JOIN hashes b ON a.img_id < b.img_id
+       WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+             <= $MAX_HAMMING_IMG
+       ORDER BY a_id, b_id""") { (s, dir) =>
+    neardupPairs(s).orderBy("a_id", "b_id")
+  }
+
+  /** X — image dedup FAMILIES: connected components over the banded
+    * phash near-dup pairs, every image labeled with its family's
+    * minimum id (singletons label themselves) — the image-side twin of
+    * x_dedup_families, and the step a multimodal corpus pipeline
+    * actually consumes (drop all but one per family). Reuses
+    * DedupFamilies.components (driver union-find under the threshold,
+    * pointer-jumping label propagation above it); the oracle reruns the
+    * closed-form hash pipeline and resolves families with a recursive
+    * min-label transitive closure, x_dedup_families' spelling.
+    */
+  val xImageDedupFamilies = Q(
+    "x_image_dedup_families",
+    s"""WITH RECURSIVE $hashCte,
+       pairs AS (SELECT a.img_id AS a_id, b.img_id AS b_id
+                 FROM hashes a JOIN hashes b ON a.img_id < b.img_id
+                 WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+                       <= $MAX_HAMMING_IMG),
+       edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                 UNION ALL SELECT b_id, a_id FROM pairs),
+       r(id, label) AS (SELECT src, src FROM edges
+                        UNION
+                        SELECT e.dst, r.label FROM edges e JOIN r ON e.src = r.id),
+       fam AS (SELECT id, min(label) AS family FROM r GROUP BY id)
+       SELECT CAST(s.img_id AS BIGINT) AS img_id,
+              CAST(coalesce(f.family, s.img_id) AS BIGINT) AS family,
+              s.img_id = coalesce(f.family, s.img_id) AS is_survivor
+       FROM spec s LEFT JOIN fam f ON f.id = s.img_id
+       ORDER BY img_id""") { (s, dir) =>
+    val imgs = dhashes(s).select(col("img_id"))
+    val labels = DedupFamilies.components(
+      neardupPairs(s).select(col("a_id"), col("b_id")))
+    imgs.join(labels, imgs("img_id") === labels("id"), "left")
+      .select(col("img_id"),
+        coalesce(col("label"), col("img_id")).as("family"))
+      .withColumn("is_survivor", col("img_id") === col("family"))
+      .orderBy("img_id")
+  }
+
+  val all: Seq[Q] = Seq(xImagePhashNeardup, xImageDedupFamilies)
 }

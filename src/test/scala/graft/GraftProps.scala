@@ -218,6 +218,36 @@ object GraftProps extends Properties("graft") {
       got == want
     }
 
+  // (hi32, lo32, distinct bit positions to flip) — one planted pair per
+  // case; k ≤ MAX_HAMMING_IMG must ALWAYS be found (pigeonhole over the
+  // 8 bands), k > it must always be rejected by the verify stage
+  private val phashCaseGen: Gen[(Long, Long, List[Int])] = for {
+    hi <- Gen.choose(0L, 0xffffffffL)
+    lo <- Gen.choose(0L, 0xffffffffL)
+    k <- Gen.choose(0, 10)
+    pos <- Gen.pick(k, 0 until 64)
+  } yield (hi, lo, pos.toList)
+
+  property("phash banding: <=6 flips always found with exact hamming, >6 never") =
+    forAll(Gen.listOfN(10, phashCaseGen)) { cases =>
+      val rows = cases.zipWithIndex.flatMap { case ((hi, lo, pos), i) =>
+        var h2 = hi; var l2 = lo
+        pos.foreach { p =>
+          if (p < 32) h2 ^= 1L << p else l2 ^= 1L << (p - 32) }
+        Seq((2L * i, hi, lo), (2L * i + 1, h2, l2))
+      }
+      val found = graft.llmops.ImagePhash.neardupPairsFromHashes(
+          spark.createDataFrame(rows).toDF("img_id", "hi", "lo"))
+        .as[(Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      cases.zipWithIndex.forall { case ((_, _, pos), i) =>
+        val k = pos.length
+        val got = found.get((2L * i, 2L * i + 1))
+        if (k <= graft.llmops.ImagePhash.MAX_HAMMING_IMG) got.contains(k.toLong)
+        else got.isEmpty
+      }
+    }
+
 }
 
 /** Shingle-hash expression laws — PURE JVM (no Spark jobs per sample),
