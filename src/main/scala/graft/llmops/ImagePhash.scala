@@ -108,10 +108,11 @@ object ImagePhash {
   }
 
   /** Closed-form fixture spec shared with tools/make_png_fixtures.py —
-    * the oracle's pixel source. Keep the three tables in sync: this
-    * list, the generator, and the oracle VALUES clause.
+    * the oracle's pixel source (and Round9Spec's, which recomputes the
+    * hashes driver-side from it). Keep this list and the generator in
+    * sync; the oracle VALUES clause derives from it below.
     */
-  private val fixtureSpec = Seq(
+  val fixtureSpec: Seq[(Int, Int, Int, Int, Int, Int, Int, Int, Int)] = Seq(
     // (img_id, w, h, kx, ky, seed, px, py, delta)
     (101, 17, 9, 31, 17, 3, 0, 0, 0),
     (102, 33, 21, 31, 17, 7, 0, 0, 0),

@@ -53,12 +53,7 @@ class Round9Spec extends AnyFunSuite {
       }
       (hi, lo)
     }
-    val spec = Seq(
-      (101, 17, 9, 31, 17, 3, 0, 0, 0), (102, 33, 21, 31, 17, 7, 0, 0, 0),
-      (103, 120, 77, 31, 17, 11, 0, 0, 0), (104, 120, 77, 31, 17, 11, 27, 30, 100),
-      (105, 90, 60, 73, 41, 5, 0, 0, 0), (106, 90, 60, 73, 41, 5, 30, 23, 100),
-      (107, 64, 48, 7, 113, 29, 0, 0, 0))
-    val expected = spec.map { case (id, w, h, kx, ky, sd, px, py, d) =>
+    val expected = P.fixtureSpec.map { case (id, w, h, kx, ky, sd, px, py, d) =>
       id.toLong -> formulaHash(w, h, kx, ky, sd, px, py, d) }.toMap
     val got = P.dhashes(spark).as[(Long, Long, Long)].collect()
       .map(r => r._1 -> (r._2, r._3)).toMap
