@@ -328,6 +328,46 @@ object VectorSearch {
     ids.join(losers, Seq("vec_id"), "left_anti").orderBy("vec_id")
   }
 
+  /** X — embedding-based eval-set decontamination: drop every TRAINING
+    * vector cosine-similar (≥ COSINE_TAU) to ANY vector of a held-out
+    * BENCHMARK split (vec_id % 10 == 0 — 10% of the corpus, the eval-set
+    * role). This is the semantic sibling of x_ngram_contamination:
+    * verbatim-overlap decontamination catches quoted benchmark text;
+    * this catches paraphrases a verbatim 8-gram check misses.
+    *
+    * The plan is deliberately DIFFERENT from x_semdedup's all-pairs
+    * list-bounded shape: an eval set is tiny relative to the corpus
+    * (thousands of rows vs billions), so the 100 TB-correct plan is a
+    * BROADCAST nested-loop LeftAnti — benchmark embeddings ship to every
+    * executor once, each training partition streams its rows against
+    * them with the codegen'd dot product, and NOTHING shuffles: no LSH
+    * build, no IVF index, no pair exchange. Cost is n_train·n_bench·dim
+    * multiply-adds, embarrassingly parallel, zero driver state. The
+    * similarity predicate is the same cosine() spelling and the same
+    * COSINE_TAU as x_embed_neardup/x_semdedup, so the measured
+    * cross-engine threshold margins of those queries cover every pair
+    * this one evaluates (cross-split pairs are a subset of all pairs).
+    */
+  val xSemanticDecontam = Q(
+    "x_semantic_decontam",
+    s"""SELECT e.vec_id FROM embeddings e
+       WHERE e.vec_id % 10 <> 0
+         AND NOT EXISTS (
+           SELECT 1 FROM embeddings b
+           WHERE b.vec_id % 10 = 0
+             AND list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])) >= $COSINE_TAU)
+       ORDER BY vec_id""") { (s, dir) =>
+    val base = embeddingsBase(s, dir)
+    val train = base.filter(col("vec_id") % 10 =!= 0)
+      .select(col("vec_id"), col("emb"))
+    val bench = base.filter(col("vec_id") % 10 === 0)
+      .select(col("emb").as("b_emb"))
+    train.join(broadcast(bench), cosine(col("emb"), col("b_emb")) >= COSINE_TAU,
+        "left_anti")
+      .select(col("vec_id")).orderBy("vec_id")
+  }
+
   /** Deterministic distributed k-means over normalized vectors (cosine
     * k-means: assignment by max dot, centroids re-normalized). The only
     * driver-side state is the k×dim centroid table — standard for any
@@ -1004,5 +1044,6 @@ object VectorSearch {
   }
 
   val all: Seq[Q] = Seq(q34, xNearestNeighbor, xEmbedNearDup, xAnnIvf,
-    xEmbedCluster, xSemDedup, xKnnLabel, xPqRecall, xIvfPqSearch)
+    xEmbedCluster, xSemDedup, xSemanticDecontam, xKnnLabel, xPqRecall,
+    xIvfPqSearch)
 }
