@@ -232,6 +232,78 @@ object Chunking {
       .orderBy("doc_id")
   }
 
+  /** Line width (words) and cross-doc multiplicity threshold for
+    * x_line_dedup. A "line" is a non-overlapping LINE_W-word window (the
+    * fixture corpus has no newlines, so fixed word windows stand in for
+    * physical lines); a line occurring verbatim in >= LINE_DUP_K DISTINCT
+    * documents is boilerplate and removed from every document.
+    */
+  val LINE_W = 10
+  val LINE_DUP_K = 2
+
+  /** X — line-level deduplication with document reassembly (the
+    * RefinedWeb/CCNet stage between exact doc-dedup and near-dup: strip
+    * boilerplate lines repeated across documents — headers, footers,
+    * navigation — and rebuild each document from its surviving lines).
+    * Distinct from x_span_dedup, which only COUNTS first-occurrence
+    * char-spans: this one makes the keep/drop decision on cross-document
+    * multiplicity and emits the cleaned text itself, the form the next
+    * pipeline stage consumes.
+    *
+    * Plan: one narrow pass explodes docs into (doc_id, i, line); the
+    * boilerplate set is a single hash aggregation on the line (two-level:
+    * (line, doc_id) partial-distinct, then the distinct-doc count); the
+    * decision is a left join back on the line key; reassembly is one
+    * per-doc aggregation collecting surviving (i, line) structs,
+    * array_sort for deterministic order under any partitioning, then a
+    * join — no window over the corpus, no driver state. At 100 TB the
+    * join key would be a 128-bit line digest instead of the raw string
+    * (same accepted-collision class as the other digest joins); raw
+    * strings keep this contract exact.
+    */
+  val xLineDedup = Q(
+    "x_line_dedup",
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       lines AS (SELECT doc_id, i,
+                   array_to_string(t[(i-1)*$LINE_W+1:(i-1)*$LINE_W+$LINE_W], ' ') AS line
+                 FROM w, LATERAL (SELECT unnest(generate_series(1,
+                   CAST(ceil(len(t) / ${LINE_W}.0) AS BIGINT))) AS i)),
+       dup AS (SELECT line FROM lines GROUP BY line
+               HAVING count(DISTINCT doc_id) >= $LINE_DUP_K)
+       SELECT l.doc_id,
+              coalesce(string_agg(CASE WHEN d.line IS NULL THEN l.line END,
+                                  ' ' ORDER BY l.i), '') AS text_clean,
+              CAST(sum(CASE WHEN d.line IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              CAST(sum(CASE WHEN d.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+       FROM lines l LEFT JOIN dup d ON l.line = d.line
+       GROUP BY l.doc_id ORDER BY l.doc_id""") { (s, dir) =>
+    val lines = T(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1),
+          ceil(size(col("t")) / lit(LINE_W.toDouble)).cast("int"))).as("i"))
+      .select(col("doc_id"), col("i"),
+        array_join(
+          slice(col("t"), (col("i") - 1) * LINE_W + 1, lit(LINE_W)),
+          " ").as("line"))
+    val dup = lines.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= LINE_DUP_K)
+      .select(col("line"), lit(1).as("isdup"))
+    lines.join(dup, Seq("line"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("isdup").isNull, struct(col("i"), col("line"))))),
+            x => x("line")),
+          " ").as("text_clean"),
+        sum(when(col("isdup").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("isdup").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(xDocChunk, xStratifiedSample, xPackSequences, xSpanDedup,
-    xTokenBudget)
+    xTokenBudget, xLineDedup)
 }
