@@ -432,6 +432,112 @@ object TextStats {
       .orderBy("rank")
   }
 
+  /** DSIR feature dimensionality (hashed buckets) and fixed-point scale
+    * for the log-ratio weights.
+    */
+  val DSIR_DIM = 64
+  val DSIR_SCALE = 1e6
+
+  /** Raw (unrounded) per-bucket DSIR log-ratio weights — exposed so the
+    * spec can measure each weight's distance to its round-half decision
+    * boundary (the bm25 discipline: the only float crossing engines is
+    * round(1e6·ln(ratio)), and only a value within ~1 ulp of a
+    * (k+0.5)·1e-6 boundary could round differently under libm wobble).
+    */
+  def dsirRawWeights(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val words = T(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("w")), 1, 4), 16, 10).cast("int") % DSIR_DIM)
+          .as("b"))
+    val hist = words.groupBy(col("b"))
+      .agg(count(lit(1)).as("rc"),
+        count(when(col("lang") === "en", 1)).as("tc"))
+    val tot = hist.agg(sum(col("rc")).as("rt"), sum(col("tc")).as("tt"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (lit(DSIR_SCALE) *
+          log(((col("tc") + lit(1.0)) / (col("tt") + lit(DSIR_DIM.toDouble))) /
+              ((col("rc") + lit(1.0)) / (col("rt") + lit(DSIR_DIM.toDouble)))))
+          .as("raw_wgt"))
+  }
+
+  /** X — DSIR importance weighting (Data Selection via Importance
+    * Resampling, Xie et al. 2023): score every document by how much its
+    * hashed bag-of-words distribution looks like a TARGET distribution
+    * (here the lang='en' slice) relative to the RAW corpus — the
+    * published recipe for selecting pretraining data that matches a
+    * high-quality target domain without training a classifier.
+    *
+    * score(doc) = Σ_w ln( p_target(bucket(w)) / p_raw(bucket(w)) ), with
+    * add-one smoothing over DSIR_DIM hashed buckets — the importance
+    * log-weight of the doc under the bucketed n-gram model.
+    *
+    * Cross-engine float discipline: a per-doc float SUM over words would
+    * be addition-order-dependent, so the ONLY float step is computing the
+    * 64 per-bucket weights (one ln each), immediately rounded to
+    * fixed-point integers (·1e6). The per-doc score is then an exact
+    * integer dot product Σ cnt(doc,b)·wgt(b) — order-independent in both
+    * engines. Boundary exposure is 64 values, each measured against its
+    * round-half boundary in the spec (vs per-doc-sum exposure, which
+    * would be unmeasurable).
+    *
+    * Scale posture: hashed features need no vocabulary build (the
+    * hashing-trick argument of x_hash_embed); the weight table is
+    * DIM-sized and broadcast; the corpus sees two narrow aggregations
+    * (bucket histogram, per-doc bucket counts) and no window, no driver
+    * state beyond the 64-row weight frame.
+    */
+  val xDsirWeights = Q(
+    "x_dsir_weights",
+    s"""WITH w AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+       h AS (SELECT doc_id, lang, substr(md5(w), 1, 4) AS hx FROM w WHERE w <> ''),
+       ww AS (SELECT doc_id, lang,
+               ((strpos('0123456789abcdef', substr(hx,1,1))-1)*4096
+              + (strpos('0123456789abcdef', substr(hx,2,1))-1)*256
+              + (strpos('0123456789abcdef', substr(hx,3,1))-1)*16
+              + (strpos('0123456789abcdef', substr(hx,4,1))-1)) % $DSIR_DIM AS b
+             FROM h),
+       hist AS (SELECT b, count(*) AS rc,
+                       count(*) FILTER (lang = 'en') AS tc
+                FROM ww GROUP BY 1),
+       tot AS (SELECT CAST(sum(rc) AS BIGINT) AS rt, CAST(sum(tc) AS BIGINT) AS tt FROM hist),
+       wt AS (SELECT b,
+                CAST(round($DSIR_SCALE * ln(((tc + 1.0) / (tt + ${DSIR_DIM}.0)) /
+                                            ((rc + 1.0) / (rt + ${DSIR_DIM}.0)))) AS BIGINT) AS wgt
+              FROM hist CROSS JOIN tot),
+       dc AS (SELECT doc_id, b, count(*) AS c FROM ww GROUP BY 1, 2)
+       SELECT dc.doc_id, CAST(sum(dc.c * wt.wgt) AS BIGINT) AS dsir_score
+       FROM dc JOIN wt ON dc.b = wt.b
+       GROUP BY 1 ORDER BY doc_id""") { (s, dir) =>
+    val words = T(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("w")), 1, 4), 16, 10).cast("int") % DSIR_DIM)
+          .as("b"))
+    val hist = words.groupBy(col("b"))
+      .agg(count(lit(1)).as("rc"),
+        count(when(col("lang") === "en", 1)).as("tc"))
+    val tot = hist.agg(sum(col("rc")).as("rt"), sum(col("tc")).as("tt"))
+    val wt = hist.crossJoin(broadcast(tot))
+      .select(col("b"),
+        round(lit(DSIR_SCALE) *
+          log(((col("tc") + lit(1.0)) / (col("tt") + lit(DSIR_DIM.toDouble))) /
+              ((col("rc") + lit(1.0)) / (col("rt") + lit(DSIR_DIM.toDouble)))))
+          .cast("long").as("wgt"))
+    val dc = words.groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    dc.join(broadcast(wt), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("wgt")).as("dsir_score"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q35, q35b, xTfIdf, xQuality, xTokenCount, xLangId,
-    xRepetition, xQualityRules, xWordEntropy, xHashEmbed, xBm25)
+    xRepetition, xQualityRules, xWordEntropy, xHashEmbed, xBm25, xDsirWeights)
 }

@@ -71,4 +71,31 @@ class Round9Spec extends AnyFunSuite {
     assert(found == Seq((103L, 104L, 4L), (105L, 106L, 4L)),
       s"unexpected near-dup pairs: $found")
   }
+
+  test("dsir: every fixed-point weight sits far from its round-half boundary") {
+    // The only float crossing engines in x_dsir_weights is
+    // round(1e6·ln(ratio)) over DSIR_DIM bucket weights; a libm 1-ulp
+    // disagreement can only flip a weight whose raw value lies within
+    // ~1 ulp of a (k+0.5) boundary (the bm25 discipline — distance is
+    // measured to the HALF boundary, not the nearest integer, which is
+    // the safe direction). The per-doc score is an exact integer dot
+    // product, so these 64 values are the entire exposure.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val raw = graft.llmops.TextStats.dsirRawWeights(spark, dir)
+        .select("raw_wgt").as[Double].collect()
+      // only buckets some word actually hashes to exist (25 of 64 at
+      // sf0.001); those are exactly the weights either engine evaluates
+      assert(raw.nonEmpty && raw.length <= graft.llmops.TextStats.DSIR_DIM)
+      val dists = raw.map { s =>
+        val f = s - math.floor(s)
+        math.abs(f - 0.5)
+      }
+      info(f"$dir: min distance to a round-half boundary: ${dists.min}%.3e (of 1.0)")
+      // a few-ulp libm wobble on a magnitude-~1e5 scaled weight moves it
+      // by ~1e-11; require 6 orders more margin than that threat
+      assert(dists.min > 1e-5,
+        s"$dir: weight within 1e-5 of a round-half boundary — " +
+          "cross-engine rounding not safe on this corpus")
+    }
+  }
 }
