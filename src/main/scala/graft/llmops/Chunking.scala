@@ -304,6 +304,84 @@ object Chunking {
       .orderBy("doc_id")
   }
 
+  /** Minimum repeated-substring length for x_substr_dedup (chars). */
+  val SUBSTR_L = 40
+
+  /** X — exact repeated-substring regions at ARBITRARY offsets (the
+    * suffix-array-style dedup of "Deduplicating Training Data Makes
+    * Language Models Better", Lee et al. 2022, re-expressed for a
+    * distributed engine): find every maximal region of each document
+    * whose ≥SUBSTR_L-char content appears verbatim elsewhere in the
+    * corpus (any doc, any offset — including elsewhere in the same doc).
+    * x_span_dedup only sees repeats aligned to its fixed span grid; this
+    * catches a quoted passage at any character position, which is what
+    * the suffix-array method buys.
+    *
+    * Formulation: a char position is covered iff some SUBSTR_L-window
+    * containing it repeats corpus-wide. Sliding windows (step 1) are
+    * digested (md5 — both engines spell it identically); digests with
+    * count ≥ 2 mark their windows repeated; per doc, overlapping/adjacent
+    * repeated windows merge into maximal islands (gaps-and-islands via a
+    * running max-end window PARTITIONED BY doc — never a corpus-wide
+    * window). Output per doc: region count + covered chars.
+    *
+    * Scale posture: the window stream is n_chars rows/doc (narrow map);
+    * the repeat set is one hash agg on the digest; the island merge is
+    * per-doc-partitioned window work. A true suffix array would find
+    * variable-L maximal repeats; fixing L and sliding by 1 is the
+    * standard distributed relaxation (it reports the same regions for
+    * any repeat of length ≥ L, clipped to window resolution).
+    */
+  val xSubstrDedup = Q(
+    "x_substr_dedup",
+    s"""WITH wins AS (SELECT doc_id, off, md5(substr(text, off + 1, $SUBSTR_L)) AS d
+                 FROM documents,
+                      LATERAL (SELECT unnest(generate_series(0, len(text) - $SUBSTR_L)) AS off)
+                 WHERE len(text) >= $SUBSTR_L),
+       rep AS (SELECT d FROM wins GROUP BY d HAVING count(*) >= 2),
+       r AS (SELECT w.doc_id, w.off FROM wins w JOIN rep USING (d)),
+       m AS (SELECT doc_id, off,
+               max(off + $SUBSTR_L) OVER (PARTITION BY doc_id ORDER BY off
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+             FROM r),
+       g AS (SELECT doc_id, off,
+               sum(CASE WHEN pe IS NULL OR off > pe THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY off) AS isl
+             FROM m),
+       reg AS (SELECT doc_id, isl, min(off) AS s, max(off) + $SUBSTR_L AS e
+               FROM g GROUP BY 1, 2)
+       SELECT doc.doc_id,
+              CAST(coalesce(count(reg.isl), 0) AS BIGINT) AS n_regions,
+              CAST(coalesce(sum(reg.e - reg.s), 0) AS BIGINT) AS n_repeated_chars
+       FROM documents doc LEFT JOIN reg ON doc.doc_id = reg.doc_id
+       GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+    val wins = T(s, dir, "documents")
+      .filter(length(col("text")) >= SUBSTR_L)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), length(col("text")) - SUBSTR_L)).as("off"),
+        col("text"))
+      .select(col("doc_id"), col("off"),
+        md5(expr(s"substring(text, off + 1, $SUBSTR_L)")).as("d"))
+    val rep = wins.groupBy(col("d")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("d"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("off"))
+    val regions = wins.join(rep, Seq("d"))
+      .select(col("doc_id"), col("off"))
+      .withColumn("pe", max(col("off") + SUBSTR_L).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("isl", sum(
+        when(col("pe").isNull || col("off") > col("pe"), 1L).otherwise(0L))
+        .over(byDoc))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("off")).as("s"), (max(col("off")) + SUBSTR_L).as("e"))
+    T(s, dir, "documents").select(col("doc_id"))
+      .join(regions, Seq("doc_id"), "left")
+      .groupBy(col("doc_id"))
+      .agg(coalesce(count(col("isl")), lit(0L)).as("n_regions"),
+        coalesce(sum(col("e") - col("s")), lit(0L)).as("n_repeated_chars"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(xDocChunk, xStratifiedSample, xPackSequences, xSpanDedup,
-    xTokenBudget, xLineDedup)
+    xTokenBudget, xLineDedup, xSubstrDedup)
 }
