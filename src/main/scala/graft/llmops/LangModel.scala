@@ -233,5 +233,82 @@ object LangModel {
       .orderBy("rank")
   }
 
-  val all: Seq[Q] = Seq(xBigramLm, xLmCrossPpl, xPmiTerms)
+  /** X — CCNet perplexity bucketing: assign every scoreable document to
+    * the head / middle / tail third of the cross-perplexity distribution
+    * (model trained on the lang='en' reference split, the x_lm_crossppl
+    * setup). This is the decision CCNet actually ships — "keep head,
+    * maybe middle, drop tail" — where x_lm_crossppl only surfaces the
+    * top-20 most-perplexed.
+    *
+    * Boundary discipline: the tercile boundaries are exact
+    * kth-smallest VALUES (k = ⌈n/3⌉, ⌈2n/3⌉) of the 6-decimal-scaled
+    * integer nll — computed from a VALUE-HISTOGRAM cumsum, not a
+    * corpus-wide rank window (the x_rfm_scaled argument: 6-decimal
+    * rounding bounds the distinct-value domain regardless of corpus
+    * size, so the cumsum window runs over a domain-sized frame while
+    * per-doc work stays windowless). Ties share a bucket — assignment
+    * is by VALUE threshold, so equal scores can never straddle a
+    * boundary nondeterministically. Only (doc_id, bucket) is output;
+    * the float never leaves the engine (the house rounding rule).
+    */
+  val xCcnetBuckets = Q(
+    "x_ccnet_buckets",
+    s"""WITH twords AS (SELECT string_split(text,' ') AS t FROM documents
+                       WHERE lang = 'en'),
+       tbg AS (SELECT t[i] AS w1, t[i+1] AS w2
+               FROM twords, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) s
+               WHERE len(t) >= 2),
+       cnt AS (SELECT w1, w2, count(*) AS c FROM tbg GROUP BY 1,2),
+       uni AS (SELECT w1, sum(c) AS cw FROM cnt GROUP BY 1),
+       vocab AS (SELECT count(DISTINCT w) AS v
+                 FROM (SELECT unnest(t) AS w FROM twords) u),
+       swords AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+       sbg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+               FROM swords, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) s
+               WHERE len(t) >= 2),
+       scored AS (SELECT sbg.doc_id,
+                    round(sum(-ln((coalesce(cnt.c, 0) + $SMOOTH_K)
+                                  /(coalesce(uni.cw, 0) + $SMOOTH_K*vocab.v)))
+                          / count(*), 6) AS nll
+                  FROM sbg LEFT JOIN cnt USING (w1, w2)
+                       LEFT JOIN uni USING (w1) CROSS JOIN vocab
+                  GROUP BY sbg.doc_id),
+       s6 AS (SELECT doc_id, CAST(round(nll * 1000000) AS BIGINT) AS nll6 FROM scored),
+       hist AS (SELECT nll6, count(*) AS c FROM s6 GROUP BY 1),
+       cum AS (SELECT nll6, sum(c) OVER (ORDER BY nll6) AS cum FROM hist),
+       tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+       b AS (SELECT min(CASE WHEN cum >= (n + 2) // 3 THEN nll6 END) AS b1,
+                    min(CASE WHEN cum >= (2 * n + 2) // 3 THEN nll6 END) AS b2
+             FROM cum CROSS JOIN tot)
+       SELECT s6.doc_id,
+              CASE WHEN nll6 <= b1 THEN 'head'
+                   WHEN nll6 <= b2 THEN 'middle'
+                   ELSE 'tail' END AS bucket
+       FROM s6 CROSS JOIN b ORDER BY doc_id""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = T(s, dir, "documents")
+    val ref = docs.filter(col("lang") === "en").select("doc_id", "text")
+    require(!ref.isEmpty, "x_ccnet_buckets: reference split (lang='en') is empty")
+    val s6 = avgNllCross(ref, docs.select("doc_id", "text"),
+        cacheKey = "x_ccnet_buckets.cnt")
+      .select(col("doc_id"), round(col("nll") * 1e6).cast("long").as("nll6"))
+    val hist = s6.groupBy(col("nll6")).agg(count(lit(1)).as("c"))
+    // histogram cumsum: the only unpartitioned window, over the bounded
+    // 6-decimal value domain, never over docs
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(Window.orderBy(col("nll6"))))
+    val tot = hist.agg(sum(col("c")).as("n"))
+    val b = cum.crossJoin(broadcast(tot))
+      .agg(
+        min(when(col("cum") >= expr("(n + 2) div 3"), col("nll6"))).as("b1"),
+        min(when(col("cum") >= expr("(2 * n + 2) div 3"), col("nll6"))).as("b2"))
+    s6.crossJoin(broadcast(b))
+      .select(col("doc_id"),
+        when(col("nll6") <= col("b1"), "head")
+          .when(col("nll6") <= col("b2"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(xBigramLm, xLmCrossPpl, xPmiTerms, xCcnetBuckets)
 }
