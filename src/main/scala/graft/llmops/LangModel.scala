@@ -137,6 +137,40 @@ object LangModel {
     * Same 100 TB shape as x_bigram_lm; the only difference is the model
     * pass reads the (smaller) reference split.
     */
+  /** Shared cross-perplexity scores — (doc_id, nll) under the
+    * lang='en'-trained model — computed ONCE per (session, dir) and
+    * reused by x_lm_crossppl and x_ccnet_buckets (the embeddingsBase
+    * pattern: two graded queries consume the same trained-model scoring
+    * pass, and at 100 TB you score the corpus once and make both
+    * decisions from the scores, not retrain per decision).
+    */
+  private val crossScoredMemo =
+    scala.collection.concurrent.TrieMap
+      .empty[(Int, String), org.apache.spark.sql.DataFrame]
+
+  def crossScored(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    crossScoredMemo.filterInPlace(
+      (_, df) => !df.sparkSession.sparkContext.isStopped)
+    val key = (System.identityHashCode(s), dir)
+    crossScoredMemo.get(key).filter(_.sparkSession eq s).getOrElse {
+      val docs = T(s, dir, "documents")
+      val ref = docs.filter(col("lang") === "en").select("doc_id", "text")
+      // an empty reference split would make every probability 0/0 (NULL
+      // in Spark, inf in DuckDB) and silently degrade the ranking to
+      // NULLS-LAST noise — fail loudly instead
+      require(!ref.isEmpty,
+        "cross-perplexity: reference split (lang='en') is empty")
+      val df = avgNllCross(ref, docs.select("doc_id", "text"),
+          cacheKey = s"lm.cross.model:${System.identityHashCode(s)}:$dir")
+        .cache()
+      graft.core.CacheBin.swap(
+        s"lm.cross.scored:${System.identityHashCode(s)}:$dir", df)
+      crossScoredMemo.put(key, df)
+      df
+    }
+  }
+
   val xLmCrossPpl = Q(
     "x_lm_crossppl",
     s"""WITH twords AS (SELECT string_split(text,' ') AS t FROM documents
@@ -162,14 +196,7 @@ object LangModel {
        SELECT CAST(row_number() OVER (ORDER BY nll DESC, doc_id) AS BIGINT) AS rank,
               doc_id
        FROM scored ORDER BY rank LIMIT 20""") { (s, dir) =>
-    val docs = T(s, dir, "documents")
-    val ref = docs.filter(col("lang") === "en").select("doc_id", "text")
-    // an empty reference split would make every probability 0/0 (NULL in
-    // Spark, inf in DuckDB) and silently degrade the ranking to NULLS-LAST
-    // noise — fail loudly instead
-    require(!ref.isEmpty, "x_lm_crossppl: reference split (lang='en') is empty")
-    rankTop20(avgNllCross(ref, docs.select("doc_id", "text"),
-      cacheKey = "x_lm_crossppl.cnt"))
+    rankTop20(crossScored(s, dir))
   }
 
   /** Collocations below this bigram count are PMI noise (a hapax pair
@@ -286,11 +313,7 @@ object LangModel {
                    ELSE 'tail' END AS bucket
        FROM s6 CROSS JOIN b ORDER BY doc_id""") { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val docs = T(s, dir, "documents")
-    val ref = docs.filter(col("lang") === "en").select("doc_id", "text")
-    require(!ref.isEmpty, "x_ccnet_buckets: reference split (lang='en') is empty")
-    val s6 = avgNllCross(ref, docs.select("doc_id", "text"),
-        cacheKey = "x_ccnet_buckets.cnt")
+    val s6 = crossScored(s, dir)
       .select(col("doc_id"), round(col("nll") * 1e6).cast("long").as("nll6"))
     val hist = s6.groupBy(col("nll6")).agg(count(lit(1)).as("c"))
     // histogram cumsum: the only unpartitioned window, over the bounded
