@@ -120,5 +120,36 @@ object Curation {
       .drop("ht")
   }
 
-  val all: Seq[Q] = Seq(xNgramContamination, xMixSample)
+  /** X — per-source document cap (the RefinedWeb/C4 "domain cap": no
+    * single web domain may dominate the corpus). Keeps the CAP longest
+    * documents per source, priority n_chars DESC then doc_id ASC.
+    *
+    * Spark side runs the bounded-heap Aggregator
+    * ([[graft.functions.TopKByScore]]) inside ObjectHashAggregate with
+    * map-side partials — each input partition ships at most CAP rows per
+    * source into the shuffle, so the exchange is O(sources × CAP ×
+    * partitions) no matter how large the corpus, and a hot domain never
+    * serializes one task. The oracle spells the same contract as the
+    * window top-k (full shuffle + sort — fine for DuckDB's single-node
+    * sort, the plan this operator exists to avoid at 100 TB).
+    */
+  val xDomainCap = Q(
+    "x_domain_cap",
+    """SELECT source, rnk, doc_id, n_chars FROM (
+         SELECT source, doc_id, n_chars,
+                CAST(row_number() OVER (PARTITION BY source
+                  ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rnk
+         FROM documents)
+       WHERE rnk <= 3 ORDER BY source, rnk""") { (s, dir) =>
+    val topk = graft.functions.TopKByScore.topK(3)
+    T(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(topk(col("n_chars"), col("doc_id")).as("kept"))
+      .select(col("source"), posexplode(col("kept")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("doc_id"), col("col.score").as("n_chars"))
+      .orderBy("source", "rnk")
+  }
+
+  val all: Seq[Q] = Seq(xNgramContamination, xMixSample, xDomainCap)
 }

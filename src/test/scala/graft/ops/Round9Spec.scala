@@ -98,4 +98,41 @@ class Round9Spec extends AnyFunSuite {
           "cross-engine rounding not safe on this corpus")
     }
   }
+
+  test("domain cap: bounded-heap agg equals the window top-k and runs as a partial ObjectHashAggregate") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.01"
+    val capped = graft.llmops.Curation.xDomainCap.build(spark, dir)
+      .select("source", "rnk", "doc_id", "n_chars")
+
+    // independent spelling: the window plan this Aggregator replaces
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val windowed = graft.core.Tables(spark, dir, "documents")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("source"), col("rnk"), col("doc_id"), col("n_chars"))
+    assert(capped.collect().toSeq == windowed.orderBy("source", "rnk").collect().toSeq)
+
+    // plan shape: ObjectHashAggregate with a partial pass (map-side
+    // top-k) — the reason the shuffle stays k-bounded per group per
+    // partition; a window plan here would shuffle and sort every row
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected ObjectHashAggregate in:\n$plan")
+    assert(!plan.contains("Window"), "cap must not fall back to a window")
+
+    // the heap really is bounded: reduce/merge never grow past k
+    val agg = new graft.functions.TopKByScore(2)
+    val grown = (1L to 100L).foldLeft(agg.zero) { (b, i) =>
+      agg.reduce(b, graft.functions.ScoredId(i, i))
+    }
+    assert(grown.length == 2 && grown.map(_.score) == Seq(100L, 99L))
+    val other = (101L to 200L).foldLeft(agg.zero) { (b, i) =>
+      agg.reduce(b, graft.functions.ScoredId(i, i))
+    }
+    val merged = agg.merge(grown, other)
+    assert(merged.length == 2 && merged.map(_.id) == Seq(200L, 199L))
+  }
 }
