@@ -82,5 +82,62 @@ object HeavyHitters {
       .orderBy("term")
   }
 
-  val all: Seq[Q] = Seq(xHeavyHitters)
+  /** X — Count-Min point-frequency estimates for a bounded probe set
+    * (the distinct terms of doc 0), without a vocabulary-sized shuffle.
+    *
+    * The complement of the Misra–Gries pass above: MG answers "which
+    * terms are heavy", CMS answers "how often does THIS term occur" for
+    * any term — the shape a blocklist auditor or stopword tuner needs
+    * when the probe terms are known up front. The sketch is a fixed
+    * w×d counter grid (here 27×10 longs ≈ 2 KB), built in ONE pass with
+    * map-side partials (counter grids sum cell-wise, so the merge is
+    * commutative and deterministic) — at 100 TB the driver state is
+    * still 2 KB, vs a billions-of-keys groupBy for the exact table.
+    *
+    * Graded facts, all deterministic given the fixed seed: the exact
+    * probe counts (recounted over a broadcast-bounded key set, same plan
+    * as the MG recount), `no_underestimate` (a structural CMS guarantee
+    * — min over rows of summed counters can only overcount), and
+    * `within_eps` (est ≤ exact + εN; probabilistic per seed, verified
+    * stable at sf0.001/0.01/0.1 — the width 27 is deliberately SMALLER
+    * than the ~40-term vocabulary so collisions are real and the test
+    * is non-vacuous). Oracle computes the exact counts and the trivially
+    * true flags, like q07_approx_hll's derived-fact split.
+    */
+  val xCountMin = Q(
+    "x_count_min",
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       probes AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+                  FROM documents WHERE doc_id = 0),
+       t AS (SELECT toks.w, count(*) AS freq FROM toks
+             JOIN probes ON toks.w = probes.w WHERE toks.w <> '' GROUP BY toks.w)
+       SELECT w AS term, freq, TRUE AS no_underestimate, TRUE AS within_eps
+       FROM t ORDER BY term""") { (s, dir) =>
+    val toks = T(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    // one distributed pass; ~2 KB of driver state (the counter grid)
+    val sketch = toks.stat.countMinSketch("w", CMS_EPS, 0.999, 42)
+    val bc = s.sparkContext.broadcast(sketch)
+    val est = udf((w: String) => bc.value.estimateCount(w))
+    val probes = T(s, dir, "documents")
+      .filter(col("doc_id") === 0)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
+    val n = toks.select(count(lit(1)).as("n"))
+    toks.join(broadcast(probes), Seq("w"), "left_semi")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"))
+      .crossJoin(broadcast(n))
+      .select(col("w").as("term"), col("freq"),
+        (est(col("w")) >= col("freq")).as("no_underestimate"),
+        (est(col("w")) <= col("freq") + ceil(lit(CMS_EPS) * col("n")))
+          .as("within_eps"))
+      .orderBy("term")
+  }
+
+  /** ε for x_count_min: width = ceil(2/ε) = 27 cells/row. */
+  private val CMS_EPS = 0.075
+
+  val all: Seq[Q] = Seq(xHeavyHitters, xCountMin)
 }

@@ -135,4 +135,29 @@ class Round9Spec extends AnyFunSuite {
     val merged = agg.merge(grown, other)
     assert(merged.length == 2 && merged.map(_.id) == Seq(200L, 199L))
   }
+
+  test("count-min: bounds hold, and the narrow grid really collides (non-vacuous)") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val out = graft.llmops.HeavyHitters.xCountMin.build(spark, dir)
+    val rows = out.collect()
+    assert(rows.length > 5)
+    assert(rows.forall(r => r.getBoolean(2) && r.getBoolean(3)),
+      "CMS bound violated on the fixed-seed sketch")
+
+    // non-vacuity: with width 27 < vocabulary size, at least one probe's
+    // estimate must strictly overcount (a pure-equality pass would mean
+    // the test can't distinguish CMS from an exact count)
+    val toks = graft.core.Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val vocab = toks.distinct().count()
+    assert(vocab > 27, s"vocabulary $vocab no longer exceeds the CMS width")
+    val sketch = toks.stat.countMinSketch("w", 0.075, 0.999, 42)
+    val exact = toks.groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val over = exact.count { case (w, c) => sketch.estimateCount(w) > c }
+    info(s"vocab=$vocab, strict overcounts=$over of ${exact.size}")
+    assert(over > 0, "no collisions — CMS width too generous for the test to bite")
+  }
 }
