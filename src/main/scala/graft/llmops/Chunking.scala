@@ -382,6 +382,93 @@ object Chunking {
       .orderBy("doc_id")
   }
 
+  /** X — content-defined chunking (the rsync/LBFS boundary trick applied
+    * to corpus dedup): cut the word stream where a hash of the local
+    * 2-word window lands in a target residue class (md5 first hex digit
+    * ∈ {0,1} → cut probability 1/8, mean chunk ≈ 8 words), then count
+    * chunks whose content repeats corpus-wide.
+    *
+    * Why content-defined beats every fixed grid in this file: span/line
+    * dedup cut at fixed offsets, so ONE inserted word shifts every later
+    * boundary and a shared passage stops matching; a CDC boundary
+    * depends only on the two words beside it, so an edit perturbs at
+    * most its neighboring chunks and the rest of the document still
+    * dedups (the property rsync/LBFS/backup stores are built on).
+    * x_substr_dedup gets the same robustness from char-level sliding
+    * windows but pays n_chars rows per doc; CDC pays n_words rows and
+    * one digest per ~8 words — the cheap version when approximate
+    * region resolution is acceptable.
+    *
+    * Scale posture: boundary decisions and chunk assembly are per-doc
+    * partitioned windows (never corpus-wide); the only corpus-wide step
+    * is one hash agg on chunk digests. Per doc: total chunks, chunks
+    * whose content appears ≥2× corpus-wide, and the words inside them.
+    */
+  /** CDC chunk table for a (doc_id, text) frame: one row per chunk with
+    * its content digest and word count. All window work is per-doc
+    * partitioned. Shared by x_cdc_chunk and the insertion-robustness
+    * property test.
+    */
+  def cdcChunks(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("col", "w")
+      .withColumn("pw", lag(col("w"), 1).over(byDoc))
+      .withColumn("cut",
+        when(col("pw").isNull, 0L)
+          .when(substring(md5(concat_ws(" ", col("pw"), col("w"))), 1, 1)
+            .isin("0", "1"), 1L)
+          .otherwise(0L))
+      .withColumn("cid", sum(col("cut")).over(byDoc))
+      .groupBy(col("doc_id"), col("cid"))
+      .agg(
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ")).as("h"),
+        count(lit(1)).as("n_words"))
+  }
+
+  val xCdcChunk = Q(
+    "x_cdc_chunk",
+    """WITH words AS (
+         SELECT doc_id, i - 1 AS pos, t[i] AS w
+         FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              LATERAL (SELECT unnest(generate_series(1, len(t))) AS i)),
+       c AS (SELECT doc_id, pos, w,
+               CASE WHEN pos = 0 THEN 0
+                    WHEN substr(md5(lag(w) OVER (PARTITION BY doc_id ORDER BY pos)
+                                    || ' ' || w), 1, 1) IN ('0','1') THEN 1
+                    ELSE 0 END AS cut
+             FROM words),
+       ch AS (SELECT doc_id,
+                     sum(cut) OVER (PARTITION BY doc_id ORDER BY pos) AS cid,
+                     pos, w
+              FROM c),
+       chunks AS (SELECT doc_id, cid,
+                         md5(string_agg(w, ' ' ORDER BY pos)) AS h,
+                         count(*) AS n_words
+                  FROM ch GROUP BY doc_id, cid),
+       rep AS (SELECT h FROM chunks GROUP BY h HAVING count(*) >= 2)
+       SELECT doc_id,
+              CAST(count(*) AS BIGINT) AS n_chunks,
+              CAST(sum(CASE WHEN rep.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+              CAST(coalesce(sum(CASE WHEN rep.h IS NOT NULL THEN n_words END), 0) AS BIGINT) AS n_dup_words
+       FROM chunks LEFT JOIN rep USING (h)
+       GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+    val chunks = cdcChunks(T(s, dir, "documents"))
+    val rep = chunks.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("h"))
+    chunks.join(rep.withColumn("isrep", lit(1)), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("isrep").isNotNull, 1L).otherwise(0L)).as("n_dup_chunks"),
+        coalesce(sum(when(col("isrep").isNotNull, col("n_words"))), lit(0L))
+          .as("n_dup_words"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(xDocChunk, xStratifiedSample, xPackSequences, xSpanDedup,
-    xTokenBudget, xLineDedup, xSubstrDedup)
+    xTokenBudget, xLineDedup, xSubstrDedup, xCdcChunk)
 }

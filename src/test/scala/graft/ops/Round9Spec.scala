@@ -160,4 +160,38 @@ class Round9Spec extends AnyFunSuite {
     info(s"vocab=$vocab, strict overcounts=$over of ${exact.size}")
     assert(over > 0, "no collisions — CMS width too generous for the test to bite")
   }
+
+  test("cdc chunking: one inserted word perturbs O(1) chunks; a fixed grid diverges downstream") {
+    import org.apache.spark.sql.functions._
+    // a long pseudo-document from the real corpus vocabulary
+    val base = graft.core.Tables(spark, "/root/testdata/sf0.01", "documents")
+      .orderBy("doc_id").limit(8).collect().map(_.getAs[String]("text"))
+      .mkString(" ").split(" ").take(400)
+    val mid = 200
+    val edited = (base.take(mid) :+ "INSERTED") ++ base.drop(mid)
+    val docs = Seq((0L, base.mkString(" ")), (1L, edited.mkString(" ")))
+      .toDF("doc_id", "text")
+
+    val ch = graft.llmops.Chunking.cdcChunks(docs)
+      .select("doc_id", "h").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSeq).toMap
+    def multiset(s: Seq[String]) = s.groupBy(identity).view.mapValues(_.size).toMap
+    val a = multiset(ch(0L)); val b = multiset(ch(1L))
+    val changed = (a.keySet ++ b.keySet)
+      .count(k => a.getOrElse(k, 0) != b.getOrElse(k, 0))
+    info(s"cdc: ${ch(0L).size}/${ch(1L).size} chunks, $changed differing")
+    // the insert can split/alter at most the chunk it lands in plus its
+    // two hash-window neighbors — everything after re-synchronizes
+    assert(changed <= 6, s"CDC failed to re-synchronize: $changed chunks differ")
+    assert(changed >= 1, "edit invisible — test is vacuous")
+
+    // the fixed 8-word grid: every chunk from the edit onward shifts
+    def grid(ws: Array[String]) = ws.grouped(8).map(_.mkString(" ")).toSeq
+    val ga = multiset(grid(base)); val gb = multiset(grid(edited.toArray))
+    val gridChanged = (ga.keySet ++ gb.keySet)
+      .count(k => ga.getOrElse(k, 0) != gb.getOrElse(k, 0))
+    info(s"fixed grid: $gridChanged of ${ga.size}+${gb.size} differing")
+    assert(gridChanged > (base.length - mid) / 8,
+      "fixed grid unexpectedly robust — comparison claim doesn't hold")
+  }
 }
