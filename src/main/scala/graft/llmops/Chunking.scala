@@ -469,6 +469,67 @@ object Chunking {
       .orderBy("doc_id")
   }
 
+  /** Target tokens per output shard for x_shard_assign. */
+  val SHARD_TOKENS = 2048L
+
+  /** X — balanced training-shard assignment: the step before writing
+    * webdataset/TFRecord-style output, where the tokenized corpus must
+    * land in shards of ≈SHARD_TOKENS tokens each, reproducibly. Docs are
+    * laid out in the md5-of-id deterministic-shuffle order (so shards
+    * are topic-mixed, not source-clumped) and each doc goes to
+    * `floor(tokens_before_it / SHARD_TOKENS)` — contiguous fill, every
+    * shard within one document of the target.
+    *
+    * The cumsum is GLOBAL — the naive spelling is one corpus-wide
+    * window on a single task. Same escape as x_token_budget, minus the
+    * language dimension: docs bucket by md5 prefix (256 buckets, the
+    * bucket order refines the doc order), per-bucket token sums feed a
+    * 256-row bucket-offset window, and the within-bucket cumsum
+    * partitions by bucket — 256-way parallel, prefix width is the knob.
+    * The oracle runs the naive window; identical rows prove the
+    * decomposition exact.
+    */
+  val xShardAssign = Q(
+    "x_shard_assign",
+    s"""WITH t AS (SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,
+           md5(CAST(doc_id AS VARCHAR)) AS h
+         FROM documents),
+       c AS (SELECT doc_id, n_tokens,
+               coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+             FROM t)
+       SELECT doc_id, n_tokens,
+              CAST(before // $SHARD_TOKENS AS BIGINT) AS shard
+       FROM c ORDER BY doc_id""") { (s, dir) =>
+    shardAssign(T(s, dir, "documents")).orderBy("doc_id")
+  }
+
+  /** The x_shard_assign machinery over any (doc_id, text) frame —
+    * exposed for the balance property test.
+    */
+  def shardAssign(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val t = docs
+      .select(col("doc_id"),
+        expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+          .cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("bkt", substring(col("h"), 1, 2))
+    val boff = t.groupBy("bkt").agg(sum("n_tokens").as("bt"))
+      .withColumn("off", coalesce(
+        sum(col("bt")).over(Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("off"))
+    val wIn = Window.partitionBy("bkt").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.join(broadcast(boff), Seq("bkt"))
+      .withColumn("before",
+        col("off") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"before div $SHARD_TOKENS").as("shard"))
+  }
+
   val all: Seq[Q] = Seq(xDocChunk, xStratifiedSample, xPackSequences, xSpanDedup,
-    xTokenBudget, xLineDedup, xSubstrDedup, xCdcChunk)
+    xTokenBudget, xLineDedup, xSubstrDedup, xCdcChunk, xShardAssign)
 }

@@ -194,4 +194,28 @@ class Round9Spec extends AnyFunSuite {
     assert(gridChanged > (base.length - mid) / 8,
       "fixed grid unexpectedly robust — comparison claim doesn't hold")
   }
+
+  test("shard assign: contiguous fill, every non-final shard within one document of target") {
+    import org.apache.spark.sql.functions._
+    val C = graft.llmops.Chunking
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.01", "documents")
+    val out = C.shardAssign(docs)
+    val shards = out.groupBy("shard")
+      .agg(sum("n_tokens").as("tok"), count(lit(1)).as("docs"))
+      .orderBy("shard").collect()
+    val maxDoc = out.agg(max("n_tokens")).head().getLong(0)
+    val last = shards.last.getLong(0)
+    info(s"${shards.length} shards, max doc $maxDoc tokens, " +
+      s"totals ${shards.map(_.getLong(1)).mkString(",")}")
+    assert(shards.length > 5, "budget too large to exercise sharding at sf0.01")
+    // shard ids are dense 0..last (contiguous fill leaves no holes)
+    assert(shards.map(_.getLong(0)).toSeq == (0L to last))
+    // balance contract: a shard's docs START inside its budget-wide token
+    // interval, so totals stay within one document length of the target
+    shards.dropRight(1).foreach { r =>
+      val tok = r.getLong(1)
+      assert(tok < C.SHARD_TOKENS + maxDoc && tok > C.SHARD_TOKENS - maxDoc,
+        s"shard ${r.getLong(0)} total $tok outside ±maxdoc of ${C.SHARD_TOKENS}")
+    }
+  }
 }
