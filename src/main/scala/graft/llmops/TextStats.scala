@@ -538,6 +538,103 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** RRF constants: the standard k=60 damping; each retriever
+    * contributes its top-100.
+    */
+  val RRF_K = 60
+  val RRF_TOPK = 100
+
+  /** X — hybrid retrieval via Reciprocal Rank Fusion: the lexical
+    * ranking (BM25, the fixed contract query) and the semantic ranking
+    * (exact cosine against probe vector 0, doc i ↔ vec i) each
+    * contribute their top-100, fused by Σ 1/(60 + rank) over the lists
+    * a document appears in — the standard production hybrid-search
+    * combiner (Cormack et al. 2009), robust to the two scores living on
+    * incomparable scales because only RANKS cross the boundary.
+    *
+    * Cross-engine determinism is structural: ranks are integers (each
+    * side's ordering uses the established 6-decimal rounding + id
+    * tiebreak of xBm25/q34), and 1.0/(60+r) + 1.0/(60+r') is a fixed
+    * two-term IEEE expression over integers — bit-identical in any
+    * engine, so the fused score itself is hash-safe unrounded.
+    *
+    * Scale posture: each retriever's list is a TakeOrderedAndProject
+    * (never a corpus-wide rank window — a document outside both top-100s
+    * can't reach the fused top-20 since scores are rank-monotone); the
+    * fusion joins two ≤100-row frames. Swap the exact cosine side for
+    * x_ivfpq_search's shortlist and the same shape serves a
+    * billion-vector hybrid index.
+    */
+  val xRrfFusion = Q(
+    "x_rrf_fusion",
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       d AS (SELECT doc_id, len(ws) AS dl,
+                    len(list_filter(ws, x -> x = '${BM25_QUERY(0)}')) AS tf1,
+                    len(list_filter(ws, x -> x = '${BM25_QUERY(1)}')) AS tf2,
+                    len(list_filter(ws, x -> x = '${BM25_QUERY(2)}')) AS tf3
+             FROM w),
+       stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(dl) AS BIGINT) AS sdl,
+                        CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+                        CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+                        CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+                 FROM d),
+       lexs AS (SELECT doc_id,
+           round(
+             ln(1.0 + (CAST(n AS DOUBLE) - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / (CAST(sdl AS DOUBLE) / n)))
+           + ln(1.0 + (CAST(n AS DOUBLE) - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / (CAST(sdl AS DOUBLE) / n)))
+           + ln(1.0 + (CAST(n AS DOUBLE) - df3 + 0.5) / (df3 + 0.5)) * (tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * dl / (CAST(sdl AS DOUBLE) / n))), 6) AS score
+         FROM d CROSS JOIN stats),
+       lex AS (SELECT doc_id, r FROM (
+                 SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+                 FROM lexs) WHERE r <= $RRF_TOPK),
+       sems AS (SELECT e.vec_id AS doc_id,
+                       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                    CAST(p.embedding AS DOUBLE[])), 6) AS sim,
+                       e.vec_id
+                FROM embeddings e
+                CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) p),
+       sem AS (SELECT doc_id, r FROM (
+                 SELECT doc_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS r
+                 FROM sems) WHERE r <= $RRF_TOPK),
+       fused AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+                        coalesce(1.0 / ($RRF_K + lex.r), 0)
+                      + coalesce(1.0 / ($RRF_K + sem.r), 0) AS rrf
+                 FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id)
+       SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
+              doc_id, rrf
+       FROM fused ORDER BY rank LIMIT 20""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val lexScored = bm25Raw(s, dir)
+      .select(col("doc_id"), round(col("raw"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(RRF_TOPK)
+    val lex = lexScored
+      .withColumn("r_lex", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("r_lex"))
+    val e = VectorSearch.embeddingsBase(s, dir).select("vec_id", "n_emb")
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("n_emb").as("p_emb"))
+    val semScored = e.crossJoin(broadcast(probe))
+      .select(col("vec_id").as("doc_id"),
+        round(VectorSearch.dot(col("n_emb"), col("p_emb")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("doc_id")).limit(RRF_TOPK)
+    val sem = semScored
+      .withColumn("r_sem", row_number().over(
+        Window.orderBy(col("sim").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("r_sem"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(lit(1.0) / (lit(RRF_K) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RRF_K) + col("r_sem")), lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("rrf"))
+      .orderBy("rank")
+  }
+
   val all: Seq[Q] = Seq(q35, q35b, xTfIdf, xQuality, xTokenCount, xLangId,
-    xRepetition, xQualityRules, xWordEntropy, xHashEmbed, xBm25, xDsirWeights)
+    xRepetition, xQualityRules, xWordEntropy, xHashEmbed, xBm25, xDsirWeights,
+    xRrfFusion)
 }

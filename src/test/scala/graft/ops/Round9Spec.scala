@@ -218,4 +218,25 @@ class Round9Spec extends AnyFunSuite {
         s"shard ${r.getLong(0)} total $tok outside ±maxdoc of ${C.SHARD_TOKENS}")
     }
   }
+
+  test("rrf fusion: both retrievers contribute, and the lists come from TakeOrdered, not a corpus window") {
+    val T = graft.llmops.TextStats
+    val dir = "/root/testdata/sf0.01"
+    val fused = T.xRrfFusion.build(spark, dir)
+    val rows = fused.collect()
+    assert(rows.length == 20)
+    // a doc in BOTH top-100s scores ≥ 2/(60+100); a doc in one list at
+    // rank 1 scores 1/61 — the top of the fused list should be dual-listed
+    val best = rows.head.getDouble(2)
+    assert(best > 1.0 / (T.RRF_K + T.RRF_TOPK) * 2 - 1e-12,
+      s"fused head $best implies no document appears in both lists — fusion vacuous")
+    // single-list docs exist in the fused tail (the lists genuinely differ)
+    val single = rows.count(_.getDouble(2) < 1.0 / T.RRF_K + 1e-12)
+    info(s"fused top-20: head=$best, single-list entries=$single")
+
+    // scale posture: both candidate lists are TakeOrderedAndProject; the
+    // only Window ops run AFTER a limit (≤100-row frames)
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered in:\n$plan")
+  }
 }
