@@ -24,7 +24,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     // comma-separated section filter for re-measuring one family without
     // paying the whole probe:
-    // neardup,setsim,nn,km,inc,lm,bpe,contam,pr,qc,evt,cn,cnskew,budget
+    // neardup,setsim,nn,km,inc,lm,bpe,contam,pr,qc,evt,cn,cnskew,budget,cap
     val only = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def want(section: String): Boolean = only.forall(_.contains(section))
@@ -83,6 +83,59 @@ object ScaleProbe {
       pre.unpersist(); sets.unpersist()
       println(f"SCALE-SETSIM k=$k%2d docs=${baseN * k}%6d candRaw=$candRaw%6d " +
         f"cand=$cand%6d pairs=$pairs%5d sec=$sec%7.2f")
+    }
+
+    // ---- domain cap: partial top-k agg vs the window plan ----
+    // the structural claim of x_domain_cap: the bounded-heap Aggregator's
+    // map-side partial emits ≤ k rows per (group, partition) into the
+    // shuffle, while the window plan exchanges EVERY row; the skew variant
+    // routes half the corpus to one "hub" source, which serializes the
+    // window's hub partition on one task but leaves the partial bound
+    // untouched. partial_out is read from the executed plan's partial
+    // ObjectHashAggregate numOutputRows metric — the measured row bound,
+    // not an inference.
+    if (want("cap")) {
+      import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.expressions.Window
+      // AQE wraps materialized stages in QueryStageExec leaves, which
+      // plan.collect does not descend into — turn it off so the partial
+      // agg's metric is reachable (the row bound is AQE-independent)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val topkF = graft.functions.TopKByScore.topK(3)
+      for (k <- Seq(1, 5, 20); skew <- Seq(false, true)) {
+        val srcCol =
+          if (skew) when(col("doc_id") % 2 === 0, lit("hub"))
+            .otherwise(concat(lit("s"), col("doc_id") % 20))
+          else concat(lit("s"), col("doc_id") % 20)
+        val docs = corpus(k).select(col("doc_id"), srcCol.as("source"),
+          length(col("text")).cast("long").as("n_chars")).cache()
+        val n = docs.count()
+        val t0 = System.nanoTime()
+        val agg = docs.groupBy("source")
+          .agg(topkF(col("n_chars"), col("doc_id")).as("kept"))
+        agg.collect()
+        val aggSec = (System.nanoTime() - t0) / 1e9
+        val finalPlan = agg.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        val partialOut = finalPlan.collect {
+          case a: ObjectHashAggregateExec
+              if a.aggregateExpressions.exists(_.mode.toString == "Partial") =>
+            a.metrics("numOutputRows").value
+        }.sum
+        val t1 = System.nanoTime()
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        docs.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3).count()
+        val winSec = (System.nanoTime() - t1) / 1e9
+        println(f"SCALE-CAP k=$k%2d skew=$skew%5s rows=$n%8d " +
+          f"partial_out=$partialOut%6d agg=$aggSec%5.2f win=$winSec%5.2f")
+        docs.unpersist()
+      }
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
 
     // ---- token-budget subsampling: growth + bucket parallelism ----
