@@ -97,5 +97,45 @@ object Skew {
       .orderBy("pri")
   }
 
-  val all: Seq[Q] = Seq(xSkewJoinHub)
+  /** X — bloom-prefiltered fact-dim join (the manual spelling of Spark's
+    * own InjectRuntimeFilter, which stays dormant at local scale): build
+    * a bloom filter over the FILTERED dim's join keys (one tiny agg →
+    * a broadcast bitset), probe it on the fact side BEFORE the join's
+    * exchange, then run the exact join. might_contain's false negatives
+    * are impossible, so no matching row is lost; false positives cost a
+    * shuffled row each and are then removed by the exact join — result
+    * identical to the plain join, which is what the oracle checks.
+    *
+    * At 100 TB this is the difference between shuffling the whole fact
+    * table and shuffling ~the matching fraction: a selective dim filter
+    * (here 1/5 of orders) cuts the fact exchange to ~that fraction plus
+    * the bloom's bounded fp rate. The probe is Spark's native codegen'd
+    * `BloomFilterMightContain` (graft.functions.Bloom) — a few hashes
+    * per row against a broadcast bitset, no UDF. Round9Spec measures the
+    * actual pre-exchange row cut.
+    */
+  val xBloomJoin = Q(
+    "x_bloom_join",
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE o_orderpriority = '1-URGENT'
+       GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+    val dim = T(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bloom = dim.agg(
+      graft.functions.Bloom.bloomAgg(col("o_orderkey"), 200000L, 1600000L)
+        .as("bf"))
+    val fact = T(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .filter(graft.functions.Bloom.mightContain(bloom, col("l_orderkey")))
+    fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .orderBy("l_returnflag")
+  }
+
+  val all: Seq[Q] = Seq(xSkewJoinHub, xBloomJoin)
 }

@@ -239,4 +239,29 @@ class Round9Spec extends AnyFunSuite {
     val plan = fused.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered in:\n$plan")
   }
+
+  test("bloom join: the prefilter cuts the fact exchange to ~the matching fraction, losslessly") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val li = graft.core.Tables(spark, dir, "lineitem")
+    val dim = graft.core.Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+    val bloom = dim.agg(
+      graft.functions.Bloom.bloomAgg(col("o_orderkey"), 200000L, 1600000L).as("bf"))
+    val total = li.count()
+    val kept = li.filter(
+      graft.functions.Bloom.mightContain(bloom, col("l_orderkey"))).count()
+    val matching = li.join(dim, col("l_orderkey") === col("o_orderkey")).count()
+    info(s"fact rows $total, bloom-kept $kept, true matches $matching")
+    // lossless: every matching row survives the prefilter
+    assert(kept >= matching)
+    // effective: the exchange carries ~the matching fraction, not the table
+    // (1600k bits for ~3k keys → fp rate well under 1%)
+    assert(kept < matching + total / 20,
+      s"bloom cut ineffective: kept $kept of $total for $matching matches")
+    // the probe is the native codegen'd expression, not a UDF
+    val plan = graft.ops.Skew.xBloomJoin.build(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom probe in plan:\n$plan")
+  }
 }
