@@ -51,5 +51,74 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q32, xFingerprint)
+  /** Winnowing window (consecutive gram hashes per window). */
+  val WINNOW_W = 4
+
+  /** X — winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the
+    * MOSS local-similarity algorithm): hash every 3-word shingle, then
+    * in every window of WINNOW_W consecutive shingle hashes select the
+    * minimum — the per-doc fingerprint SET. Guarantees (unlike
+    * x_doc_fingerprint's single global min): any shared run of
+    * ≥ w+k−1 = 6 words yields a shared fingerprint (detection), and at
+    * most ~2/(w+1) of positions are selected (density) — sparse
+    * fingerprints that still localize matches, which is why plagiarism
+    * and license-scan pipelines use exactly this sketch.
+    *
+    * Per doc: distinct selected fingerprints and how many of them are
+    * shared with ≥1 other document. All window work is per-doc
+    * partitioned (ROWS frames over shingle positions); the only
+    * corpus-wide step is one agg on selected digests. Both engines
+    * spell the identical frame (CURRENT ROW .. w−1 FOLLOWING, clipped
+    * at the doc tail the same way), so the sets hash-match.
+    */
+  val xWinnow = Q(
+    "x_winnow_fingerprint",
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       g AS (SELECT doc_id, i, md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS h
+             FROM words, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
+             WHERE len(t) >= 3),
+       wmin AS (SELECT doc_id,
+                  min(h) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN CURRENT ROW AND ${WINNOW_W - 1} FOLLOWING) AS fp
+                FROM g),
+       sel AS (SELECT DISTINCT doc_id, fp FROM wmin),
+       shared AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) >= 2)
+       SELECT sel.doc_id,
+              CAST(count(*) AS BIGINT) AS n_fps,
+              CAST(sum(CASE WHEN shared.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+       FROM sel LEFT JOIN shared ON sel.fp = shared.fp
+       GROUP BY sel.doc_id ORDER BY sel.doc_id""") { (s, dir) =>
+    val sel = winnowSelect(T(s, dir, "documents"))
+    val shared = sel.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("fp")).withColumn("isrep", lit(1))
+    sel.join(shared, Seq("fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fps"),
+        sum(when(col("isrep").isNotNull, 1L).otherwise(0L)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  /** Distinct winnowing fingerprint set per doc — shared with the spec's
+    * detection/density property tests.
+    */
+  def winnowSelect(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        WINNOW_W - 1)
+    val words = split(col("text"), " ")
+    docs.select(col("doc_id"), words.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("w")) - 3),
+          i => md5(concat_ws(" ", element_at(col("w"), i + 1),
+            element_at(col("w"), i + 2), element_at(col("w"), i + 3))))))
+      .select(col("doc_id"), col("pos").as("i"), col("col").as("h"))
+      .withColumn("fp", min(col("h")).over(w))
+      .select(col("doc_id"), col("fp")).distinct()
+  }
+
+  val all: Seq[Q] = Seq(q32, xFingerprint, xWinnow)
 }

@@ -264,4 +264,34 @@ class Round9Spec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"), s"no bloom probe in plan:\n$plan")
   }
+
+  test("winnowing: planted 6-word passage is detected; density near 2/(w+1)") {
+    import org.apache.spark.sql.functions._
+    val D = graft.llmops.Dedup
+    // two otherwise-disjoint docs sharing exactly one 6-word passage
+    // (w+k-1 = 6 — the guarantee's minimum detectable run)
+    val passage = "alpha beta gamma delta epsilon zeta"
+    val a = (1 to 40).map(i => s"a$i").mkString(" ") + " " + passage +
+      " " + (41 to 80).map(i => s"a$i").mkString(" ")
+    val b = (1 to 40).map(i => s"b$i").mkString(" ") + " " + passage +
+      " " + (41 to 80).map(i => s"b$i").mkString(" ")
+    val sel = D.winnowSelect(Seq((0L, a), (1L, b)).toDF("doc_id", "text"))
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getString(1)).toSet).toMap
+    val sharedFps = sel(0L) intersect sel(1L)
+    assert(sharedFps.nonEmpty,
+      "detection guarantee broken: shared 6-word passage left no shared fingerprint")
+
+    // density: selected fraction of gram positions ≈ 2/(w+1) = 0.4
+    // (expected under random hashes; generous band)
+    val dir = "/root/testdata/sf0.01"
+    val docs = graft.core.Tables(spark, dir, "documents")
+    val grams = docs.select(
+      (size(split(col("text"), " ")) - 2).as("g")).agg(sum("g")).head().getLong(0)
+    val fps = D.winnowSelect(docs).count()
+    val density = fps.toDouble / grams
+    info(f"density $density%.3f vs theoretical 2/(w+1)=${2.0 / (D.WINNOW_W + 1)}%.3f")
+    assert(density < 0.55 && density > 0.2,
+      s"winnowing density $density outside the plausible band")
+  }
 }
