@@ -792,10 +792,47 @@ object Extra {
       .orderBy("c_mktsegment")
   }
 
+  /** X — deterministic dense id assignment (0..N−1, no holes) WITHOUT a
+    * global sort: the contiguous-ids problem every training corpus hits
+    * (vec_ids for an index build, row ids for shard manifests).
+    * `monotonically_increasing_id` is partition-layout-dependent and
+    * hole-ridden; `row_number()` over the corpus is a single-task global
+    * sort. This build buckets rows by md5 prefix (the bucket order
+    * refines the target md5 order), takes per-bucket COUNTS through a
+    * 256-row offset window, and ranks only within buckets — 256-way
+    * parallel, the third instance of the bucket-refined decomposition
+    * (x_token_budget, x_shard_assign) now covering count-rank rather
+    * than sum-cumsum. Oracle runs the naive global row_number; identical
+    * rows prove the decomposition exact.
+    */
+  val xDenseIds = Q(
+    "x_dense_ids",
+    """WITH t AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
+       SELECT doc_id,
+              CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS new_id
+       FROM t ORDER BY doc_id""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = T(s, dir, "documents")
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("bkt", substring(col("h"), 1, 2))
+    val boff = t.groupBy("bkt").agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(
+        sum(col("c")).over(Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("off"))
+    t.join(broadcast(boff), Seq("bkt"))
+      .withColumn("new_id",
+        (col("off") + row_number().over(
+          Window.partitionBy("bkt").orderBy(col("h"), col("doc_id"))) - 1)
+          .cast("long"))
+      .select(col("doc_id"), col("new_id"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(xSessionize, xSampleHash, xStringAgg, xRedact, xRegrAgg, xFillForward,
       xGroupTopK, xApproxPercentile, xResample, xJaroWinkler, xWindowNtile,
       xCsvRoundtrip, xOrcRoundtrip, xProvenance, xUpsert, xManifestPrune,
       xDatasetDiff, xZorderPrune, xProfile, xModeMedian, xSchemaEvolution,
-      xPositionalJoin, xDistinctOn, xUnionByName, xBucketedJoin)
+      xPositionalJoin, xDistinctOn, xUnionByName, xBucketedJoin, xDenseIds)
 }

