@@ -399,4 +399,28 @@ object DemuxBenchProps extends Properties("demux_bench") {
         updated.forall { case (k, v) => v <= times(k) } &&
         (times.keySet -- flagged).forall(k => updated(k) == times(k))
     }
+
+  // x_domain_cap's bounded heap: for ANY input order and ANY split into
+  // partial buffers, reduce+merge equals the brute-force sort-take — the
+  // law that makes the map-side partial sound (no ordering or grouping
+  // assumption survives a shuffle).
+  private val scoredGen = Gen.listOf(for {
+    s <- Gen.choose(-5L, 5L) // narrow range → plenty of score ties
+    id <- Gen.choose(0L, 100L)
+  } yield graft.functions.ScoredId(s, id))
+
+  property("topK aggregator equals brute force under any partition split") =
+    forAll(scoredGen, Gen.choose(1, 4), Gen.choose(1, 5)) { (xs, k, nSplits) =>
+      val agg = new graft.functions.TopKByScore(k)
+      // duplicates allowed: the heap must tolerate repeated (score,id)
+      // rows exactly like a sort would
+      val brute = xs.sortWith((a, b) =>
+        a.score > b.score || (a.score == b.score && a.id < b.id)).take(k)
+      val buffers = (0 until nSplits).map(i =>
+        xs.zipWithIndex.collect { case (x, j) if j % nSplits == i => x })
+      val merged = buffers
+        .map(part => part.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      merged.toList == brute
+    }
 }
