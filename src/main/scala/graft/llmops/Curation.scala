@@ -151,5 +151,40 @@ object Curation {
       .orderBy("source", "rnk")
   }
 
-  val all: Seq[Q] = Seq(xNgramContamination, xMixSample, xDomainCap)
+  /** X — the dataset card: the per-language audit table a corpus
+    * release ships (what HF dataset cards / Dolma reports tabulate) —
+    * documents, exact tokens, distinct sources, and exact-duplicate
+    * document counts, in ONE scan plus one digest agg. Everything is
+    * integer arithmetic (hash-safe by construction); the duplicate
+    * count joins the corpus against the ≥2-multiplicity digest set,
+    * the same bounded-join shape as x_heavy_hitters' recount.
+    */
+  val xDatasetCard = Q(
+    "x_dataset_card",
+    """WITH t AS (SELECT doc_id, lang, source, md5(text) AS h,
+            CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tok
+          FROM documents),
+       d AS (SELECT h FROM t GROUP BY h HAVING count(*) >= 2)
+       SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+              CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+              CAST(sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+       FROM t LEFT JOIN d ON t.h = d.h
+       GROUP BY lang ORDER BY lang""") { (s, dir) =>
+    val t = T(s, dir, "documents").select(col("doc_id"), col("lang"),
+      col("source"), md5(col("text")).as("h"),
+      expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+        .cast("long").as("n_tok"))
+    val d = t.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("h")).withColumn("isdup", lit(1))
+    t.join(d, Seq("h"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(when(col("isdup").isNotNull, 1L).otherwise(0L)).as("n_dup_docs"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[Q] = Seq(xNgramContamination, xMixSample, xDomainCap,
+    xDatasetCard)
 }

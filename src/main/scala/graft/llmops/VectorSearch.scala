@@ -1043,7 +1043,46 @@ object VectorSearch {
       .select(col("probe_id"), col("recall_ok")).orderBy("probe_id")
   }
 
+  /** X — hard-negative mining: for each probe, the top-5 most cosine-
+    * similar vectors carrying a DIFFERENT label — the negatives a
+    * contrastive embedding trainer wants (near the anchor but wrong
+    * class; random negatives are too easy to teach anything). Same
+    * broadcast-probe exact scoring as q34 plus the label-disagreement
+    * predicate pushed below the rank window, and the identical 6-decimal
+    * ranking round. At corpus scale the scorer swaps for the IVF-PQ
+    * shortlist like every other search in this file; the label filter
+    * rides the candidate stream either way.
+    */
+  val xHardNegatives = Q(
+    "x_hard_negatives",
+    """SELECT probe_id, rn AS rank, vec_id, label FROM (
+         SELECT p.vec_id AS probe_id, e.vec_id AS vec_id, e.label,
+                row_number() OVER (
+                  PARTITION BY p.vec_id
+                  ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                        CAST(p.embedding AS DOUBLE[])), 6) DESC,
+                           e.vec_id) AS rn
+         FROM embeddings e
+         CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) p
+         WHERE e.label <> p.label)
+       WHERE rn <= 5 ORDER BY probe_id, rank""") { (s, dir) =>
+    val e = embeddingsBase(s, dir).select("vec_id", "label", "n_emb")
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("label").as("p_label"),
+        col("n_emb").as("p_emb"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    e.crossJoin(broadcast(probes))
+      .filter(col("label") =!= col("p_label"))
+      .select(col("probe_id"), col("vec_id"), col("label"),
+        round(dot(col("n_emb"), col("p_emb")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("rank"), col("vec_id"), col("label"))
+      .orderBy("probe_id", "rank")
+  }
+
   val all: Seq[Q] = Seq(q34, xNearestNeighbor, xEmbedNearDup, xAnnIvf,
     xEmbedCluster, xSemDedup, xSemanticDecontam, xKnnLabel, xPqRecall,
-    xIvfPqSearch)
+    xIvfPqSearch, xHardNegatives)
 }
