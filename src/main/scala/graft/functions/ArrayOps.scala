@@ -316,6 +316,94 @@ object ShingleHashImpl {
   }
 }
 
+/** Per-row winnowing (Schleimer/Wilkerson/Aiken 2003): md5 digests of the
+  * k-word shingles, minimum per w-long sliding window, distinct — the
+  * whole fingerprint SET computed inside one codegen'd projection, so
+  * x_winnow_fingerprint's plan is a narrow map + one digest agg instead
+  * of an exploded gram stream exchanged and window-sorted per doc.
+  * md5 (not the xxhash the LSH family uses) deliberately: the DuckDB
+  * oracle must reproduce the identical min-selection, and md5 is the
+  * one digest both engines spell identically. Hex strings compare
+  * bytewise identically in UTF8String, java.lang.String, and DuckDB's
+  * binary varchar collation, so the per-window min agrees everywhere.
+  */
+object WinnowImpl {
+  def winnow(s: org.apache.spark.unsafe.types.UTF8String,
+      k: Int, w: Int): Array[AnyRef] = {
+    val words = s.toString.split(" ", -1)
+    if (words.length < k) return Array.empty
+    val g = words.length - k + 1
+    val hs = new Array[String](g)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < g) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j)); j += 1
+      }
+      md.reset()
+      hs(i) = hex(md.digest(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      i += 1
+    }
+    val set = new java.util.TreeSet[String]()
+    var j = 0
+    while (j < g) {
+      var m = hs(j)
+      var t = j + 1
+      val end = math.min(j + w, g)
+      while (t < end) { if (hs(t).compareTo(m) < 0) m = hs(t); t += 1 }
+      set.add(m)
+      j += 1
+    }
+    val out = new Array[AnyRef](set.size)
+    val it = set.iterator()
+    var idx = 0
+    while (it.hasNext) {
+      out(idx) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      idx += 1
+    }
+    out
+  }
+
+  private def hex(d: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      val v = d(i) & 0xff
+      sb.append("0123456789abcdef".charAt(v >> 4))
+      sb.append("0123456789abcdef".charAt(v & 0xf))
+      i += 1
+    }
+    sb.toString
+  }
+}
+
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(k >= 1 && w >= 1, s"WinnowFingerprints: k, w must be >= 1")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      WinnowImpl.winnow(
+        a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.WinnowImpl.winnow($a, $k, $w));")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class WordShingleHashes(child: Expression, k: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(k >= 1, s"WordShingleHashes: k must be >= 1, got $k")
@@ -366,6 +454,11 @@ object ArrayOps {
   def wordShingleHashes(text: Column, k: Int): Column =
     ExpressionUtils.column(WordShingleHashes(
       ExpressionUtils.expression(text), k))
+
+  /** Column form of WinnowFingerprints. */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    ExpressionUtils.column(WinnowFingerprints(
+      ExpressionUtils.expression(text), k, w))
 
   /** Column form of CharShingleHashes. */
   def charShingleHashes(text: Column, k: Int): Column =

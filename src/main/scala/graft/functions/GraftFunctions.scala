@@ -35,7 +35,10 @@ object GraftFunctions {
     "char_shingle_hashes" -> { exprs =>
       CharShingleHashes(exprs(0), litInt(exprs(1), "char_shingle_hashes")) },
     "minhash_signature" -> { exprs =>
-      MinHashSignature(exprs(0), litInt(exprs(1), "minhash_signature")) })
+      MinHashSignature(exprs(0), litInt(exprs(1), "minhash_signature")) },
+    "winnow_fingerprints" -> { exprs =>
+      WinnowFingerprints(exprs(0), litInt(exprs(1), "winnow_fingerprints"),
+        litInt(exprs(2), "winnow_fingerprints")) })
 
   def register(spark: SparkSession): Unit =
     fns.foreach { case (name, builder) =>

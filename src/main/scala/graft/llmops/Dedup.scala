@@ -99,26 +99,18 @@ object Dedup {
   }
 
   /** Distinct winnowing fingerprint set per doc — shared with the spec's
-    * detection/density property tests.
+    * detection/density property tests. The whole select runs inside the
+    * codegen'd [[graft.functions.WinnowFingerprints]] expression: a
+    * narrow per-row map (no exploded gram stream, no doc-keyed exchange,
+    * no per-doc window sort), then one explode of the already-distinct
+    * per-doc sets. The spec checks this against the explode+window
+    * spelling it replaced.
     */
   def winnowSelect(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("i"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
-        WINNOW_W - 1)
-    val words = split(col("text"), " ")
-    docs.select(col("doc_id"), words.as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(0), size(col("w")) - 3),
-          i => md5(concat_ws(" ", element_at(col("w"), i + 1),
-            element_at(col("w"), i + 2), element_at(col("w"), i + 3))))))
-      .select(col("doc_id"), col("pos").as("i"), col("col").as("h"))
-      .withColumn("fp", min(col("h")).over(w))
-      .select(col("doc_id"), col("fp")).distinct()
-  }
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.functions.ArrayOps.winnowFingerprints(
+        col("text"), 3, WINNOW_W)).as("fp"))
 
   val all: Seq[Q] = Seq(q32, xFingerprint, xWinnow)
 }

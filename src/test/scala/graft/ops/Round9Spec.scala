@@ -293,6 +293,29 @@ class Round9Spec extends AnyFunSuite {
     info(f"density $density%.3f vs theoretical 2/(w+1)=${2.0 / (D.WINNOW_W + 1)}%.3f")
     assert(density < 0.55 && density > 0.2,
       s"winnowing density $density outside the plausible band")
+
+    // the native expression reproduces the explode+window spelling it
+    // replaced, doc for doc (md5 strings, per-window min, distinct)
+    import org.apache.spark.sql.expressions.Window
+    val wspec = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.currentRow, D.WINNOW_W - 1)
+    val words = split(col("text"), " ")
+    val reference = docs.select(col("doc_id"), words.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("w")) - 3),
+          i => md5(concat_ws(" ", element_at(col("w"), i + 1),
+            element_at(col("w"), i + 2), element_at(col("w"), i + 3))))))
+      .select(col("doc_id"), col("pos").as("i"), col("col").as("h"))
+      .withColumn("fp", min(col("h")).over(wspec))
+      .select(col("doc_id"), col("fp")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val native = D.winnowSelect(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(native == reference,
+      s"native winnow diverges from the window spelling: " +
+        s"${(native diff reference).take(3)} vs ${(reference diff native).take(3)}")
   }
 
   test("dense ids: exactly 0..N-1, and the heavy rank window is bucket-partitioned") {
