@@ -110,5 +110,69 @@ object Scd {
       .orderBy("purchase_id")
   }
 
-  val all: Seq[Q] = Seq(xScd2Build, xScd2Pit)
+  /** X — full CDC batch application: a change set with INSERT / UPDATE /
+    * DELETE ops and per-key sequence numbers applied to a base table —
+    * latest change per key wins (here the seq-2 update must override
+    * seq-1), deletes REMOVE the row (the clause x_upsert / x_stream_upsert
+    * don't exercise), inserts add new keys. The Delta/Iceberg
+    * MERGE-with-delete semantics as a deterministic query.
+    *
+    * Plan shape: the winner-per-key window partitions by key over the
+    * CHANGE BATCH only (batch-sized, not table-sized), then ONE full
+    * outer join applies it to the base — at scale the join shuffles on
+    * the upsert key exactly once, and the change batch is usually
+    * broadcast-sized. All money flows as integer cents.
+    */
+  val xCdcApply = Q(
+    "x_cdc_apply",
+    """WITH base AS (SELECT o_orderkey AS k,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+       ch AS (
+         SELECT o_orderkey AS k, 1 AS seq, 'U' AS op,
+                CAST(round(o_totalprice * 100) AS BIGINT) + 50000 AS cents
+         FROM orders WHERE o_orderkey % 13 = 0 AND o_orderkey % 11 <> 0
+         UNION ALL
+         SELECT o_orderkey, 2, 'U',
+                CAST(round(o_totalprice * 100) AS BIGINT) + 100000
+         FROM orders WHERE o_orderkey % 13 = 0 AND o_orderkey % 11 <> 0
+         UNION ALL
+         SELECT o_orderkey, 1, 'D', CAST(0 AS BIGINT)
+         FROM orders WHERE o_orderkey % 11 = 0
+         UNION ALL SELECT -1, 1, 'I', CAST(11111 AS BIGINT)
+         UNION ALL SELECT -2, 1, 'I', CAST(22222 AS BIGINT)),
+       last AS (SELECT k, op, cents FROM (
+                  SELECT k, op, cents,
+                         row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+                  FROM ch) WHERE rn = 1)
+       SELECT coalesce(base.k, last.k) AS o_orderkey,
+              CASE WHEN last.k IS NOT NULL THEN last.cents
+                   ELSE base.cents END AS cents
+       FROM base FULL JOIN last ON base.k = last.k
+       WHERE last.op IS NULL OR last.op <> 'D'
+       ORDER BY o_orderkey""") { (s, dir) =>
+    val base = T(s, dir, "orders").select(col("o_orderkey").as("k"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val o = T(s, dir, "orders")
+    val upd = o.filter(col("o_orderkey") % 13 === 0 && col("o_orderkey") % 11 =!= 0)
+    val ch = upd.select(col("o_orderkey").as("k"), lit(1).as("seq"), lit("U").as("op"),
+        (expr("CAST(round(o_totalprice * 100) AS BIGINT)") + 50000L).as("cents"))
+      .unionAll(upd.select(col("o_orderkey").as("k"), lit(2).as("seq"), lit("U").as("op"),
+        (expr("CAST(round(o_totalprice * 100) AS BIGINT)") + 100000L).as("cents")))
+      .unionAll(o.filter(col("o_orderkey") % 11 === 0)
+        .select(col("o_orderkey").as("k"), lit(1).as("seq"), lit("D").as("op"),
+          lit(0L).as("cents")))
+      .unionAll(s.range(1, 3).select((-col("id")).cast("long").as("k"),
+        lit(1).as("seq"), lit("I").as("op"),
+        (col("id") * 11111L).as("cents")))
+    val w = Window.partitionBy(col("k")).orderBy(col("seq").desc)
+    val last = ch.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("k"), col("op"), col("cents").as("c2"))
+    base.join(last, Seq("k"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("k").as("o_orderkey"),
+        when(col("op").isNotNull, col("c2")).otherwise(col("cents")).as("cents"))
+      .orderBy("o_orderkey")
+  }
+
+  val all: Seq[Q] = Seq(xScd2Build, xScd2Pit, xCdcApply)
 }

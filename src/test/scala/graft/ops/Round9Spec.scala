@@ -318,6 +318,26 @@ class Round9Spec extends AnyFunSuite {
         s"${(native diff reference).take(3)} vs ${(reference diff native).take(3)}")
   }
 
+  test("cdc apply: deletes gone, inserts present, the seq-2 update wins") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val out = graft.ops.Scd.xCdcApply.build(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val orders = graft.core.Tables(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val deleted = orders.keys.filter(_ % 11 == 0)
+    val updated = orders.keys.filter(k => k % 13 == 0 && k % 11 != 0)
+    assert(deleted.nonEmpty && updated.nonEmpty, "fixture exercises nothing")
+    assert(deleted.forall(!out.contains(_)), "a deleted key survived")
+    assert(out(-1L) == 11111L && out(-2L) == 22222L, "inserts missing")
+    assert(updated.forall(k => out(k) == orders(k) + 100000L),
+      "an update applied seq-1 instead of the winning seq-2")
+    val untouched = orders.keys.filter(k => k % 11 != 0 && k % 13 != 0)
+    assert(untouched.forall(k => out(k) == orders(k)), "an untouched row changed")
+  }
+
   test("dense ids: exactly 0..N-1, and the heavy rank window is bucket-partitioned") {
     val out = graft.ops.Extra.xDenseIds.build(spark, "/root/testdata/sf0.01")
     val ids = out.select("new_id").as[Long].collect().sorted
