@@ -185,6 +185,47 @@ object Curation {
       .orderBy("lang")
   }
 
+  /** X — per-document n-gram NOVELTY against the standing corpus (the
+    * WIMBD-style audit, and the dual of x_ngram_contamination): for each
+    * document above the 80% id watermark, how many of its distinct
+    * 8-grams have never appeared in the standing corpus below the
+    * watermark. High-novelty docs are genuinely new content; near-zero
+    * novelty means the "new" batch is recombined boilerplate — the
+    * signal incremental crawls use to decide what's worth keeping.
+    *
+    * Grams flow as md5 digests (16 bytes, not the raw 8-word strings) so
+    * the anti-join key stays narrow; the watermark is a pushed-down
+    * literal (Incremental.cutoffValue). One distinct per side + one
+    * left-anti-shaped join on the digest — no pairwise work.
+    */
+  val xNgramNovelty = Q(
+    "x_ngram_novelty",
+    s"""WITH cut AS (SELECT CAST(floor(0.8 * max(doc_id)) AS BIGINT) AS c FROM documents),
+       words AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT DISTINCT doc_id, md5(${gramSql(K)}) AS d
+              FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - ${K - 1}, 1))) AS i)
+              WHERE len(t) >= $K),
+       ref AS (SELECT DISTINCT d FROM sh, cut WHERE doc_id <= c),
+       neu AS (SELECT doc_id, d FROM sh, cut WHERE doc_id > c)
+       SELECT neu.doc_id,
+              CAST(count(*) AS BIGINT) AS n_grams,
+              CAST(sum(CASE WHEN ref.d IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+       FROM neu LEFT JOIN ref ON neu.d = ref.d
+       GROUP BY neu.doc_id ORDER BY neu.doc_id""") { (s, dir) =>
+    val docs = T(s, dir, "documents")
+    val cut = Incremental.cutoffValue(docs)
+    val sh = Shingles.wordShingles(docs, K)
+      .select(col("doc_id"), md5(col("sh")).as("d")).distinct()
+    val ref = sh.filter(col("doc_id") <= cut).select(col("d")).distinct()
+      .withColumn("seen", lit(1))
+    sh.filter(col("doc_id") > cut)
+      .join(ref, Seq("d"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(xNgramContamination, xMixSample, xDomainCap,
-    xDatasetCard)
+    xDatasetCard, xNgramNovelty)
 }
