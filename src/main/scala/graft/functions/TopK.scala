@@ -34,10 +34,26 @@ class TopKByScore(k: Int)
 
   def reduce(buf: Seq[ScoredId], x: ScoredId): Seq[ScoredId] =
     if (buf.length >= k && better(buf.last, x)) buf
-    else ((buf :+ x).sortWith(better)).take(k)
+    else {
+      // insertion into the sorted ≤k buffer: O(k) scan, no re-sort
+      val pos = buf.indexWhere(b => !better(b, x)) match {
+        case -1 => buf.length
+        case p => p
+      }
+      (buf.take(pos) :+ x) ++ buf.drop(pos).take(k - pos - 1)
+    }
 
-  def merge(a: Seq[ScoredId], b: Seq[ScoredId]): Seq[ScoredId] =
-    (a ++ b).sortWith(better).take(k)
+  def merge(a: Seq[ScoredId], b: Seq[ScoredId]): Seq[ScoredId] = {
+    // two-pointer merge of two sorted ≤k buffers, capped at k
+    val out = Vector.newBuilder[ScoredId]
+    var i = 0; var j = 0; var n = 0
+    while (n < k && (i < a.length || j < b.length)) {
+      val takeA = j >= b.length || (i < a.length && better(a(i), b(j)))
+      if (takeA) { out += a(i); i += 1 } else { out += b(j); j += 1 }
+      n += 1
+    }
+    out.result()
+  }
 
   def finish(r: Seq[ScoredId]): Seq[ScoredId] = r
 
