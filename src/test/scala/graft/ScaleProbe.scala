@@ -24,7 +24,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     // comma-separated section filter for re-measuring one family without
     // paying the whole probe:
-    // neardup,setsim,nn,km,inc,lm,bpe,contam,pr,qc,evt,cn,cnskew,budget,cap
+    // neardup,setsim,nn,km,inc,lm,bpe,contam,pr,qc,evt,cn,cnskew,budget,cap,winnow
     val only = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def want(section: String): Boolean = only.forall(_.contains(section))
@@ -136,6 +136,41 @@ object ScaleProbe {
         docs.unpersist()
       }
       spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+
+    // ---- winnowing: native per-row expression vs explode+window ----
+    // the structural claim of the WinnowFingerprints rewrite: the window
+    // spelling explodes one row per 3-gram (≈ n_words rows), exchanges
+    // the whole gram stream on doc_id, and sorts each doc's grams; the
+    // native expression computes the per-doc fingerprint set inside the
+    // scan projection, so the only exchanged rows are the ~0.4/gram
+    // SELECTED fingerprints feeding the digest agg.
+    if (want("winnow")) {
+      import org.apache.spark.sql.expressions.Window
+      for (k <- Seq(1, 5, 20)) {
+        val docs = corpus(k).cache(); docs.count()
+        val t0 = System.nanoTime()
+        val nNative = graft.llmops.Dedup.winnowSelect(docs).count()
+        val nativeSec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val wspec = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+          .rowsBetween(Window.currentRow, graft.llmops.Dedup.WINNOW_W - 1)
+        val words = split(col("text"), " ")
+        val nWin = docs.select(col("doc_id"), words.as("w"))
+          .filter(size(col("w")) >= 3)
+          .select(col("doc_id"),
+            posexplode(transform(
+              sequence(lit(0), size(col("w")) - 3),
+              i => md5(concat_ws(" ", element_at(col("w"), i + 1),
+                element_at(col("w"), i + 2), element_at(col("w"), i + 3))))))
+          .select(col("doc_id"), col("pos").as("i"), col("col").as("h"))
+          .withColumn("fp", min(col("h")).over(wspec))
+          .select(col("doc_id"), col("fp")).distinct().count()
+        val winSec = (System.nanoTime() - t1) / 1e9
+        println(f"SCALE-WINNOW k=$k%2d fps=$nNative%8d native=$nativeSec%5.2f " +
+          f"window=$winSec%5.2f agree=${nNative == nWin}%5s")
+        docs.unpersist()
+      }
     }
 
     // ---- token-budget subsampling: growth + bucket parallelism ----
