@@ -65,6 +65,46 @@ object Exact {
   def avgd(c: Column): Column = sumd(c) / count(lit(1))
 }
 
+/** The bucket-refined GLOBAL cumsum: the one escape this engine uses for
+  * every "running total in a deterministic global order" shape
+  * (x_shard_assign's token cumsum, x_dense_ids' rank — which is just the
+  * cumsum of 1s — and the per-language variant in x_token_budget).
+  *
+  * Rows bucket by the first two hex chars of md5(id) — the bucket order
+  * REFINES the target (md5(id), id) order, so per-bucket measure sums
+  * plus a 256-row bucket-offset window reproduce the global running
+  * total exactly, and the heavy within-bucket window partitions by
+  * bucket (256-way parallel) instead of running the corpus through one
+  * sort task. The oracle side's naive single-window spelling proves the
+  * decomposition exact wherever this is used.
+  */
+object BucketCumsum {
+  import org.apache.spark.sql.expressions.Window
+
+  /** Adds `before` = sum of `measure` over all rows strictly ahead of
+    * this one in (md5(idCol), idCol) order. Input must have `idCol`;
+    * output keeps the input columns plus `before` (helper columns
+    * dropped).
+    */
+  def before(df: DataFrame, idCol: String, measure: Column): DataFrame = {
+    val t = df
+      .withColumn("_h", md5(col(idCol).cast("string")))
+      .withColumn("_bkt", substring(col("_h"), 1, 2))
+      .withColumn("_m", measure)
+    val boff = t.groupBy("_bkt").agg(sum(col("_m")).as("_bt"))
+      .withColumn("_off", coalesce(
+        sum(col("_bt")).over(Window.orderBy("_bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_bkt"), col("_off"))
+    val wIn = Window.partitionBy("_bkt").orderBy(col("_h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.join(broadcast(boff), Seq("_bkt"))
+      .withColumn("before",
+        col("_off") + coalesce(sum(col("_m")).over(wIn), lit(0L)))
+      .drop("_h", "_bkt", "_m", "_off")
+  }
+}
+
 /** Generation-bounded cache registry. Query builders that `.cache()`
   * intermediate frames register them here under a stable key; the NEXT
   * invocation of the same builder (bench reps, repeated verify runs)

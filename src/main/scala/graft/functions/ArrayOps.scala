@@ -328,13 +328,19 @@ object ShingleHashImpl {
   * binary varchar collation, so the per-window min agrees everywhere.
   */
 object WinnowImpl {
+  // one digest per task thread, not per row — getInstance is a JCA
+  // provider lookup + allocation, pure overhead on the per-row hot path
+  private val localMd =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   def winnow(s: org.apache.spark.unsafe.types.UTF8String,
       k: Int, w: Int): Array[AnyRef] = {
     val words = s.toString.split(" ", -1)
     if (words.length < k) return Array.empty
     val g = words.length - k + 1
     val hs = new Array[String](g)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = localMd.get()
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i < g) {

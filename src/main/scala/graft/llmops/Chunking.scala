@@ -506,29 +506,18 @@ object Chunking {
   }
 
   /** The x_shard_assign machinery over any (doc_id, text) frame —
-    * exposed for the balance property test.
+    * exposed for the balance property test. Decomposition shared with
+    * x_dense_ids via [[graft.core.BucketCumsum]].
     */
   def shardAssign(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val t = docs
-      .select(col("doc_id"),
+      : org.apache.spark.sql.DataFrame =
+    graft.core.BucketCumsum.before(
+      docs.select(col("doc_id"),
         expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
-          .cast("long").as("n_tokens"),
-        md5(col("doc_id").cast("string")).as("h"))
-      .withColumn("bkt", substring(col("h"), 1, 2))
-    val boff = t.groupBy("bkt").agg(sum("n_tokens").as("bt"))
-      .withColumn("off", coalesce(
-        sum(col("bt")).over(Window.orderBy("bkt")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("bkt"), col("off"))
-    val wIn = Window.partitionBy("bkt").orderBy(col("h"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    t.join(broadcast(boff), Seq("bkt"))
-      .withColumn("before",
-        col("off") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+          .cast("long").as("n_tokens")),
+      "doc_id", col("n_tokens"))
       .select(col("doc_id"), col("n_tokens"),
         expr(s"before div $SHARD_TOKENS").as("shard"))
-  }
 
   val all: Seq[Q] = Seq(xDocChunk, xStratifiedSample, xPackSequences, xSpanDedup,
     xTokenBudget, xLineDedup, xSubstrDedup, xCdcChunk, xShardAssign)

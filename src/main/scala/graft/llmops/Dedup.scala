@@ -112,5 +112,29 @@ object Dedup {
       explode(graft.functions.ArrayOps.winnowFingerprints(
         col("text"), 3, WINNOW_W)).as("fp"))
 
+  /** The explode+window spelling winnowSelect replaced — kept as the ONE
+    * reference implementation (Round9Spec equality check, SCALE-WINNOW
+    * agree flag), so a change to WINNOW_W or the gram shape cannot drift
+    * between hand copies.
+    */
+  def winnowSelectWindowed(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val wspec = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        WINNOW_W - 1)
+    val words = split(col("text"), " ")
+    docs.select(col("doc_id"), words.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("w")) - 3),
+          i => md5(concat_ws(" ", element_at(col("w"), i + 1),
+            element_at(col("w"), i + 2), element_at(col("w"), i + 3))))))
+      .select(col("doc_id"), col("pos").as("i"), col("col").as("h"))
+      .withColumn("fp", min(col("h")).over(wspec))
+      .select(col("doc_id"), col("fp")).distinct()
+  }
+
   val all: Seq[Q] = Seq(q32, xFingerprint, xWinnow)
 }

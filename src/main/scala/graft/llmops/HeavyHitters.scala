@@ -117,7 +117,7 @@ object HeavyHitters {
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
     // one distributed pass; ~2 KB of driver state (the counter grid)
-    val sketch = toks.stat.countMinSketch("w", CMS_EPS, 0.999, 42)
+    val sketch = toks.stat.countMinSketch("w", CMS_EPS, CMS_CONF, CMS_SEED)
     val bc = s.sparkContext.broadcast(sketch)
     val est = udf((w: String) => bc.value.estimateCount(w))
     val probes = T(s, dir, "documents")
@@ -136,8 +136,16 @@ object HeavyHitters {
       .orderBy("term")
   }
 
-  /** ε for x_count_min: width = ceil(2/ε) = 27 cells/row. */
-  private val CMS_EPS = 0.075
+  /** x_count_min sketch parameters — public so the spec validates the
+    * SHIPPED sketch, not a hand-copied one: ε sets width = ceil(2/ε) =
+    * 27 cells/row (deliberately narrower than the vocabulary so
+    * collisions are real), confidence sets depth, and the fixed seed is
+    * what makes the probabilistic within-ε bound a deterministic fact of
+    * this corpus.
+    */
+  val CMS_EPS = 0.075
+  val CMS_CONF = 0.999
+  val CMS_SEED = 42
 
   val all: Seq[Q] = Seq(xHeavyHitters, xCountMin)
 }

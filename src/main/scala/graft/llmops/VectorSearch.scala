@@ -1076,7 +1076,7 @@ object VectorSearch {
       .filter(col("label") =!= col("p_label"))
       .select(col("probe_id"), col("vec_id"), col("label"),
         round(dot(col("n_emb"), col("p_emb")), 6).as("sim"))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
       .select(col("probe_id"), col("rank"), col("vec_id"), col("label"))
       .orderBy("probe_id", "rank")

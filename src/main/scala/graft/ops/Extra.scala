@@ -811,21 +811,11 @@ object Extra {
        SELECT doc_id,
               CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS new_id
        FROM t ORDER BY doc_id""") { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val t = T(s, dir, "documents")
-      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
-      .withColumn("bkt", substring(col("h"), 1, 2))
-    val boff = t.groupBy("bkt").agg(count(lit(1)).as("c"))
-      .withColumn("off", coalesce(
-        sum(col("c")).over(Window.orderBy("bkt")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("bkt"), col("off"))
-    t.join(broadcast(boff), Seq("bkt"))
-      .withColumn("new_id",
-        (col("off") + row_number().over(
-          Window.partitionBy("bkt").orderBy(col("h"), col("doc_id"))) - 1)
-          .cast("long"))
-      .select(col("doc_id"), col("new_id"))
+    // rank-1 in md5 order IS the cumsum of 1s over the rows ahead — the
+    // same BucketCumsum decomposition x_shard_assign uses, measure = 1
+    graft.core.BucketCumsum.before(
+      T(s, dir, "documents").select(col("doc_id")), "doc_id", lit(1L))
+      .select(col("doc_id"), col("before").as("new_id"))
       .orderBy("doc_id")
   }
 

@@ -100,8 +100,12 @@ object ScaleProbe {
       import org.apache.spark.sql.expressions.Window
       // AQE wraps materialized stages in QueryStageExec leaves, which
       // plan.collect does not descend into — turn it off so the partial
-      // agg's metric is reachable (the row bound is AQE-independent)
+      // agg's metric is reachable (the row bound is AQE-independent);
+      // restored to the PRIOR value in a finally so a mid-loop failure
+      // can't skew every later section's numbers
+      val aqePrior = spark.conf.get("spark.sql.adaptive.enabled")
       spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
       val topkF = graft.functions.TopKByScore.topK(3)
       for (k <- Seq(1, 5, 20); skew <- Seq(false, true)) {
         val srcCol =
@@ -135,7 +139,7 @@ object ScaleProbe {
           f"partial_out=$partialOut%6d agg=$aggSec%5.2f win=$winSec%5.2f")
         docs.unpersist()
       }
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", aqePrior)
     }
 
     // ---- winnowing: native per-row expression vs explode+window ----
@@ -146,26 +150,13 @@ object ScaleProbe {
     // scan projection, so the only exchanged rows are the ~0.4/gram
     // SELECTED fingerprints feeding the digest agg.
     if (want("winnow")) {
-      import org.apache.spark.sql.expressions.Window
       for (k <- Seq(1, 5, 20)) {
         val docs = corpus(k).cache(); docs.count()
         val t0 = System.nanoTime()
         val nNative = graft.llmops.Dedup.winnowSelect(docs).count()
         val nativeSec = (System.nanoTime() - t0) / 1e9
         val t1 = System.nanoTime()
-        val wspec = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-          .rowsBetween(Window.currentRow, graft.llmops.Dedup.WINNOW_W - 1)
-        val words = split(col("text"), " ")
-        val nWin = docs.select(col("doc_id"), words.as("w"))
-          .filter(size(col("w")) >= 3)
-          .select(col("doc_id"),
-            posexplode(transform(
-              sequence(lit(0), size(col("w")) - 3),
-              i => md5(concat_ws(" ", element_at(col("w"), i + 1),
-                element_at(col("w"), i + 2), element_at(col("w"), i + 3))))))
-          .select(col("doc_id"), col("pos").as("i"), col("col").as("h"))
-          .withColumn("fp", min(col("h")).over(wspec))
-          .select(col("doc_id"), col("fp")).distinct().count()
+        val nWin = graft.llmops.Dedup.winnowSelectWindowed(docs).count()
         val winSec = (System.nanoTime() - t1) / 1e9
         println(f"SCALE-WINNOW k=$k%2d fps=$nNative%8d native=$nativeSec%5.2f " +
           f"window=$winSec%5.2f agree=${nNative == nWin}%5s")

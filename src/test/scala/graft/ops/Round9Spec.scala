@@ -296,20 +296,7 @@ class Round9Spec extends AnyFunSuite {
 
     // the native expression reproduces the explode+window spelling it
     // replaced, doc for doc (md5 strings, per-window min, distinct)
-    import org.apache.spark.sql.expressions.Window
-    val wspec = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-      .rowsBetween(Window.currentRow, D.WINNOW_W - 1)
-    val words = split(col("text"), " ")
-    val reference = docs.select(col("doc_id"), words.as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(0), size(col("w")) - 3),
-          i => md5(concat_ws(" ", element_at(col("w"), i + 1),
-            element_at(col("w"), i + 2), element_at(col("w"), i + 3))))))
-      .select(col("doc_id"), col("pos").as("i"), col("col").as("h"))
-      .withColumn("fp", min(col("h")).over(wspec))
-      .select(col("doc_id"), col("fp")).distinct()
+    val reference = D.winnowSelectWindowed(docs)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     val native = D.winnowSelect(docs)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
