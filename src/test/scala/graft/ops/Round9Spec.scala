@@ -151,9 +151,11 @@ class Round9Spec extends AnyFunSuite {
     val toks = graft.core.Tables(spark, dir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
+    val H = graft.llmops.HeavyHitters
+    val width = math.ceil(2.0 / H.CMS_EPS).toLong
     val vocab = toks.distinct().count()
-    assert(vocab > 27, s"vocabulary $vocab no longer exceeds the CMS width")
-    val sketch = toks.stat.countMinSketch("w", 0.075, 0.999, 42)
+    assert(vocab > width, s"vocabulary $vocab no longer exceeds CMS width $width")
+    val sketch = toks.stat.countMinSketch("w", H.CMS_EPS, H.CMS_CONF, H.CMS_SEED)
     val exact = toks.groupBy("w").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val over = exact.count { case (w, c) => sketch.estimateCount(w) > c }
