@@ -409,6 +409,31 @@ object DemuxBenchProps extends Properties("demux_bench") {
     id <- Gen.choose(0L, 100L)
   } yield graft.functions.ScoredId(s, id))
 
+  // the shared decomposition behind x_shard_assign / x_dense_ids (and,
+  // with a lang dimension, x_token_budget): `before` must equal the
+  // naive global running total in (md5(id), id) order for ANY id set
+  // and ANY measure values, including duplicates-of-measure and zeros
+  private val cumsumGen = Gen.listOf(for {
+    id <- Gen.choose(0L, 500L)
+    m <- Gen.oneOf(0L, 1L, 7L, 100L)
+  } yield (id, m)).map(_.distinctBy(_._1)).suchThat(_.nonEmpty)
+
+  property("BucketCumsum.before equals the naive global running total") =
+    forAll(cumsumGen) { rows =>
+      val df = SparkTestSession.spark.createDataFrame(rows)
+        .toDF("doc_id", "m")
+      val got = graft.core.BucketCumsum.before(df, "doc_id", col("m"))
+        .select("doc_id", "before").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def md5hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      val ordered = rows.sortBy { case (id, _) => (md5hex(id.toString), id) }
+      val expect = ordered.scanLeft(0L)(_ + _._2).zip(ordered)
+        .map { case (before, (id, _)) => id -> before }.toMap
+      got == expect
+    }
+
   property("topK aggregator equals brute force under any partition split") =
     forAll(scoredGen, Gen.choose(1, 4), Gen.choose(1, 5)) { (xs, k, nSplits) =>
       val agg = new graft.functions.TopKByScore(k)
