@@ -114,6 +114,25 @@ class SkewAndFunctionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("word_shingle_hashes"))
   }
 
+  test("winnow_fingerprints is callable from SQL and matches the column form") {
+    GraftFunctions.register(spark)
+    val text = "a b c d e f g h i j"
+    val viaSql = spark.sql(
+      s"SELECT winnow_fingerprints('$text', 3, 4) AS fps")
+      .as[Seq[String]].head()
+    val viaCol = Seq(text).toDF("text")
+      .select(graft.functions.ArrayOps.winnowFingerprints(col("text"), 3, 4).as("fps"))
+      .as[Seq[String]].head()
+    assert(viaSql == viaCol && viaSql.nonEmpty)
+    // each fingerprint is one of the text's 3-gram md5s (selection only
+    // ever picks real gram digests)
+    val grams = text.split(" ").sliding(3).map(_.mkString(" ")).toSeq
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val valid = grams.map(g => md.digest(g.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString).toSet
+    assert(viaSql.forall(valid))
+  }
+
   test("jaro_winkler_similarity and sorted_intersect_count from SQL") {
     GraftFunctions.register(spark)
     val jw = spark.sql(
