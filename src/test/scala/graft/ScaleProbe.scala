@@ -24,7 +24,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     // comma-separated section filter for re-measuring one family without
     // paying the whole probe:
-    // neardup,setsim,nn,km,inc,lm,bpe,contam,pr,qc,evt,cn,cnskew,budget,cap,winnow
+    // neardup,setsim,nn,km,inc,lm,bpe,contam,pr,qc,evt,cn,cnskew,budget,cap,winnow,cdc
     val only = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def want(section: String): Boolean = only.forall(_.contains(section))
@@ -161,6 +161,25 @@ object ScaleProbe {
         println(f"SCALE-WINNOW k=$k%2d fps=$nNative%8d native=$nativeSec%5.2f " +
           f"window=$winSec%5.2f agree=${nNative == nWin}%5s")
         docs.unpersist()
+      }
+    }
+
+    // ---- content-defined chunking: growth ----
+    // replicas share no words (per-replica prefix), so chunk counts and
+    // dup chunks grow ~k-fold; near-linear wall = the per-doc windows
+    // and the single digest agg are doing their job (no corpus-wide
+    // window, no pairwise work)
+    if (want("cdc")) {
+      for (k <- Seq(1, 5, 20)) {
+        val docs = corpus(k).cache(); docs.count()
+        val t0 = System.nanoTime()
+        val ch = graft.llmops.Chunking.cdcChunks(docs).cache()
+        val nChunks = ch.count()
+        val nDup = ch.groupBy(col("h")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"SCALE-CDC k=$k%2d chunks=$nChunks%8d dup_digests=$nDup%6d sec=$sec%5.2f")
+        ch.unpersist(); docs.unpersist()
       }
     }
 
