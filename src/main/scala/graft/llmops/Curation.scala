@@ -226,6 +226,76 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Temperature exponent for x_temperature_mix (the mT5/XLM-R α). */
+  val TEMP_ALPHA = 0.3
+
+  /** X — temperature-scaled multilingual sampling (mT5/XLM-R): language
+    * weights w_i ∝ p_i^α with α = 0.3 — flatter than the corpus
+    * distribution, so low-resource languages are upsampled relative to
+    * their share without head languages vanishing. The derived weights
+    * feed the same deterministic md5-threshold sampler as x_mix_sample
+    * (which takes FIXED target weights; this computes them FROM the
+    * corpus — the two halves of how real mixtures are specified).
+    *
+    * Cross-engine float discipline: p_i^α is the only libm operation —
+    * immediately rounded to a 1e9 fixed-point integer on both engines
+    * (Round9Spec measures every weight's distance to the round-half
+    * boundary, the DSIR pattern). Everything after is integer sums and
+    * IEEE divisions of identical operands, so the thresholds agree
+    * bit-for-bit. Driver state: one ≤n_langs-row collect.
+    */
+  val xTemperatureMix = Q(
+    "x_temperature_mix",
+    s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+       tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM c),
+       pw AS (SELECT lang, n,
+                CAST(round(pow(CAST(n AS DOUBLE) / nn, $TEMP_ALPHA) * 1000000000) AS BIGINT) AS wfix
+              FROM c, tot),
+       sw AS (SELECT CAST(sum(wfix) AS BIGINT) AS s FROM pw),
+       f AS (SELECT lang, n, wfix,
+               printf('%05x', CAST(floor(least(1.0,
+                 (CAST(wfix AS DOUBLE) / s) * (nn / 5.0) / n) * 65536) AS BIGINT)) AS ht
+             FROM pw, sw, tot),
+       k AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
+             FROM documents d JOIN f USING (lang)
+             WHERE '0' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < ht
+             GROUP BY d.lang)
+       SELECT f.lang, f.n AS n_docs, f.wfix,
+              CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+       FROM f LEFT JOIN k ON f.lang = k.lang ORDER BY f.lang""") { (s, dir) =>
+    val docs = T(s, dir, "documents")
+    val rows = temperatureThresholds(docs)
+    val thrMap = rows.map { case (l, _, _, thr) => l -> f"$thr%05x" }.toMap
+    val kept = docs
+      .withColumn("ht", try_element_at(typedLit[Map[String, String]](thrMap), col("lang")))
+      .filter(concat(lit("0"),
+        substring(md5(col("doc_id").cast("string")), 1, 4)) < col("ht"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("k"))
+    s.createDataFrame(rows.toSeq).toDF("lang", "n_docs", "wfix", "thr")
+      .join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("wfix"),
+        coalesce(col("k"), lit(0L)).as("n_kept"))
+      .orderBy("lang")
+  }
+
+  /** Per-language (lang, n_docs, wfix, threshold) for the temperature
+    * mixture — the bounded driver-side model state (≤ n_langs rows).
+    * Exposed for the Round9Spec fixed-point margin measurement.
+    */
+  def temperatureThresholds(docs: org.apache.spark.sql.DataFrame)
+      : Array[(String, Long, Long, Long)] = {
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val nn = counts.map(_._2).sum
+    val wfix = counts.map { case (l, c) =>
+      (l, c, math.round(math.pow(c.toDouble / nn, TEMP_ALPHA) * 1e9)) }
+    val sw = wfix.map(_._3).sum
+    wfix.map { case (l, c, w) =>
+      val frac = math.min(1.0, (w.toDouble / sw) * (nn / 5.0) / c)
+      (l, c, w, math.floor(frac * 65536).toLong)
+    }
+  }
+
   val all: Seq[Q] = Seq(xNgramContamination, xMixSample, xDomainCap,
-    xDatasetCard, xNgramNovelty)
+    xDatasetCard, xNgramNovelty, xTemperatureMix)
 }
