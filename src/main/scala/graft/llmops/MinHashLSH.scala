@@ -284,5 +284,66 @@ object MinHashLSH {
       .orderBy("a_id", "b_id")
   }
 
-  val all: Seq[Q] = Seq(q33, xCharNgram)
+  /** Error bound for x_minhash_est: |sig-estimate − exact Jaccard| must
+    * stay under this for every reported pair (32 hashes → σ ≈ 0.09 at
+    * J = 0.5; 0.3 ≈ 3.4σ, and the fixed hash family makes the check a
+    * deterministic fact of the corpus, not a coin flip).
+    */
+  val EST_BOUND = 0.3
+
+  /** X — the sketch-accuracy audit: for every near-dup pair q33 reports,
+    * compare the MinHash SIGNATURE estimate of Jaccard (fraction of the
+    * 32 components that agree — the number LSH banding actually acts
+    * on) against the exact set Jaccard, and assert the textbook error
+    * bound holds. This is the derived-fact pattern of q07_approx_hll
+    * applied to the near-dup sketch: the oracle recomputes the exact
+    * integers (intersection, union — brute force at its scale) and the
+    * trivially-true flag; a signature-family or banding regression that
+    * degrades estimates flips the flag red even while the verified pair
+    * SET stays correct.
+    */
+  val xMinhashEst = Q(
+    "x_minhash_est",
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+              FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 1))) AS i)
+              WHERE len(t) >= 3),
+       card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+       inter AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS i
+                 FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                 GROUP BY 1, 2)
+       SELECT a_id, b_id, CAST(i AS BIGINT) AS inter,
+              CAST(ca.c + cb.c - i AS BIGINT) AS uni,
+              TRUE AS sig_within
+       FROM inter
+       JOIN card ca ON ca.doc_id = a_id
+       JOIN card cb ON cb.doc_id = b_id
+       WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= $TAU
+       ORDER BY a_id, b_id""") { (s, dir) =>
+    val sets = wordSetsBase(s, dir)
+    val cand = candidates(bandKeys(signaturesFromSets(sets)))
+    val sig = sets.select(col("doc_id"),
+      graft.functions.ArrayOps.minhashSignature(col("hs"), NUM_HASHES).as("sig"))
+    val withIU = cand
+      .join(sets.select(col("doc_id").as("a_id"), col("hs").as("ha"),
+        col("c").as("ca")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("hs").as("hb"),
+        col("c").as("cb")), "b_id")
+      .withColumn("inter",
+        graft.functions.ArrayOps.sortedIntersectCount(col("ha"), col("hb")))
+      .withColumn("uni", col("ca") + col("cb") - col("inter"))
+      .filter(col("inter").cast("double") / col("uni") >= TAU)
+    withIU
+      .join(sig.select(col("doc_id").as("a_id"), col("sig").as("sa")), "a_id")
+      .join(sig.select(col("doc_id").as("b_id"), col("sig").as("sb")), "b_id")
+      .withColumn("n_match", expr(
+        "aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"))
+      .select(col("a_id"), col("b_id"), col("inter"), col("uni"),
+        (abs(col("n_match") / lit(NUM_HASHES.toDouble) -
+          col("inter").cast("double") / col("uni")) <= EST_BOUND)
+          .as("sig_within"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val all: Seq[Q] = Seq(q33, xCharNgram, xMinhashEst)
 }

@@ -336,6 +336,37 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("minhash estimate audit: errors are real but inside the bound, with margin") {
+    import org.apache.spark.sql.functions._
+    val M = graft.llmops.MinHashLSH
+    val dir = "/root/testdata/sf0.01"
+    val sets = M.wordSetsBase(spark, dir)
+    val sig = sets.select(col("doc_id"),
+      graft.functions.ArrayOps.minhashSignature(col("hs"), M.NUM_HASHES).as("sig"))
+    val errs = M.candidates(M.bandKeys(M.signaturesFromSets(sets)))
+      .join(sets.select(col("doc_id").as("a_id"), col("hs").as("ha"), col("c").as("ca")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("hs").as("hb"), col("c").as("cb")), "b_id")
+      .withColumn("inter", graft.functions.ArrayOps.sortedIntersectCount(col("ha"), col("hb")))
+      .withColumn("uni", col("ca") + col("cb") - col("inter"))
+      .filter(col("inter").cast("double") / col("uni") >= M.TAU)
+      .join(sig.select(col("doc_id").as("a_id"), col("sig").as("sa")), "a_id")
+      .join(sig.select(col("doc_id").as("b_id"), col("sig").as("sb")), "b_id")
+      .withColumn("err", abs(
+        expr("aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)") /
+          lit(M.NUM_HASHES.toDouble) -
+        col("inter").cast("double") / col("uni")))
+      .select("err").as[Double].collect()
+    info(f"${errs.length} pairs, max |est-exact| ${errs.max}%.3f (bound ${M.EST_BOUND})")
+    assert(errs.nonEmpty)
+    assert(errs.max <= M.EST_BOUND, "a pair violates the estimate bound")
+    // non-vacuity: the sketch is an ESTIMATE — at least one pair must
+    // actually miss (est != exact), or the audit can't detect regressions
+    assert(errs.exists(_ > 1e-9), "every estimate exact — audit is vacuous")
+    // and the bound is not absurdly loose relative to observed errors
+    assert(errs.max > M.EST_BOUND / 10,
+      f"observed max ${errs.max}%.3f — bound ${M.EST_BOUND} is >10x slack, tighten it")
+  }
+
   test("cdc apply: deletes gone, inserts present, the seq-2 update wins") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.01"
