@@ -217,6 +217,7 @@ object Bench {
     "q30_stream_stream_join", "q33_minhash_neardup", "q34_vector_topk",
     "x_char_ngram_jaccard", "x_embed_nn", "x_embed_neardup", "x_ann_ivf",
     "x_dedup_families", "x_incremental_neardup", "x_curation_pipeline",
+    "x_full_curation",
     "x_zorder_prune", "x_profile",
     "x_bigram_lm", "x_lm_crossppl", "x_quality_classifier",
     "x_bpe_tokenize", "x_embed_cluster",

@@ -20,6 +20,7 @@ object SparkEntry {
       plans.AsOfQueries.all ++ streaming.StreamOps.all ++
       ops.Udfs.all ++ llmops.Dedup.all ++ llmops.MinHashLSH.all ++
       llmops.DedupFamilies.all ++ llmops.DedupPipeline.all ++
+      llmops.FullCuration.all ++
       llmops.Incremental.all ++
       llmops.Curation.all ++
       llmops.VectorSearch.all ++ llmops.Chunking.all ++ llmops.TextStats.all ++

@@ -85,6 +85,18 @@ object BucketCumsum {
     * this one in (md5(idCol), idCol) order. Input must have `idCol`;
     * output keeps the input columns plus `before` (helper columns
     * dropped).
+    *
+    * PRECONDITION — `idCol` values must be UNIQUE. The within-bucket
+    * window orders by (md5(id), id); duplicate ids tie on both keys, and
+    * tied rows receive ARBITRARY (nondeterministic across runs) running
+    * totals. Current callers key by doc_id / vec_id which are unique by
+    * construction; a caller with duplicate keys must first aggregate to
+    * one row per key or add its own unique tiebreak to idCol (e.g.
+    * concat(id, '#', uuid-free ordinal)). Uniqueness is deliberately not
+    * asserted at runtime — a distinct-count pass over 100 TB per
+    * invocation would double the operator's cost; `GraftProps` property
+    * tests pin the decomposition's exactness under the unique-key
+    * contract instead.
     */
   def before(df: DataFrame, idCol: String, measure: Column): DataFrame = {
     val t = df

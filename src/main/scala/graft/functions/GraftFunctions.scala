@@ -37,6 +37,10 @@ object GraftFunctions {
     "minhash_signature" -> { exprs =>
       MinHashSignature(exprs(0), litInt(exprs(1), "minhash_signature")) },
     "winnow_fingerprints" -> { exprs =>
+      // First 3-arg registered function: check arity BEFORE indexing so a
+      // 2-arg SQL call gets a named error, not IndexOutOfBoundsException.
+      require(exprs.length == 3,
+        s"winnow_fingerprints takes (text, k, w); got ${exprs.length} args")
       WinnowFingerprints(exprs(0), litInt(exprs(1), "winnow_fingerprints"),
         litInt(exprs(2), "winnow_fingerprints")) })
 

@@ -35,12 +35,19 @@ class TopKByScore(k: Int)
   def reduce(buf: Seq[ScoredId], x: ScoredId): Seq[ScoredId] =
     if (buf.length >= k && better(buf.last, x)) buf
     else {
-      // insertion into the sorted ≤k buffer: O(k) scan, no re-sort
-      val pos = buf.indexWhere(b => !better(b, x)) match {
-        case -1 => buf.length
-        case p => p
+      // Single-allocation sorted insertion: one Array[≤k] filled in one
+      // pass (entries better than x, then x, then the rest up to k).
+      // The earlier take/:+/++ spelling built 4 intermediate Vectors per
+      // accepted row — pure GC churn on the map-side hot path.
+      val n = math.min(buf.length + 1, k)
+      val out = new Array[ScoredId](n)
+      var i = 0; var p = 0
+      while (i < buf.length && better(buf(i), x)) {
+        out(p) = buf(i); p += 1; i += 1
       }
-      (buf.take(pos) :+ x) ++ buf.drop(pos).take(k - pos - 1)
+      if (p < n) { out(p) = x; p += 1 }
+      while (p < n) { out(p) = buf(i); p += 1; i += 1 }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
     }
 
   def merge(a: Seq[ScoredId], b: Seq[ScoredId]): Seq[ScoredId] = {

@@ -145,6 +145,14 @@ object HeavyHitters {
     */
   val CMS_EPS = 0.075
   val CMS_CONF = 0.999
+  /** Fixed sketch seed. The oracle hardcodes `within_eps = TRUE`, which is
+    * a per-seed probabilistic fact VERIFIED at sf0.001 / sf0.01 / sf0.1
+    * (this list). A new scale factor draws a fresh collision pattern, so
+    * before trusting the gate at any other SF, re-check the bound there
+    * (run x_count_min once and inspect the est−freq margins) — a
+    * violation would surface as a whole-query hash mismatch, not a
+    * flagged estimate regression.
+    */
   val CMS_SEED = 42
 
   val all: Seq[Q] = Seq(xHeavyHitters, xCountMin)

@@ -12,12 +12,12 @@ import graft.core.{Q, Tables => T}
   */
 object TextStats {
 
-  private val stopEn = Seq("the", "a", "of", "and", "to")
-  private val stopDe = Seq("der", "die", "das", "und", "ist")
-  private val stopEs = Seq("el", "la", "de", "y", "es")
-  private val stopFr = Seq("le", "la", "de", "et", "est")
+  private[llmops] val stopEn = Seq("the", "a", "of", "and", "to")
+  private[llmops] val stopDe = Seq("der", "die", "das", "und", "ist")
+  private[llmops] val stopEs = Seq("el", "la", "de", "y", "es")
+  private[llmops] val stopFr = Seq("le", "la", "de", "et", "est")
 
-  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+  private[llmops] def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
   /** Q35 — corpus stats per language: doc count, token totals, exact mean
     * document length.

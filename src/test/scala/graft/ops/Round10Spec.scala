@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Round-10 additions beyond the per-operator specs. */
+class Round10Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("full curation: card invariants hold at sf0.001 and sf0.01") {
+    val F = graft.llmops.FullCuration
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val card = F.curate(spark, dir).collect()
+      assert(card.nonEmpty, s"$dir: empty card")
+
+      // lang-id is threaded through to the end: on this fixture the vote
+      // says 'en' for every doc, so every non-en group is 100% mispredicted
+      // and the en group is 0% — any other value means lang_pred was lost
+      // or recomputed between stages
+      card.foreach { r =>
+        val (lang, nDocs, nMispred) =
+          (r.getString(0), r.getLong(2), r.getLong(6))
+        if (lang == "en") assert(nMispred == 0L, s"$dir en mispred=$nMispred")
+        else assert(nMispred == nDocs, s"$dir $lang mispred=$nMispred/$nDocs")
+      }
+
+      // contiguous-fill shard balance: summing across languages, every
+      // shard except the last holds SHARD_TOKENS tokens give-or-take one
+      // document (the x_shard_assign contract, surviving the composition)
+      val sem = F.semStage(spark, dir)
+      val maxDoc = sem.agg(max(col("n_tok"))).as[Long].head()
+      val byShard = card.groupBy(_.getLong(1)).view
+        .mapValues(_.map(_.getLong(3)).sum).toMap
+      val last = byShard.keys.max
+      byShard.foreach { case (shard, toks) =>
+        if (shard != last)
+          assert(math.abs(toks - graft.llmops.Chunking.SHARD_TOKENS) < maxDoc,
+            s"$dir shard $shard holds $toks tokens (target " +
+              s"${graft.llmops.Chunking.SHARD_TOKENS} ± <$maxDoc)")
+      }
+
+      // elimination is strictly monotone and non-trivial: the mixture is
+      // a proper subset of the stage-8 survivors, which are a proper
+      // subset of the train split
+      val semN = sem.count()
+      val mixN = card.map(_.getLong(2)).sum
+      val trainN = graft.core.Tables(spark, dir, "documents")
+        .filter(!graft.llmops.Incremental.holdoutColumn).count()
+      assert(mixN < semN && semN < trainN,
+        s"$dir funnel not strict: train=$trainN sem=$semN mix=$mixN")
+      info(s"$dir funnel: train=$trainN sem=$semN mix=$mixN " +
+        s"shards=${byShard.size} maxDoc=$maxDoc")
+    }
+  }
+
+  test("full curation: survivors carry no exact duplicates and no residual high-J near-dup pairs (sf0.001 brute force)") {
+    val F = graft.llmops.FullCuration
+    val dir = "/root/testdata/sf0.001"
+    val sem = F.semStage(spark, dir)
+
+    val ids = sem.select(col("doc_id")).as[Long].collect()
+    val fullText = graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+
+    // stage-4 contract propagated: no two survivors share the same FULL
+    // text (line dedup may legitimately make CLEANED texts collide; the
+    // exact-dedup contract is on the pre-line-removal document)
+    val texts = ids.map(fullText)
+    assert(texts.distinct.length == texts.length,
+      "exact duplicates survived the pipeline")
+
+    // brute-force 3-shingle Jaccard over the PRE-line-dedup text of the
+    // survivors: stage 5 must have removed every pair >= TAU (survivor
+    // sets here are small enough to verify exhaustively)
+    def shingles(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val sets = ids.map(id => id -> shingles(fullText(id))).toMap
+    var bad = List.empty[(Long, Long, Double)]
+    for (i <- ids.indices; j <- (i + 1) until ids.length) {
+      val (a, b) = (ids(i), ids(j))
+      val (sa, sb) = (sets(a), sets(b))
+      if (sa.nonEmpty && sb.nonEmpty) {
+        val inter = (sa & sb).size
+        val jac = inter.toDouble / (sa.size + sb.size - inter)
+        if (jac >= graft.llmops.MinHashLSH.TAU) bad ::= (a, b, jac)
+      }
+    }
+    assert(bad.isEmpty, s"surviving near-dup pairs: ${bad.take(5)}")
+    info(s"checked ${ids.length * (ids.length - 1) / 2} survivor pairs, 0 >= TAU")
+  }
+}
