@@ -277,7 +277,16 @@ object Chunking {
               CAST(sum(CASE WHEN d.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
        FROM lines l LEFT JOIN dup d ON l.line = d.line
        GROUP BY l.doc_id ORDER BY l.doc_id""") { (s, dir) =>
-    val lines = T(s, dir, "documents")
+    lineDedup(T(s, dir, "documents")).orderBy("doc_id")
+  }
+
+  /** The x_line_dedup machinery over any (doc_id, text) frame — one row
+    * per input doc: (doc_id, text_clean, n_kept, n_dropped). Shared by
+    * the Q above, the full-curation DAG (stage 6), and the scale probe.
+    */
+  def lineDedup(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val lines = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(1),
@@ -301,7 +310,6 @@ object Chunking {
           " ").as("text_clean"),
         sum(when(col("isdup").isNull, 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("isdup").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
-      .orderBy("doc_id")
   }
 
   /** Minimum repeated-substring length for x_substr_dedup (chars). */
@@ -355,7 +363,16 @@ object Chunking {
               CAST(coalesce(sum(reg.e - reg.s), 0) AS BIGINT) AS n_repeated_chars
        FROM documents doc LEFT JOIN reg ON doc.doc_id = reg.doc_id
        GROUP BY 1 ORDER BY 1""") { (s, dir) =>
-    val wins = T(s, dir, "documents")
+    substrStats(T(s, dir, "documents")).orderBy("doc_id")
+  }
+
+  /** The x_substr_dedup machinery over any (doc_id, text) frame — one
+    * row per input doc: (doc_id, n_regions, n_repeated_chars). Shared by
+    * the Q above and the scale probe.
+    */
+  def substrStats(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val wins = docs
       .filter(length(col("text")) >= SUBSTR_L)
       .select(col("doc_id"),
         explode(sequence(lit(0), length(col("text")) - SUBSTR_L)).as("off"),
@@ -374,12 +391,11 @@ object Chunking {
         .over(byDoc))
       .groupBy(col("doc_id"), col("isl"))
       .agg(min(col("off")).as("s"), (max(col("off")) + SUBSTR_L).as("e"))
-    T(s, dir, "documents").select(col("doc_id"))
+    docs.select(col("doc_id"))
       .join(regions, Seq("doc_id"), "left")
       .groupBy(col("doc_id"))
       .agg(coalesce(count(col("isl")), lit(0L)).as("n_regions"),
         coalesce(sum(col("e") - col("s")), lit(0L)).as("n_repeated_chars"))
-      .orderBy("doc_id")
   }
 
   /** X — content-defined chunking (the rsync/LBFS boundary trick applied

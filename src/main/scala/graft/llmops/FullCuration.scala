@@ -346,31 +346,12 @@ object FullCuration {
     val nd = qual.join(exLosers, Seq("doc_id"), "left_anti")
       .join(ndLosers, Seq("doc_id"), "left_anti")
 
-    // stage 6 — line dedup + reassembly (x_line_dedup's plan over the
-    // dedup survivors) + the RE-applied token floor
-    val lines = nd.select(col("doc_id"), split(col("text"), " ").as("t"))
-      .select(col("doc_id"), col("t"),
-        explode(sequence(lit(1),
-          ceil(size(col("t")) / lit(LINE_W.toDouble)).cast("int"))).as("i"))
-      .select(col("doc_id"), col("i"),
-        array_join(
-          slice(col("t"), (col("i") - 1) * LINE_W + 1, lit(LINE_W)),
-          " ").as("line"))
-    val dup = lines.groupBy(col("line"))
-      .agg(countDistinct(col("doc_id")).as("ndup"))
-      .filter(col("ndup") >= LINE_DUP_K)
-      .select(col("line"), lit(1).as("isdup"))
-    val cleanText = lines.join(dup, Seq("line"), "left")
-      .groupBy(col("doc_id"))
-      .agg(
-        array_join(
-          transform(
-            array_sort(collect_list(
-              when(col("isdup").isNull, struct(col("i"), col("line"))))),
-            x => x("line")),
-          " ").as("text"),
-        sum(when(col("isdup").isNull, 1L).otherwise(0L)).as("n_kept"))
-      .filter(col("n_kept") >= 1).drop("n_kept")
+    // stage 6 — line dedup + reassembly (Chunking.lineDedup, the
+    // x_line_dedup plan, over the dedup survivors) + the RE-applied
+    // token floor
+    val cleanText = Chunking.lineDedup(nd.select(col("doc_id"), col("text")))
+      .filter(col("n_kept") >= 1)
+      .select(col("doc_id"), col("text_clean").as("text"))
 
     // THE second shared base: cleaned text + regex token count, cached
     // once — decontamination, mixing and sharding all read this cache

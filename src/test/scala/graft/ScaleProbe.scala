@@ -24,7 +24,8 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     // comma-separated section filter for re-measuring one family without
     // paying the whole probe:
-    // neardup,setsim,nn,km,inc,lm,bpe,contam,pr,qc,evt,cn,cnskew,budget,cap,winnow,cdc
+    // neardup,setsim,nn,km,inc,lm,bpe,contam,pr,qc,evt,cn,cnskew,budget,
+    // cap,winnow,cdc,cumsum,cumsumN,linededup,substr
     val only = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def want(section: String): Boolean = only.forall(_.contains(section))
@@ -211,6 +212,110 @@ object ScaleProbe {
           f"tokens=$toks%9d sec=$sec%7.2f")
       }
       langBase.unpersist()
+    }
+
+    // ---- bucket-refined global cumsum family (round 10): shard assign
+    // (sum-cumsum) and dense ids (count-rank), the two BucketCumsum
+    // instantiations without measured growth curves. Replicated docs
+    // spread uniformly over the md5 order, so the 256-bucket partition
+    // stays balanced as the corpus grows; the claim is ~linear wall AND
+    // a bounded gap vs the naive corpus-wide single-task window (whose
+    // sort serializes — the plan this decomposition exists to avoid).
+    if (want("cumsum")) {
+      import org.apache.spark.sql.expressions.Window
+      for (k <- Seq(1, 2, 5, 10)) {
+        val docs = corpus(k).cache(); val n = docs.count()
+        val t0 = System.nanoTime()
+        val shards = graft.llmops.Chunking.shardAssign(docs)
+          .agg(max(col("shard")), sum(col("n_tokens"))).first()
+        val shardSec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        graft.core.BucketCumsum.before(
+            docs.select(col("doc_id")), "doc_id", lit(1L))
+          .agg(max(col("before"))).first()
+        val idSec = (System.nanoTime() - t1) / 1e9
+        // the naive spelling both queries refuse to run: one global
+        // window, all rows through a single sort task
+        val t2 = System.nanoTime()
+        val w = Window.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        docs.select(col("doc_id"),
+            length(col("text")).cast("long").as("m"))
+          .withColumn("before", coalesce(sum(col("m")).over(w), lit(0L)))
+          .agg(max(col("before"))).first()
+        val naiveSec = (System.nanoTime() - t2) / 1e9
+        println(f"SCALE-CUMSUM k=$k%2d docs=$n%6d " +
+          f"shards=${shards.getLong(0) + 1}%5d shard=$shardSec%6.2f " +
+          f"dense_ids=$idSec%6.2f naive_window=$naiveSec%6.2f")
+        docs.unpersist()
+      }
+    }
+
+    // ---- BucketCumsum vs the naive global window at row counts where
+    // the single sort task actually matters (round 10): the 50k-doc
+    // corpus probe above shows the naive window WINNING on constant
+    // factors (0.2 s vs 1+ s — 50k rows through one task is trivial), so
+    // this section drives both spellings over synthetic row counts up to
+    // 20M to locate the crossover. Measure = id % 997 (arbitrary longs),
+    // id = the unique key; no text needed.
+    if (want("cumsumN")) {
+      import org.apache.spark.sql.expressions.Window
+      for (n <- Seq(1000000L, 5000000L, 20000000L)) {
+        val rows = spark.range(n).select(col("id").as("doc_id"),
+          (col("id") % 997).as("m")).cache()
+        rows.count()
+        val t0 = System.nanoTime()
+        graft.core.BucketCumsum.before(rows, "doc_id", col("m"))
+          .agg(max(col("before"))).first()
+        val bucketSec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val w = Window.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        rows.withColumn("before", coalesce(sum(col("m")).over(w), lit(0L)))
+          .agg(max(col("before"))).first()
+        val naiveSec = (System.nanoTime() - t1) / 1e9
+        println(f"SCALE-CUMSUM-N n=$n%9d bucket=$bucketSec%7.2f " +
+          f"naive_window=$naiveSec%7.2f")
+        rows.unpersist()
+      }
+    }
+
+    // ---- line dedup (round 10): cross-doc boilerplate line removal +
+    // per-doc reassembly. Replica-tagged words mean lines never collide
+    // ACROSS replicas, so the duplicate-line set and the reassembly work
+    // both grow k-fold — the hard direction for the line-key hash agg.
+    // The claim: ~linear wall (one explode, one line-key agg, one join,
+    // one per-doc collect — no corpus-wide window).
+    if (want("linededup")) {
+      for (k <- Seq(1, 2, 5, 10)) {
+        val docs = corpus(k).cache(); val n = docs.count()
+        val t0 = System.nanoTime()
+        val r = graft.llmops.Chunking.lineDedup(docs)
+          .agg(count(lit(1)), sum(col("n_dropped"))).first()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"SCALE-LINEDEDUP k=$k%2d docs=$n%6d out=${r.getLong(0)}%6d " +
+          f"dropped_lines=${r.getLong(1)}%7d sec=$sec%6.2f")
+        docs.unpersist()
+      }
+    }
+
+    // ---- substring dedup (round 10): sliding char-window digests +
+    // per-doc island merge. The window stream is ~n_chars rows per doc
+    // (the family's most expensive narrow stage by construction); the
+    // repeat set is one digest agg; the island merge is per-doc
+    // partitioned. Replicas share no 40-char windows (word tags), so
+    // digests grow k-fold. The claim: ~linear wall in total chars.
+    if (want("substr")) {
+      for (k <- Seq(1, 2, 5, 10)) {
+        val docs = corpus(k).cache(); val n = docs.count()
+        val t0 = System.nanoTime()
+        val r = graft.llmops.Chunking.substrStats(docs)
+          .agg(sum(col("n_regions")), sum(col("n_repeated_chars"))).first()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"SCALE-SUBSTR k=$k%2d docs=$n%6d regions=${r.getLong(0)}%6d " +
+          f"rep_chars=${r.getLong(1)}%8d sec=$sec%6.2f")
+        docs.unpersist()
+      }
     }
 
     // ---- exact nearest-neighbor: IVF radius-bound vs all-pairs ----
