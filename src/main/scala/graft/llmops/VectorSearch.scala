@@ -824,8 +824,16 @@ object VectorSearch {
     * at K=16 vs 0.018 at K=256).
     */
   def coarseResiduals(s: SparkSession, dir: String, e: DataFrame)
+      : DataFrame =
+    coarseResidualsFrom(sharedCentroids(s, dir).map(_.toSeq).toSeq, e)
+
+  /** Same pass against an EXPLICIT centroid table — the form the warm
+    *-start / incremental path uses (centroids come from the persisted
+    * index, not a fresh k-means).
+    */
+  def coarseResidualsFrom(cents: Seq[Seq[Double]], e: DataFrame)
       : DataFrame = {
-    val centLit = typedLit(sharedCentroids(s, dir).map(_.toSeq).toSeq)
+    val centLit = typedLit(cents)
     e.select(col("vec_id"), col("n_emb"),
         posexplode(centLit).as(Seq("ccid", "ccent")))
       .select(col("vec_id"), col("n_emb"),
@@ -914,8 +922,12 @@ object VectorSearch {
     * probes × ANN_K rows.
     */
   private def pqCoarseLut(
-      s: SparkSession, dir: String, probeFrame: DataFrame): DataFrame = {
-    val centLit = typedLit(sharedCentroids(s, dir).map(_.toSeq).toSeq)
+      s: SparkSession, dir: String, probeFrame: DataFrame): DataFrame =
+    pqCoarseLutFrom(sharedCentroids(s, dir).map(_.toSeq).toSeq, probeFrame)
+
+  private def pqCoarseLutFrom(
+      cents: Seq[Seq[Double]], probeFrame: DataFrame): DataFrame = {
+    val centLit = typedLit(cents)
     probeFrame
       .select(col("vec_id").as("probe_id"), col("n_emb"),
         posexplode(centLit).as(Seq("ccid", "ccent")))
@@ -1043,6 +1055,172 @@ object VectorSearch {
       .select(col("probe_id"), col("recall_ok")).orderBy("probe_id")
   }
 
+  // ---- IVF-PQ persistence + incremental extension: a real billion-
+  // vector index is an ARTIFACT, not a session object — it survives
+  // restart (codebooks/codes/centroids stored as parquet under the
+  // lake) and absorbs new vector batches WITHOUT retraining (new
+  // vectors are coarse-assigned to the stored centroids and PQ-coded
+  // with the stored codebooks — FAISS's add-after-train contract).
+  // Retraining per batch would be both wasteful (codebook training is
+  // the expensive pass) and wrong (stored codes become stale against
+  // new codebooks; the whole corpus would need re-coding).
+
+  /** Per-JVM scratch root standing in for the lake's index prefix (the
+    * Extra.scratchRoot discipline: stable per-dir paths, overwrite-mode
+    * writers, removed on JVM exit).
+    */
+  private lazy val indexRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_pqindex")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }
+    p
+  }
+  def indexPath(dir: String): String =
+    s"$indexRoot/${new java.io.File(dir).getName}"
+
+  /** vec_id offset for the incremental batch (disjoint id space). */
+  val INCR_OFFSET = 10000000L
+
+  /** Write the built index as parquet: coarse centroids, per-block
+    * residual codebooks, and the code table. Returns the index path.
+    */
+  def persistPqIndex(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val path = indexPath(dir)
+    val (cb, codes) = pqIndex(s, dir)
+    cb.write.mode("overwrite").parquet(s"$path/codebooks")
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+    sharedCentroids(s, dir).zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("ccid", "cent")
+      .write.mode("overwrite").parquet(s"$path/coarse")
+    path
+  }
+
+  /** Warm start: load the persisted artifacts — no k-means, no codebook
+    * training, no corpus scan. The returned frames read straight from
+    * the stored parquet.
+    */
+  def loadPqIndex(s: SparkSession, path: String)
+      : (Seq[Seq[Double]], DataFrame, DataFrame) = {
+    import s.implicits._
+    val cents = s.read.parquet(s"$path/coarse")
+      .orderBy("ccid").select("cent")
+      .as[Seq[Double]].collect().toSeq
+    (cents, s.read.parquet(s"$path/codebooks"), s.read.parquet(s"$path/codes"))
+  }
+
+  /** Code rows for a NEW batch against a stored index: coarse-assign to
+    * the stored centroids, PQ-code the residuals with the stored
+    * codebooks. No training anywhere — two narrow passes over the batch
+    * plus broadcast lookups, O(batch) regardless of corpus size.
+    */
+  def incrementalCodes(
+      batch: DataFrame, cents: Seq[Seq[Double]], cb: DataFrame): DataFrame = {
+    val resid = coarseResidualsFrom(cents, batch)
+    assignCodes(subvectors(resid.select("vec_id", "n_emb")), cb)
+      .join(resid.select("vec_id", "ccid"), Seq("vec_id"))
+  }
+
+  /** The deterministic "new crawl batch": one near-duplicate replica of
+    * the corpus (0.999·v + 0.001·rotate(v), renormalized — the tight-
+    * cluster regime ScaleProbe's clustered mode uses, and the HARD case
+    * for an untouched quantizer: every new vector lands right on top of
+    * an existing one, so the true top-10 of every probe is rewritten by
+    * the batch).
+    */
+  def replicaBatch(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddingsBase(s, dir).select(col("vec_id"), col("n_emb"))
+    val shifted = "concat(slice(n_emb, 2, size(n_emb) - 1), slice(n_emb, 1, 1))"
+    e.select((col("vec_id") + lit(INCR_OFFSET)).as("vec_id"),
+      graft.functions.ArrayOps.l2normalize(
+        expr(s"zip_with(n_emb, $shifted, (a, b) -> 0.999*a + 0.001*b)"))
+        .as("n_emb"))
+  }
+
+  /** nprobe for the incremental search: the merged corpus pairs every
+    * base vector with a near-duplicate, so every pruned list that held
+    * ONE true neighbor of some probe now hides TWO — the recall cost of
+    * a coarse miss doubles. Measured (IncrProbe): nprobe=6/8 dip to 0.8
+    * (probe 3 at sf0.01 has its #9/#10 neighbors in a list ranked 10th
+    * by csim — an intrinsic far-cluster neighbor, not a storage bug);
+    * nprobe=10 plus the doubled shortlist below measures recall 1.0 on
+    * every probe at every SF. The wider probe set is the price of searching a corpus
+    * with systematic near-tie pairs; the single-corpus search keeps
+    * nprobe=6.
+    */
+  val IVFPQ_INCR_NPROBE = 10
+  /** Recall bar for the incremental search. Measured floor on the
+    * merged corpus is 1.0 on every probe at every SF (IncrProbe); 0.8
+    * leaves two-hit slack under the measurement.
+    */
+  val IVFPQ_INCR_RECALL_BAR = 0.8
+
+  /** The full persist → load → extend → search round trip behind
+    * x_ivfpq_incremental:
+    *
+    *   1. build the index for `dir` (memoized) and WRITE it to parquet
+    *   2. warm-start: load centroids/codebooks/codes back from storage
+    *   3. code the new batch against the LOADED artifacts (no retrain)
+    *      and APPEND its code rows to the stored code table
+    *   4. re-read the extended code table and run the two-stage IVF-PQ
+    *      search for the standard probes over the MERGED corpus
+    *   5. grade per-probe recall@10 against the exact twin on the
+    *      merged corpus
+    *
+    * Every stored artifact is load-bearing: a serialization bug in any
+    * of the three tables (centroid order, codebook norms, code ids)
+    * lands directly on the recall gate.
+    */
+  def ivfpqIncrementalRecall(s: SparkSession, dir: String): DataFrame = {
+    val path = persistPqIndex(s, dir)
+    val (cents, cbL, _) = loadPqIndex(s, path)
+    val batch = replicaBatch(s, dir)
+    incrementalCodes(batch, cents, cbL)
+      .write.mode("overwrite").parquet(s"$path/codes_incr")
+    // merged index = stored base codes + stored batch codes, both read
+    // back from parquet (the restart-survival claim)
+    val codesAll = s.read.parquet(s"$path/codes")
+      .unionByName(s.read.parquet(s"$path/codes_incr"))
+    val eAll = embeddingsBase(s, dir).select(col("vec_id"), col("n_emb"))
+      .unionByName(batch)
+    val probeFrame = eAll.filter(col("vec_id") < 5)
+    val lut = pqProbeLut(probeFrame, cbL)
+    val probed = pqCoarseLutFrom(cents, probeFrame)
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("csim").desc, col("ccid"))))
+      .filter(col("crank") <= IVFPQ_INCR_NPROBE)
+      .drop("crank")
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val short = codesAll.join(broadcast(probed), Seq("ccid"))
+      .join(broadcast(lut), Seq("probe_id", "block", "cid"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg((sum(col("psim")) + max(col("csim"))).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 2 * PQ_SHORTLIST)
+      .select(col("probe_id"), col("vec_id"))
+    rerankAndRecall(eAll, short, IVFPQ_INCR_RECALL_BAR)
+  }
+
+  /** X — persisted + incrementally extended IVF-PQ (derived-fact
+    * oracle, the x_ivfpq_search contract): after a storage round trip
+    * and a no-retrain batch append, every probe must still recover
+    * ≥ IVFPQ_INCR_RECALL_BAR of the true top-10 of the MERGED corpus.
+    */
+  val xIvfPqIncremental = Q(
+    "x_ivfpq_incremental",
+    """SELECT vec_id AS probe_id, TRUE AS recall_ok
+       FROM embeddings WHERE vec_id < 5 ORDER BY probe_id""") { (s, dir) =>
+    ivfpqIncrementalRecall(s, dir)
+      .select(col("probe_id"), col("recall_ok")).orderBy("probe_id")
+  }
+
   /** X — hard-negative mining: for each probe, the top-5 most cosine-
     * similar vectors carrying a DIFFERENT label — the negatives a
     * contrastive embedding trainer wants (near the anchor but wrong
@@ -1084,5 +1262,5 @@ object VectorSearch {
 
   val all: Seq[Q] = Seq(q34, xNearestNeighbor, xEmbedNearDup, xAnnIvf,
     xEmbedCluster, xSemDedup, xSemanticDecontam, xKnnLabel, xPqRecall,
-    xIvfPqSearch, xHardNegatives)
+    xIvfPqSearch, xIvfPqIncremental, xHardNegatives)
 }

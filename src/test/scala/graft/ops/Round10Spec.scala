@@ -90,4 +90,38 @@ class Round10Spec extends AnyFunSuite {
     assert(bad.isEmpty, s"surviving near-dup pairs: ${bad.take(5)}")
     info(s"checked ${ids.length * (ids.length - 1) / 2} survivor pairs, 0 >= TAU")
   }
+
+  test("IVF-PQ persistence: loaded artifacts equal built ones; incremental codes are O(batch); recall gate holds") {
+    val V = graft.llmops.VectorSearch
+    val dir = "/root/testdata/sf0.01"
+
+    // storage round trip is lossless: the code table read back from
+    // parquet is row-identical to the built one, and the stored coarse
+    // centroids equal the in-memory k-means output element-wise
+    val path = V.persistPqIndex(spark, dir)
+    val (cents, cbL, codesL) = V.loadPqIndex(spark, path)
+    val (cbBuilt, codesBuilt) = V.pqIndex(spark, dir)
+    assert(codesL.count() == codesBuilt.count())
+    assert(codesL.exceptAll(codesBuilt).isEmpty && codesBuilt.exceptAll(codesL).isEmpty,
+      "stored code table differs from the built one")
+    assert(cbL.exceptAll(cbBuilt).isEmpty, "stored codebooks differ")
+    val memCents = V.sharedCentroids(spark, dir)
+    assert(cents.length == memCents.length &&
+      cents.zip(memCents).forall { case (a, b) => a == b.toSeq },
+      "stored coarse centroids differ")
+
+    // no-retrain batch coding is O(batch): exactly PQ_BLOCKS code rows
+    // per new vector, nothing recomputed over the base corpus
+    val batch = V.replicaBatch(spark, dir)
+    val nBatch = batch.count()
+    val bcodes = V.incrementalCodes(batch, cents, cbL)
+    assert(bcodes.count() == nBatch * V.PQ_BLOCKS)
+
+    // the end-to-end gate: every probe clears the bar on the merged
+    // corpus after the storage round trip (measured floor 1.0, IncrProbe)
+    val rec = V.ivfpqIncrementalRecall(spark, dir).collect()
+    assert(rec.length == 5 && rec.forall(_.getBoolean(2)),
+      s"recalls: ${rec.map(r => s"${r.getLong(0)}:${r.getDouble(1)}").mkString(" ")}")
+    info("recalls: " + rec.map(r => s"${r.getLong(0)}:${r.getDouble(1)}").mkString(" "))
+  }
 }
