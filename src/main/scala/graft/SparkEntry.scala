@@ -26,7 +26,8 @@ object SparkEntry {
       llmops.VectorSearch.all ++ llmops.Chunking.all ++ llmops.TextStats.all ++
       llmops.SimHash.all ++ llmops.Multimodal.all ++ llmops.ImagePhash.all ++
       llmops.WebClean.all ++ llmops.HeavyHitters.all ++ llmops.Bpe.all ++
-      llmops.LangModel.all ++ llmops.QualityModel.all ++ llmops.Graph.all ++
+      llmops.LangModel.all ++ llmops.QualityModel.all ++ llmops.Unigram.all ++
+      llmops.Graph.all ++
       llmops.SetSim.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */

@@ -91,6 +91,39 @@ class Round10Spec extends AnyFunSuite {
     info(s"checked ${ids.length * (ids.length - 1) / 2} survivor pairs, 0 >= TAU")
   }
 
+  test("unigram tokenizer: segmentations reconstruct words, scores are exact piece sums, pieces are in-vocab, and the DP is optimal") {
+    val U = graft.llmops.Unigram
+    val (vocab, segs) = U.train(
+      graft.core.Tables(spark, "/root/testdata/sf0.01", "documents"))
+    val lp = vocab.map { case (p, _, l) => p -> l }.toMap
+    val rows = segs.select("w", "n_pieces", "score_fix", "seg")
+      .as[(String, Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (w, n, score, seg) =>
+      val pieces = seg.split('|')
+      assert(pieces.mkString("") == w, s"$w: seg '$seg' does not reconstruct")
+      assert(pieces.length == n, s"$w: n_pieces=$n but seg has ${pieces.length}")
+      assert(pieces.forall(lp.contains), s"$w: out-of-vocab piece in '$seg'")
+      assert(pieces.map(lp).sum == score, s"$w: score mismatch")
+    }
+    // DP optimality: a driver-side exhaustive segmentation search agrees
+    // on (max score, then fewest pieces) for every corpus word
+    def allSegs(w: String): Seq[List[String]] =
+      if (w.isEmpty) Seq(Nil)
+      else (1 to math.min(U.MAX_PIECE, w.length)).flatMap { l =>
+        val (h, t) = w.splitAt(l)
+        if (lp.contains(h)) allSegs(t).map(h :: _) else Nil
+      }
+    rows.foreach { case (w, n, score, _) =>
+      val best = allSegs(w).map(s => (s.map(lp).sum, s.length))
+        .sortBy { case (sc, np) => (-sc, np) }.head
+      assert(best._1 == score && best._2 == n,
+        s"$w: DP says ($score, $n), brute force says $best")
+    }
+    info(s"verified ${rows.length} words against exhaustive segmentation; " +
+      s"vocab=${vocab.length} pieces")
+  }
+
   test("IVF-PQ persistence: loaded artifacts equal built ones; incremental codes are O(batch); recall gate holds") {
     val V = graft.llmops.VectorSearch
     val dir = "/root/testdata/sf0.01"
