@@ -69,9 +69,9 @@ object Curation {
   }
 
   /** Target language mixture (weights sum to 1) and document budget. */
-  private val MixWeights =
+  private[llmops] val MixWeights =
     Seq("de" -> 0.2, "en" -> 0.5, "es" -> 0.1, "fr" -> 0.15, "zh" -> 0.05)
-  private val MixBudget = 200.0
+  private[llmops] val MixBudget = 200.0
 
   val xMixSample = Q(
     "x_mix_sample",

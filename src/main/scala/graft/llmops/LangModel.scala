@@ -58,7 +58,8 @@ object LangModel {
     */
   def avgNllCross(train0: org.apache.spark.sql.DataFrame,
       score0: org.apache.spark.sql.DataFrame,
-      cacheKey: String = "x_bigram_lm.cnt"): org.apache.spark.sql.DataFrame = {
+      cacheKey: String = "x_bigram_lm.cnt",
+      raw: Boolean = false): org.apache.spark.sql.DataFrame = {
     val train = train0.select(col("doc_id"), split(col("text"), " ").as("t"))
     val score = score0.select(col("doc_id"), split(col("text"), " ").as("t"))
     // the trained model: bigram-vocabulary-sized (millions of rows for a
@@ -84,10 +85,15 @@ object LangModel {
       .join(uni, Seq("w1"), "left")
       .crossJoin(vocab)
       .groupBy(col("doc_id"))
-      .agg(round(
-        sum(-log((coalesce(col("c"), lit(0L)) + SMOOTH_K) /
-          (coalesce(col("cw"), lit(0L)) + col("v") * SMOOTH_K)))
-          / count(lit(1)), 6).as("nll"))
+      .agg({
+        // `raw = true` skips the 6-decimal round — the RoundingMarginSpec
+        // hook that measures this family's distance to its decision
+        // boundaries (the rounded form is what every contract query ships)
+        val r = sum(-log((coalesce(col("c"), lit(0L)) + SMOOTH_K) /
+          (coalesce(col("cw"), lit(0L)) + col("v") * SMOOTH_K))) /
+          count(lit(1))
+        (if (raw) r else round(r, 6)).as("nll")
+      })
   }
 
   /** Self-trained scoring (the x_bigram_lm contract): model and corpus

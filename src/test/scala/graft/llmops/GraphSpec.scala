@@ -173,37 +173,8 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
-  test("bm25: no fixture score sits within 1e-12 of a round-half decision boundary") {
-    // The hash contract tolerates a libm few-ulp difference between the
-    // engines ONLY because no true score is close enough to a ROUNDING
-    // DECISION boundary for that difference to flip round(score, 6).
-    // The decision boundaries are the half-multiples (k + 0.5)·1e-6 —
-    // NOT the 6-decimal values k·1e-6 themselves (a score sitting
-    // exactly ON a 6-decimal value is maximally SAFE: both engines round
-    // it identically however libm wobbles). Round 8's version of this
-    // test measured distance to the nearest 6-decimal value — the wrong
-    // quantity (flagged in round-8 ADVICE); this one measures
-    // |frac(s·1e6) − 0.5|·1e-6, the true distance to the nearest
-    // decision boundary. Exact-zero scores are exempt (computed exactly
-    // by both engines). Margin: 1e-12 of score — observed minimum
-    // boundary distance is 1.0e-9 at sf0.001 and 1.9e-10 at sf0.01
-    // (printed below on every run), and a few-ulp libm disagreement
-    // moves a magnitude-~1 score by ~1e-15; the bar sits 3 orders above
-    // the threat and 2+ below the observation.
-    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
-      val raw = TextStats.bm25Raw(spark, sf)
-        .select("raw").as[Double].collect()
-      val dists = raw.filter(_ != 0.0).map { s =>
-        val f = s * 1e6 - math.floor(s * 1e6)
-        math.abs(f - 0.5) * 1e-6
-      }
-      info(f"$sf: min distance to a round-half boundary: ${dists.min}%.3e")
-      val tooClose = raw.filter(_ != 0.0).filter { s =>
-        val f = s * 1e6 - math.floor(s * 1e6)
-        math.abs(f - 0.5) * 1e-6 < 1e-12
-      }
-      assert(tooClose.isEmpty,
-        s"$sf: scores within 1e-12 of a decision boundary: ${tooClose.take(5).mkString(",")}")
-    }
-  }
+  // (the bm25 round-half boundary audit moved to RoundingMarginSpec's
+  // table — row "bm25"; same raw values via TextStats.bm25Raw, same
+  // half-boundary quantity, bar 1e-6 in 1e6-scaled units = the 1e-12
+  // score-units bar this file used to assert.)
 }

@@ -1,0 +1,220 @@
+package graft.llmops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** The GENERALIZED rounding-margin audit (round-9 verdict item #5).
+  *
+  * Every query that rounds a transcendental/irrational double before
+  * hashing relies on the same safety argument: the hash contract
+  * tolerates a few-ulp libm difference between engines ONLY because no
+  * true value sits close enough to a ROUNDING DECISION BOUNDARY for
+  * that difference to flip the rounded result. Previously the argument
+  * was MEASURED only for BM25 (GraphSpec) and the temperature-mix
+  * weights (Round9Spec); every other rounding query cited it by
+  * analogy. This spec is the single table: each family contributes its
+  * raw (pre-round) values, and the measured minimum boundary distance
+  * is recorded (info) and gated (assert).
+  *
+  * Two boundary kinds:
+  *   - `round(v·scale)` flips at half-multiples — distance is
+  *     |frac(v·scale) − 0.5| (in SCALED units; a value sitting exactly
+  *     ON a representable multiple is maximally safe);
+  *   - `floor(v·scale)` flips at whole multiples — distance is
+  *     min(frac, 1 − frac).
+  *
+  * Bars are per family, in scaled units, each ≥3 orders above the
+  * libm-difference threat for that family's magnitude and below the
+  * measured minimum (printed on every run; tighten deliberately, not
+  * silently).
+  */
+class RoundingMarginSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def halfMargin(scaled: Double): Double = {
+    val f = scaled - math.floor(scaled)
+    math.abs(f - 0.5)
+  }
+  private def floorMargin(scaled: Double): Double = {
+    val f = scaled - math.floor(scaled)
+    math.min(f, 1 - f)
+  }
+
+  private case class Fam(
+      name: String, kind: String, bar: Double, values: Seq[Double])
+
+  private def audit(dir: String, fams: Seq[Fam]): Unit =
+    fams.foreach { f =>
+      assert(f.values.nonEmpty, s"${f.name}: no values to audit")
+      // (recomputed below after the floor exemption)
+      // exact-dyadic exemption (floor families): a scaled value landing
+      // EXACTLY on an integer came from IEEE correctly-rounded rational
+      // arithmetic (+,*,/,min of integers — no libm anywhere), which is
+      // bit-identical across engines, so both floor it the same way;
+      // e.g. x_mix_sample's fr threshold 30/64·65536 = 30720 exactly
+      val vals = if (f.kind == "floor")
+        f.values.filter(v => v != math.floor(v)) else f.values
+      val margins = vals.map(v =>
+        if (f.kind == "floor") floorMargin(v) else halfMargin(v))
+      if (margins.isEmpty)
+        info(f"$dir ${f.name}%-28s n=${f.values.length}%6d all exact-dyadic")
+      else {
+        info(f"$dir ${f.name}%-28s n=${f.values.length}%6d " +
+          f"min-margin=${margins.min}%.3e (bar ${f.bar}%.0e, ${f.kind})")
+        assert(margins.min > f.bar,
+          s"$dir ${f.name}: margin ${margins.min} under bar ${f.bar}")
+      }
+    }
+
+  test("every rounded-double query family sits clear of its decision boundaries") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = graft.core.Tables(spark, dir, "documents")
+      val li = graft.core.Tables(spark, dir, "lineitem")
+
+      // ---- round(·, 6) families (scale 1e6, half boundaries) ----
+
+      // x_bm25 (the original GraphSpec audit, now a table row)
+      val bm25 = TextStats.bm25Raw(spark, dir)
+        .select("raw").as[Double].collect().filter(_ != 0.0)
+        .map(_ * 1e6)
+
+      // q34 / x_knn_label / x_hard_negatives / x_rrf_fusion semantic arm:
+      // every probe-vs-corpus cosine that feeds a round(sim, 6) rank
+      val e = VectorSearch.embeddingsBase(spark, dir)
+        .select(col("vec_id"), col("n_emb"))
+      val cosines = e.crossJoin(broadcast(
+          e.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("pid"), col("n_emb").as("p_emb"))))
+        .filter(col("vec_id") =!= col("pid"))
+        .select(VectorSearch.dot(col("n_emb"), col("p_emb")).as("s"))
+        .as[Double].collect().map(_ * 1e6)
+
+      // q22 transcendental projections over lineitem
+      val trans = li.select(
+          log(col("l_extendedprice")).as("a"),
+          log10(col("l_extendedprice")).as("b"),
+          exp(col("l_discount")).as("c"))
+        .as[(Double, Double, Double)].collect()
+        .flatMap(t => Seq(t._1, t._2, t._3)).map(_ * 1e6)
+
+      // x_word_entropy: per-doc −Σ p·log2 p (zero-entropy docs exempt —
+      // computed exactly by both engines)
+      val entropy = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n"), collect_list("c").as("cs"))
+        .as[(Long, Long, Seq[Long])].collect()
+        .map { case (_, n, cs) =>
+          -cs.map { c =>
+            val p = c.toDouble / n; p * math.log(p) / math.log(2.0)
+          }.sum
+        }.filter(_ != 0.0).map(_ * 1e6)
+
+      // x_tfidf: tf · ln(n_docs / df) for every (lang, term)
+      val terms = docs.select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("term")).distinct()
+      val nDocs = docs.count().toDouble
+      val tfidf = terms.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
+        .join(terms.groupBy("term").agg(count(lit(1)).as("df")), "term")
+        .select(col("tf"), col("df")).as[(Long, Long)].collect()
+        .map { case (tf, df) => tf * math.log(nDocs / df) }
+        .filter(_ != 0.0).map(_ * 1e6)
+
+      // x_ccnet_buckets / x_lm_crossppl / x_bigram_lm: per-doc average
+      // NLL (raw, pre-round). This family's threat is larger than bare
+      // libm wobble: the per-doc Σ(−ln ...) is addition-order-dependent
+      // between engines, which is exactly why the queries round at 6
+      // decimals — the audit shows the boundary gap dwarfs both effects
+      val nll = LangModel.avgNllCross(docs, docs,
+          cacheKey = "margin.nll", raw = true)
+        .select("nll").as[Double].collect().map(_ * 1e6)
+
+      // ---- integer fixed-point families ----
+
+      // x_dsir_weights: the 64 bucketed ln importance ratios × 1e6
+      val dsirHist = docs
+        .select(explode(split(col("text"), " ")).as("w"), col("lang"))
+        .filter(col("w") =!= "")
+        .select((conv(substring(md5(col("w")), 1, 4), 16, 10).cast("int")
+          % TextStats.DSIR_DIM).as("b"), col("lang"))
+        .groupBy("b")
+        .agg(count(lit(1)).as("rc"),
+          count(when(col("lang") === "en", 1)).as("tc"))
+        .as[(Int, Long, Long)].collect()
+      val rt = dsirHist.map(_._2).sum.toDouble
+      val tt = dsirHist.map(_._3).sum.toDouble
+      val dsir = dsirHist.map { case (_, rc, tc) =>
+        TextStats.DSIR_SCALE * math.log(
+          ((tc + 1.0) / (tt + TextStats.DSIR_DIM)) /
+            ((rc + 1.0) / (rt + TextStats.DSIR_DIM)))
+      }.toSeq
+
+      // x_temperature_mix: pow weights (round ×1e9) and md5-threshold
+      // floors (×65536)
+      val tRows = Curation.temperatureThresholds(docs)
+      val tnn = tRows.map(_._2).sum
+      val tPow = tRows.map { case (_, n, _, _) =>
+        math.pow(n.toDouble / tnn, Curation.TEMP_ALPHA) * 1e9 }.toSeq
+      val tsw = tRows.map(_._3).sum
+      val tThr = tRows.map { case (_, n, w, _) =>
+        math.min(1.0, (w.toDouble / tsw) * (tnn / 5.0) / n) * 65536 }.toSeq
+
+      // x_full_curation stage 9: same formulas over the pipeline's own
+      // survivor counts
+      val fCounts = FullCuration.mixInputCounts(FullCuration.semStage(spark, dir))
+      val fnn = fCounts.map(_._2).sum
+      val fPow = fCounts.map { case (_, n) =>
+        math.pow(n.toDouble / fnn, Curation.TEMP_ALPHA) * 1e9 }.toSeq
+      val fW = fCounts.map { case (_, n) =>
+        math.round(math.pow(n.toDouble / fnn, Curation.TEMP_ALPHA) * 1e9) }
+      val fsw = fW.sum
+      val fThr = fCounts.zip(fW).map { case ((_, n), w) =>
+        math.min(1.0, (w.toDouble / fsw) * (fnn / 5.0) / n) * 65536 }.toSeq
+
+      // x_mix_sample: fixed target weights → floor(frac · 65536)
+      val langN = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect().toMap
+      val mixThr = Curation.MixWeights.flatMap { case (l, wt) =>
+        langN.get(l).map(nl =>
+          math.min(1.0, wt * Curation.MixBudget / nl) * 65536) }
+
+      // x_unigram_*: seed and refit log-probs × 1e6
+      val U = Unigram
+      val hist = U.wordHist(docs)
+      val cand = U.candidates(hist)
+      val singles = cand.filter(length(col("p")) === 1)
+        .select("p", "freq").as[(String, Long)].collect().sortBy(_._1)
+      val multis = cand.filter(length(col("p")) >= 2)
+        .orderBy(col("freq").desc, col("p")).limit(U.SEED_MULTI)
+        .select("p", "freq").as[(String, Long)].collect()
+      val t0 = (singles ++ multis).map(_._2).sum
+      val lp0 = (singles ++ multis).map { case (_, f) =>
+        U.LP_SCALE * math.log(f.toDouble / t0) }.toSeq
+      val (vocab, _) = U.train(docs)
+      val tu = vocab.map(_._2).sum
+      val nv = vocab.length
+      val lp1 = vocab.map { case (_, u, _) =>
+        U.LP_SCALE * math.log((u + 1.0) / (tu + nv)) }.toSeq
+
+      audit(dir, Seq(
+        Fam("bm25", "half", 1e-6, bm25.toSeq),
+        Fam("cosine-rank", "half", 1e-6, cosines.toSeq),
+        Fam("q22-transcendental", "half", 1e-6, trans.toSeq),
+        Fam("word-entropy", "half", 1e-6, entropy.toSeq),
+        Fam("tfidf", "half", 1e-6, tfidf.toSeq),
+        Fam("lm-nll", "half", 1e-6, nll.toSeq),
+        Fam("dsir-weights", "half", 1e-4, dsir),
+        Fam("temperature-pow", "half", 1e-4, tPow),
+        Fam("temperature-threshold", "floor", 1e-4, tThr),
+        Fam("full-curation-pow", "half", 1e-4, fPow),
+        Fam("full-curation-threshold", "floor", 1e-4, fThr),
+        Fam("mix-sample-threshold", "floor", 1e-4, mixThr),
+        Fam("unigram-lp0", "half", 1e-4, lp0),
+        Fam("unigram-lp1", "half", 1e-4, lp1)))
+    }
+  }
+}

@@ -307,22 +307,11 @@ class Round9Spec extends AnyFunSuite {
         s"${(native diff reference).take(3)} vs ${(reference diff native).take(3)}")
   }
 
-  test("temperature mix: upsamples the tail, and every pow weight sits far from its round-half boundary") {
+  test("temperature mix: upsamples the tail") {
     val C = graft.llmops.Curation
+    // (the pow-weight rounding-margin audit moved to RoundingMarginSpec's
+    // table — rows temperature-pow / temperature-threshold)
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
-      val docs = graft.core.Tables(spark, dir, "documents")
-      val rows = C.temperatureThresholds(docs)
-      val nn = rows.map(_._2).sum.toDouble
-      // the pow is the ONLY cross-engine libm op — its 1e9 fixed-point
-      // rounding must not sit near a half boundary (the DSIR pattern)
-      val margins = rows.map { case (_, c, _, _) =>
-        val raw = math.pow(c / nn, C.TEMP_ALPHA) * 1e9
-        math.abs(raw - math.floor(raw) - 0.5)
-      }
-      info(f"$dir min pow margin ${margins.min}%.3e (of 0.5)")
-      assert(margins.min > 1e-4,
-        s"$dir: a temperature weight is within 1e-4 of a round-half boundary")
-
       // the semantic point: keep FRACTION of the smallest language must
       // exceed that of the largest (α < 1 flattens the distribution)
       val kept = C.xTemperatureMix.build(spark, dir).collect()
