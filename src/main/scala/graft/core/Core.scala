@@ -124,6 +124,25 @@ object BucketCumsum {
   * cached-block accumulation to one live generation per key without
   * unpersisting a frame the returned (lazy) plan still needs.
   */
+/** One scratch root per JVM for operators that persist lake-shaped
+  * artifacts (stored indexes, chunk-digest tables): STABLE per-name
+  * paths so bench reps overwrite in place, removed on JVM exit — the
+  * Extra.scratchRoot discipline, shared.
+  */
+object Scratch {
+  private lazy val root: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_lake")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }
+    p
+  }
+  def path(name: String): String = s"$root/$name"
+}
+
 object CacheBin {
   private val live =
     scala.collection.concurrent.TrieMap.empty[String, Seq[DataFrame]]

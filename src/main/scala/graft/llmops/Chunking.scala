@@ -485,6 +485,101 @@ object Chunking {
       .orderBy("doc_id")
   }
 
+  /** Chunk-level SQL shared by x_cdc_chunk's oracle and the incremental
+    * twin: the (doc_id, cid, h, n_words) chunk table of `src`.
+    */
+  private def chunksSql(src: String): String =
+    s"""SELECT doc_id, cid, md5(string_agg(w, ' ' ORDER BY pos)) AS h,
+              count(*) AS n_words
+       FROM (SELECT doc_id,
+                    sum(cut) OVER (PARTITION BY doc_id ORDER BY pos) AS cid,
+                    pos, w
+             FROM (SELECT doc_id, pos, w,
+                     CASE WHEN pos = 0 THEN 0
+                          WHEN substr(md5(lag(w) OVER (PARTITION BY doc_id ORDER BY pos)
+                                          || ' ' || w), 1, 1) IN ('0','1') THEN 1
+                          ELSE 0 END AS cut
+                   FROM (SELECT doc_id, i - 1 AS pos, t[i] AS w
+                         FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $src),
+                              LATERAL (SELECT unnest(generate_series(1, len(t))) AS i))))
+       GROUP BY doc_id, cid"""
+
+  /** X — incremental CDC dedup against the STANDING lake (the point of
+    * content-defined chunking: chunk-level dedup of an edited corpus
+    * against stored chunk digests stays O(edits) under insertion, where
+    * any fixed grid re-shards every chunk after the edit). The round
+    * trip is real: the base corpus's chunk table is WRITTEN to parquet,
+    * read back, and the perturbed corpus (every doc_id ≡ 7 mod 10 gets
+    * one word inserted after its 5th word) joins its re-chunked digests
+    * against the STORED set. Per doc: chunk count, new-digest count,
+    * edited flag.
+    *
+    * The graded fact IS the O(edits) claim: unedited docs re-chunk to
+    * exactly their stored digests (n_new = 0 — bitwise storage
+    * round-trip proof riding the hash gate), and an edited doc perturbs
+    * at most the chunk containing the insert plus its hash-window
+    * neighbors (n_new ≤ 3 per edit; the Round9Spec property test bounds
+    * the multiset diff at 6 counting both directions). The oracle
+    * recomputes both chunk tables and the same join; it cannot read the
+    * parquet, so a storage corruption on the Spark side surfaces as a
+    * per-doc n_new mismatch.
+    *
+    * Scale posture: identical to x_cdc_chunk (per-doc windows + one
+    * digest agg) plus one distinct-digest join against the lake table —
+    * the lake side is a parquet scan of digests only (16 bytes/chunk),
+    * never the stored text.
+    */
+  val xCdcIncremental = Q(
+    "x_cdc_incremental",
+    s"""WITH base AS (${chunksSql("documents")}),
+       lake AS (SELECT DISTINCT h FROM base),
+       pert AS (SELECT doc_id,
+                  CASE WHEN doc_id % 10 = 7 THEN
+                    array_to_string(list_concat(list_concat(
+                      t[1:least(5, len(t))], ['INSERTED']),
+                      t[least(5, len(t)) + 1:len(t)]), ' ')
+                  ELSE text END AS text
+                FROM (SELECT doc_id, text, string_split(text, ' ') AS t
+                      FROM documents)),
+       ch2 AS (${chunksSql("pert")})
+       SELECT ch2.doc_id,
+              (ch2.doc_id % 10 = 7) AS edited,
+              CAST(count(*) AS BIGINT) AS n_chunks,
+              CAST(sum(CASE WHEN lake.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+       FROM ch2 LEFT JOIN lake ON ch2.h = lake.h
+       GROUP BY ch2.doc_id ORDER BY ch2.doc_id""") { (s, dir) =>
+    cdcIncremental(s, dir)
+  }
+
+  /** The Spark side of x_cdc_incremental (exposed for the spec): write
+    * base chunks to the lake path, read the digest set back, re-chunk
+    * the perturbed corpus, count per-doc new digests.
+    */
+  def cdcIncremental(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+    val path = graft.core.Scratch.path(
+      s"cdc_lake_${new java.io.File(dir).getName}")
+    cdcChunks(docs).write.mode("overwrite").parquet(path)
+    val lake = s.read.parquet(path).select(col("h")).distinct()
+      .withColumn("seen", lit(1))
+    val t = split(col("text"), " ")
+    val kk = least(lit(5), size(t))
+    val pert = docs.select(col("doc_id"),
+      when(col("doc_id") % 10 === 7,
+        array_join(concat(slice(t, lit(1), kk), array(lit("INSERTED")),
+          slice(t, kk + 1, size(t) - kk)), " "))
+        .otherwise(col("text")).as("text"))
+    cdcChunks(pert)
+      .join(lake, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_new"))
+      .select(col("doc_id"), (col("doc_id") % 10 === 7).as("edited"),
+        col("n_chunks"), col("n_new"))
+      .orderBy("doc_id")
+  }
+
   /** Target tokens per output shard for x_shard_assign. */
   val SHARD_TOKENS = 2048L
 
@@ -536,5 +631,6 @@ object Chunking {
         expr(s"before div $SHARD_TOKENS").as("shard"))
 
   val all: Seq[Q] = Seq(xDocChunk, xStratifiedSample, xPackSequences, xSpanDedup,
-    xTokenBudget, xLineDedup, xSubstrDedup, xCdcChunk, xShardAssign)
+    xTokenBudget, xLineDedup, xSubstrDedup, xCdcChunk, xCdcIncremental,
+    xShardAssign)
 }

@@ -91,6 +91,29 @@ class Round10Spec extends AnyFunSuite {
     info(s"checked ${ids.length * (ids.length - 1) / 2} survivor pairs, 0 >= TAU")
   }
 
+  test("cdc incremental: lake round trip is lossless and chunk-dedup cost is O(edits)") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = graft.llmops.Chunking.cdcIncremental(spark, dir)
+        .as[(Long, Boolean, Long, Long)].collect()
+      val (edited, clean) = rows.partition(_._2)
+      assert(edited.nonEmpty && clean.nonEmpty)
+      // storage round trip: an UNEDITED doc re-chunks to exactly its
+      // stored digests — any serialization drift would show as n_new > 0
+      clean.foreach { case (id, _, _, nNew) =>
+        assert(nNew == 0, s"$dir: unedited doc $id has $nNew new chunks")
+      }
+      // O(edits): one inserted word perturbs at most the chunk it lands
+      // in plus its hash-window neighbors — never the rest of the doc
+      edited.foreach { case (id, _, nChunks, nNew) =>
+        assert(nNew >= 1 && nNew <= 3,
+          s"$dir: edited doc $id has $nNew new chunks of $nChunks")
+      }
+      info(s"$dir: ${clean.length} unedited docs all 0-new; " +
+        s"${edited.length} edited docs max ${edited.map(_._4).max} new " +
+        s"of ~${edited.map(_._3).sum / edited.length} chunks each")
+    }
+  }
+
   test("unigram tokenizer: segmentations reconstruct words, scores are exact piece sums, pieces are in-vocab, and the DP is optimal") {
     val U = graft.llmops.Unigram
     val (vocab, segs) = U.train(
