@@ -223,8 +223,11 @@ object ScaleProbe {
     // sort serializes — the plan this decomposition exists to avoid).
     if (want("cumsum")) {
       import org.apache.spark.sql.expressions.Window
+      // constant 32-way input parallelism at every k: corpus(1) is ONE
+      // parquet split, so without this the k=1 point measures a
+      // single-task narrow stage and growth curves read as flat
       for (k <- Seq(1, 2, 5, 10)) {
-        val docs = corpus(k).cache(); val n = docs.count()
+        val docs = corpus(k).repartition(32).cache(); val n = docs.count()
         val t0 = System.nanoTime()
         val shards = graft.llmops.Chunking.shardAssign(docs)
           .agg(max(col("shard")), sum(col("n_tokens"))).first()
@@ -288,7 +291,7 @@ object ScaleProbe {
     // one per-doc collect — no corpus-wide window).
     if (want("linededup")) {
       for (k <- Seq(1, 2, 5, 10)) {
-        val docs = corpus(k).cache(); val n = docs.count()
+        val docs = corpus(k).repartition(32).cache(); val n = docs.count()
         val t0 = System.nanoTime()
         val r = graft.llmops.Chunking.lineDedup(docs)
           .agg(count(lit(1)), sum(col("n_dropped"))).first()
@@ -307,7 +310,7 @@ object ScaleProbe {
     // digests grow k-fold. The claim: ~linear wall in total chars.
     if (want("substr")) {
       for (k <- Seq(1, 2, 5, 10)) {
-        val docs = corpus(k).cache(); val n = docs.count()
+        val docs = corpus(k).repartition(32).cache(); val n = docs.count()
         val t0 = System.nanoTime()
         val r = graft.llmops.Chunking.substrStats(docs)
           .agg(sum(col("n_regions")), sum(col("n_repeated_chars"))).first()
