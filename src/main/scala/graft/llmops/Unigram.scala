@@ -51,7 +51,13 @@ import graft.core.{Q, Tables => T}
   * the driver, the k-means-centroid acceptance class. The histogram
   * itself is never collected (unlike BPE's documented driver path), so
   * an open web-scale vocabulary changes nothing structurally. Words
-  * longer than MAX_WORD fail loudly (this lake: max 8).
+  * longer than MAX_WORD fail loudly (this lake: max 8). Known plan
+  * note: the unrolled backward-walk projection exceeds the JVM's 64KB
+  * generated-method limit, so Spark logs "Failed to compile the
+  * generated Java code" and falls back to interpreted evaluation for
+  * that stage — correct by construction, and immaterial here because
+  * every DP row is one DISTINCT WORD (the corpus-sized work is the
+  * histogram build and the broadcast application join, both codegen'd).
   */
 object Unigram {
 
@@ -305,5 +311,39 @@ ${dpCtes("seg1", "m1", "lpm1")}
       .orderBy("word")
   }
 
-  val all: Seq[Q] = Seq(xUnigramVocab, xUnigramTokenize)
+  /** X — the trained tokenizer APPLIED corpus-wide: per document, the
+    * whitespace word count, total unigram piece count, and total
+    * fixed-point log-prob under the final model. The application join is
+    * the production shape: tokenization is context-free, so the
+    * (distinct-word → segmentation) table — vocabulary-sized, broadcast
+    * — joins the exploded corpus word stream; no per-doc DP ever runs.
+    * All three outputs are exact integers (the score is a sum of
+    * fixed-point piece log-probs), so the hash needs no rounding
+    * argument at all.
+    */
+  val xUnigramApply = Q(
+    "x_unigram_apply",
+    s"""$trainSql,
+${dpCtes("seg1", "m1", "lpm1")},
+       dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       j AS (SELECT dw.doc_id, seg1.n_pieces, seg1.score_fix
+             FROM dw JOIN seg1 ON dw.w = seg1.w WHERE dw.w <> '')
+       SELECT doc_id,
+              CAST(count(*) AS BIGINT) AS n_words,
+              CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+              CAST(sum(score_fix) AS BIGINT) AS score_fix
+       FROM j GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+    val docs = T(s, dir, "documents")
+    val (_, segs) = train(docs)
+    val segMap = segs.select(col("w"), col("n_pieces"), col("score_fix"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(broadcast(segMap), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_pieces"),
+        sum(col("score_fix")).as("score_fix"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(xUnigramVocab, xUnigramTokenize, xUnigramApply)
 }

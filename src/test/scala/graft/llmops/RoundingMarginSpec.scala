@@ -182,6 +182,23 @@ class RoundingMarginSpec extends AnyFunSuite {
         langN.get(l).map(nl =>
           math.min(1.0, wt * Curation.MixBudget / nl) * 65536) }
 
+      // x_psi_drift: per-bin ln importance ratios × 1e6
+      val psiHist = docs.select(
+          expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+            .cast("long").as("n_tok"),
+          (col("doc_id") <= Incremental.cutoffValue(docs)).as("ref"))
+        .select(expr(s"n_tok div ${Drift.PSI_BIN}").as("bin"), col("ref"))
+        .groupBy("bin").agg(
+          sum(when(col("ref"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("ref"), 0L).otherwise(1L)).as("b"))
+        .as[(Long, Long, Long)].collect()
+      val (pta, ptb, pk) =
+        (psiHist.map(_._2).sum, psiHist.map(_._3).sum, psiHist.length)
+      val psi = psiHist.map { case (_, a, b) =>
+        Drift.PSI_SCALE * math.log(((a + 1.0) / (pta + pk)) /
+          ((b + 1.0) / (ptb + pk)))
+      }.toSeq
+
       // x_unigram_*: seed and refit log-probs × 1e6
       val U = Unigram
       val hist = U.wordHist(docs)
@@ -213,6 +230,7 @@ class RoundingMarginSpec extends AnyFunSuite {
         Fam("full-curation-pow", "half", 1e-4, fPow),
         Fam("full-curation-threshold", "floor", 1e-4, fThr),
         Fam("mix-sample-threshold", "floor", 1e-4, mixThr),
+        Fam("psi-weights", "half", 1e-4, psi),
         Fam("unigram-lp0", "half", 1e-4, lp0),
         Fam("unigram-lp1", "half", 1e-4, lp1)))
     }
