@@ -1221,6 +1221,107 @@ object VectorSearch {
       .select(col("probe_id"), col("recall_ok")).orderBy("probe_id")
   }
 
+  /** Flag-rate floor for the planted-duplicate half of
+    * x_semdedup_incremental. Measured 1.0 at every SF (every replica is
+    * flagged; see Round10Spec) — 0.95 leaves slack for a replica whose
+    * perturbation crosses a coarse boundary AND whose own list holds no
+    * other τ-similar vector (not observed on this lake).
+    */
+  val SEMDEDUP_INCR_DUP_BAR = 0.95
+
+  /** X — INCREMENTAL semantic dedup against the standing lake: the
+    * embedding sibling of x_incremental_neardup (MinHash text) and
+    * x_cdc_incremental (chunks), completing the trio. A new vector
+    * batch — half planted near-duplicates of the corpus (replicaBatch),
+    * half rotations of the same vectors (near-orthogonal controls) — is
+    * screened against the PERSISTED coarse index: each batch vector
+    * probes its IVFPQ_INCR_NPROBE nearest stored lists and exact-cosines
+    * against only those lists' vectors (vec_ids from the stored code
+    * table joined back to the corpus — the raw vectors never broadcast,
+    * never all-pairs). A batch vector flags as duplicate iff some
+    * probed-list vector is ≥ COSINE_TAU.
+    *
+    * The probed-list screen is approximate by construction (a true
+    * neighbor can hide in an unprobed list), so the graded contract is
+    * the derived-fact pair that matters operationally: the planted-dup
+    * half must flag at ≥ SEMDEDUP_INCR_DUP_BAR (measured 1.0 — misses
+    * would admit duplicates into the corpus), reported alongside the
+    * exact integer flag counts per batch half.
+    *
+    * Scale posture: batch-sized coarse assignment (broadcast centroid
+    * table), one equi-join against the probed lists' code rows, one
+    * equi-join to fetch those vectors, a batch-keyed max — cost is
+    * O(batch × probed-list sizes), independent of corpus size; the
+    * standing corpus is touched only through the stored index.
+    */
+  val xSemDedupIncremental = Q(
+    "x_semdedup_incremental",
+    s"""SELECT 'control' AS half, CAST(count(*) AS BIGINT) AS n_batch, TRUE AS dup_rate_ok
+       FROM embeddings
+       UNION ALL
+       SELECT 'replica' AS half, CAST(count(*) AS BIGINT) AS n_batch, TRUE AS dup_rate_ok
+       FROM embeddings
+       ORDER BY half""") { (s, dir) =>
+    val flags = semDedupIncrementalFlags(s, dir)
+    val halves = incrementalScreenBatch(s, dir)
+      .select(col("vec_id").as("probe_id"),
+        when(col("probe_id") < 2 * INCR_OFFSET, "replica")
+          .otherwise("control").as("half"))
+    halves.join(flags, Seq("probe_id"), "left")
+      .groupBy(col("half"))
+      .agg(count(lit(1)).as("n_batch"),
+        sum(coalesce(col("dup"), lit(0L))).as("n_dup"))
+      .select(col("half"), col("n_batch"),
+        when(col("half") === "replica",
+          col("n_dup") >= col("n_batch") * SEMDEDUP_INCR_DUP_BAR)
+          .otherwise(lit(true)).as("dup_rate_ok"))
+      .orderBy("half")
+  }
+
+  /** The screening batch of x_semdedup_incremental: planted replicas
+    * (ids +INCR_OFFSET) plus rotated near-orthogonal controls
+    * (ids +2·INCR_OFFSET).
+    */
+  def incrementalScreenBatch(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddingsBase(s, dir).select(col("vec_id"), col("n_emb"))
+    val shifted = "concat(slice(n_emb, 2, size(n_emb) - 1), slice(n_emb, 1, 1))"
+    val control = e.select((col("vec_id") + lit(2 * INCR_OFFSET)).as("vec_id"),
+      graft.functions.ArrayOps.l2normalize(expr(shifted)).as("n_emb"))
+    replicaBatch(s, dir).unionByName(control)
+  }
+
+  /** Per-batch-vector duplicate flags against the persisted index
+    * (probe_id, dup ∈ {0,1}) — the probed-list screen shared by the Q
+    * and the spec's precision/recall measurement. Flags use EXACT cosine
+    * over the probed lists' vectors, so a flag is always a true
+    * duplicate (precision 1 by construction); recall is what the spec
+    * measures against brute force.
+    */
+  def semDedupIncrementalFlags(s: SparkSession, dir: String): DataFrame = {
+    val path = persistPqIndex(s, dir)
+    val (cents, _, codesL) = loadPqIndex(s, path)
+    val e = embeddingsBase(s, dir).select(col("vec_id"), col("n_emb"))
+    val batch = incrementalScreenBatch(s, dir)
+    val probed = pqCoarseLutFrom(cents, batch)
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("csim").desc, col("ccid"))))
+      .filter(col("crank") <= IVFPQ_INCR_NPROBE)
+      .select(col("probe_id"), col("ccid"))
+    // candidate corpus vectors = members of the probed lists (ids from
+    // the STORED code table; one row per vector at block 0)
+    val members = codesL.filter(col("block") === 0)
+      .select(col("ccid"), col("vec_id").as("cand_id"))
+    batch.select(col("vec_id").as("probe_id"), col("n_emb"))
+      .join(probed, Seq("probe_id"))
+      .join(members, Seq("ccid"))
+      .join(e.select(col("vec_id").as("cand_id"), col("n_emb").as("c_emb")),
+        Seq("cand_id"))
+      .groupBy(col("probe_id"))
+      .agg(max(when(dot(col("n_emb"), col("c_emb")) >= COSINE_TAU, 1L)
+        .otherwise(0L)).as("dup"))
+  }
+
   /** X — hard-negative mining: for each probe, the top-5 most cosine-
     * similar vectors carrying a DIFFERENT label — the negatives a
     * contrastive embedding trainer wants (near the anchor but wrong
@@ -1262,5 +1363,5 @@ object VectorSearch {
 
   val all: Seq[Q] = Seq(q34, xNearestNeighbor, xEmbedNearDup, xAnnIvf,
     xEmbedCluster, xSemDedup, xSemanticDecontam, xKnnLabel, xPqRecall,
-    xIvfPqSearch, xIvfPqIncremental, xHardNegatives)
+    xIvfPqSearch, xIvfPqIncremental, xSemDedupIncremental, xHardNegatives)
 }

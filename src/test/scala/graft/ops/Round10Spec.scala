@@ -114,6 +114,41 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("semdedup incremental: flags have precision 1 vs brute force; replica recall is 1.0; control recall recorded") {
+    import graft.llmops.VectorSearch
+    val V = VectorSearch
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val e = V.embeddingsBase(spark, dir)
+        .select(col("vec_id"), col("n_emb"))
+      val batch = V.incrementalScreenBatch(spark, dir)
+      val truth = batch.select(col("vec_id").as("probe_id"),
+          col("n_emb").as("b_emb"))
+        .crossJoin(e)
+        .groupBy(col("probe_id"))
+        .agg(max(when(V.cosine(col("b_emb"), col("n_emb")) >= V.COSINE_TAU,
+          1L).otherwise(0L)).as("t"))
+      val got = V.semDedupIncrementalFlags(spark, dir)
+      val joined = truth.join(got, Seq("probe_id"), "left")
+        .select(col("probe_id"), col("t"), coalesce(col("dup"), lit(0L)).as("d"))
+        .as[(Long, Long, Long)].collect()
+      // precision 1: a flag implies a true duplicate (the screen uses
+      // exact cosine over a SUBSET of the corpus)
+      joined.foreach { case (id, t, d) =>
+        assert(d <= t, s"$dir: false flag on $id")
+      }
+      val (rep, ctl) = joined.partition(_._1 < 2 * V.INCR_OFFSET)
+      def recall(xs: Array[(Long, Long, Long)]) = {
+        val dups = xs.filter(_._2 == 1)
+        (dups.count(_._3 == 1), dups.length)
+      }
+      val (rHit, rTot) = recall(rep)
+      val (cHit, cTot) = recall(ctl)
+      info(f"$dir replica recall $rHit/$rTot; control recall $cHit/$cTot " +
+        f"(${cHit.toDouble / math.max(cTot, 1)}%.2f)")
+      assert(rHit == rTot, s"$dir: planted duplicates escaped the screen")
+    }
+  }
+
   test("unigram tokenizer: segmentations reconstruct words, scores are exact piece sums, pieces are in-vocab, and the DP is optimal") {
     val U = graft.llmops.Unigram
     val (vocab, segs) = U.train(
