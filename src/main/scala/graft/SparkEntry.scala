@@ -27,6 +27,7 @@ object SparkEntry {
       llmops.SimHash.all ++ llmops.Multimodal.all ++ llmops.ImagePhash.all ++
       llmops.WebClean.all ++ llmops.HeavyHitters.all ++ llmops.Bpe.all ++
       llmops.LangModel.all ++ llmops.QualityModel.all ++ llmops.Unigram.all ++
+      llmops.WordPiece.all ++
       llmops.Drift.all ++
       llmops.Graph.all ++
       llmops.SetSim.all
