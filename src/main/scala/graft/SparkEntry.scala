@@ -25,6 +25,7 @@ object SparkEntry {
       llmops.Curation.all ++
       llmops.VectorSearch.all ++ llmops.Chunking.all ++ llmops.TextStats.all ++
       llmops.SimHash.all ++ llmops.Multimodal.all ++ llmops.ImagePhash.all ++
+      llmops.AudioFingerprint.all ++
       llmops.WebClean.all ++ llmops.HeavyHitters.all ++ llmops.Bpe.all ++
       llmops.LangModel.all ++ llmops.QualityModel.all ++ llmops.Unigram.all ++
       llmops.WordPiece.all ++

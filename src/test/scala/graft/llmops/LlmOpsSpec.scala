@@ -224,7 +224,10 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(feats.map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq ==
       Seq(("audio_doc_201.wav", 1L, 8000L, 800L),
         ("audio_doc_202.wav", 2L, 16000L, 1600L),
-        ("audio_doc_203.wav", 1L, 44100L, 2205L)))
+        ("audio_doc_203.wav", 1L, 44100L, 2205L),
+        ("mel_doc_401.wav", 1L, 8000L, 1600L),
+        ("mel_doc_402.wav", 1L, 8000L, 1600L),
+        ("mel_doc_403.wav", 1L, 8000L, 1600L)))
   }
 
   test("media feature extraction decodes PNG dimensions via javax.imageio") {

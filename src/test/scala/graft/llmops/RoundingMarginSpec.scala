@@ -217,8 +217,17 @@ class RoundingMarginSpec extends AnyFunSuite {
       val lp1 = vocab.map { case (_, u, _) =>
         U.LP_SCALE * math.log((u + 1.0) / (tu + nv)) }.toSeq
 
+      // x_audio_fingerprint: the 2·K·W fixed-point DFT trig weights
+      // (data-independent grid; measured min margin 1.7e-2)
+      val AF = AudioFingerprint
+      val trig = (for (n <- 0 until AF.W; k <- 1 to AF.K) yield {
+        val th = 2.0 * math.Pi * k * n / AF.W
+        Seq(AF.TRIG_SCALE * math.cos(th), AF.TRIG_SCALE * math.sin(th))
+      }).flatten
+
       audit(dir, Seq(
         Fam("bm25", "half", 1e-6, bm25.toSeq),
+        Fam("audio-trig-weights", "half", 1e-4, trig),
         Fam("cosine-rank", "half", 1e-6, cosines.toSeq),
         Fam("q22-transcendental", "half", 1e-6, trans.toSeq),
         Fam("word-entropy", "half", 1e-6, entropy.toSeq),
