@@ -23,7 +23,8 @@ object SparkEntry {
       llmops.FullCuration.all ++
       llmops.Incremental.all ++
       llmops.Curation.all ++
-      llmops.VectorSearch.all ++ llmops.Chunking.all ++ llmops.TextStats.all ++
+      llmops.VectorSearch.all ++ llmops.LateInteraction.all ++
+      llmops.Chunking.all ++ llmops.TextStats.all ++
       llmops.SimHash.all ++ llmops.Multimodal.all ++ llmops.ImagePhash.all ++
       llmops.AudioFingerprint.all ++
       llmops.WebClean.all ++ llmops.HeavyHitters.all ++ llmops.Bpe.all ++

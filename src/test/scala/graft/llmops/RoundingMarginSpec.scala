@@ -225,9 +225,14 @@ class RoundingMarginSpec extends AnyFunSuite {
         Seq(AF.TRIG_SCALE * math.cos(th), AF.TRIG_SCALE * math.sin(th))
       }).flatten
 
+      // x_maxsim_rerank: raw per-pair MaxSim sums over the coarse pool
+      val maxsim = LateInteraction.maxsimRaw(spark, dir)
+        .select("maxsim").as[Double].collect().map(_ * 1e6)
+
       audit(dir, Seq(
         Fam("bm25", "half", 1e-6, bm25.toSeq),
         Fam("audio-trig-weights", "half", 1e-4, trig),
+        Fam("maxsim", "half", 1e-6, maxsim.toSeq),
         Fam("cosine-rank", "half", 1e-6, cosines.toSeq),
         Fam("q22-transcendental", "half", 1e-6, trans.toSeq),
         Fam("word-entropy", "half", 1e-6, entropy.toSeq),
