@@ -229,10 +229,32 @@ class RoundingMarginSpec extends AnyFunSuite {
       val maxsim = LateInteraction.maxsimRaw(spark, dir)
         .select("maxsim").as[Double].collect().map(_ * 1e6)
 
+      // x_mmr_diversify: raw cosines feeding both fixed-point arms —
+      // probe→candidate relevance and within-pool pairwise similarity
+      val mmrPool = Mmr.pool(spark, dir)
+      val mmrRel = mmrPool
+        .join(VectorSearch.embeddingsBase(spark, dir)
+            .filter(col("vec_id") < Mmr.NPROBE)
+            .select(col("vec_id").as("probe_id"), col("n_emb").as("p_emb")),
+          "probe_id")
+        .select(VectorSearch.dot(col("n_emb"), col("p_emb")).as("s"))
+        .as[Double].collect().map(_ * 1e6)
+      val mmrPairRaw = {
+        val l = mmrPool.select(col("probe_id"), col("vec_id").as("a"),
+          col("n_emb").as("ea"))
+        val r = mmrPool.select(col("probe_id"), col("vec_id").as("b"),
+          col("n_emb").as("eb"))
+        l.join(r, "probe_id").filter(col("a") =!= col("b"))
+          .select(VectorSearch.dot(col("ea"), col("eb")).as("s"))
+          .as[Double].collect().map(_ * 1e6)
+      }
+
       audit(dir, Seq(
         Fam("bm25", "half", 1e-6, bm25.toSeq),
         Fam("audio-trig-weights", "half", 1e-4, trig),
         Fam("maxsim", "half", 1e-6, maxsim.toSeq),
+        Fam("mmr-relevance", "half", 1e-6, mmrRel.toSeq),
+        Fam("mmr-pool-pairs", "half", 1e-6, mmrPairRaw.toSeq),
         Fam("cosine-rank", "half", 1e-6, cosines.toSeq),
         Fam("q22-transcendental", "half", 1e-6, trans.toSeq),
         Fam("word-entropy", "half", 1e-6, entropy.toSeq),
