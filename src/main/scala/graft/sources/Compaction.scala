@@ -1,0 +1,132 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.{Q, Tables => T}
+
+/** Small-file compaction — the lake-maintenance operator every
+  * long-lived 100 TB table needs (a streaming or per-batch writer
+  * accretes thousands of under-sized files per partition; scan cost and
+  * NameNode/manifest pressure grow with FILE COUNT, not bytes, until an
+  * OPTIMIZE-style pass merges them toward a target size).
+  *
+  * End-to-end and graded, not simulated:
+  *   1. stage    — events written partitionBy(event_type) with a 64-row
+  *                 per-file cap and one writer task per partition value,
+  *                 deliberately manufacturing the small-file problem
+  *                 with an oracle-derivable layout (ceil(n/64) files per
+  *                 partition: all 64-row, one remainder)
+  *   2. manifest — MEASURED from the staged files (input_file_name row
+  *                 counts), never assumed from the arithmetic
+  *   3. plan     — per partition, files ordered (rows DESC, name),
+  *                 exclusive running sum, group = before // TARGET_ROWS:
+  *                 the contiguous-fill bin packing of x_shard_assign
+  *                 applied to the file manifest (each group lands within
+  *                 one file of target)
+  *   4. execute  — rows joined to their file's group, rewritten
+  *                 one-file-per-group (repartition on (part, group) +
+  *                 partitionBy keeps every group in exactly one task)
+  *   5. audit    — the graded output re-reads the COMPACTED table:
+  *                 per (part, group): input-file count, row count, and
+  *                 post-compaction file count (always 1)
+  *
+  * The oracle recomputes the whole chain arithmetically from the raw
+  * event counts (the staged layout is forced to be derivable), so any
+  * divergence in staging, manifest measurement, binning, or the rewrite
+  * (row loss, group splits, stray files) lands in the hash.
+  *
+  * Scale posture: the manifest is file-metadata-sized (one row per
+  * file, ~1e5 rows for a 100 TB table — the planning window runs over
+  * the manifest, never the data); the rewrite reads each input file
+  * once and shuffles on (part, group) only. Driver state: none.
+  */
+object Compaction {
+
+  val FILE_ROWS = 64     // staged per-file row cap
+  val TARGET_ROWS = 150  // compaction target per output file
+
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_compact")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }
+    p
+  }
+
+  val xCompactionPlan = Q(
+    "x_compaction_plan",
+    s"""WITH t AS (SELECT event_type AS part, CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1),
+       f AS (SELECT part,
+               CASE WHEN i < n // $FILE_ROWS THEN $FILE_ROWS
+                    ELSE n % $FILE_ROWS END AS rows_f, i
+             FROM t, LATERAL (SELECT unnest(generate_series(0,
+               CAST((n + ${FILE_ROWS - 1}) // $FILE_ROWS AS BIGINT) - 1)) AS i)),
+       o AS (SELECT part, rows_f,
+               CAST(coalesce(sum(rows_f) OVER (PARTITION BY part
+                 ORDER BY rows_f DESC, i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before
+             FROM f)
+       SELECT part, before // $TARGET_ROWS AS grp,
+              CAST(count(*) AS BIGINT) AS n_files_in,
+              CAST(sum(rows_f) AS BIGINT) AS n_rows,
+              CAST(1 AS BIGINT) AS n_files_out
+       FROM o GROUP BY 1, 2 ORDER BY part, grp""") { (s, dir) =>
+    val stage = s"$scratchRoot/stage"
+    val out = s"$scratchRoot/compacted"
+
+    // 1. stage: manufacture the small-file problem (one writer task per
+    // partition value => derivable ceil(n/64) layout)
+    T(s, dir, "events")
+      .repartition(col("event_type"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", FILE_ROWS)
+      .partitionBy("event_type")
+      .parquet(stage)
+
+    // 2. manifest: measured per-file row counts
+    val staged = s.read.parquet(stage)
+    val manifest = staged
+      .groupBy(col("event_type").as("part"),
+        input_file_name().as("fn"))
+      .agg(count(lit(1)).as("rows_f"))
+
+    // 3. plan: contiguous-fill bin packing over the manifest
+    val w = Window.partitionBy(col("part"))
+      .orderBy(col("rows_f").desc, col("fn"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val plan = manifest
+      .withColumn("before", coalesce(sum(col("rows_f")).over(w), lit(0L)))
+      .select(col("part"), col("fn"),
+        expr(s"before div $TARGET_ROWS").as("grp"))
+
+    // 4. execute: one output file per (part, grp)
+    staged
+      .withColumn("fn", input_file_name())
+      .withColumn("part", col("event_type"))
+      .join(broadcast(plan), Seq("part", "fn"))
+      .drop("fn")
+      .repartition(col("part"), col("grp"))
+      .write.mode("overwrite")
+      .partitionBy("part", "grp")
+      .parquet(out)
+
+    // 5. audit the compacted table (graded output)
+    val nIn = plan.groupBy(col("part"), col("grp"))
+      .agg(count(lit(1)).as("n_files_in"))
+    s.read.parquet(out)
+      .withColumn("ofn", input_file_name())
+      .groupBy(col("part"), col("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("ofn")).as("n_files_out"))
+      .join(nIn, Seq("part", "grp"))
+      .select(col("part"), col("grp"), col("n_files_in"),
+        col("n_rows"), col("n_files_out"))
+      .orderBy("part", "grp")
+  }
+
+  val all: Seq[Q] = Seq(xCompactionPlan)
+}

@@ -270,4 +270,31 @@ class LakeSpec extends AnyFunSuite {
       assert(back.schema.fieldNames.sameElements(nation.schema.fieldNames))
     }
   }
+
+  test("compaction: file count collapses, rows conserved, bins within bound") {
+    import spark.implicits._
+    val out = Compaction.xCompactionPlan.build(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // every group rewrote to exactly one file, from more than one input
+    // file for at least one group per partition (the point of the op)
+    assert(out.forall(_._5 == 1L), "a group split into multiple files")
+    out.groupBy(_._1).foreach { case (part, gs) =>
+      assert(gs.exists(_._3 > 1L), s"$part: no group merged anything")
+      // contiguous-fill bound: every non-final group holds >= TARGET
+      // only via its last file's spillover, i.e. < TARGET + FILE_ROWS
+      val last = gs.map(_._2).max
+      gs.filter(_._2 != last).foreach { g =>
+        assert(g._4 >= Compaction.TARGET_ROWS - Compaction.FILE_ROWS &&
+          g._4 < Compaction.TARGET_ROWS + Compaction.FILE_ROWS,
+          s"$part grp ${g._2}: ${g._4} rows outside the fill bound")
+      }
+    }
+    // row conservation against the raw table
+    val want = graft.core.Tables(spark, sf, "events")
+      .groupBy("event_type").count().as[(String, Long)].collect().toMap
+    out.groupBy(_._1).foreach { case (part, gs) =>
+      assert(gs.map(_._4).sum == want(part), s"$part: rows not conserved")
+    }
+  }
 }
