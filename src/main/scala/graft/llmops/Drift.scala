@@ -82,5 +82,63 @@ object Drift {
       .orderBy("bin")
   }
 
-  val all: Seq[Q] = Seq(xPsiDrift)
+  /** X — exact two-sample Kolmogorov–Smirnov statistic over the same
+    * split and measure as x_psi_drift: the UNBINNED drift test (PSI is
+    * a binned score with smoothing; KS is the max CDF gap, sensitive to
+    * any distributional shift regardless of binning).
+    *
+    *   D = max_x |F_ref(x) − F_new(x)|
+    *
+    * Cross-engine exactness is total, no fixed-point rounding needed:
+    * with A = |ref|, B = |new|, the CDF gap at x is the exact integer
+    * |ca(x)·B − cb(x)·A| (cross-multiplied through the denominators),
+    * so D, its argmax (ties to the smallest x), and the scaled
+    * 1e6·D_num // (A·B) are pure integer arithmetic.
+    *
+    * Scale posture: one narrow aggregation to the VALUE-DOMAIN-sized
+    * (v, a, b) histogram, then a window over that domain (dozens of
+    * rows — the x_rfm_scaled acceptance class, never a corpus window)
+    * and a 1-row TakeOrdered.
+    */
+  val xKsDrift = Q(
+    "x_ks_drift",
+    s"""WITH t AS (SELECT
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS v,
+           doc_id <= (SELECT CAST(floor(0.8 * max(doc_id)) AS BIGINT) FROM documents) AS ref
+         FROM documents),
+       h AS (SELECT v,
+               CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(sum(CASE WHEN ref THEN 0 ELSE 1 END) AS BIGINT) AS b
+             FROM t GROUP BY v),
+       c AS (SELECT v, CAST(sum(a) OVER (ORDER BY v) AS BIGINT) AS ca,
+                     CAST(sum(b) OVER (ORDER BY v) AS BIGINT) AS cb FROM h),
+       tot AS (SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb FROM h)
+       SELECT v AS arg_x, abs(ca * tb - cb * ta) AS d_num,
+              ta AS n_ref, tb AS n_new,
+              (1000000 * abs(ca * tb - cb * ta)) // (ta * tb) AS ks_fix
+       FROM c, tot ORDER BY d_num DESC, arg_x LIMIT 1""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = T(s, dir, "documents")
+    val cut = Incremental.cutoffValue(docs)
+    val h = docs.select(
+        expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+          .cast("long").as("v"),
+        (col("doc_id") <= cut).as("ref"))
+      .groupBy("v").agg(
+        sum(when(col("ref"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("ref"), 0L).otherwise(1L)).as("b"))
+    val c = h.select(col("v"),
+      sum(col("a")).over(Window.orderBy("v")).as("ca"),
+      sum(col("b")).over(Window.orderBy("v")).as("cb"))
+    val tot = h.agg(sum("a").as("ta"), sum("b").as("tb"))
+    c.crossJoin(broadcast(tot))
+      .select(col("v").as("arg_x"),
+        abs(col("ca") * col("tb") - col("cb") * col("ta")).as("d_num"),
+        col("ta").as("n_ref"), col("tb").as("n_new"),
+        expr("(1000000 * abs(ca * tb - cb * ta)) div (ta * tb)").as("ks_fix"))
+      .orderBy(col("d_num").desc, col("arg_x"))
+      .limit(1)
+  }
+
+  val all: Seq[Q] = Seq(xPsiDrift, xKsDrift)
 }

@@ -126,5 +126,96 @@ object WebClean {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(xNormalizeText, xHtmlStrip, xUrlParse)
+  /** X — URL canonicalization dedup: the crawl-frontier / provenance
+    * dedup that catches what byte-level dedup can't see — the SAME page
+    * addressed four ways. Each document synthesizes one of four dirty
+    * variants of its group's URL (uppercase host + explicit default
+    * port + trailing slash + utm tracking param / unordered params /
+    * fragment / already-clean), and canonicalization must collapse
+    * every group:
+    *
+    *   1. strip the fragment
+    *   2. lowercase scheme://host[:port] (path case is preserved)
+    *   3. drop the scheme-default port (:443)
+    *   4. drop tracking (utm_*) query params
+    *   5. sort surviving params by key
+    *   6. strip the trailing path slash
+    *
+    * Graded output: per canonical URL, the variant count and the
+    * representative (min doc_id) — the crawl-dedup survivor rule.
+    * Pure per-row string map + one hash agg; every step is the same
+    * string/HOF expression on both engines.
+    */
+  val xUrlCanon = Q(
+    "x_url_canon",
+    """WITH u AS (SELECT doc_id,
+              CASE doc_id % 4
+                WHEN 0 THEN 'https://WWW.Site' || CAST(doc_id // 4 AS VARCHAR) ||
+                  '.Example.COM:443/articles/item/?id=' || CAST(doc_id // 4 AS VARCHAR) ||
+                  '&utm_source=feed'
+                WHEN 1 THEN 'https://www.site' || CAST(doc_id // 4 AS VARCHAR) ||
+                  '.example.com/articles/item?utm_campaign=x&id=' || CAST(doc_id // 4 AS VARCHAR)
+                WHEN 2 THEN 'https://www.site' || CAST(doc_id // 4 AS VARCHAR) ||
+                  '.example.com/articles/item?id=' || CAST(doc_id // 4 AS VARCHAR) ||
+                  '#section-2'
+                ELSE 'https://www.site' || CAST(doc_id // 4 AS VARCHAR) ||
+                  '.example.com/articles/item?id=' || CAST(doc_id // 4 AS VARCHAR)
+              END AS url
+            FROM documents),
+       s1 AS (SELECT doc_id, string_split(url, '#')[1] AS base FROM u),
+       s2 AS (SELECT doc_id,
+                regexp_replace(lower(regexp_extract(base, '^(https?://[^/?]+)', 1)),
+                  ':443$', '') AS auth,
+                regexp_extract(base, '^https?://[^/?]+([^?]*)', 1) AS path,
+                CASE WHEN strpos(base, '?') > 0
+                     THEN substr(base, strpos(base, '?') + 1) ELSE '' END AS q
+              FROM s1),
+       s3 AS (SELECT doc_id, auth,
+                CASE WHEN path <> '/' AND path LIKE '%/'
+                     THEN substr(path, 1, len(path) - 1) ELSE path END AS path,
+                array_to_string(list_sort(list_filter(string_split(q, '&'),
+                  p -> NOT starts_with(p, 'utm_') AND p <> '')), '&') AS pq
+              FROM s2),
+       c AS (SELECT doc_id,
+               auth || path || CASE WHEN pq <> '' THEN '?' || pq ELSE '' END AS canon
+             FROM s3)
+       SELECT canon, CAST(count(*) AS BIGINT) AS n_variants,
+              CAST(min(doc_id) AS BIGINT) AS rep_doc
+       FROM c GROUP BY canon ORDER BY canon""") { (s, dir) =>
+    val g = expr("doc_id div 4").cast("string")
+    val url = when(col("doc_id") % 4 === 0, concat(
+        lit("https://WWW.Site"), g, lit(".Example.COM:443/articles/item/?id="),
+        g, lit("&utm_source=feed")))
+      .when(col("doc_id") % 4 === 1, concat(
+        lit("https://www.site"), g, lit(".example.com/articles/item?utm_campaign=x&id="), g))
+      .when(col("doc_id") % 4 === 2, concat(
+        lit("https://www.site"), g, lit(".example.com/articles/item?id="),
+        g, lit("#section-2")))
+      .otherwise(concat(
+        lit("https://www.site"), g, lit(".example.com/articles/item?id="), g))
+    T(s, dir, "documents")
+      .select(col("doc_id"), url.as("url"))
+      .withColumn("base", split(col("url"), "#").getItem(0))
+      .withColumn("auth", regexp_replace(
+        lower(regexp_extract(col("base"), "^(https?://[^/?]+)", 1)),
+        ":443$", ""))
+      .withColumn("path0",
+        regexp_extract(col("base"), "^https?://[^/?]+([^?]*)", 1))
+      .withColumn("path",
+        when(col("path0") =!= "/" && col("path0").endsWith("/"),
+          expr("substring(path0, 1, length(path0) - 1)"))
+          .otherwise(col("path0")))
+      .withColumn("q", when(instr(col("base"), "?") > 0,
+        expr("substring(base, instr(base, '?') + 1)")).otherwise(lit("")))
+      .withColumn("pq", array_join(array_sort(filter(split(col("q"), "&"),
+        p => !p.startsWith("utm_") && p =!= "")), "&"))
+      .select(col("doc_id"), concat(col("auth"), col("path"),
+        when(col("pq") =!= "", concat(lit("?"), col("pq")))
+          .otherwise(lit(""))).as("canon"))
+      .groupBy(col("canon"))
+      .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("rep_doc"))
+      .orderBy("canon")
+  }
+
+  val all: Seq[Q] = Seq(xNormalizeText, xHtmlStrip, xUrlParse, xUrlCanon)
 }

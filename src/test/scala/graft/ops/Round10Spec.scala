@@ -215,4 +215,63 @@ class Round10Spec extends AnyFunSuite {
       s"recalls: ${rec.map(r => s"${r.getLong(0)}:${r.getDouble(1)}").mkString(" ")}")
     info("recalls: " + rec.map(r => s"${r.getLong(0)}:${r.getDouble(1)}").mkString(" "))
   }
+
+  test("retrieval eval: metric invariants and non-vacuity") {
+    val R = graft.llmops.RetrievalEval
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = R.xRetrievalEval.build(spark, dir)
+        .as[(Long, Long, Long, Long, Long)].collect()
+      assert(rows.length == R.NPROBE)
+      rows.foreach { case (p, nRel, hits, first, rr) =>
+        assert(hits <= math.min(R.TOPK, nRel), s"probe $p: hits $hits")
+        assert(first >= 0 && first <= R.TOPK, s"probe $p: first $first")
+        if (first > 0) assert(rr == R.RR_SCALE / first, s"probe $p: rr $rr")
+        else assert(rr == 0 && hits == 0)
+      }
+      // the retriever is not vacuous on this data: something is found
+      assert(rows.map(_._3).sum > 0, s"$dir: zero hits across all probes")
+    }
+  }
+
+  test("url canonicalization collapses every 4-variant group") {
+    val W = graft.llmops.WebClean
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val nDocs = graft.core.Tables(spark, dir, "documents").count()
+      val rows = W.xUrlCanon.build(spark, dir)
+        .as[(String, Long, Long)].collect()
+      assert(rows.length == (nDocs + 3) / 4, s"$dir: group count")
+      assert(rows.map(_._2).sum == nDocs, s"$dir: variants not conserved")
+      rows.foreach { case (canon, n, rep) =>
+        assert(n <= 4, s"$dir: $canon n=$n")
+        assert(rep % 4 == 0, s"$dir: $canon rep=$rep not the v=0 variant")
+        assert(!canon.contains("utm_") && !canon.contains("#") &&
+          !canon.contains(":443") && !canon.exists(_.isUpper), canon)
+      }
+    }
+  }
+
+  test("KS drift statistic matches a driver-side reference") {
+    val D = graft.llmops.Drift
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = graft.core.Tables(spark, dir, "documents")
+      val cut = graft.llmops.Incremental.cutoffValue(docs)
+      val vals = docs.select(
+          expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+            .cast("long").as("v"),
+          (col("doc_id") <= cut).as("ref"))
+        .as[(Long, Boolean)].collect()
+      val refS = vals.filter(_._2).map(_._1).sorted
+      val newS = vals.filterNot(_._2).map(_._1).sorted
+      val (ta, tb) = (refS.length.toLong, newS.length.toLong)
+      val ks = vals.map(_._1).distinct.sorted.map { x =>
+        val ca = refS.count(_ <= x).toLong
+        val cb = newS.count(_ <= x).toLong
+        (math.abs(ca * tb - cb * ta), x)
+      }.maxBy { case (d, x) => (d, -x) }
+      val got = D.xKsDrift.build(spark, dir)
+        .as[(Long, Long, Long, Long, Long)].head()
+      assert(got == ((ks._2, ks._1, ta, tb, 1000000L * ks._1 / (ta * tb))),
+        s"$dir: got $got want $ks")
+    }
+  }
 }
