@@ -69,37 +69,29 @@ object Mmr {
           .cast("long").as("sim_fix"))
   }
 
-  /** The greedy trajectory: (probe_id, step, vec_id, score_fix). */
+  /** The greedy trajectory: (probe_id, step, vec_id, score_fix).
+    *
+    * One aggregation gathers each probe's pool and pairwise sims into
+    * per-probe arrays; the whole k-step greedy walk then runs as a
+    * native per-row expression ([[graft.functions.MmrSelect]] — see its
+    * scaladoc for why this replaced the join-per-step spelling, which
+    * paid ~16 tiny shuffle stages of scheduler overhead, 4.4 s at
+    * sf0.1, for sub-millisecond arithmetic). Partitioning is on
+    * probe_id, so a million-probe batch parallelizes trivially.
+    */
   def diversify(s: SparkSession, dir: String): DataFrame = {
-    val p = pool(s, dir).localCheckpoint()
-    val sims = poolSims(p).localCheckpoint()
-    val byScore = (sc: org.apache.spark.sql.Column) =>
-      Window.partitionBy(col("probe_id")).orderBy(sc.desc, col("vec_id"))
-    var sel = p
-      .withColumn("rn", row_number().over(byScore(col("rel_fix"))))
-      .filter(col("rn") === 1)
-      .select(col("probe_id"), lit(1L).as("step"), col("vec_id"),
-        (col("rel_fix") * WREL).as("score_fix"))
-    for (k <- 2 to SELK) {
-      val chosen = sel.select(col("probe_id"), col("vec_id").as("b"))
-      val cand = p.join(chosen.withColumnRenamed("b", "vec_id"),
-          Seq("probe_id", "vec_id"), "left_anti")
-      val ms = cand.select(col("probe_id"), col("vec_id"), col("rel_fix"))
-        .join(sims.join(chosen, Seq("probe_id", "b"))
-            .select(col("probe_id"), col("a").as("vec_id"),
-              col("sim_fix")),
-          Seq("probe_id", "vec_id"))
-        .groupBy(col("probe_id"), col("vec_id"), col("rel_fix"))
-        .agg(max(col("sim_fix")).as("msim"))
-        .select(col("probe_id"), col("vec_id"),
-          (col("rel_fix") * WREL - col("msim") * WDIV).as("score_fix"))
-      sel = sel.unionByName(ms
-        .withColumn("rn", row_number().over(byScore(col("score_fix"))))
-        .filter(col("rn") === 1)
-        .select(col("probe_id"), lit(k.toLong).as("step"), col("vec_id"),
-          col("score_fix")))
-    }
-    sel
+    val p = pool(s, dir)
+    val pa = p.groupBy(col("probe_id"))
+      .agg(collect_list(struct(col("vec_id"), col("rel_fix"))).as("pool"))
+    val sa = poolSims(p).groupBy(col("probe_id"))
+      .agg(collect_list(struct(col("a"), col("b"), col("sim_fix")))
+        .as("sims"))
+    pa.join(sa, "probe_id")
+      .select(col("probe_id"),
+        explode(graft.functions.MmrSelect(col("pool"), col("sims"),
+          SELK, WREL, WDIV)).as("r"))
+      .select(col("probe_id"), col("r.step").as("step"),
+        col("r.vec_id").as("vec_id"), col("r.score_fix").as("score_fix"))
   }
 
   // ---------------------------------------------------------------- SQL

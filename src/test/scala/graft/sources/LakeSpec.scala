@@ -292,6 +292,7 @@ class LakeSpec extends AnyFunSuite {
     }
     // row conservation against the raw table
     val want = graft.core.Tables(spark, sf, "events")
+      .filter(col("event_id") < Compaction.SLICE)
       .groupBy("event_type").count().as[(String, Long)].collect().toMap
     out.groupBy(_._1).foreach { case (part, gs) =>
       assert(gs.map(_._4).sum == want(part), s"$part: rows not conserved")
