@@ -411,6 +411,64 @@ object EventAnalytics {
       .orderBy("user_id")
   }
 
+  /** X — multi-touch revenue attribution: for each purchase, credit its
+    * value to the user's preceding touch events (view/click) inside a
+    * 7-day lookback, under the two classic models at once:
+    *
+    *   last-touch — full value to the latest touch (ties on ts broken
+    *                by event_id, both engines);
+    *   linear     — value split across all touches in the window; the
+    *                per-touch share is the exact integer
+    *                cents·SCALE // n (floor fixed-point), so channel
+    *                sums are bit-identical cross-engine with no
+    *                rational arithmetic.
+    *
+    * Join shape is the q13 band-join discipline: equi key user_id plus
+    * a time-range residual — never a cartesian; per-purchase windows
+    * (n, last-touch rank) partition by purchase id, bounded by per-user
+    * event counts. Output per channel: touches credited, last-touch
+    * cents, linear fixed-point.
+    */
+  val xAttribution = Q(
+    "x_attribution",
+    """WITH p AS (SELECT user_id, event_id AS pid, CAST(ts AS TIMESTAMP) AS pts,
+              CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'),
+       t AS (SELECT user_id, event_id AS tid, CAST(ts AS TIMESTAMP) AS tts,
+               event_type AS channel
+             FROM events WHERE event_type IN ('view', 'click')),
+       pr AS (SELECT p.pid, p.cents, t.tid, t.channel,
+                row_number() OVER (PARTITION BY p.pid
+                  ORDER BY t.tts DESC, t.tid DESC) AS rn,
+                count(*) OVER (PARTITION BY p.pid) AS n
+              FROM p JOIN t ON p.user_id = t.user_id
+                AND t.tts < p.pts AND t.tts >= p.pts - INTERVAL 7 DAY)
+       SELECT channel,
+              CAST(count(*) AS BIGINT) AS n_touches,
+              CAST(sum(CASE WHEN rn = 1 THEN cents ELSE 0 END) AS BIGINT) AS last_touch_cents,
+              CAST(sum((cents * 1000000) // n) AS BIGINT) AS linear_fix
+       FROM pr GROUP BY channel ORDER BY channel""") { (s, dir) =>
+    val e = T(s, dir, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"), col("ts").as("pts"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val t = e.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("tid"),
+        col("ts").as("tts"), col("event_type").as("channel"))
+    val pr = p.join(t, Seq("user_id"))
+      .filter(col("tts") < col("pts") &&
+        col("tts") >= col("pts") - expr("INTERVAL 7 DAY"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("pid"))
+        .orderBy(col("tts").desc, col("tid").desc)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("pid"))))
+    pr.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(when(col("rn") === 1, col("cents")).otherwise(0L))
+          .as("last_touch_cents"),
+        sum(expr("(cents * 1000000) div n")).as("linear_fix"))
+      .orderBy("channel")
+  }
+
   val all: Seq[Q] = Seq(xFunnel, xRetention, xTransitions, xOutlierIqr,
-    xWinsorize, xDecayScore, xRfm, xRfmScaled)
+    xWinsorize, xDecayScore, xRfm, xRfmScaled, xAttribution)
 }

@@ -465,6 +465,94 @@ object StreamOps {
     upsertStages.getOrElseUpdate(dir,
       scratchDir("graft_upsert_stage").toString + "/latest")
 
+  /** X — streaming drift gate: the per-ingest dataset-QA check
+    * (x_psi_drift's PSI) run against a STREAM. The streaming leg is one
+    * windowed aggregation — per (day, value-bin) counts into the gold
+    * histogram sink (Complete mode, watermarked); the PSI finalization
+    * (reference = the first 15 days of the SAME sink, add-one smoothing
+    * over the occupied-bin domain, 1e6 fixed-point ln weights, exact
+    * integer cross-multiplied contributions) is a batch step over that
+    * sink — the real architecture: the stream maintains the histogram,
+    * the QA query reads it. Bins are exact cents div 5000 (no float
+    * boundary). Oracle: the identical chain in batch SQL.
+    *
+    * Scale posture: streaming state is (day × bin)-sized — dozens of
+    * rows per watermark horizon; the finalize runs over the
+    * histogram-sized sink, never the event stream.
+    */
+  val xStreamPsi = Q(
+    "x_stream_psi",
+    """WITH h AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+              CAST(round(value * 100) AS BIGINT) // 5000 AS bin,
+              CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+       r AS (SELECT bin, CAST(sum(n) AS BIGINT) AS a FROM h
+             WHERE day < DATE '2024-01-16' GROUP BY bin),
+       d AS (SELECT day, bin, n AS b FROM h WHERE day >= DATE '2024-01-16'),
+       dom AS (SELECT day, bin FROM (SELECT DISTINCT day FROM d), (SELECT bin FROM r)
+               UNION SELECT day, bin FROM d),
+       j AS (SELECT dom.day, dom.bin,
+               coalesce(r.a, 0) AS a, coalesce(d.b, 0) AS b
+             FROM dom LEFT JOIN r ON dom.bin = r.bin
+                      LEFT JOIN d ON dom.day = d.day AND dom.bin = d.bin),
+       tot AS (SELECT day, CAST(sum(b) AS BIGINT) AS bd,
+                      CAST(count(*) AS BIGINT) AS k FROM j GROUP BY day),
+       ta AS (SELECT CAST(sum(a) AS BIGINT) AS a_tot FROM r)
+       SELECT j.day AS day, j.bin AS bin, j.a AS n_ref, j.b AS n_day,
+              CAST(round(1000000 * ln((CAST(j.a + 1 AS DOUBLE) / (a_tot + k)) /
+                (CAST(j.b + 1 AS DOUBLE) / (bd + k)))) AS BIGINT) AS w_fix,
+              CAST(((j.a + 1) * (bd + k) - (j.b + 1) * (a_tot + k)) *
+                CAST(round(1000000 * ln((CAST(j.a + 1 AS DOUBLE) / (a_tot + k)) /
+                  (CAST(j.b + 1 AS DOUBLE) / (bd + k)))) AS BIGINT) AS BIGINT) AS contrib_fix
+       FROM j JOIN tot ON j.day = tot.day, ta
+       ORDER BY day, bin""") { (s, dir) =>
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "2 days")
+      .groupBy(window(col("ts"), "1 day"),
+        expr("cast(round(value * 100) as bigint) div 5000").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("date").as("day"), col("bin"),
+        col("n"))
+    val sink = runToMemory(agg, "xpsi_mem", OutputMode.Complete())
+    // every sink-derived frame gets DISTINCT column names: r / d / dom
+    // all descend from the one memory-sink view, and Seq-joins between
+    // frames sharing attribute ids are conflicting self-joins
+    val r = sink.filter(col("day") < lit("2024-01-16").cast("date"))
+      .groupBy(col("bin").as("rbin")).agg(sum(col("n")).as("a"))
+    val d = sink.filter(col("day") >= lit("2024-01-16").cast("date"))
+      .select(col("day").as("dday"), col("bin").as("dbin"),
+        col("n").as("b"))
+    val dom = d.select(col("dday").as("day")).distinct()
+      .crossJoin(broadcast(r.select(col("rbin").as("bin"))))
+      .union(d.select(col("dday"), col("dbin"))).distinct()
+    // a THIRD independent naming for the probe side: `dom` embeds d's
+    // attributes through its union branch, so the lookup join reads the
+    // sink once more under fresh names
+    val dj = sink.select(col("day").as("jday"), col("bin").as("jbin"),
+        col("n").as("jb"))
+      .filter(col("jday") >= lit("2024-01-16").cast("date"))
+    val j = dom
+      .join(broadcast(r), col("bin") === col("rbin"), "left")
+      .join(dj, col("day") === col("jday") && col("bin") === col("jbin"),
+        "left")
+      .select(col("day"), col("bin"),
+        coalesce(col("a"), lit(0L)).as("a"),
+        coalesce(col("jb"), lit(0L)).as("b"))
+    val tot = j.groupBy(col("day"))
+      .agg(sum(col("b")).as("bd"), count(lit(1)).as("k"))
+    val aTot = r.agg(sum(col("a")).as("a_tot"))
+    val w = round(lit(1e6) *
+      log(((col("a") + 1).cast("double") / (col("a_tot") + col("k"))) /
+          ((col("b") + 1).cast("double") / (col("bd") + col("k")))))
+      .cast("long")
+    j.join(broadcast(tot), "day").crossJoin(broadcast(aTot))
+      .select(col("day"), col("bin"), col("a").as("n_ref"),
+        col("b").as("n_day"), w.as("w_fix"),
+        (((col("a") + 1) * (col("bd") + col("k")) -
+          (col("b") + 1) * (col("a_tot") + col("k"))) * w).as("contrib_fix"))
+      .orderBy("day", "bin")
+  }
+
   val all: Seq[Q] = Seq(q28, q29, q29b, q30, q30b, q30c, q30d, xStreamNeardup,
-    xStreamUpsert)
+    xStreamUpsert, xStreamPsi)
 }
