@@ -199,6 +199,30 @@ class RoundingMarginSpec extends AnyFunSuite {
           ((b + 1.0) / (ptb + pk)))
       }.toSeq
 
+      // x_stream_psi: per-(day, bin) ln importance ratios × 1e6 (same
+      // formula class as psi-weights, over the streaming gold histogram's
+      // day-split domain — recomputed batch-side here)
+      val spH = graft.core.Tables(spark, dir, "events")
+        .select(to_date(col("ts")).as("day"),
+          expr("cast(round(value * 100) as bigint) div 5000").as("bin"))
+        .groupBy("day", "bin").agg(count(lit(1)).as("n"))
+        .as[(java.sql.Date, Long, Long)].collect()
+      val cutD = java.sql.Date.valueOf("2024-01-16")
+      val refH = spH.filter(_._1.before(cutD)).groupBy(_._2).view
+        .mapValues(_.map(_._3).sum).toMap
+      val spA = refH.values.sum
+      val dayRows = spH.filterNot(_._1.before(cutD))
+      val streamPsi = dayRows.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        val dayH = rows.map(r => r._2 -> r._3).toMap
+        val dom = (refH.keySet ++ dayH.keySet).toSeq
+        val bd = dayH.values.sum
+        val k = dom.size
+        dom.map { b =>
+          1e6 * math.log(((refH.getOrElse(b, 0L) + 1.0) / (spA + k)) /
+            ((dayH.getOrElse(b, 0L) + 1.0) / (bd + k)))
+        }
+      }
+
       // x_unigram_*: seed and refit log-probs × 1e6
       val U = Unigram
       val hist = U.wordHist(docs)
@@ -267,6 +291,7 @@ class RoundingMarginSpec extends AnyFunSuite {
         Fam("full-curation-threshold", "floor", 1e-4, fThr),
         Fam("mix-sample-threshold", "floor", 1e-4, mixThr),
         Fam("psi-weights", "half", 1e-4, psi),
+        Fam("stream-psi-weights", "half", 1e-4, streamPsi),
         Fam("unigram-lp0", "half", 1e-4, lp0),
         Fam("unigram-lp1", "half", 1e-4, lp1)))
     }
