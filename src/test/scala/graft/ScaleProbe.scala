@@ -649,6 +649,83 @@ object ScaleProbe {
         graft.core.Tables(spark, "/root/testdata/sf0.1", "documents"))
       println(f"SCALE-QC docs=$nDocs acc=$acc%.4f (gate 0.9)")
     }
+
+    // ---- audio fingerprint match join (round 10): the scale question
+    // is the inverted-index pair join, and its lever is the LANDMARK
+    // HASH SPACE. Synthetic per-file peak sequences (16 windows,
+    // deterministic md5 peaks) at two spectral resolutions: the
+    // fixture's toy K=13 (169 possible transition hashes — posting
+    // lists grow ~N/169, pair stream ~N²/169: the hot-bucket regime)
+    // vs a production-grade space (64 bins + 4 dt values ≈ 16k hashes:
+    // posting lists stay short, pair stream ~linear until N approaches
+    // the space size). Same code path as x_audio_neardup's join.
+    if (want("audio")) {
+      for ((bins, tag) <- Seq((13, "K13"), (64 * 4, "K64dt"))) {
+        for (n <- Seq(2000, 8000, 32000)) {
+          val t0 = System.nanoTime()
+          val files = spark.range(n.toLong).select(col("id").as("f"),
+            expr(s"""transform(sequence(0, 15), i ->
+              1 + pmod(conv(substring(md5(concat(cast(id as string), ':', cast(i as string))), 1, 6), 16, 10), $bins))""")
+              .as("peaks"))
+          val h = files.select(col("f"), explode(expr(
+              s"transform(sequence(0, 14), i -> peaks[i] * ${bins + 1} + peaks[i + 1])"))
+              .as("h")).distinct()
+          val pairs = h.as("a").join(h.as("b"),
+              col("a.h") === col("b.h") && col("a.f") < col("b.f"))
+            .groupBy(col("a.f"), col("b.f")).agg(count(lit(1)).as("c"))
+            .filter(col("c") >= 3).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"SCALE-AUDIO $tag%-6s files=$n%6d matches=$pairs%9d sec=$sec%6.2f")
+        }
+      }
+    }
+
+    // ---- WordPiece train + apply (round 10): tokenization work rides
+    // the WORD HISTOGRAM; replicas multiply the histogram (r-prefixed
+    // words are all new), so this measures the worst case — an open
+    // vocabulary growing linearly with the corpus. Expect ~linear wall;
+    // the corpus-pass count stays fixed at two.
+    if (want("wp")) {
+      for (k <- Seq(1, 2, 5, 10)) {
+        val c = corpus(k)
+        val t0 = System.nanoTime()
+        val (vocab, segs) = graft.llmops.WordPiece.train(c)
+        val applied = c
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .filter(col("w") =!= "")
+          .join(broadcast(segs.select(col("w"), col("n_pieces"))), "w")
+          .groupBy(col("doc_id")).agg(sum(col("n_pieces")).as("np"))
+          .count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"SCALE-WP k=$k%2d docs=${baseN * k}%7d vocab=${vocab.length}%5d " +
+          f"applied=$applied%7d sec=$sec%6.2f")
+      }
+    }
+
+    // ---- compaction planning (round 10): the plan is a window over
+    // the MANIFEST (one row per file) — synthetic manifests at 1e4/1e5/
+    // 1e6 files (far beyond any staged fixture) measure the planning
+    // cost alone growing ~linearly; data rewrite cost is orthogonal
+    // (it reads each input file once regardless of plan shape).
+    if (want("compactplan")) {
+      import org.apache.spark.sql.expressions.Window
+      for (n <- Seq(10000, 100000, 1000000)) {
+        val t0 = System.nanoTime()
+        val m = spark.range(n.toLong).select(
+          (col("id") % 256).cast("string").as("part"),
+          concat(lit("f"), col("id")).as("fn"),
+          (lit(64L) + pmod(hash(col("id")), lit(64))).as("rows_f"))
+        val w = Window.partitionBy(col("part"))
+          .orderBy(col("rows_f").desc, col("fn"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val groups = m
+          .withColumn("before", coalesce(sum(col("rows_f")).over(w), lit(0L)))
+          .select(col("part"), expr("before div 1000").as("grp"))
+          .groupBy(col("part"), col("grp")).count().count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"SCALE-COMPACT files=$n%8d groups=$groups%8d sec=$sec%6.2f")
+      }
+    }
     spark.stop()
   }
 }
