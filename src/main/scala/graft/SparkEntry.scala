@@ -24,7 +24,7 @@ object SparkEntry {
       llmops.Incremental.all ++
       llmops.Curation.all ++
       llmops.VectorSearch.all ++ llmops.LateInteraction.all ++
-      llmops.Mmr.all ++ llmops.RetrievalEval.all ++
+      llmops.Mmr.all ++ llmops.RetrievalEval.all ++ llmops.Rag.all ++
       llmops.Chunking.all ++ llmops.TextStats.all ++
       llmops.SimHash.all ++ llmops.Multimodal.all ++ llmops.ImagePhash.all ++
       llmops.AudioFingerprint.all ++

@@ -43,7 +43,7 @@ object LateInteraction {
   val TOPK = 10
 
   /** Adds `toks`: the T l2-normalized token slices of `emb`. */
-  private def withToks(e: DataFrame): DataFrame =
+  private[llmops] def withToks(e: DataFrame): DataFrame =
     e.withColumn("rtoks",
         expr(s"transform(sequence(0, ${T - 1}), t -> slice(emb, t * $D + 1, $D))"))
       .withColumn("toks", expr(
@@ -53,7 +53,7 @@ object LateInteraction {
       .drop("rtoks")
 
   /** MaxSim over two token arrays (raw double, pre-round). */
-  private val maxsimExpr = expr(
+  private[llmops] val maxsimExpr = expr(
     """aggregate(ptoks, 0D, (acc, qt) ->
        acc + array_max(transform(dtoks, dt ->
          aggregate(zip_with(qt, dt, (a, b) -> a * b),
@@ -85,7 +85,7 @@ object LateInteraction {
         maxsimExpr.as("maxsim"))
   }
 
-  private def sliceNorm(t: Int): String = {
+  private[llmops] def sliceNorm(t: Int): String = {
     val s = s"emb[${t * D + 1}:${(t + 1) * D}]"
     s"list_transform($s, x -> x / sqrt(list_dot_product($s, $s)))"
   }

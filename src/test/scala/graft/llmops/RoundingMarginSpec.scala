@@ -223,6 +223,26 @@ class RoundingMarginSpec extends AnyFunSuite {
         }
       }
 
+      // x_rag_pipeline: raw MaxSim over the fused-20 pool and raw
+      // pairwise cosines over its reranked-10 (both feed 1e6 fixed
+      // points; the LateInteraction/Mmr families cover different pools)
+      val ragMs = Rag.rerankRaw(spark, dir)
+        .select("msraw").as[Double].collect().map(_ * 1e6)
+      val ragTop = Rag.rerankRaw(spark, dir)
+        .withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(round(col("msraw"), 6).desc, col("doc_id"))))
+        .filter(col("r") <= Rag.RERANK_TOP).select(col("doc_id"))
+      val ragEmb = ragTop.join(VectorSearch.embeddingsBase(spark, dir),
+          ragTop("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("n_emb"))
+      val ragPair = ragEmb.select(col("doc_id").as("a"), col("n_emb").as("ea"))
+        .crossJoin(broadcast(ragEmb.select(col("doc_id").as("b"),
+          col("n_emb").as("eb"))))
+        .filter(col("a") =!= col("b"))
+        .select(VectorSearch.dot(col("ea"), col("eb")).as("s"))
+        .as[Double].collect().map(_ * 1e6)
+
       // x_unigram_*: seed and refit log-probs × 1e6
       val U = Unigram
       val hist = U.wordHist(docs)
@@ -279,6 +299,8 @@ class RoundingMarginSpec extends AnyFunSuite {
         Fam("maxsim", "half", 1e-6, maxsim.toSeq),
         Fam("mmr-relevance", "half", 1e-6, mmrRel.toSeq),
         Fam("mmr-pool-pairs", "half", 1e-6, mmrPairRaw.toSeq),
+        Fam("rag-maxsim", "half", 1e-6, ragMs.toSeq),
+        Fam("rag-pool-pairs", "half", 1e-6, ragPair.toSeq),
         Fam("cosine-rank", "half", 1e-6, cosines.toSeq),
         Fam("q22-transcendental", "half", 1e-6, trans.toSeq),
         Fam("word-entropy", "half", 1e-6, entropy.toSeq),
