@@ -1,0 +1,112 @@
+package graft.llmops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Q, Tables => T}
+
+/** Entity resolution — the MDM/record-linkage pipeline (Fellegi-Sunter
+  * shape): BLOCK candidate records cheaply, MATCH within blocks with a
+  * string-similarity scorer, CLUSTER matches into entity identities:
+  *
+  *   1. block   — records grouped by a cheap stable key (first name
+  *                char here); pairs exist only WITHIN a block — the ER
+  *                equivalent of the LSH band bucket, and the only thing
+  *                standing between a billion records and n² scoring
+  *   2. match   — Jaro-Winkler (the native codegen'd expression
+  *                x_jaro_winkler ships) as a 1e6 fixed-point integer,
+  *                thresholded at JW_TH
+  *   3. cluster — connected components over match edges (the
+  *                DedupFamilies machinery: driver union-find under the
+  *                bounded threshold, pointer-jumping above); entity id
+  *                = min member key, the survivor rule
+  *
+  * The fixture synthesizes the dirty input deterministically (the
+  * x_url_canon discipline): every 3 consecutive customers are one true
+  * entity whose 20-char name appears clean, with a mid-string deletion,
+  * and with a transposition. Measured separation at sf0.01: in-cluster
+  * JW ≥ 0.948, cross-entity ≤ 0.794 within blocks — threshold 0.93
+  * sits in a ±0.018 dead zone (and the raw values are margin-audited).
+  *
+  * Scale posture: pair volume is Σ_blocks |block|² — controlled by the
+  * blocking key's selectivity exactly like LSH bucket caps; scoring is
+  * per-pair codegen'd expression work; clustering state is bounded by
+  * MATCH edges (a sliver of records), never the corpus.
+  */
+object EntityResolution {
+
+  val JW_TH = 930000L // round(1e6 · 0.93)
+  val SIM_SCALE = 1000000L
+
+  /** (k, name) — the synthesized dirty records. */
+  def records(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer")
+      .withColumn("b",
+        substring(md5(expr("cast(c_custkey div 3 as string)")), 1, 20))
+      .select(col("c_custkey").as("k"),
+        when(col("c_custkey") % 3 === 0, col("b"))
+          .when(col("c_custkey") % 3 === 1,
+            concat(substring(col("b"), 1, 10), expr("substring(b, 12)")))
+          .otherwise(concat(substring(col("b"), 1, 11),
+            substring(col("b"), 13, 1), substring(col("b"), 12, 1),
+            expr("substring(b, 14)")))
+          .as("name"))
+
+  /** Match pairs (a, b, sim_fix) within blocks, thresholded. */
+  def matchPairs(recs: DataFrame): DataFrame = {
+    val l = recs.select(col("k").as("a"), col("name").as("an"),
+      substring(col("name"), 1, 1).as("blk"))
+    val r = recs.select(col("k").as("b"), col("name").as("bn"),
+      substring(col("name"), 1, 1).as("blk"))
+    l.join(r, Seq("blk")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(graft.functions.JaroWinkler.sim(col("an"), col("bn")) *
+          SIM_SCALE).cast("long").as("sim_fix"))
+      .filter(col("sim_fix") >= JW_TH)
+  }
+
+  private def nameSql(alias: String): String =
+    s"""CASE $alias.k % 3
+        WHEN 0 THEN $alias.b
+        WHEN 1 THEN substr($alias.b, 1, 10) || substr($alias.b, 12)
+        ELSE substr($alias.b, 1, 11) || substr($alias.b, 13, 1) ||
+             substr($alias.b, 12, 1) || substr($alias.b, 14) END"""
+
+  val xEntityResolution = Q(
+    "x_entity_resolution",
+    s"""WITH RECURSIVE
+       e AS (SELECT c_custkey AS k,
+               substr(md5(CAST(c_custkey // 3 AS VARCHAR)), 1, 20) AS b
+             FROM customer),
+       n AS (SELECT e.k, ${nameSql("e")} AS name FROM e),
+       p AS (SELECT x.k AS a, y.k AS b
+             FROM n x JOIN n y
+               ON substr(x.name, 1, 1) = substr(y.name, 1, 1) AND x.k < y.k
+             WHERE CAST(round($SIM_SCALE * jaro_winkler_similarity(x.name, y.name)) AS BIGINT) >= $JW_TH),
+       edges AS (SELECT a AS src, b AS dst FROM p
+                 UNION ALL SELECT b, a FROM p),
+       r(id, label) AS (SELECT src, src FROM edges
+                        UNION
+                        SELECT ed.dst, r.label FROM edges ed JOIN r ON ed.src = r.id),
+       ent AS (SELECT id, min(label) AS entity FROM r GROUP BY id),
+       asg AS (SELECT n.k, coalesce(ent.entity, n.k) AS entity
+               FROM n LEFT JOIN ent ON ent.id = n.k),
+       sz AS (SELECT entity, CAST(count(*) AS BIGINT) AS n_members
+              FROM asg GROUP BY entity)
+       SELECT asg.k AS custkey, asg.entity AS entity, sz.n_members,
+              asg.k = asg.entity AS is_canonical
+       FROM asg JOIN sz ON asg.entity = sz.entity
+       ORDER BY custkey""") { (s, dir) =>
+    val recs = records(s, dir)
+    val labels = DedupFamilies.components(matchPairs(recs)
+      .select(col("a"), col("b")))
+    val asg = recs.join(labels, recs("k") === labels("id"), "left")
+      .select(col("k"), coalesce(col("label"), col("k")).as("entity"))
+    val sz = asg.groupBy(col("entity")).agg(count(lit(1)).as("n_members"))
+    asg.join(sz, "entity")
+      .select(col("k").as("custkey"), col("entity"), col("n_members"),
+        (col("k") === col("entity")).as("is_canonical"))
+      .orderBy("custkey")
+  }
+
+  val all: Seq[Q] = Seq(xEntityResolution)
+}

@@ -243,6 +243,20 @@ class RoundingMarginSpec extends AnyFunSuite {
         .select(VectorSearch.dot(col("ea"), col("eb")).as("s"))
         .as[Double].collect().map(_ * 1e6)
 
+      // x_entity_resolution: raw Jaro-Winkler over all blocked pairs ×
+      // 1e6 (feeds the round + fixed JW_TH comparison)
+      val erRecs = EntityResolution.records(spark, dir)
+      val erJw = {
+        val l = erRecs.select(col("k").as("a"), col("name").as("an"),
+          substring(col("name"), 1, 1).as("blk"))
+        val r = erRecs.select(col("k").as("b"), col("name").as("bn"),
+          substring(col("name"), 1, 1).as("blk"))
+        l.join(r, Seq("blk")).filter(col("a") < col("b"))
+          .select(graft.functions.JaroWinkler.sim(col("an"), col("bn"))
+            .as("s"))
+          .as[Double].collect().map(_ * 1e6)
+      }
+
       // x_unigram_*: seed and refit log-probs × 1e6
       val U = Unigram
       val hist = U.wordHist(docs)
@@ -301,6 +315,7 @@ class RoundingMarginSpec extends AnyFunSuite {
         Fam("mmr-pool-pairs", "half", 1e-6, mmrPairRaw.toSeq),
         Fam("rag-maxsim", "half", 1e-6, ragMs.toSeq),
         Fam("rag-pool-pairs", "half", 1e-6, ragPair.toSeq),
+        Fam("entity-jw", "half", 1e-6, erJw.toSeq),
         Fam("cosine-rank", "half", 1e-6, cosines.toSeq),
         Fam("q22-transcendental", "half", 1e-6, trans.toSeq),
         Fam("word-entropy", "half", 1e-6, entropy.toSeq),
