@@ -34,7 +34,7 @@ object SparkEntry {
       llmops.WordPiece.all ++
       llmops.Drift.all ++
       llmops.Graph.all ++
-      llmops.SetSim.all ++ sources.Compaction.all
+      llmops.SetSim.all ++ sources.Compaction.all ++ sources.TimeTravel.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,119 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.core.{Exact => E, Q, Tables => T}
+
+/** Snapshot versioning / time travel — the table-format semantics a
+  * lake needs beyond single-table upsert (x_upsert) and change
+  * application (x_cdc_apply): every write produces a NEW immutable
+  * version, old versions stay readable (snapshot isolation for running
+  * readers + reproducible training runs pinned to a version), and the
+  * version diff is an audit artifact.
+  *
+  * End-to-end against real files:
+  *   v1 = the orders table, written whole;
+  *   v2 = v1 with a deterministic change batch applied — deletes
+  *        (key % 101 = 0), updates (key % 97 = 0, unless deleted —
+  *        delete wins, the CDC precedence rule), and 3 appended rows
+  *        above the key domain;
+  *   both version directories coexist; the graded query READS THE
+  *   STORE (never the change batch) and emits per version: row count,
+  *   exact decimal value total, and the diff vs the previous version
+  *   (added / removed / changed keys) computed by joining the two
+  *   version reads.
+  *
+  * The oracle recomputes every number arithmetically from the raw
+  * orders table — any row lost or doubled by the version write, any
+  * precedence mistake, any diff-join defect lands in the hash.
+  *
+  * Scale posture: a version write is one pass over the previous
+  * version plus the (small) batch; the diff is a full-outer equi-join
+  * on the key with partial-agg counts — no windows, no driver state.
+  * A real deployment adds a manifest listing data files per version so
+  * old-version vacuuming and metadata-only diffs work; the store here
+  * keeps one directory per version, which is that manifest's simplest
+  * spelling.
+  */
+object TimeTravel {
+
+  private lazy val root: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_ttravel")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }
+    p
+  }
+
+  val xTimeTravel = Q(
+    "x_time_travel",
+    """WITH o AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
+       mx AS (SELECT CAST(max(k) AS BIGINT) AS mk FROM o),
+       dels AS (SELECT k FROM o WHERE k % 101 = 0),
+       upds AS (SELECT k FROM o WHERE k % 97 = 0 AND k % 101 <> 0),
+       ins AS (SELECT mk + i AS k, CAST(100.00 * i AS DOUBLE) AS v
+               FROM mx, LATERAL (SELECT unnest(generate_series(1, 3)) AS i)),
+       v1 AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total FROM o),
+       v2s AS (SELECT CAST((SELECT count(*) FROM o)
+                      - (SELECT count(*) FROM dels)
+                      + 3 AS BIGINT) AS n_rows,
+                CAST((SELECT sum(CAST(v AS DECIMAL(18,2))) FROM o)
+                   - (SELECT coalesce(sum(CAST(v AS DECIMAL(18,2))), 0) FROM o WHERE k % 101 = 0)
+                   + (SELECT count(*) FROM upds) * CAST(1000.00 AS DECIMAL(18,2))
+                   + (SELECT sum(CAST(v AS DECIMAL(18,2))) FROM ins) AS DOUBLE) AS total)
+       SELECT * FROM (
+         SELECT CAST(1 AS BIGINT) AS version, n_rows, total,
+                CAST(0 AS BIGINT) AS n_added, CAST(0 AS BIGINT) AS n_removed,
+                CAST(0 AS BIGINT) AS n_changed
+         FROM v1
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), n_rows, total,
+                CAST(3 AS BIGINT),
+                (SELECT CAST(count(*) AS BIGINT) FROM dels),
+                (SELECT CAST(count(*) AS BIGINT) FROM upds)
+         FROM v2s)
+       ORDER BY version""") { (s, dir) =>
+    val orders = T(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+    val store = s"$root/orders"
+
+    // version 1: the full table
+    orders.write.mode("overwrite").parquet(s"$store/v1")
+
+    // the change batch (delete wins over update on overlap)
+    val v1 = s.read.parquet(s"$store/v1")
+    val maxK = orders.agg(max(col("k"))).head().getLong(0)
+    val applied = v1
+      .filter(col("k") % 101 =!= 0)
+      .withColumn("v", when(col("k") % 97 === 0, col("v") + 1000.0)
+        .otherwise(col("v")))
+      .unionByName(s.range(1, 4)
+        .select((col("id") + maxK).as("k"), (col("id") * 100.0).as("v")))
+    applied.write.mode("overwrite").parquet(s"$store/v2")
+
+    // the graded audit reads ONLY the store
+    def stats(ver: Int) = s.read.parquet(s"$store/v$ver")
+      .agg(count(lit(1)).as("n_rows"), E.sumd(col("v")).as("total"))
+      .select(lit(ver.toLong).as("version"), col("n_rows"), col("total"))
+    val r1 = s.read.parquet(s"$store/v1")
+      .select(col("k").as("k1"), col("v").as("va"))
+    val r2 = s.read.parquet(s"$store/v2")
+      .select(col("k").as("k2"), col("v").as("vb"))
+    val diff = r1.join(r2, col("k1") === col("k2"), "full_outer")
+      .agg(sum(when(col("k1").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("k2").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("k1").isNotNull && col("k2").isNotNull &&
+          col("va") =!= col("vb"), 1L).otherwise(0L)).as("n_changed"))
+    stats(1)
+      .withColumn("n_added", lit(0L))
+      .withColumn("n_removed", lit(0L))
+      .withColumn("n_changed", lit(0L))
+      .unionByName(stats(2).crossJoin(broadcast(diff)))
+      .orderBy("version")
+  }
+
+  val all: Seq[Q] = Seq(xTimeTravel)
+}

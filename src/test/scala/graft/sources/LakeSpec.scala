@@ -298,4 +298,22 @@ class LakeSpec extends AnyFunSuite {
       assert(gs.map(_._4).sum == want(part), s"$part: rows not conserved")
     }
   }
+
+  test("time travel: old version stays readable and diff matches arithmetic") {
+    import spark.implicits._
+    val out = TimeTravel.xTimeTravel.build(spark, sf)
+      .as[(Long, Long, Double, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.length == 2)
+    val orders = graft.core.Tables(spark, sf, "orders")
+    val n = orders.count()
+    val nDel = orders.filter(col("o_orderkey") % 101 === 0).count()
+    val nUpd = orders.filter(col("o_orderkey") % 97 === 0 &&
+      col("o_orderkey") % 101 =!= 0).count()
+    val (v1, v2) = (out(0), out(1))
+    // v1 snapshot unchanged by the v2 write (snapshot isolation)
+    assert(v1._2 == n && v1._4 == 0 && v1._5 == 0 && v1._6 == 0)
+    assert(v2._2 == n - nDel + 3, "v2 row count")
+    assert(v2._4 == 3 && v2._5 == nDel && v2._6 == nUpd, "diff counts")
+    info(s"v1=$n rows, v2=${v2._2} rows, +3/-$nDel/~$nUpd")
+  }
 }
