@@ -90,5 +90,73 @@ object RetrievalEval {
       .orderBy("probe_id")
   }
 
-  val all: Seq[Q] = Seq(xRetrievalEval)
+  /** X — ranking-quality AUC: the full-ranking complement to
+    * x_retrieval_eval's set-at-k metrics. Per probe, every candidate is
+    * ranked by the q34 scorer (round(cos, 6) DESC, vec_id — a
+    * deterministic TOTAL order, so ranks are distinct integers and the
+    * Mann-Whitney U statistic needs no tie convention):
+    *
+    *   U = Σ_{relevant} rank_asc − n₁(n₁+1)/2,  AUC = U / (n₁·n₂)
+    *
+    * with rank_asc counted from the WORST end so larger U = better
+    * ranking; U is an exact integer and AUC ships as the exact floor
+    * fixed-point (1e6·U) // (n₁·n₂). Same relevance convention as
+    * x_retrieval_eval / x_knn_label (same label, self excluded).
+    *
+    * Scale posture: ranking is one per-probe window over the broadcast
+    * probe set; U is a filtered sum — no pairwise positive×negative
+    * comparison ever materializes (that product is what U *counts*,
+    * not what it computes).
+    */
+  val xAucEval = Q(
+    "x_auc_eval",
+    s"""WITH ranked AS (
+           SELECT p.vec_id AS probe_id,
+                  CAST(e.label = p.label AS INTEGER) AS rel,
+                  row_number() OVER (PARTITION BY p.vec_id
+                    ORDER BY round(list_cosine_similarity(
+                        CAST(e.embedding AS DOUBLE[]),
+                        CAST(p.embedding AS DOUBLE[])), 6) ASC,
+                      e.vec_id DESC) AS rank_asc
+           FROM embeddings e
+           CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < $NPROBE) p
+           WHERE e.vec_id <> p.vec_id),
+       m AS (SELECT probe_id,
+               CAST(sum(rel) AS BIGINT) AS n_pos,
+               CAST(count(*) - sum(rel) AS BIGINT) AS n_neg,
+               CAST(sum(CASE WHEN rel = 1 THEN rank_asc ELSE 0 END)
+                 AS BIGINT) AS rank_sum
+             FROM ranked GROUP BY probe_id)
+       SELECT probe_id, n_pos, n_neg,
+              rank_sum - n_pos * (n_pos + 1) // 2 AS u_stat,
+              (1000000 * (rank_sum - n_pos * (n_pos + 1) // 2))
+                // (n_pos * n_neg) AS auc_fix
+       FROM m ORDER BY probe_id""") { (s, dir) =>
+    val e = VectorSearch.embeddingsBase(s, dir)
+      .select("vec_id", "label", "n_emb")
+    val probes = e.filter(col("vec_id") < NPROBE)
+      .select(col("vec_id").as("probe_id"), col("label").as("p_label"),
+        col("n_emb").as("p_emb"))
+    val ranked = e.join(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"),
+        (col("label") === col("p_label")).cast("int").as("rel"),
+        round(VectorSearch.dot(col("n_emb"), col("p_emb")), 6).as("sim"),
+        col("vec_id"))
+      .withColumn("rank_asc", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("sim").asc, col("vec_id").desc)))
+    ranked.groupBy(col("probe_id"))
+      .agg(sum(col("rel")).cast("long").as("n_pos"),
+        (count(lit(1)) - sum(col("rel"))).cast("long").as("n_neg"),
+        sum(when(col("rel") === 1, col("rank_asc")).otherwise(0L))
+          .cast("long").as("rank_sum"))
+      .select(col("probe_id"), col("n_pos"), col("n_neg"),
+        expr("rank_sum - n_pos * (n_pos + 1) div 2").as("u_stat"),
+        expr("(1000000 * (rank_sum - n_pos * (n_pos + 1) div 2)) div (n_pos * n_neg)")
+          .as("auc_fix"))
+      .orderBy("probe_id")
+  }
+
+  val all: Seq[Q] = Seq(xRetrievalEval, xAucEval)
 }

@@ -469,6 +469,65 @@ object EventAnalytics {
       .orderBy("channel")
   }
 
+  /** X — A/B experiment readout: the two-proportion significance test
+    * every experimentation platform runs, with ZERO float anywhere.
+    * Variant = user_id parity (the deterministic bucketing a real
+    * assignment service does by hashing), conversion = the user
+    * produced ≥14 purchase events (≥1 is degenerate on this lake —
+    * every user purchases; 14 splits both arms non-trivially at every
+    * SF). The 2×2 contingency table yields the
+    * chi-square statistic as an EXACT RATIONAL:
+    *
+    *   χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))
+    *
+    * and the 95% decision (χ² ≥ 3.841) is the cross-multiplied integer
+    * comparison 1000·num ≥ 3841·den — computed in DECIMAL(38,0) on
+    * both engines (num ≤ ~10²¹ at planet scale), so the verdict is
+    * bit-exact with no fixed-point rounding contract at all.
+    *
+    * Scale posture: one distinct-user reduction (the corpus-scale
+    * shuffle), one 2×2 aggregation, constant-size arithmetic.
+    */
+  val xAbChisq = Q(
+    "x_ab_chisq",
+    """WITH u AS (SELECT user_id, user_id % 2 AS variant,
+              CAST(CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+                   THEN 1 ELSE 0 END AS BIGINT) AS conv
+            FROM events GROUP BY user_id, user_id % 2),
+       t AS (SELECT
+               CAST(sum(CASE WHEN variant = 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(sum(CASE WHEN variant = 0 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+               CAST(sum(CASE WHEN variant = 1 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+               CAST(sum(CASE WHEN variant = 1 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+             FROM u)
+       SELECT a, b, c, d, a * d - b * c AS delta,
+              CAST(1000 * CAST(a + b + c + d AS DECIMAL(38,0))
+                   * CAST(a * d - b * c AS DECIMAL(38,0))
+                   * CAST(a * d - b * c AS DECIMAL(38,0))
+                >= 3841 * CAST(a + b AS DECIMAL(38,0)) * CAST(c + d AS DECIMAL(38,0))
+                   * CAST(a + c AS DECIMAL(38,0)) * CAST(b + d AS DECIMAL(38,0))
+                AS BOOLEAN) AS significant_95
+       FROM t""") { (s, dir) =>
+    val u = T(s, dir, "events")
+      .groupBy(col("user_id"), (col("user_id") % 2).as("variant"))
+      .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 14)
+        .cast("long").as("conv"))
+    val t = u.agg(
+      sum(when(col("variant") === 0 && col("conv") === 1, 1L).otherwise(0L)).as("a"),
+      sum(when(col("variant") === 0 && col("conv") === 0, 1L).otherwise(0L)).as("b"),
+      sum(when(col("variant") === 1 && col("conv") === 1, 1L).otherwise(0L)).as("c"),
+      sum(when(col("variant") === 1 && col("conv") === 0, 1L).otherwise(0L)).as("d"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val delta = col("a") * col("d") - col("b") * col("c")
+    t.select(col("a"), col("b"), col("c"), col("d"), delta.as("delta"),
+      (lit(1000).cast("decimal(38,0)") *
+        dec(col("a") + col("b") + col("c") + col("d")) *
+        dec(delta) * dec(delta) >=
+        lit(3841).cast("decimal(38,0)") * dec(col("a") + col("b")) *
+          dec(col("c") + col("d")) * dec(col("a") + col("c")) *
+          dec(col("b") + col("d"))).as("significant_95"))
+  }
+
   val all: Seq[Q] = Seq(xFunnel, xRetention, xTransitions, xOutlierIqr,
-    xWinsorize, xDecayScore, xRfm, xRfmScaled, xAttribution)
+    xWinsorize, xDecayScore, xRfm, xRfmScaled, xAttribution, xAbChisq)
 }

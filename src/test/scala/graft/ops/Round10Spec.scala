@@ -250,6 +250,51 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("AUC matches the brute-force pairwise definition") {
+    val R = graft.llmops.RetrievalEval
+    val dir = "/root/testdata/sf0.001"
+    val V = graft.llmops.VectorSearch
+    val e = V.embeddingsBase(spark, dir)
+      .select(col("vec_id"), col("label"), col("n_emb"))
+      .as[(Long, Int, Seq[Double])].collect()
+    val out = R.xAucEval.build(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    out.foreach { case (p, nPos, nNeg, u, aucFix) =>
+      val probe = e.find(_._1 == p).get
+      // the scorer's deterministic total order, brute-forced
+      val scored = e.filter(_._1 != p).map { case (v, l, emb) =>
+        val s = BigDecimal(emb.zip(probe._3).map { case (a, b) => a * b }.sum)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        (v, l == probe._2, s)
+      }
+      val pos = scored.filter(_._2)
+      val neg = scored.filterNot(_._2)
+      assert(nPos == pos.length && nNeg == neg.length)
+      // AUC numerator = # (pos, neg) pairs the scorer orders correctly,
+      // under the (sim, vec_id) total order — the statistic U counts
+      val correct = (for (a <- pos; b <- neg) yield {
+        if (a._3 != b._3) if (a._3 > b._3) 1L else 0L
+        else if (a._1 < b._1) 1L else 0L
+      }).sum
+      assert(u == correct, s"probe $p: U=$u vs brute $correct")
+      assert(aucFix == 1000000L * u / (nPos * nNeg))
+    }
+  }
+
+  test("chi-square verdict matches a driver-side exact computation") {
+    val E = EventAnalytics
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val out = E.xAbChisq.build(spark, dir)
+        .as[(Long, Long, Long, Long, Long, Boolean)].head()
+      val (a, b, c, d, delta, sig) = out
+      assert(delta == a * d - b * c)
+      val num = BigInt(1000) * BigInt(a + b + c + d) * BigInt(delta) * BigInt(delta)
+      val den = BigInt(3841) * BigInt(a + b) * BigInt(c + d) * BigInt(a + c) * BigInt(b + d)
+      assert(sig == (num >= den), s"$dir: verdict $sig vs ${num >= den}")
+      info(s"$dir: table=($a,$b,$c,$d) delta=$delta significant=$sig")
+    }
+  }
+
   test("KS drift statistic matches a driver-side reference") {
     val D = graft.llmops.Drift
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
