@@ -257,6 +257,27 @@ class RoundingMarginSpec extends AnyFunSuite {
           .as[Double].collect().map(_ * 1e6)
       }
 
+      // x_bitext_mine: every source×target cosine × 1e6 (feeds the
+      // integer margin arithmetic; grid() rounds, so recompute raw)
+      val bitextRaw = {
+        val e = VectorSearch.embeddingsBase(spark, dir)
+          .select(col("vec_id"), col("emb"))
+        val n = e.count()
+        val nxt = e.select(((col("vec_id") - 1 + n) % n).as("vec_id"),
+          col("emb").as("emb_next"))
+        val tgt = e.join(nxt, "vec_id")
+          .filter(col("vec_id") % 2 === 0)
+          .withColumn("mix",
+            expr("zip_with(emb, emb_next, (a, b) -> a + 0.1 * b)"))
+          .select(expr(
+            """transform(mix, x -> x / sqrt(aggregate(zip_with(mix, mix,
+               (a, b) -> a * b), 0D, (ac, v) -> ac + v)))""").as("t_emb"))
+        VectorSearch.embeddingsBase(spark, dir).select(col("n_emb"))
+          .crossJoin(tgt)
+          .select(VectorSearch.dot(col("n_emb"), col("t_emb")).as("s"))
+          .as[Double].collect().map(_ * 1e6)
+      }
+
       // x_unigram_*: seed and refit log-probs × 1e6
       val U = Unigram
       val hist = U.wordHist(docs)
@@ -316,6 +337,12 @@ class RoundingMarginSpec extends AnyFunSuite {
         Fam("rag-maxsim", "half", 1e-6, ragMs.toSeq),
         Fam("rag-pool-pairs", "half", 1e-6, ragPair.toSeq),
         Fam("entity-jw", "half", 1e-6, erJw.toSeq),
+        // 125k grid cosines: the closest boundary approach shrinks with
+        // n (measured 5.2e-7 at sf0.001) — still ~5·10³ above the
+        // ~1e-10 libm threat at this magnitude, so the bar drops one
+        // notch rather than pretending the family is as sparse as the
+        // 20-value pools
+        Fam("bitext-grid", "half", 1e-8, bitextRaw.toSeq),
         Fam("cosine-rank", "half", 1e-6, cosines.toSeq),
         Fam("q22-transcendental", "half", 1e-6, trans.toSeq),
         Fam("word-entropy", "half", 1e-6, entropy.toSeq),
