@@ -32,7 +32,7 @@ object SparkEntry {
       llmops.WebClean.all ++ llmops.HeavyHitters.all ++ llmops.Bpe.all ++
       llmops.LangModel.all ++ llmops.QualityModel.all ++ llmops.Unigram.all ++
       llmops.WordPiece.all ++
-      llmops.Drift.all ++
+      llmops.Drift.all ++ llmops.Governance.all ++
       llmops.Graph.all ++
       llmops.SetSim.all ++ sources.Compaction.all ++ sources.TimeTravel.all
 

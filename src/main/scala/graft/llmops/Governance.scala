@@ -1,0 +1,158 @@
+package graft.llmops
+
+import org.apache.spark.sql.functions._
+import graft.core.{Q, Tables => T}
+
+/** Dataset-governance audits — the release checks a training-data
+  * pipeline runs before a corpus (or an annotation batch, or a model's
+  * filter scores) ships:
+  *
+  *  - x_k_anonymity: re-identification risk over quasi-identifier
+  *    tuples (the k-anonymity audit from Sweeney's model) — every QI
+  *    group's population plus its k-threshold flags.
+  *  - x_kappa_agreement: Cohen's kappa between two annotators over the
+  *    same items — the standard chance-corrected agreement score used
+  *    to qualify labeling pipelines before their labels train filters.
+  *  - x_ece_calibration: expected calibration error of a confidence-
+  *    scored binary predictor, equal-width bins — the audit that says
+  *    whether a quality-filter's scores can be thresholded as
+  *    probabilities.
+  *
+  * Cross-engine exactness: all three are PURE INTEGER from end to end —
+  * counts, cross-multiplied rationals, and 1e6 fixed-point via integer
+  * division (both engines truncate toward zero; kappa's possibly-
+  * negative numerator is sign-split so the spelling never divides a
+  * negative). No floats, no rounding margins to audit.
+  *
+  * Scale posture: each is one narrow projection of `documents` into a
+  * single hash aggregation whose group domain is bounded (QI tuples:
+  * |lang|·|source|·len-buckets; kappa: one row; ECE: ≤10 bins) — the
+  * map-side-combine shape that holds at 100 TB. Zero windows over the
+  * corpus, zero driver state.
+  */
+object Governance {
+
+  /** Quasi-identifier length-bucket width (chars). */
+  val QI_BUCKET = 64L
+
+  /** X — k-anonymity audit: group documents by the quasi-identifier
+    * tuple (lang, source, coarse length bucket) and flag every group
+    * below the k=5 and k=20 thresholds. A group of size 1 is a direct
+    * re-identification; the audit output is the table a release
+    * reviewer reads (and the suppression set is exactly the rows in
+    * flagged groups).
+    */
+  val xKAnonymity = Q(
+    "x_k_anonymity",
+    s"""WITH g AS (SELECT lang, source, n_chars // $QI_BUCKET AS len_bucket,
+             CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1, 2, 3)
+       SELECT lang, source, len_bucket, n,
+              (n >= 5) AS k5_anon, (n >= 20) AS k20_anon
+       FROM g ORDER BY lang, source, len_bucket""") { (s, dir) =>
+    T(s, dir, "documents")
+      .groupBy(col("lang"), col("source"),
+        expr(s"n_chars div $QI_BUCKET").as("len_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("lang"), col("source"), col("len_bucket"), col("n"),
+        (col("n") >= 5).as("k5_anon"), (col("n") >= 20).as("k20_anon"))
+      .orderBy("lang", "source", "len_bucket")
+  }
+
+  /** X — Cohen's kappa between two deterministic "annotators" labeling
+    * every document for keep/drop: annotator 1 rules on raw length
+    * (n_chars ≥ 300), annotator 2 on whitespace token count (≥ 50).
+    * Correlated-but-not-identical rules give a meaningful mid-range
+    * kappa rather than a degenerate 0 or 1.
+    *
+    * Exact integer form: with confusion cells n11/n10/n01/n00 and
+    * N = Σ, po·N = n11+n00 and pe·N² = (n11+n10)(n11+n01) +
+    * (n01+n00)(n10+n00), so
+    *   kappa = (N·(n11+n00) − pe·N²) / (N² − pe·N²)
+    * is an exact integer rational; kappa_fix is its sign-split 1e6
+    * fixed-point quotient.
+    */
+  val xKappaAgreement = Q(
+    "x_kappa_agreement",
+    """WITH t AS (SELECT (n_chars >= 300) AS a1,
+             (len(string_split(text, ' ')) >= 50) AS a2 FROM documents),
+       c AS (SELECT
+               CAST(sum(CASE WHEN a1 AND a2 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+               CAST(sum(CASE WHEN a1 AND NOT a2 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+               CAST(sum(CASE WHEN NOT a1 AND a2 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+               CAST(sum(CASE WHEN NOT a1 AND NOT a2 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+               CAST(count(*) AS BIGINT) AS n FROM t),
+       k AS (SELECT n11, n10, n01, n00, n,
+               n * (n11 + n00) - ((n11 + n10) * (n11 + n01) +
+                                  (n01 + n00) * (n10 + n00)) AS kappa_num,
+               n * n - ((n11 + n10) * (n11 + n01) +
+                        (n01 + n00) * (n10 + n00)) AS kappa_den
+             FROM c)
+       SELECT n11, n10, n01, n00, n, kappa_num, kappa_den,
+              CASE WHEN kappa_num < 0
+                   THEN -((1000000 * -kappa_num) // kappa_den)
+                   ELSE (1000000 * kappa_num) // kappa_den END AS kappa_fix
+       FROM k""") { (s, dir) =>
+    val t = T(s, dir, "documents").select(
+      (col("n_chars") >= 300).as("a1"),
+      (size(split(col("text"), " ")) >= 50).as("a2"))
+    val c = t.agg(
+      sum(when(col("a1") && col("a2"), 1L).otherwise(0L)).as("n11"),
+      sum(when(col("a1") && !col("a2"), 1L).otherwise(0L)).as("n10"),
+      sum(when(!col("a1") && col("a2"), 1L).otherwise(0L)).as("n01"),
+      sum(when(!col("a1") && !col("a2"), 1L).otherwise(0L)).as("n00"),
+      count(lit(1)).as("n"))
+    val pe = (col("n11") + col("n10")) * (col("n11") + col("n01")) +
+      (col("n01") + col("n00")) * (col("n10") + col("n00"))
+    val k = c.select(col("n11"), col("n10"), col("n01"), col("n00"), col("n"),
+      (col("n") * (col("n11") + col("n00")) - pe).as("kappa_num"),
+      (col("n") * col("n") - pe).as("kappa_den"))
+    k.select(col("n11"), col("n10"), col("n01"), col("n00"), col("n"),
+      col("kappa_num"), col("kappa_den"),
+      when(col("kappa_num") < 0,
+        -expr("(1000000 * -kappa_num) div kappa_den"))
+        .otherwise(expr("(1000000 * kappa_num) div kappa_den"))
+        .as("kappa_fix"))
+  }
+
+  /** X — expected calibration error: the predictor scores every doc
+    * with an integer milli-confidence conf = 1000·n_chars / (n_chars +
+    * 300) (monotone in length, range ≈ (0, 1000)) that it is "long
+    * form" (truth: whitespace token count ≥ 50); bins are equal-width
+    * deciles of conf. Per-bin gap and the total ECE are exact integers:
+    * (n_b/N)·|acc_b − conf̄_b| = |1000·pos_b − Σconf_b| / (1000·N), so
+    *   ECE·1e6 = 1e6·Σ_b gap_num_b // (1000·N).
+    */
+  val xEceCalibration = Q(
+    "x_ece_calibration",
+    """WITH t AS (SELECT (1000 * n_chars) // (n_chars + 300) AS conf,
+             CASE WHEN len(string_split(text, ' ')) >= 50 THEN 1 ELSE 0 END AS y
+           FROM documents),
+       b AS (SELECT conf // 100 AS bin, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS pos,
+               CAST(sum(conf) AS BIGINT) AS conf_sum
+             FROM t GROUP BY 1),
+       g AS (SELECT bin, n, pos, conf_sum,
+               abs(1000 * pos - conf_sum) AS gap_num FROM b),
+       tot AS (SELECT CAST(sum(gap_num) AS BIGINT) AS gsum,
+                      CAST(sum(n) AS BIGINT) AS nt FROM g)
+       SELECT bin, n, pos, conf_sum, gap_num,
+              (1000000 * gsum) // (1000 * nt) AS ece_fix
+       FROM g, tot ORDER BY bin""") { (s, dir) =>
+    val t = T(s, dir, "documents").select(
+      expr("(1000 * n_chars) div (n_chars + 300)").as("conf"),
+      when(size(split(col("text"), " ")) >= 50, 1L).otherwise(0L).as("y"))
+    val g = t.groupBy(expr("conf div 100").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"),
+        sum(col("conf")).as("conf_sum"))
+      .withColumn("gap_num", abs(lit(1000) * col("pos") - col("conf_sum")))
+    val tot = g.agg(sum("gap_num").as("gsum"), sum("n").as("nt"))
+    g.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("pos"), col("conf_sum"),
+        col("gap_num"),
+        expr("(1000000 * gsum) div (1000 * nt)").as("ece_fix"))
+      .orderBy("bin")
+  }
+
+  val all: Seq[Q] = Seq(xKAnonymity, xKappaAgreement, xEceCalibration)
+}
