@@ -33,6 +33,7 @@ object SparkEntry {
       llmops.LangModel.all ++ llmops.QualityModel.all ++ llmops.Unigram.all ++
       llmops.WordPiece.all ++
       llmops.Drift.all ++ llmops.Governance.all ++
+      llmops.Overlap.all ++ llmops.Preference.all ++
       llmops.Graph.all ++
       llmops.SetSim.all ++ sources.Compaction.all ++ sources.TimeTravel.all
 

@@ -1,0 +1,182 @@
+package graft.llmops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Q, Tables => T}
+
+/** Corpus-overlap evaluation metrics — ROUGE and BLEU, the standard
+  * scores a data pipeline computes when qualifying machine-rewritten
+  * text (summaries, simplifications, decontaminating paraphrases)
+  * against its source.
+  *
+  * The graded candidate is a deterministic "lossy rewrite" of each
+  * document: every 11th word is replaced by 'the' (introduces n-grams
+  * the reference may lack → clipping binds) and every 7th word is
+  * dropped (shortens the candidate → brevity penalty binds). Both
+  * engines build it with the same indexed list lambdas.
+  *
+  * Exactness: all n-gram counting is integer (explode → count → join →
+  * Σ min). ROUGE P/R/F1 are exact integer rationals emitted as 1e6
+  * fixed points via integer division. Corpus BLEU needs exp/sqrt once
+  * over the FINAL six integers — the one rounded transcendental, so the
+  * raw value is audited in RoundingMarginSpec ("bleu-corpus" family).
+  *
+  * Scale posture: token explode → (doc_id, gram) hash agg → same-key
+  * join → per-doc (ROUGE) or global (BLEU) re-agg. Everything shuffles
+  * on (doc_id, gram) with map-side combine; no windows, no driver
+  * state.
+  */
+object Overlap {
+
+  /** Rewrite parameters: replace every REP_K-th word, drop every
+    * DROP_K-th. */
+  val REP_K = 11L
+  val DROP_K = 7L
+
+  private val duckRewrite =
+    s"""list_filter(list_transform(string_split(text, ' '),
+        (x, i) -> CASE WHEN i % $REP_K = 0 THEN 'the' ELSE x END),
+        (x, i) -> i % $DROP_K != 0)"""
+
+  private val sparkRewrite =
+    s"""filter(transform(split(text, ' '),
+        (x, i) -> IF((i + 1) % $REP_K = 0, 'the', x)),
+        (x, i) -> (i + 1) % $DROP_K != 0)"""
+
+  /** (doc_id, rw, cw): reference and candidate word arrays. */
+  private[llmops] def pairs(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents").select(col("doc_id"),
+      split(col("text"), " ").as("rw"),
+      expr(sparkRewrite).as("cw"))
+
+  /** Per-doc clipped unigram matches m, candidate total c, ref total r. */
+  private[llmops] def unigramStats(s: SparkSession, dir: String): DataFrame = {
+    val p = pairs(s, dir)
+    val cu = p.select(col("doc_id"), explode(col("cw")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cc"))
+    val ru = p.select(col("doc_id"), explode(col("rw")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("rc"))
+    val m = cu.join(ru, Seq("doc_id", "g"))
+      .groupBy("doc_id").agg(sum(least(col("cc"), col("rc"))).as("m1"))
+    p.select(col("doc_id"), size(col("cw")).cast("long").as("c1"),
+        size(col("rw")).cast("long").as("r1"))
+      .join(m, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("m1"))
+  }
+
+  /** X — ROUGE-1 per document: clipped unigram overlap precision /
+    * recall / F1 between the rewrite and its source, all exact integer
+    * rationals (F1 = 2m/(c+r), no transcendental anywhere).
+    */
+  val xRougeEval = Q(
+    "x_rouge_eval",
+    s"""WITH p AS (SELECT doc_id, string_split(text, ' ') AS rw,
+             $duckRewrite AS cw FROM documents),
+       cu AS (SELECT doc_id, unnest(cw) AS g FROM p),
+       cuc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cc
+               FROM cu GROUP BY 1, 2),
+       ru AS (SELECT doc_id, unnest(rw) AS g FROM p),
+       ruc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS rc
+               FROM ru GROUP BY 1, 2),
+       m AS (SELECT doc_id, CAST(sum(least(cc, rc)) AS BIGINT) AS m1
+             FROM cuc JOIN ruc USING (doc_id, g) GROUP BY doc_id),
+       b AS (SELECT p.doc_id, coalesce(m1, 0) AS m1,
+               CAST(len(cw) AS BIGINT) AS c1, CAST(len(rw) AS BIGINT) AS r1
+             FROM p LEFT JOIN m ON p.doc_id = m.doc_id)
+       SELECT doc_id, m1, c1, r1,
+              (1000000 * m1) // c1 AS p_fix,
+              (1000000 * m1) // r1 AS rec_fix,
+              (2000000 * m1) // (c1 + r1) AS f1_fix
+       FROM b ORDER BY doc_id""") { (s, dir) =>
+    unigramStats(s, dir)
+      .select(col("doc_id"), col("m1"), col("c1"), col("r1"),
+        expr("(1000000 * m1) div c1").as("p_fix"),
+        expr("(1000000 * m1) div r1").as("rec_fix"),
+        expr("(2000000 * m1) div (c1 + r1)").as("f1_fix"))
+      .orderBy("doc_id")
+  }
+
+  /** The six corpus-level BLEU integers:
+    * (m1, c1, m2, c2, r_len, c_len). */
+  private[llmops] def bleuParts(s: SparkSession, dir: String): DataFrame = {
+    val p = pairs(s, dir)
+    def bigrams(c: String) = expr(
+      s"""CASE WHEN size($c) >= 2 THEN transform(sequence(1, size($c) - 1),
+           i -> concat(element_at($c, i), ' ', element_at($c, i + 1)))
+          ELSE array() END""")
+    val cb = p.select(col("doc_id"), explode(bigrams("cw")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cc"))
+    val rb = p.select(col("doc_id"), explode(bigrams("rw")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("rc"))
+    val m2 = cb.join(rb, Seq("doc_id", "g"))
+      .agg(sum(least(col("cc"), col("rc"))).as("m2"))
+    val m1 = unigramStats(s, dir).agg(sum("m1").as("m1"),
+      sum("c1").as("c1"), sum("r1").as("r_len"))
+    val lens = p.agg(
+      sum(when(size(col("cw")) >= 2, size(col("cw")) - 1).otherwise(0L))
+        .cast("long").as("c2"))
+    m1.crossJoin(m2).crossJoin(lens)
+      .select(col("m1"), col("c1"), col("m2"), col("c2"),
+        col("r_len"), col("c1").as("c_len"))
+  }
+
+  /** The pre-round corpus BLEU double (for the rounding-margin audit). */
+  private[llmops] def bleuRaw(s: SparkSession, dir: String): Double = {
+    val Array(r) = bleuParts(s, dir).collect()
+    val (m1, c1, m2, c2, rl, cl) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    val bp = if (cl >= rl) 1.0 else math.exp(1.0 - rl.toDouble / cl)
+    bp * math.sqrt((m1.toDouble / c1) * (m2.toDouble / c2))
+  }
+
+  /** X — corpus BLEU-2 of the rewrite against its source: clipped
+    * modified n-gram precisions p1, p2 plus the brevity penalty, i.e.
+    * BLEU = BP · √(p1·p2). The six aggregates are exact integers; the
+    * single exp/sqrt runs once over them in both engines and is rounded
+    * to a 1e6 fixed point (margin audited).
+    */
+  val xBleuEval = Q(
+    "x_bleu_eval",
+    s"""WITH p AS (SELECT doc_id, string_split(text, ' ') AS rw,
+             $duckRewrite AS cw FROM documents),
+       cuc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cc FROM
+               (SELECT doc_id, unnest(cw) AS g FROM p) GROUP BY 1, 2),
+       ruc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS rc FROM
+               (SELECT doc_id, unnest(rw) AS g FROM p) GROUP BY 1, 2),
+       cbc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cc FROM
+               (SELECT doc_id, cw[i] || ' ' || cw[i+1] AS g FROM p,
+                  LATERAL (SELECT unnest(generate_series(1, len(cw) - 1)) AS i)
+                WHERE len(cw) >= 2) GROUP BY 1, 2),
+       rbc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS rc FROM
+               (SELECT doc_id, rw[i] || ' ' || rw[i+1] AS g FROM p,
+                  LATERAL (SELECT unnest(generate_series(1, len(rw) - 1)) AS i)
+                WHERE len(rw) >= 2) GROUP BY 1, 2),
+       agg AS (SELECT
+           (SELECT CAST(sum(least(cc, rc)) AS BIGINT)
+              FROM cuc JOIN ruc USING (doc_id, g)) AS m1,
+           (SELECT CAST(sum(len(cw)) AS BIGINT) FROM p) AS c1,
+           (SELECT CAST(sum(least(cc, rc)) AS BIGINT)
+              FROM cbc JOIN rbc USING (doc_id, g)) AS m2,
+           (SELECT CAST(sum(CASE WHEN len(cw) >= 2 THEN len(cw) - 1
+                                 ELSE 0 END) AS BIGINT) FROM p) AS c2,
+           (SELECT CAST(sum(len(rw)) AS BIGINT) FROM p) AS r_len,
+           (SELECT CAST(sum(len(cw)) AS BIGINT) FROM p) AS c_len)
+       SELECT m1, c1, m2, c2, r_len, c_len,
+              CAST(round(1000000 *
+                (CASE WHEN c_len >= r_len THEN 1.0
+                      ELSE exp(1.0 - CAST(r_len AS DOUBLE) / c_len) END) *
+                sqrt((CAST(m1 AS DOUBLE) / c1) * (CAST(m2 AS DOUBLE) / c2)))
+                AS BIGINT) AS bleu_fix
+       FROM agg""") { (s, dir) =>
+    bleuParts(s, dir).select(col("m1"), col("c1"), col("m2"), col("c2"),
+      col("r_len"), col("c_len"),
+      round(lit(1000000.0) *
+        when(col("c_len") >= col("r_len"), lit(1.0))
+          .otherwise(exp(lit(1.0) - col("r_len").cast("double") / col("c_len"))) *
+        sqrt((col("m1").cast("double") / col("c1")) *
+          (col("m2").cast("double") / col("c2"))))
+        .cast("long").as("bleu_fix"))
+  }
+
+  val all: Seq[Q] = Seq(xRougeEval, xBleuEval)
+}

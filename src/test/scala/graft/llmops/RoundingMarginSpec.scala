@@ -328,7 +328,12 @@ class RoundingMarginSpec extends AnyFunSuite {
           .as[Double].collect().map(_ * 1e6)
       }
 
+      // x_bleu_eval: the single corpus BLEU double (exp·sqrt over six
+      // exact integers) × 1e6
+      val bleu = Seq(Overlap.bleuRaw(spark, dir) * 1e6)
+
       audit(dir, Seq(
+        Fam("bleu-corpus", "half", 1e-4, bleu),
         Fam("bm25", "half", 1e-6, bm25.toSeq),
         Fam("audio-trig-weights", "half", 1e-4, trig),
         Fam("maxsim", "half", 1e-6, maxsim.toSeq),
