@@ -1,0 +1,127 @@
+package graft.llmops
+
+import org.apache.spark.sql.functions._
+import graft.core.{Q, Tables => T}
+
+/** KMV (k-minimum-values) distinct sketch with set-operation estimates —
+  * the mergeable cardinality sketch a 100 TB pipeline keeps per shard to
+  * answer "how many distinct shingles, and how much do two slices
+  * overlap?" without a global distinct. The sketch of a union is the
+  * k smallest of the merged sketches; intersection cardinality comes
+  * from the inclusion fraction inside the union sketch (Beyer et al.,
+  * "On synopses for distinct-value estimation under multiset
+  * operations", SIGMOD'07).
+  *
+  * Estimator (1-based k, hash domain M = 16^12): if a set has n ≤ k
+  * distinct hashes the sketch IS the set (exact); otherwise
+  *   est = (k−1)·M / h_k   (h_k = k-th smallest hash)
+  * and est_inter = c·est_union / k where c counts union-sketch members
+  * present in both sides.
+  *
+  * Cross-engine exactness is TOTAL, not a bound-flag: the hash is the
+  * first 12 hex chars of md5 (portable), all estimator arithmetic is
+  * integer division, so DuckDB replicates every output cell — unlike
+  * x_count_min's hardcoded within-bound flag, this oracle recomputes
+  * the estimates themselves. The spec separately gates estimator error
+  * against the exact cardinalities.
+  *
+  * Scale posture: one shingle explode → hash-distinct aggregation with
+  * per-side membership flags (map-side combine on the hash key), then
+  * three TakeOrdered(k) heads — bounded k=256 driver state, the same
+  * acceptance class as IVF centroids. No corpus window, no full sort.
+  */
+object Kmv {
+
+  /** Sketch size. */
+  val K = 256L
+
+  /** Hash domain: 12 hex chars = 16^12. */
+  val M = 281474976710656L
+
+  /** (K−1)·M, the estimator numerator, precomputed so both engines see
+    * one BIGINT literal (DuckDB would widen the product to HUGEINT). */
+  val EST_NUM: Long = (K - 1) * M
+
+  val xKmvDistinct = Q(
+    "x_kmv_distinct",
+    s"""WITH w AS (SELECT doc_id % 2 = 0 AS even, string_split(text, ' ') AS t
+             FROM documents),
+       sh AS (SELECT even, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+              FROM w, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
+              WHERE len(t) >= 3),
+       hs AS (SELECT ('0x' || substr(md5(g), 1, 12))::BIGINT AS h,
+                max(CASE WHEN even THEN 1 ELSE 0 END) AS in_a,
+                max(CASE WHEN even THEN 0 ELSE 1 END) AS in_b
+              FROM sh GROUP BY 1),
+       na AS (SELECT CAST(count(*) AS BIGINT) AS n FROM hs WHERE in_a = 1),
+       nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM hs WHERE in_b = 1),
+       nu AS (SELECT CAST(count(*) AS BIGINT) AS n FROM hs),
+       ka AS (SELECT CAST(max(h) AS BIGINT) AS hk FROM
+              (SELECT h FROM hs WHERE in_a = 1 ORDER BY h LIMIT $K)),
+       kb AS (SELECT CAST(max(h) AS BIGINT) AS hk FROM
+              (SELECT h FROM hs WHERE in_b = 1 ORDER BY h LIMIT $K)),
+       ku AS (SELECT CAST(max(h) AS BIGINT) AS hk,
+                CAST(sum(in_a * in_b) AS BIGINT) AS c FROM
+              (SELECT h, in_a, in_b FROM hs ORDER BY h LIMIT $K)),
+       ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_inter
+              FROM hs WHERE in_a = 1 AND in_b = 1),
+       est AS (SELECT
+           CASE WHEN na.n <= $K THEN na.n
+                ELSE $EST_NUM // ka.hk END AS est_a,
+           CASE WHEN nb.n <= $K THEN nb.n
+                ELSE $EST_NUM // kb.hk END AS est_b,
+           CASE WHEN nu.n <= $K THEN nu.n
+                ELSE $EST_NUM // ku.hk END AS est_union,
+           ku.c AS c, nu.n <= $K AS u_exact, ex.exact_inter AS exact_inter
+         FROM na, nb, nu, ka, kb, ku, ex)
+       SELECT $K AS k, est_a, est_b, est_union,
+              CASE WHEN u_exact THEN c
+                   ELSE (c * est_union) // $K END AS est_inter,
+              exact_inter
+       FROM est""") { (s, dir) =>
+    val docs = T(s, dir, "documents")
+    val sh = docs
+      .select((col("doc_id") % 2 === 0).as("even"),
+        split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("even"), explode(expr(
+        """transform(sequence(1, size(t) - 2),
+           i -> concat(element_at(t, i), ' ', element_at(t, i + 1),
+                       ' ', element_at(t, i + 2)))""")).as("g"))
+    val hs = sh
+      .select(col("even"),
+        expr("cast(conv(substring(md5(g), 1, 12), 16, 10) as bigint)").as("h"))
+      .groupBy("h")
+      .agg(max(when(col("even"), 1L).otherwise(0L)).as("in_a"),
+        max(when(col("even"), 0L).otherwise(1L)).as("in_b"))
+      .cache()
+    def kth(df: org.apache.spark.sql.DataFrame, name: String) =
+      df.orderBy("h").limit(K.toInt).agg(max("h").as(name))
+    val na = hs.filter(col("in_a") === 1)
+    val nb = hs.filter(col("in_b") === 1)
+    val counts = hs.agg(
+      sum(col("in_a")).as("na"), sum(col("in_b")).as("nb"),
+      count(lit(1)).as("nu"),
+      sum(col("in_a") * col("in_b")).as("exact_inter"))
+    val ku = hs.orderBy("h").limit(K.toInt)
+      .agg(max("h").as("hku"), sum(col("in_a") * col("in_b")).as("c"))
+    val one = counts
+      .crossJoin(broadcast(kth(na, "hka")))
+      .crossJoin(broadcast(kth(nb, "hkb")))
+      .crossJoin(broadcast(ku))
+    def est(n: String, hk: String) =
+      when(col(n) <= K, col(n))
+        .otherwise(expr(s"($EST_NUM div $hk)"))
+    one.select(lit(K).as("k"),
+        est("na", "hka").as("est_a"),
+        est("nb", "hkb").as("est_b"),
+        est("nu", "hku").as("est_union"),
+        col("c"), (col("nu") <= K).as("u_exact"), col("exact_inter"))
+      .select(col("k"), col("est_a"), col("est_b"), col("est_union"),
+        when(col("u_exact"), col("c"))
+          .otherwise(expr(s"(c * est_union) div $K")).as("est_inter"),
+        col("exact_inter"))
+  }
+
+  val all: Seq[Q] = Seq(xKmvDistinct)
+}
