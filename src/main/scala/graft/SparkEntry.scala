@@ -28,6 +28,7 @@ object SparkEntry {
       llmops.EntityResolution.all ++ llmops.Bitext.all ++
       llmops.Chunking.all ++ llmops.TextStats.all ++
       llmops.SimHash.all ++ llmops.Multimodal.all ++ llmops.ImagePhash.all ++
+      llmops.MultimodalPipeline.all ++
       llmops.AudioFingerprint.all ++
       llmops.WebClean.all ++ llmops.HeavyHitters.all ++ llmops.Bpe.all ++
       llmops.LangModel.all ++ llmops.QualityModel.all ++ llmops.Unigram.all ++

@@ -130,7 +130,7 @@ object ImagePhash {
     * cells → bits → two 32-bit hash lanes), shared by both image
     * queries' SQL.
     */
-  private val hashCte =
+  private[llmops] val hashCte =
     s"""spec(img_id, w, h, kx, ky, seed, px, py, delta) AS (VALUES
          $specValues),
        pix AS (SELECT img_id, (x*9)//w AS cx, (y*8)//h AS cy,
