@@ -339,5 +339,79 @@ object LangModel {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(xBigramLm, xLmCrossPpl, xPmiTerms, xCcnetBuckets)
+  /** X — interpolated Kneser-Ney bigram probabilities (Kneser & Ney
+    * 1995, the smoothing real n-gram pipelines like KenLM actually use,
+    * vs x_bigram_lm's add-k):
+    *
+    *   P(w2|w1) = max(c12 − d, 0)/c1 + d·Nf(w1)/c1 · Nb(w2)/B
+    *
+    * with absolute discount d = 3/4, Nf(w1) = distinct continuations of
+    * w1, Nb(w2) = distinct left-contexts of w2 (the continuation
+    * probability counts TYPES, not tokens — KN's defining idea), and
+    * B = distinct bigram types. Trained on the standing 80% id slice,
+    * scored over the new batch's bigram TYPES whose history w1 is in
+    * the model (the backoff-to-unigram case is out of scope for the
+    * bigram model).
+    *
+    * Exactness is TOTAL — d = 3/4 makes the whole formula one integer
+    * rational: num = max(4·c12 − 3, 0)·B + 3·Nf·Nb, den = 4·c1·B; the
+    * graded kn_fix is its 1e6 integer quotient. No transcendental, no
+    * rounding margin.
+    *
+    * Scale posture: identical to x_bigram_lm — one bigram-keyed model
+    * shuffle with map-side combine, two bounded per-key aggs (history
+    * and continuation tables are vocabulary-sized), a broadcast 1-row
+    * total, and an eval-side distinct + equi-joins. No windows.
+    */
+  val xKnBigram = Q(
+    "x_kn_bigram",
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       cut AS (SELECT CAST(floor(0.8 * max(doc_id)) AS BIGINT) AS c FROM documents),
+       bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+              FROM words, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) s
+              WHERE len(t) >= 2),
+       tr AS (SELECT w1, w2 FROM bg, cut WHERE doc_id <= c),
+       ev AS (SELECT DISTINCT w1, w2 FROM bg, cut WHERE doc_id > c),
+       cnt AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM tr GROUP BY 1, 2),
+       hist AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                  CAST(count(*) AS BIGINT) AS nf FROM cnt GROUP BY 1),
+       cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS nb FROM cnt GROUP BY 1),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS b FROM cnt)
+       SELECT ev.w1, ev.w2, coalesce(cnt.c12, 0) AS c12, hist.c1, hist.nf,
+              coalesce(cont.nb, 0) AS nb,
+              (1000000 * (greatest(4 * coalesce(cnt.c12, 0) - 3, 0) * tot.b
+                          + 3 * hist.nf * coalesce(cont.nb, 0)))
+                // (4 * hist.c1 * tot.b) AS kn_fix
+       FROM ev JOIN hist USING (w1)
+       LEFT JOIN cnt USING (w1, w2)
+       LEFT JOIN cont USING (w2), tot
+       ORDER BY w1, w2""") { (s, dir) =>
+    val docs = T(s, dir, "documents")
+    val cut = Incremental.cutoffValue(docs)
+    val words = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val bg = bigrams(words)
+    val cnt = bg.filter(col("doc_id") <= cut)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val ev = bg.filter(col("doc_id") > cut).select("w1", "w2").distinct()
+    val hist = cnt.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("nf"))
+    val cont = cnt.groupBy("w2").agg(count(lit(1)).as("nb"))
+    val tot = cnt.agg(count(lit(1)).as("b"))
+    ev.join(hist, "w1")
+      .join(cnt, Seq("w1", "w2"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"),
+        coalesce(col("c12"), lit(0L)).as("c12"),
+        col("c1"), col("nf"), coalesce(col("nb"), lit(0L)).as("nb"),
+        col("b"))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("nf"),
+        col("nb"),
+        expr("""(1000000 * (greatest(4 * c12 - 3, 0L) * b + 3 * nf * nb))
+                div (4 * c1 * b)""").as("kn_fix"))
+      .orderBy("w1", "w2")
+  }
+
+  val all: Seq[Q] =
+    Seq(xBigramLm, xLmCrossPpl, xPmiTerms, xCcnetBuckets, xKnBigram)
 }
