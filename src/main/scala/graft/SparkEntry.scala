@@ -35,7 +35,7 @@ object SparkEntry {
       llmops.WordPiece.all ++
       llmops.Drift.all ++ llmops.Governance.all ++
       llmops.Overlap.all ++ llmops.Preference.all ++
-      llmops.Kmv.all ++ llmops.Quantize.all ++
+      llmops.Kmv.all ++ llmops.Quantize.all ++ llmops.Coreset.all ++
       llmops.Graph.all ++
       llmops.SetSim.all ++ sources.Compaction.all ++ sources.TimeTravel.all
 

@@ -332,8 +332,22 @@ class RoundingMarginSpec extends AnyFunSuite {
       // exact integers) × 1e6
       val bleu = Seq(Overlap.bleuRaw(spark, dir) * 1e6)
 
+      // x_coreset_kcenter: every point-vs-chosen-center cosine × 1e6
+      // (feeds the integer greedy argmin/argmax chain)
+      val coresetSims = {
+        val ids = Coreset.centers(spark, dir).map(_._2)
+        val base = VectorSearch.embeddingsBase(spark, dir)
+          .select("vec_id", "n_emb")
+        base.crossJoin(broadcast(base.filter(col("vec_id").isin(ids: _*))
+            .select(col("vec_id").as("cid"), col("n_emb").as("c_emb"))))
+          .filter(col("vec_id") =!= col("cid"))
+          .select(VectorSearch.dot(col("n_emb"), col("c_emb")).as("s"))
+          .as[Double].collect().map(_ * 1e6)
+      }
+
       audit(dir, Seq(
         Fam("bleu-corpus", "half", 1e-4, bleu),
+        Fam("coreset-sims", "half", 1e-6, coresetSims.toSeq),
         Fam("bm25", "half", 1e-6, bm25.toSeq),
         Fam("audio-trig-weights", "half", 1e-4, trig),
         Fam("maxsim", "half", 1e-6, maxsim.toSeq),
