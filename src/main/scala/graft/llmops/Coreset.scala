@@ -42,8 +42,10 @@ object Coreset {
     * cached base (flat plan), then TakeOrdered(1) picks the farthest
     * point (min max-sim, id tiebreak).
     */
-  private[llmops] def centers(s: SparkSession, dir: String): Seq[(Int, Long, Long)] = {
-    val base = VectorSearch.embeddingsBase(s, dir).select("vec_id", "n_emb")
+  private[llmops] def centers(s: SparkSession, dir: String): Seq[(Int, Long, Long)] =
+    centersFrom(VectorSearch.embeddingsBase(s, dir).select("vec_id", "n_emb"))
+
+  private[graft] def centersFrom(base: DataFrame): Seq[(Int, Long, Long)] = {
     var chosen = Vector((1, 0L, -1L))
     while (chosen.length < K) {
       val ids = chosen.map(_._2)

@@ -79,7 +79,14 @@ object Kmv {
                    ELSE (c * est_union) // $K END AS est_inter,
               exact_inter
        FROM est""") { (s, dir) =>
-    val docs = T(s, dir, "documents")
+    estimateFrom(T(s, dir, "documents"))
+  }
+
+  /** The full sketch-and-estimate pipeline over any (doc_id, text)
+    * frame — split out so ScaleProbe can drive it on replicated
+    * corpora. */
+  private[graft] def estimateFrom(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val sh = docs
       .select((col("doc_id") % 2 === 0).as("even"),
         split(col("text"), " ").as("t"))

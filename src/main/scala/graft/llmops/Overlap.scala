@@ -44,14 +44,17 @@ object Overlap {
         (x, i) -> (i + 1) % $DROP_K != 0)"""
 
   /** (doc_id, rw, cw): reference and candidate word arrays. */
-  private[llmops] def pairs(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "documents").select(col("doc_id"),
+  private[graft] def pairsFrom(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       split(col("text"), " ").as("rw"),
       expr(sparkRewrite).as("cw"))
 
+  private[llmops] def pairs(s: SparkSession, dir: String): DataFrame =
+    pairsFrom(T(s, dir, "documents"))
+
   /** Per-doc clipped unigram matches m, candidate total c, ref total r. */
-  private[llmops] def unigramStats(s: SparkSession, dir: String): DataFrame = {
-    val p = pairs(s, dir)
+  private[graft] def unigramStatsFrom(docs: DataFrame): DataFrame = {
+    val p = pairsFrom(docs)
     val cu = p.select(col("doc_id"), explode(col("cw")).as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("cc"))
     val ru = p.select(col("doc_id"), explode(col("rw")).as("g"))
@@ -63,6 +66,9 @@ object Overlap {
       .join(m, Seq("doc_id"), "left")
       .na.fill(0L, Seq("m1"))
   }
+
+  private[llmops] def unigramStats(s: SparkSession, dir: String): DataFrame =
+    unigramStatsFrom(T(s, dir, "documents"))
 
   /** X — ROUGE-1 per document: clipped unigram overlap precision /
     * recall / F1 between the rewrite and its source, all exact integer
@@ -98,8 +104,8 @@ object Overlap {
 
   /** The six corpus-level BLEU integers:
     * (m1, c1, m2, c2, r_len, c_len). */
-  private[llmops] def bleuParts(s: SparkSession, dir: String): DataFrame = {
-    val p = pairs(s, dir)
+  private[graft] def bleuPartsFrom(docs: DataFrame): DataFrame = {
+    val p = pairsFrom(docs)
     def bigrams(c: String) = expr(
       s"""CASE WHEN size($c) >= 2 THEN transform(sequence(1, size($c) - 1),
            i -> concat(element_at($c, i), ' ', element_at($c, i + 1)))
@@ -110,7 +116,7 @@ object Overlap {
       .groupBy("doc_id", "g").agg(count(lit(1)).as("rc"))
     val m2 = cb.join(rb, Seq("doc_id", "g"))
       .agg(sum(least(col("cc"), col("rc"))).as("m2"))
-    val m1 = unigramStats(s, dir).agg(sum("m1").as("m1"),
+    val m1 = unigramStatsFrom(docs).agg(sum("m1").as("m1"),
       sum("c1").as("c1"), sum("r1").as("r_len"))
     val lens = p.agg(
       sum(when(size(col("cw")) >= 2, size(col("cw")) - 1).otherwise(0L))
@@ -119,6 +125,9 @@ object Overlap {
       .select(col("m1"), col("c1"), col("m2"), col("c2"),
         col("r_len"), col("c1").as("c_len"))
   }
+
+  private[llmops] def bleuParts(s: SparkSession, dir: String): DataFrame =
+    bleuPartsFrom(T(s, dir, "documents"))
 
   /** The pre-round corpus BLEU double (for the rounding-margin audit). */
   private[llmops] def bleuRaw(s: SparkSession, dir: String): Double = {

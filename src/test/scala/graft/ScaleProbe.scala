@@ -702,6 +702,85 @@ object ScaleProbe {
       }
     }
 
+    // ---- round-10 third wave: overlap metrics, KMV sketch, KN bigram,
+    // coreset k-center, SQ8 scan — growth on replicated corpora ----
+
+    // ROUGE/BLEU: the (doc_id, gram) count-join pipeline; linear path
+    if (want("overlap")) for (k <- Seq(1, 2, 5, 10)) {
+      val t0 = System.nanoTime()
+      val rows = graft.llmops.Overlap.unigramStatsFrom(corpus(k)).count()
+      val b = graft.llmops.Overlap.bleuPartsFrom(corpus(k)).collect()(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE-OVERLAP k=$k%2d docs=${baseN * k}%6d rouge_rows=$rows%6d " +
+        f"m2=${b.getLong(2)}%8d sec=$sec%6.2f")
+    }
+
+    // KMV: hash-distinct agg + three TakeOrdered(k) heads; per-replica
+    // word prefixes make the distinct-shingle domain grow k-fold
+    if (want("kmv")) for (k <- Seq(1, 2, 5, 10)) {
+      val t0 = System.nanoTime()
+      val r = graft.llmops.Kmv.estimateFrom(corpus(k)).collect()(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE-KMV k=$k%2d docs=${baseN * k}%6d est_u=${r.getLong(3)}%8d " +
+        f"est_i=${r.getLong(4)}%8d exact_i=${r.getLong(5)}%8d sec=$sec%6.2f")
+    }
+
+    // Kneser-Ney: model shuffle + vocabulary-sized aggs (prefixed words
+    // grow the bigram-type domain k-fold). Replica ids INTERLEAVE
+    // (doc_id·k + i) so the 80% train/20% eval cut slices every replica
+    // — the offset layout would put whole replicas past the cut and
+    // empty the eval join.
+    if (want("kn")) for (k <- Seq(1, 2, 5, 10)) {
+      val ck = (0 until k).map { i =>
+        base.select((col("doc_id") * k + i).as("doc_id"),
+          expr(s"array_join(transform(split(text, ' '), w -> concat('r$i', w)), ' ')")
+            .as("text"))
+      }.reduce(_ union _)
+      val t0 = System.nanoTime()
+      val rows = graft.llmops.LangModel.knFrom(ck).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE-KN k=$k%2d docs=${baseN * k}%6d eval_types=$rows%6d " +
+        f"sec=$sec%6.2f")
+    }
+
+    // coreset + SQ8 over replicated embeddings (identical vectors under
+    // offset ids — geometry unchanged, corpus size grows)
+    def vecs(m: Int) = {
+      val b = graft.llmops.VectorSearch
+        .embeddingsBase(spark, "/root/testdata/sf0.1")
+        .select("vec_id", "n_emb")
+      (0 until m).map(i => b.select(
+        (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+        col("n_emb"))).reduce(_ union _)
+    }
+    if (want("coreset")) for (m <- Seq(1, 4, 16)) {
+      val base = vecs(m).cache(); val n = base.count()
+      val t0 = System.nanoTime()
+      val cs = graft.llmops.Coreset.centersFrom(base)
+      val sec = (System.nanoTime() - t0) / 1e9
+      base.unpersist()
+      println(f"SCALE-CORESET m=$m%2d vecs=$n%6d last_far=${cs.last._3}%8d " +
+        f"sec=$sec%6.2f")
+    }
+    if (want("sq8")) for (m <- Seq(1, 4, 16)) {
+      val base = vecs(m).cache(); val n = base.count()
+      val t0 = System.nanoTime()
+      val c = graft.llmops.Quantize.codesFrom(base)
+      val probes = c.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("q").as("pq"))
+      val cands = c.crossJoin(broadcast(probes))
+        .select(col("probe_id"), col("vec_id"),
+          expr("""aggregate(zip_with(q, pq, (a, b) -> cast(a as bigint) * b),
+                  0L, (acc, v) -> acc + v)""").as("iscore"))
+        .groupBy("probe_id")
+        .agg(graft.functions.TopKByScore.topK(graft.llmops.Quantize.CAND)(
+          col("iscore"), col("vec_id")).as("top"))
+        .count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      base.unpersist()
+      println(f"SCALE-SQ8 m=$m%2d vecs=$n%6d probes=$cands%2d sec=$sec%6.2f")
+    }
+
     // ---- compaction planning (round 10): the plan is a window over
     // the MANIFEST (one row per file) — synthetic manifests at 1e4/1e5/
     // 1e6 files (far beyond any staged fixture) measure the planning
