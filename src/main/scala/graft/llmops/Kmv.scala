@@ -102,6 +102,11 @@ object Kmv {
       .agg(max(when(col("even"), 1L).otherwise(0L)).as("in_a"),
         max(when(col("even"), 0L).otherwise(1L)).as("in_b"))
       .cache()
+    // CacheBin discipline: consecutive invocations over DIFFERENT
+    // corpora (ScaleProbe replicas) must not stack cache generations;
+    // same-plan re-invocations share one entry (bench warm-rep shape)
+    graft.core.CacheBin.swap(
+      s"kmv.hs:${System.identityHashCode(docs.sparkSession)}", hs)
     def kth(df: org.apache.spark.sql.DataFrame, name: String) =
       df.orderBy("h").limit(K.toInt).agg(max("h").as(name))
     val na = hs.filter(col("in_a") === 1)
