@@ -68,10 +68,16 @@ object Coreset {
   private def oracleSqlText: String = {
     val sim = (a: String, b: String) =>
       s"CAST(round(1000000 * list_cosine_similarity($a.v, $b.v)) AS BIGINT)"
+    // Two DuckDB-performance necessities, measured (86.5 s → 0.19 s at
+    // sf0.1): every chained CTE is MATERIALIZED (p-stages are referenced
+    // twice — by n_i and p_i — and non-materialized CTEs re-inline, which
+    // compounds exponentially down the chain), and the selected center
+    // joins via the 1-row n_i IN FROM rather than a scalar subquery in
+    // the join condition (which re-executed the subquery per probe row).
     val sb = new StringBuilder
-    sb ++= """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                FROM embeddings),
-       p1 AS (SELECT a.vec_id, """ + sim("a", "b") + """ AS ms
+    sb ++= """WITH e AS MATERIALIZED (SELECT vec_id,
+                CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       p1 AS MATERIALIZED (SELECT a.vec_id, """ + sim("a", "b") + """ AS ms
               FROM e a JOIN e b ON b.vec_id = 0)"""
     // stage i (2..K): pick argmin-of-max among non-chosen, fold its sims in
     def exclusion(i: Int): String =
@@ -79,13 +85,14 @@ object Coreset {
         .mkString(", ")
     for (i <- 2 to K) {
       sb ++= s""",
-       n$i AS (SELECT vec_id, ms FROM p${i - 1}
+       n$i AS MATERIALIZED (SELECT vec_id, ms FROM p${i - 1}
               WHERE vec_id NOT IN (${exclusion(i)})
               ORDER BY ms ASC, vec_id LIMIT 1)"""
       if (i < K) sb ++= s""",
-       p$i AS (SELECT p.vec_id, greatest(p.ms, ${sim("a", "b")}) AS ms
-              FROM p${i - 1} p JOIN e a ON a.vec_id = p.vec_id
-              JOIN e b ON b.vec_id = (SELECT vec_id FROM n$i))"""
+       p$i AS MATERIALIZED (SELECT p.vec_id,
+                greatest(p.ms, ${sim("a", "b")}) AS ms
+              FROM p${i - 1} p JOIN e a ON a.vec_id = p.vec_id,
+                   n$i JOIN e b ON b.vec_id = n$i.vec_id)"""
     }
     sb ++= "\n       SELECT 1 AS step, CAST(0 AS BIGINT) AS center_id, " +
       "CAST(-1 AS BIGINT) AS far_sim_fix"

@@ -105,23 +105,41 @@ object Overlap {
   /** The six corpus-level BLEU integers:
     * (m1, c1, m2, c2, r_len, c_len). */
   private[graft] def bleuPartsFrom(docs: DataFrame): DataFrame = {
+    // ONE tagged gram shuffle instead of six aggregate passes (measured
+    // 1.73 s → 0.3 s at sf0.1, see BENCH_COMPARISON): both sides'
+    // unigrams AND bigrams explode once with an (n, side) tag, one
+    // (doc_id, n, g) hash agg builds the candidate/reference counts, and
+    // every BLEU integer falls out of two tiny follow-up aggs. Clipped
+    // matches are Σ min(cc, rc) — a gram absent on one side contributes
+    // 0, exactly what the old inner-join spelling computed.
+    def gramArray(c: String) = expr(
+      s"""concat(
+            transform($c, w -> struct(1 AS n, w AS g)),
+            CASE WHEN size($c) >= 2 THEN
+              transform(sequence(1, size($c) - 1),
+                i -> struct(2 AS n, concat(element_at($c, i), ' ',
+                                           element_at($c, i + 1)) AS g))
+            ELSE slice(transform(sequence(1, 1),
+                   i -> struct(2 AS n, '' AS g)), 1, 0) END)""")
     val p = pairsFrom(docs)
-    def bigrams(c: String) = expr(
-      s"""CASE WHEN size($c) >= 2 THEN transform(sequence(1, size($c) - 1),
-           i -> concat(element_at($c, i), ' ', element_at($c, i + 1)))
-          ELSE array() END""")
-    val cb = p.select(col("doc_id"), explode(bigrams("cw")).as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("cc"))
-    val rb = p.select(col("doc_id"), explode(bigrams("rw")).as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("rc"))
-    val m2 = cb.join(rb, Seq("doc_id", "g"))
-      .agg(sum(least(col("cc"), col("rc"))).as("m2"))
-    val m1 = unigramStatsFrom(docs).agg(sum("m1").as("m1"),
-      sum("c1").as("c1"), sum("r1").as("r_len"))
-    val lens = p.agg(
-      sum(when(size(col("cw")) >= 2, size(col("cw")) - 1).otherwise(0L))
-        .cast("long").as("c2"))
-    m1.crossJoin(m2).crossJoin(lens)
+    val ex = p.select(col("doc_id"), lit(1L).as("is_cand"),
+        explode(gramArray("cw")).as("e"))
+      .union(p.select(col("doc_id"), lit(0L).as("is_cand"),
+        explode(gramArray("rw")).as("e")))
+      .select(col("doc_id"), col("is_cand"),
+        col("e.n").as("n"), col("e.g").as("g"))
+    val counts = ex.groupBy("doc_id", "n", "g").agg(
+      sum(col("is_cand")).as("cc"),
+      sum(lit(1L) - col("is_cand")).as("rc"))
+    val byN = counts.groupBy("n").agg(
+      sum(least(col("cc"), col("rc"))).as("m"),
+      sum(col("cc")).as("c"), sum(col("rc")).as("r"))
+    byN.agg(
+        sum(when(col("n") === 1, col("m"))).as("m1"),
+        sum(when(col("n") === 1, col("c"))).as("c1"),
+        sum(when(col("n") === 2, col("m"))).as("m2"),
+        sum(when(col("n") === 2, col("c"))).as("c2"),
+        sum(when(col("n") === 1, col("r"))).as("r_len"))
       .select(col("m1"), col("c1"), col("m2"), col("c2"),
         col("r_len"), col("c1").as("c_len"))
   }
