@@ -158,5 +158,84 @@ object RetrievalEval {
       .orderBy("probe_id")
   }
 
-  val all: Seq[Q] = Seq(xRetrievalEval, xAucEval)
+  /** X — NDCG@K: the graded-position complement to hits@k/MRR/AUC.
+    * Per probe, DCG = Σ_{i≤K} rel_i · w_i with the standard discount
+    * w_i = 1/log2(i+1); IDCG places the min(K, n_rel) relevant docs at
+    * the top. Both engines compute the K discount weights as
+    * round(1e6/log2(i+1)) over the CONSTANT ranks 1..K (data-independent
+    * — the ndcg-weights margin family), after which DCG, IDCG, and
+    * ndcg_fix = 1e6·DCG // IDCG are pure integers.
+    *
+    * Scale posture: identical to x_retrieval_eval (broadcast probes,
+    * per-probe window over candidates, K-row metric agg) plus one
+    * K-row constant frame joined to the per-probe relevant counts.
+    */
+  val xNdcgEval = Q(
+    "x_ndcg_eval",
+    s"""WITH ranked AS (SELECT probe_id, p_label, label, rn FROM (
+           SELECT p.vec_id AS probe_id, p.label AS p_label, e.label,
+                  row_number() OVER (PARTITION BY p.vec_id
+                    ORDER BY round(list_cosine_similarity(
+                        CAST(e.embedding AS DOUBLE[]),
+                        CAST(p.embedding AS DOUBLE[])), 6) DESC,
+                      e.vec_id) AS rn
+           FROM embeddings e
+           CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < $NPROBE) p
+           WHERE e.vec_id <> p.vec_id)
+         WHERE rn <= $TOPK),
+       dcg AS (SELECT probe_id,
+               CAST(sum(CASE WHEN label = p_label
+                    THEN CAST(round(1000000 / log2(rn + 1)) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS dcg_fix
+             FROM ranked GROUP BY 1),
+       rel AS (SELECT p.vec_id AS probe_id, CAST(count(*) AS BIGINT) AS n_rel
+               FROM embeddings e
+               JOIN (SELECT * FROM embeddings WHERE vec_id < $NPROBE) p
+                 ON e.label = p.label AND e.vec_id <> p.vec_id
+               GROUP BY 1),
+       ranks AS (SELECT unnest(generate_series(1, $TOPK)) AS i),
+       idcg AS (SELECT probe_id,
+               CAST(sum(CAST(round(1000000 / log2(i + 1)) AS BIGINT))
+                    AS BIGINT) AS idcg_fix
+             FROM rel CROSS JOIN ranks
+             WHERE i <= least($TOPK, n_rel) GROUP BY 1)
+       SELECT dcg.probe_id AS probe_id, rel.n_rel, dcg.dcg_fix,
+              idcg.idcg_fix,
+              (1000000 * dcg.dcg_fix) // idcg.idcg_fix AS ndcg_fix
+       FROM dcg JOIN rel ON dcg.probe_id = rel.probe_id
+       JOIN idcg ON dcg.probe_id = idcg.probe_id
+       ORDER BY probe_id""") { (s, dir) =>
+    val e = VectorSearch.embeddingsBase(s, dir)
+      .select("vec_id", "label", "n_emb")
+    val probes = e.filter(col("vec_id") < NPROBE)
+      .select(col("vec_id").as("probe_id"), col("label").as("p_label"),
+        col("n_emb").as("p_emb"))
+    val w = round(lit(1000000.0) / log2(col("rn") + 1)).cast("long")
+    val dcg = e.join(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("p_label"), col("vec_id"), col("label"),
+        round(VectorSearch.dot(col("n_emb"), col("p_emb")), 6).as("sim"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rn") <= TOPK)
+      .groupBy(col("probe_id"))
+      .agg(sum(when(col("label") === col("p_label"), w).otherwise(0L))
+        .as("dcg_fix"))
+    val rel = e.join(broadcast(probes), col("label") === col("p_label"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("n_rel"))
+    val ranks = s.range(1, TOPK + 1).select(col("id").as("i"))
+    val idcg = rel.crossJoin(broadcast(ranks))
+      .filter(col("i") <= least(lit(TOPK.toLong), col("n_rel")))
+      .groupBy(col("probe_id"))
+      .agg(sum(round(lit(1000000.0) / log2(col("i") + 1)).cast("long"))
+        .as("idcg_fix"))
+    dcg.join(rel, "probe_id").join(idcg, "probe_id")
+      .select(col("probe_id"), col("n_rel"), col("dcg_fix"),
+        col("idcg_fix"),
+        expr("(1000000 * dcg_fix) div idcg_fix").as("ndcg_fix"))
+      .orderBy("probe_id")
+  }
+
+  val all: Seq[Q] = Seq(xRetrievalEval, xAucEval, xNdcgEval)
 }

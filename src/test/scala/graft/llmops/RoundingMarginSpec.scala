@@ -348,6 +348,11 @@ class RoundingMarginSpec extends AnyFunSuite {
       audit(dir, Seq(
         Fam("bleu-corpus", "half", 1e-4, bleu),
         Fam("coreset-sims", "half", 1e-6, coresetSims.toSeq),
+        // x_ndcg_eval: the K constant discount weights 1e6/log2(i+1)
+        // (data-independent grid, audio-trig class)
+        Fam("ndcg-weights", "half", 1e-4,
+          (1 to RetrievalEval.TOPK).map(i =>
+            1e6 / (math.log(i + 1.0) / math.log(2.0)))),
         Fam("bm25", "half", 1e-6, bm25.toSeq),
         Fam("audio-trig-weights", "half", 1e-4, trig),
         Fam("maxsim", "half", 1e-6, maxsim.toSeq),
