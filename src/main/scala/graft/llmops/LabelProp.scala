@@ -1,0 +1,127 @@
+package graft.llmops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Q
+
+/** Semi-supervised label propagation over the embedding kNN graph —
+  * the standard trick for stretching a small labeled seed across a
+  * large corpus (weak supervision for quality/domain classifiers):
+  * only the first 10% of vectors keep their labels; every other node
+  * takes the majority label of its K nearest neighbors, in two
+  * synchronous iterations (iteration 2 sees iteration 1's assignments,
+  * so labels reach nodes whose neighborhoods contain no seed at all).
+  *
+  * Determinism: neighbor ranking is the q34 discipline (1e6 fixed-point
+  * cosine DESC, vec_id tiebreak — grid margins audited as the
+  * labelprop-grid family); votes are integer counts with ties broken
+  * toward the smaller label; unreached nodes emit (-1, iter 0).
+  *
+  * Scale posture: the kNN edges are built ONCE with the bounded-heap
+  * TopKByScore aggregation (≤K rows per node per partition in the
+  * shuffle — never a corpus window) and reused by both iterations;
+  * each iteration is then one equi-join of those edges against the
+  * current label table plus a vote agg. The dense unlabeled×all grid
+  * here is the audit-sized spelling — at corpus scale the same edges
+  * come pre-pruned from the IVF index (x_ann_ivf's lists), which
+  * changes the candidate generator and nothing downstream.
+  */
+object LabelProp {
+
+  /** Neighbors per node. */
+  val K_LP = 5
+
+  /** Labeled-seed fraction denominator (first 1/10 of ids). */
+  val SEED_DEN = 10L
+
+  private[llmops] def seedCut(e: DataFrame): Long = {
+    val mx = e.agg(max("vec_id")).collect()(0).getLong(0)
+    (mx + 1) / SEED_DEN
+  }
+
+  val xLabelProp = Q(
+    "x_label_prop",
+    s"""WITH cut AS (SELECT (max(vec_id) + 1) // $SEED_DEN AS c FROM embeddings),
+       e AS MATERIALIZED (SELECT vec_id, label,
+              CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       knn AS MATERIALIZED (SELECT u, v FROM (
+           SELECT a.vec_id AS u, b.vec_id AS v,
+                  row_number() OVER (PARTITION BY a.vec_id
+                    ORDER BY round(list_cosine_similarity(b.v, a.v), 6) DESC,
+                             b.vec_id) AS rn
+           FROM e a JOIN e b ON a.vec_id <> b.vec_id, cut
+           WHERE a.vec_id >= cut.c)
+         WHERE rn <= $K_LP),
+       l0 AS (SELECT vec_id, label FROM e, cut WHERE vec_id < cut.c),
+       p1 AS MATERIALIZED (SELECT u AS vec_id, label FROM (
+           SELECT u, l0.label, count(*) AS c,
+                  row_number() OVER (PARTITION BY u
+                    ORDER BY count(*) DESC, l0.label) AS rr
+           FROM knn JOIN l0 ON knn.v = l0.vec_id
+           GROUP BY u, l0.label)
+         WHERE rr = 1),
+       l1 AS MATERIALIZED (SELECT * FROM l0 UNION ALL SELECT * FROM p1),
+       p2 AS MATERIALIZED (SELECT u AS vec_id, label FROM (
+           SELECT knn.u, l1.label, count(*) AS c,
+                  row_number() OVER (PARTITION BY knn.u
+                    ORDER BY count(*) DESC, l1.label) AS rr
+           FROM knn JOIN l1 ON knn.v = l1.vec_id
+           WHERE knn.u NOT IN (SELECT vec_id FROM p1)
+           GROUP BY knn.u, l1.label)
+         WHERE rr = 1)
+       SELECT e.vec_id,
+              CAST(coalesce(p1.label, p2.label, -1) AS BIGINT) AS pred_label,
+              CAST(CASE WHEN p1.vec_id IS NOT NULL THEN 1
+                        WHEN p2.vec_id IS NOT NULL THEN 2
+                        ELSE 0 END AS BIGINT) AS iter
+       FROM e
+       LEFT JOIN p1 ON e.vec_id = p1.vec_id
+       LEFT JOIN p2 ON e.vec_id = p2.vec_id, cut
+       WHERE e.vec_id >= cut.c
+       ORDER BY e.vec_id""") { (s, dir) =>
+    val e = VectorSearch.embeddingsBase(s, dir).select("vec_id", "label", "n_emb")
+    val cut = seedCut(e)
+    val unl = e.filter(col("vec_id") >= cut)
+      .select(col("vec_id").as("u"), col("n_emb").as("u_emb"))
+    // kNN edges once, bounded-heap per node
+    val topk = graft.functions.TopKByScore.topK(K_LP)
+    val knn = e.select(col("vec_id").as("v"), col("n_emb").as("v_emb"))
+      .join(broadcast(unl), col("u") =!= col("v"))
+      .select(col("u"), col("v"),
+        round(VectorSearch.dot(col("u_emb"), col("v_emb")) * 1000000L)
+          .cast("long").as("s"))
+      .groupBy("u").agg(topk(col("s"), col("v")).as("top"))
+      .select(col("u"), explode(col("top.id")).as("v"))
+      .cache()
+    graft.core.CacheBin.swap(
+      s"labelprop.knn:${System.identityHashCode(s)}:$dir", knn)
+    def vote(labels: DataFrame, nodes: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      knn.join(nodes, "u")
+        .join(labels, col("v") === labels("vec_id"))
+        .groupBy(col("u"), col("label")).agg(count(lit(1)).as("c"))
+        .withColumn("rr", row_number().over(Window.partitionBy(col("u"))
+          .orderBy(col("c").desc, col("label"))))
+        .filter(col("rr") === 1)
+        .select(col("u").as("vec_id"), col("label"))
+    }
+    val l0 = e.filter(col("vec_id") < cut).select("vec_id", "label")
+    val p1 = vote(l0, unl.select("u")).cache()
+    graft.core.CacheBin.swap(
+      s"labelprop.p1:${System.identityHashCode(s)}:$dir", p1)
+    val rest = unl.select("u")
+      .join(p1.select(col("vec_id").as("u")), Seq("u"), "left_anti")
+    val p2 = vote(l0.union(p1), rest)
+    e.filter(col("vec_id") >= cut).select(col("vec_id"))
+      .join(p1.select(col("vec_id"), col("label").as("lab1")), Seq("vec_id"), "left")
+      .join(p2.select(col("vec_id"), col("label").as("lab2")), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("lab1"), col("lab2"), lit(-1)).cast("long")
+          .as("pred_label"),
+        when(col("lab1").isNotNull, 1L)
+          .when(col("lab2").isNotNull, 2L).otherwise(0L).as("iter"))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[Q] = Seq(xLabelProp)
+}

@@ -332,6 +332,19 @@ class RoundingMarginSpec extends AnyFunSuite {
       // exact integers) × 1e6
       val bleu = Seq(Overlap.bleuRaw(spark, dir) * 1e6)
 
+      // x_label_prop: the full unlabeled×all ranking grid × 1e6
+      val labelPropGrid = {
+        val e = VectorSearch.embeddingsBase(spark, dir)
+          .select("vec_id", "n_emb")
+        val cut = LabelProp.seedCut(e)
+        e.filter(col("vec_id") >= cut)
+          .select(col("vec_id").as("u"), col("n_emb").as("u_emb"))
+          .crossJoin(e.select(col("vec_id").as("v"), col("n_emb").as("v_emb")))
+          .filter(col("u") =!= col("v"))
+          .select(VectorSearch.dot(col("u_emb"), col("v_emb")).as("s"))
+          .as[Double].collect().map(_ * 1e6)
+      }
+
       // x_coreset_kcenter: every point-vs-chosen-center cosine × 1e6
       // (feeds the integer greedy argmin/argmax chain)
       val coresetSims = {
@@ -353,6 +366,9 @@ class RoundingMarginSpec extends AnyFunSuite {
         Fam("ndcg-weights", "half", 1e-4,
           (1 to RetrievalEval.TOPK).map(i =>
             1e6 / (math.log(i + 1.0) / math.log(2.0)))),
+        // x_label_prop: every unlabeled×all kNN-grid cosine × 1e6 (the
+        // bitext-grid bar — boundary approach shrinks with grid size)
+        Fam("labelprop-grid", "half", 1e-8, labelPropGrid.toSeq),
         Fam("bm25", "half", 1e-6, bm25.toSeq),
         Fam("audio-trig-weights", "half", 1e-4, trig),
         Fam("maxsim", "half", 1e-6, maxsim.toSeq),
