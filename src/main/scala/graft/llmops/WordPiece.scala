@@ -236,5 +236,43 @@ $greedySql,
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(xWordpieceVocab, xWordpieceTokenize, xWordpieceApply)
+  /** X — tokenizer fertility audit: pieces-per-word of the trained
+    * WordPiece model, broken out by language. Fertility is THE
+    * tokenizer-governance number a multilingual pipeline watches — a
+    * language whose fertility balloons is being shattered into
+    * characters (vocabulary under-serves it), which silently inflates
+    * its training cost and truncation rate. Exact integer rational:
+    * fert_fix = 1e6·Σpieces // Σwords per lang.
+    *
+    * Scale posture: x_wordpiece_apply's shape (word explode →
+    * broadcast segmentation join) re-aggregated by the lang key —
+    * group domain = |languages|.
+    */
+  val xTokenizerFertility = Q(
+    "x_tokenizer_fertility",
+    s"""$vocabSql,
+$greedySql,
+       dw AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+       j AS (SELECT dw.lang, seg.n_pieces
+             FROM dw JOIN seg ON dw.w = seg.w WHERE dw.w <> '')
+       SELECT lang,
+              CAST(count(*) AS BIGINT) AS n_words,
+              CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+              (1000000 * CAST(sum(n_pieces) AS BIGINT)) // count(*) AS fert_fix
+       FROM j GROUP BY lang ORDER BY lang""") { (s, dir) =>
+    val docs = T(s, dir, "documents")
+    val (_, segs) = trainedModel(s, dir)
+    docs.select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(broadcast(segs.select(col("w"), col("n_pieces"))), "w")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_pieces"))
+      .select(col("lang"), col("n_words"), col("n_pieces"),
+        expr("(1000000 * n_pieces) div n_words").as("fert_fix"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[Q] =
+    Seq(xWordpieceVocab, xWordpieceTokenize, xWordpieceApply,
+      xTokenizerFertility)
 }

@@ -117,4 +117,26 @@ class WordPieceSpec extends AnyFunSuite {
     }.sortBy(_._1)
     assert(out.sortBy(_._1).toSeq == expect.toSeq)
   }
+
+  test("fertility: per-lang rows aggregate the word table exactly") {
+    val (_, segs) = WordPiece.trainedModel(spark, sf)
+    val byWord = segs.select(col("w"), col("n_pieces"))
+      .as[(String, Long)].collect().toMap
+    val docs = graft.core.Tables(spark, sf, "documents")
+      .select(col("lang"), col("text")).as[(String, String)].collect()
+    val expect = docs.groupBy(_._1).view.mapValues { ds =>
+      val ws = ds.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+      (ws.length.toLong, ws.map(byWord).sum)
+    }.toMap
+    val out = WordPiece.xTokenizerFertility.build(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.length == expect.size)
+    out.foreach { case (lang, nw, np, fert) =>
+      val (enw, enp) = expect(lang)
+      assert((nw, np) == (enw, enp), s"lang $lang")
+      assert(fert == 1000000L * np / nw)
+      assert(fert >= 1000000L, "every word is at least one piece")
+    }
+    info(s"fertility: " + out.map(o => s"${o._1}=${o._4 / 1e6}").mkString(" "))
+  }
 }
