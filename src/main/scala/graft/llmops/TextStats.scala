@@ -634,7 +634,79 @@ object TextStats {
       .orderBy("rank")
   }
 
+  /** X — ensemble quality gate: three INDEPENDENT quality rankers fused
+    * by reciprocal-rank fusion into one keep-list — the production
+    * pattern when no single heuristic is trusted alone (RefinedWeb
+    * combines rule-, ratio- and model-signals the same way):
+    *
+    *   - length: token count (long-form preferred),
+    *   - naturalness: stopword milli-ratio (integer (1000·stops) div n),
+    *   - diversity: distinct-word milli-ratio (type/token).
+    *
+    * Each ranker is an exact integer score → TakeOrdered top-RRF_TOPK
+    * (never a corpus window); fusion is the x_rrf_fusion spelling —
+    * 1/(K+r) sums over small integers are the same IEEE expression on
+    * both engines, bit-identical. Output: the top-20 keep-list with its
+    * fused score.
+    */
+  val xQualityEnsemble = Q(
+    "x_quality_ensemble",
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       m AS (SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n_tok,
+               (1000 * CAST(len(list_filter(ws, w -> w IN (${sqlList(stopEn)})))
+                 AS BIGINT)) // len(ws) AS stop_milli,
+               (1000 * CAST(len(list_distinct(ws)) AS BIGINT)) // len(ws)
+                 AS div_milli
+             FROM d),
+       r1 AS (SELECT doc_id, r FROM (SELECT doc_id,
+                row_number() OVER (ORDER BY n_tok DESC, doc_id) AS r FROM m)
+              WHERE r <= $RRF_TOPK),
+       r2 AS (SELECT doc_id, r FROM (SELECT doc_id,
+                row_number() OVER (ORDER BY stop_milli DESC, doc_id) AS r FROM m)
+              WHERE r <= $RRF_TOPK),
+       r3 AS (SELECT doc_id, r FROM (SELECT doc_id,
+                row_number() OVER (ORDER BY div_milli DESC, doc_id) AS r FROM m)
+              WHERE r <= $RRF_TOPK),
+       fused AS (SELECT coalesce(r1.doc_id, r2.doc_id, r3.doc_id) AS doc_id,
+                        coalesce(1.0 / ($RRF_K + r1.r), 0)
+                      + coalesce(1.0 / ($RRF_K + r2.r), 0)
+                      + coalesce(1.0 / ($RRF_K + r3.r), 0) AS rrf
+                 FROM r1
+                 FULL JOIN r2 ON r1.doc_id = r2.doc_id
+                 FULL JOIN r3 ON coalesce(r1.doc_id, r2.doc_id) = r3.doc_id)
+       SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+                AS rank, doc_id, rrf
+       FROM fused ORDER BY rank LIMIT 20""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val ws = split(col("text"), " ")
+    val m = T(s, dir, "documents").select(col("doc_id"),
+        size(ws).cast("long").as("n_tok"),
+        size(filter(ws, w => w.isInCollection(stopEn))).cast("long").as("st"),
+        size(array_distinct(ws)).cast("long").as("dw"))
+      .select(col("doc_id"), col("n_tok"),
+        expr("(1000 * st) div n_tok").as("stop_milli"),
+        expr("(1000 * dw) div n_tok").as("div_milli"))
+    def ranker(score: String, tag: String) = m
+      .orderBy(col(score).desc, col("doc_id")).limit(RRF_TOPK)
+      .withColumn(tag, row_number().over(
+        Window.orderBy(col(score).desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col(tag))
+    ranker("n_tok", "r1")
+      .join(ranker("stop_milli", "r2"), Seq("doc_id"), "full_outer")
+      .join(ranker("div_milli", "r3"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(lit(1.0) / (lit(RRF_K) + col("r1")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RRF_K) + col("r2")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RRF_K) + col("r3")), lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("rrf"))
+      .orderBy("rank")
+  }
+
   val all: Seq[Q] = Seq(q35, q35b, xTfIdf, xQuality, xTokenCount, xLangId,
     xRepetition, xQualityRules, xWordEntropy, xHashEmbed, xBm25, xDsirWeights,
-    xRrfFusion)
+    xRrfFusion, xQualityEnsemble)
 }
