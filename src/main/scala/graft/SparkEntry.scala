@@ -36,7 +36,7 @@ object SparkEntry {
       llmops.Drift.all ++ llmops.Governance.all ++
       llmops.Overlap.all ++ llmops.Preference.all ++
       llmops.Kmv.all ++ llmops.Quantize.all ++ llmops.Coreset.all ++
-      llmops.LabelProp.all ++
+      llmops.LabelProp.all ++ llmops.Silhouette.all ++
       llmops.Graph.all ++
       llmops.SetSim.all ++ sources.Compaction.all ++ sources.TimeTravel.all
 

@@ -332,6 +332,18 @@ class RoundingMarginSpec extends AnyFunSuite {
       // exact integers) × 1e6
       val bleu = Seq(Overlap.bleuRaw(spark, dir) * 1e6)
 
+      // x_cluster_silhouette: the full all×all pair grid × 1e6 (a
+      // superset of labelprop-grid; same shrinking-boundary argument)
+      val silhouetteGrid = {
+        val e = VectorSearch.embeddingsBase(spark, dir)
+          .select("vec_id", "n_emb")
+        e.select(col("vec_id").as("i"), col("n_emb").as("ei"))
+          .crossJoin(e.select(col("vec_id").as("j"), col("n_emb").as("ej")))
+          .filter(col("i") =!= col("j"))
+          .select(VectorSearch.dot(col("ei"), col("ej")).as("s"))
+          .as[Double].collect().map(_ * 1e6)
+      }
+
       // x_label_prop: the full unlabeled×all ranking grid × 1e6
       val labelPropGrid = {
         val e = VectorSearch.embeddingsBase(spark, dir)
@@ -369,6 +381,7 @@ class RoundingMarginSpec extends AnyFunSuite {
         // x_label_prop: every unlabeled×all kNN-grid cosine × 1e6 (the
         // bitext-grid bar — boundary approach shrinks with grid size)
         Fam("labelprop-grid", "half", 1e-8, labelPropGrid.toSeq),
+        Fam("silhouette-grid", "half", 1e-8, silhouetteGrid.toSeq),
         Fam("bm25", "half", 1e-6, bm25.toSeq),
         Fam("audio-trig-weights", "half", 1e-4, trig),
         Fam("maxsim", "half", 1e-6, maxsim.toSeq),
