@@ -210,6 +210,85 @@ object Timeseries {
       .orderBy("user_id", "event_id")
   }
 
+  /** X — period-over-period growth (the MoM revenue report): monthly
+    * revenue in exact integer cents (graft.core.Exact decimal sums ×
+    * 100), month-over-month delta as a sign-split 1e6 fixed-point
+    * quotient. The lag window runs over the MONTH domain (~dozens of
+    * rows — the x_ks_drift acceptance class, never a corpus window);
+    * the heavy work is one month-keyed hash agg with map-side combine.
+    */
+  val xPopGrowth = Q(
+    "x_pop_growth",
+    """WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS rev_cents
+           FROM orders GROUP BY 1),
+       g AS (SELECT month, rev_cents,
+               lag(rev_cents) OVER (ORDER BY month) AS prev_cents FROM m)
+       SELECT month, rev_cents, prev_cents,
+              CASE WHEN rev_cents - prev_cents < 0
+                   THEN -((1000000 * (prev_cents - rev_cents)) // prev_cents)
+                   ELSE (1000000 * (rev_cents - prev_cents)) // prev_cents END
+                AS growth_fix
+       FROM g WHERE prev_cents IS NOT NULL ORDER BY month""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val m = T(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg((sum(graft.core.Exact.dec(col("o_totalprice"))) * 100)
+        .cast("long").as("rev_cents"))
+    m.withColumn("prev_cents",
+        lag(col("rev_cents"), 1).over(Window.orderBy("month")))
+      .filter(col("prev_cents").isNotNull)
+      .select(col("month"), col("rev_cents"), col("prev_cents"),
+        when(col("rev_cents") - col("prev_cents") < 0,
+          -expr("(1000000 * (prev_cents - rev_cents)) div prev_cents"))
+          .otherwise(
+            expr("(1000000 * (rev_cents - prev_cents)) div prev_cents"))
+          .as("growth_fix"))
+      .orderBy("month")
+  }
+
+  /** X — percent-of-parent / percent-of-total rollup (the drill-down
+    * revenue report): nation revenue as a share of its region and of
+    * the whole, all in exact integer cents with 1e6 integer-quotient
+    * shares. One dimension-join agg (customers/nations/regions are the
+    * broadcast side), then 25-row arithmetic.
+    */
+  val xPctOfParent = Q(
+    "x_pct_of_parent",
+    """WITH rev AS (SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+           JOIN region r ON n.n_regionkey = r.r_regionkey
+           GROUP BY 1, 2),
+       reg AS (SELECT region, CAST(sum(cents) AS BIGINT) AS r_cents
+               FROM rev GROUP BY 1),
+       tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t_cents FROM rev)
+       SELECT region, nation, cents, r_cents,
+              (1000000 * cents) // r_cents AS pct_parent_fix,
+              (1000000 * cents) // t_cents AS pct_total_fix
+       FROM rev JOIN reg USING (region), tot
+       ORDER BY region, nation""") { (s, dir) =>
+    val rev = T(s, dir, "orders")
+      .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(T(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg((sum(graft.core.Exact.dec(col("o_totalprice"))) * 100)
+        .cast("long").as("cents"))
+    val reg = rev.groupBy("region").agg(sum("cents").as("r_cents"))
+    val tot = rev.agg(sum("cents").as("t_cents"))
+    rev.join(broadcast(reg), "region").crossJoin(broadcast(tot))
+      .select(col("region"), col("nation"), col("cents"), col("r_cents"),
+        expr("(1000000 * cents) div r_cents").as("pct_parent_fix"),
+        expr("(1000000 * cents) div t_cents").as("pct_total_fix"))
+      .orderBy("region", "nation")
+  }
+
   val all: Seq[Q] = Seq(xInterpolate, xGapDetect, xWindowDistinct,
-    xRollingMedian)
+    xRollingMedian, xPopGrowth, xPctOfParent)
 }

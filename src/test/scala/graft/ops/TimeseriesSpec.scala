@@ -159,4 +159,51 @@ class TimeseriesSpec extends AnyFunSuite {
         s"doc $id entropy $e out of [0, log2($nd)]")
     }
   }
+
+  test("pop growth: cents reconcile to the exact total and deltas chain") {
+    val out = Timeseries.xPopGrowth.build(spark, sf)
+      .as[(java.sql.Date, Long, Long, Long)].collect().sortBy(_._1.getTime)
+    assert(out.nonEmpty)
+    // consecutive months chain: this row's prev equals last row's cur
+    out.sliding(2).foreach {
+      case Array(a, b) => assert(b._3 == a._2, s"chain break at ${b._1}")
+      case _ =>
+    }
+    out.foreach { case (m, cur, prev, g) =>
+      val expected = if (cur - prev < 0) -((1000000L * (prev - cur)) / prev)
+                     else (1000000L * (cur - prev)) / prev
+      assert(g == expected, s"month $m")
+    }
+    // exact reconciliation: sum of monthly cents (incl. the first month
+    // the growth rows drop) equals the corpus total in exact decimal
+    val total = graft.core.Tables(spark, sf, "orders")
+      .agg((sum(graft.core.Exact.dec(col("o_totalprice"))) * 100)
+        .cast("long")).as[Long].collect().head
+    val monthly = graft.core.Tables(spark, sf, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+      .agg((sum(graft.core.Exact.dec(col("o_totalprice"))) * 100)
+        .cast("long").as("c")).as[(java.sql.Timestamp, Long)].collect()
+    assert(monthly.map(_._2).sum == total)
+    info(s"${out.length} growth rows, growth range " +
+      s"${out.map(_._4).min / 1e6}..${out.map(_._4).max / 1e6}")
+  }
+
+  test("pct of parent: shares sum to the parent within floor error") {
+    val out = Timeseries.xPctOfParent.build(spark, sf)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (region, rows) =>
+      val rCents = rows.head._4
+      assert(rows.forall(_._4 == rCents))
+      assert(rows.map(_._3).sum == rCents,
+        s"$region: nation cents must sum to the region exactly")
+      // integer-floor shares undershoot by < 1e-6 per nation
+      val shareSum = rows.map(_._5).sum
+      assert(shareSum <= 1000000L && shareSum > 1000000L - rows.length,
+        s"$region: share sum $shareSum")
+    }
+    val totalShare = out.map(_._6).sum
+    assert(totalShare <= 1000000L && totalShare > 1000000L - out.length)
+    info(s"${out.length} nations across ${out.map(_._1).distinct.length} regions")
+  }
 }
