@@ -25,6 +25,14 @@ import graft.core.Q
   * here is the audit-sized spelling — at corpus scale the same edges
   * come pre-pruned from the IVF index (x_ann_ivf's lists), which
   * changes the candidate generator and nothing downstream.
+  *
+  * Oracle-performance note (measured at sf0.1): the grid window must
+  * rank a PROJECTED similarity column — putting round(list_cosine…)
+  * directly in the window's ORDER BY made DuckDB re-evaluate it inside
+  * the sort comparator (22 s); and MATERIALIZED on the grid CTE forced
+  * its evaluation single-threaded (6.8 s). The shipped spelling
+  * (inline subquery projection, knn un-materialized, only the tiny
+  * p1/l1/p2 stages materialized) runs in ~1 s.
   */
 object LabelProp {
 
@@ -42,15 +50,15 @@ object LabelProp {
   val xLabelProp = Q(
     "x_label_prop",
     s"""WITH cut AS (SELECT (max(vec_id) + 1) // $SEED_DEN AS c FROM embeddings),
-       e AS MATERIALIZED (SELECT vec_id, label,
+       e AS (SELECT vec_id, label,
               CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       knn AS MATERIALIZED (SELECT u, v FROM (
-           SELECT a.vec_id AS u, b.vec_id AS v,
-                  row_number() OVER (PARTITION BY a.vec_id
-                    ORDER BY round(list_cosine_similarity(b.v, a.v), 6) DESC,
-                             b.vec_id) AS rn
-           FROM e a JOIN e b ON a.vec_id <> b.vec_id, cut
-           WHERE a.vec_id >= cut.c)
+       knn AS (SELECT u, v FROM (
+           SELECT u, v2 AS v, row_number() OVER (PARTITION BY u
+                    ORDER BY s DESC, v2) AS rn
+           FROM (SELECT a.vec_id AS u, b.vec_id AS v2,
+                   round(list_cosine_similarity(b.v, a.v), 6) AS s
+                 FROM e a JOIN e b ON a.vec_id <> b.vec_id, cut
+                 WHERE a.vec_id >= cut.c))
          WHERE rn <= $K_LP),
        l0 AS (SELECT vec_id, label FROM e, cut WHERE vec_id < cut.c),
        p1 AS MATERIALIZED (SELECT u AS vec_id, label FROM (
