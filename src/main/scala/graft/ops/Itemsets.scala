@@ -53,9 +53,20 @@ object Itemsets {
       .distinct()
     val n = items.agg(countDistinct(col("o")).as("n_orders"))
     val single = items.groupBy(col("p")).agg(count(lit(1)).as("supp"))
-    val pair = items.as("a")
-      .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+    // pairs are generated INSIDE each basket row (baskets are
+    // small-bounded), replacing the oracle's self-join shuffle with one
+    // basket agg + one pair agg. Measured parity with the join spelling
+    // at sf0.1 (1.66 vs 1.71 s idle — floor-dominated); kept because the
+    // shuffle carries one row per basket instead of one per item and the
+    // pair blow-up happens after the exchange, which is the 100 TB shape
+    val baskets = items.groupBy(col("o"))
+      .agg(sort_array(collect_set(col("p"))).as("ps"))
+    val pair = baskets
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+             transform(slice(ps, i + 2, size(ps)), y ->
+               struct(x AS pa, y AS pb))))""")).as("e"))
+      .groupBy(col("e.pa").as("pa"), col("e.pb").as("pb"))
       .agg(count(lit(1)).as("supp_ab"))
       .filter(col("supp_ab") >= MINSUP)
       .orderBy(col("supp_ab").desc, col("pa"), col("pb"))
