@@ -47,8 +47,10 @@ object LabelProp {
     (mx + 1) / SEED_DEN
   }
 
-  val xLabelProp = Q(
-    "x_label_prop",
+  /** The shared oracle CTE chain: seed cut → grid kNN → two vote
+    * iterations → `pred(vec_id, pred_label, iter)` over the unlabeled
+    * slice. Reused verbatim by all three label-prop queries. */
+  private val oracleCtes =
     s"""WITH cut AS (SELECT (max(vec_id) + 1) // $SEED_DEN AS c FROM embeddings),
        e AS (SELECT vec_id, label,
               CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -76,8 +78,8 @@ object LabelProp {
            FROM knn JOIN l1 ON knn.v = l1.vec_id
            WHERE knn.u NOT IN (SELECT vec_id FROM p1)
            GROUP BY knn.u, l1.label)
-         WHERE rr = 1)
-       SELECT e.vec_id,
+         WHERE rr = 1),
+       pred AS MATERIALIZED (SELECT e.vec_id,
               CAST(coalesce(p1.label, p2.label, -1) AS BIGINT) AS pred_label,
               CAST(CASE WHEN p1.vec_id IS NOT NULL THEN 1
                         WHEN p2.vec_id IS NOT NULL THEN 2
@@ -85,8 +87,20 @@ object LabelProp {
        FROM e
        LEFT JOIN p1 ON e.vec_id = p1.vec_id
        LEFT JOIN p2 ON e.vec_id = p2.vec_id, cut
-       WHERE e.vec_id >= cut.c
-       ORDER BY e.vec_id""") { (s, dir) =>
+       WHERE e.vec_id >= cut.c)"""
+
+  val xLabelProp = Q(
+    "x_label_prop",
+    s"""$oracleCtes
+       SELECT vec_id, pred_label, iter FROM pred ORDER BY vec_id""") {
+    (s, dir) => predictions(s, dir).orderBy("vec_id")
+  }
+
+  /** (vec_id, pred_label, iter) over the unlabeled slice — the engine
+    * half shared by all three queries; the kNN edges and iteration-1
+    * votes are CacheBin-cached per (session, dir), so the eval queries
+    * reuse the propagation instead of re-running the grid. */
+  private[llmops] def predictions(s: SparkSession, dir: String): DataFrame = {
     val e = VectorSearch.embeddingsBase(s, dir).select("vec_id", "label", "n_emb")
     val cut = seedCut(e)
     val unl = e.filter(col("vec_id") >= cut)
@@ -128,8 +142,85 @@ object LabelProp {
           .as("pred_label"),
         when(col("lab1").isNotNull, 1L)
           .when(col("lab2").isNotNull, 2L).otherwise(0L).as("iter"))
-      .orderBy("vec_id")
   }
 
-  val all: Seq[Q] = Seq(xLabelProp)
+  /** X — multiclass confusion matrix of the propagated labels against
+    * the held-out truth (reached nodes only): the cell counts every
+    * classifier eval starts from. Pure integer; the cell table also
+    * quantifies the fixture's measured label-geometry independence
+    * (near-uniform rows). */
+  val xConfusionMatrix = Q(
+    "x_confusion_matrix",
+    s"""$oracleCtes
+       SELECT CAST(e.label AS BIGINT) AS true_label, pred.pred_label,
+              CAST(count(*) AS BIGINT) AS n
+       FROM pred JOIN e ON pred.vec_id = e.vec_id
+       WHERE pred.iter > 0
+       GROUP BY 1, 2 ORDER BY true_label, pred_label""") { (s, dir) =>
+    val e = VectorSearch.embeddingsBase(s, dir).select("vec_id", "label")
+    predictions(s, dir).filter(col("iter") > 0)
+      .join(e, "vec_id")
+      .groupBy(col("label").cast("long").as("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("true_label", "pred_label")
+  }
+
+  /** X — per-class precision/recall/F1 from the same confusion cells,
+    * as exact 1e6 integer quotients (F1 = 2tp/(2tp+fp+fn) needs no
+    * float). Classes with no predictions emit 0 precision by the
+    * 0-denominator convention (guarded CASE, both engines). */
+  val xClassMetrics = Q(
+    "x_class_metrics",
+    s"""$oracleCtes,
+       cells AS (SELECT CAST(e.label AS BIGINT) AS t, pred.pred_label AS p,
+              CAST(count(*) AS BIGINT) AS n
+            FROM pred JOIN e ON pred.vec_id = e.vec_id
+            WHERE pred.iter > 0 GROUP BY 1, 2),
+       cls AS (SELECT CAST(label AS BIGINT) AS label FROM e, cut
+               WHERE vec_id >= cut.c GROUP BY 1),
+       m AS (SELECT cls.label,
+               CAST(coalesce(sum(CASE WHEN cells.t = cls.label
+                   AND cells.p = cls.label THEN n END), 0) AS BIGINT) AS tp,
+               CAST(coalesce(sum(CASE WHEN cells.t <> cls.label
+                   AND cells.p = cls.label THEN n END), 0) AS BIGINT) AS fp,
+               CAST(coalesce(sum(CASE WHEN cells.t = cls.label
+                   AND cells.p <> cls.label THEN n END), 0) AS BIGINT) AS fn
+             FROM cls LEFT JOIN cells ON TRUE GROUP BY cls.label)
+       SELECT label, tp, fp, fn,
+              CASE WHEN tp + fp = 0 THEN 0
+                   ELSE (1000000 * tp) // (tp + fp) END AS prec_fix,
+              CASE WHEN tp + fn = 0 THEN 0
+                   ELSE (1000000 * tp) // (tp + fn) END AS rec_fix,
+              CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+                   ELSE (2000000 * tp) // (2 * tp + fp + fn) END AS f1_fix
+       FROM m ORDER BY label""") { (s, dir) =>
+    val e = VectorSearch.embeddingsBase(s, dir).select("vec_id", "label")
+    val cut = seedCut(e.select(col("vec_id")))
+    val cells = predictions(s, dir).filter(col("iter") > 0)
+      .join(e, "vec_id")
+      .groupBy(col("label").cast("long").as("t"), col("pred_label").as("p"))
+      .agg(count(lit(1)).as("n"))
+    val cls = e.filter(col("vec_id") >= cut)
+      .select(col("label").cast("long").as("label")).distinct()
+    cls.crossJoin(cells)
+      .groupBy("label")
+      .agg(
+        coalesce(sum(when(col("t") === col("label") &&
+          col("p") === col("label"), col("n"))), lit(0L)).as("tp"),
+        coalesce(sum(when(col("t") =!= col("label") &&
+          col("p") === col("label"), col("n"))), lit(0L)).as("fp"),
+        coalesce(sum(when(col("t") === col("label") &&
+          col("p") =!= col("label"), col("n"))), lit(0L)).as("fn"))
+      .select(col("label"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") === 0, 0L)
+          .otherwise(expr("(1000000 * tp) div (tp + fp)")).as("prec_fix"),
+        when(col("tp") + col("fn") === 0, 0L)
+          .otherwise(expr("(1000000 * tp) div (tp + fn)")).as("rec_fix"),
+        when(lit(2) * col("tp") + col("fp") + col("fn") === 0, 0L)
+          .otherwise(expr("(2000000 * tp) div (2 * tp + fp + fn)"))
+          .as("f1_fix"))
+      .orderBy("label")
+  }
+
+  val all: Seq[Q] = Seq(xLabelProp, xConfusionMatrix, xClassMetrics)
 }

@@ -64,4 +64,36 @@ class LabelPropSpec extends AnyFunSuite {
         f"label-free fixture) on ${reached.length} reached")
     }
   }
+
+  test("confusion cells and class metrics are consistent with the predictions") {
+    for (dir <- dirs) {
+      val truth = VectorSearch.embeddingsBase(spark, dir)
+        .select("vec_id", "label").as[(Long, Int)].collect().toMap
+      val preds = LabelProp.xLabelProp.build(spark, dir)
+        .as[(Long, Long, Long)].collect().filter(_._3 > 0)
+      val cells = LabelProp.xConfusionMatrix.build(spark, dir)
+        .as[(Long, Long, Long)].collect()
+      assert(cells.map(_._3).sum == preds.length,
+        "cells must partition the reached nodes")
+      val expCells = preds.groupBy(p => (truth(p._1).toLong, p._2)).view
+        .mapValues(_.length.toLong).toMap
+      assert(cells.map(c => (c._1, c._2) -> c._3).toMap == expCells)
+      val metrics = LabelProp.xClassMetrics.build(spark, dir)
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      metrics.foreach { case (l, tp, fp, fn, p, r, f1) =>
+        assert(tp == expCells.getOrElse((l, l), 0L))
+        assert(fp == expCells.collect {
+          case ((t, pr), n) if t != l && pr == l => n }.sum)
+        assert(fn == expCells.collect {
+          case ((t, pr), n) if t == l && pr != l => n }.sum)
+        assert(p == (if (tp + fp == 0) 0L else 1000000L * tp / (tp + fp)))
+        assert(r == (if (tp + fn == 0) 0L else 1000000L * tp / (tp + fn)))
+        assert(f1 == (if (2 * tp + fp + fn == 0) 0L
+                      else 2000000L * tp / (2 * tp + fp + fn)))
+      }
+      val diag = cells.filter(c => c._1 == c._2).map(_._3).sum
+      info(s"$dir: ${cells.length} cells, trace $diag/${preds.length} " +
+        s"(~chance on the label-free fixture), ${metrics.length} classes")
+    }
+  }
 }
