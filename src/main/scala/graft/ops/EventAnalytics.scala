@@ -528,6 +528,54 @@ object EventAnalytics {
           dec(col("b") + col("d"))).as("significant_95"))
   }
 
+  /** X — jackknife standard error of the mean document length: the
+    * deterministic resampling diagnostic (leave-one-out replicates need
+    * no RNG, unlike the bootstrap, so it is exactly replayable). For
+    * the MEAN the jackknife SE reduces in closed form to
+    *   SE² = Σᵢ(S − n·xᵢ)² / (n³(n−1))
+    * (algebraically identical to s/√n — the spec asserts that
+    * equivalence numerically), so the whole statistic is one exact
+    * integer sum-of-squares. The square sum runs in DECIMAL(38,0) (the
+    * x_ab_chisq discipline — (S−n·x)² overflows int64 past ~sf1); the
+    * single final sqrt over the exact ratio is the one audited rounding
+    * (jackknife-se margin family).
+    *
+    * Scale posture: two narrow corpus passes (the total, then the
+    * centered square sum with the 1-row total broadcast), both
+    * map-side-combined aggs. Leave-one-out never materializes n
+    * replicates — that closed form IS the point.
+    */
+  val xJackknifeSe = Q(
+    "x_jackknife_se",
+    """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS s FROM documents),
+       q AS (SELECT CAST(sum(CAST(t.s - t.n * d.n_chars AS DECIMAL(38,0))
+                 * CAST(t.s - t.n * d.n_chars AS DECIMAL(38,0)))
+               AS DECIMAL(38,0)) AS ssq
+             FROM documents d, t)
+       SELECT t.n, t.s AS sum_x,
+              (1000 * t.s) // t.n AS mean_milli,
+              CAST(round(1000000 * sqrt(CAST(q.ssq AS DOUBLE) /
+                (CAST(t.n AS DOUBLE) * t.n * t.n * (t.n - 1))))
+                AS BIGINT) AS se_fix
+       FROM t, q""") { (s, dir) =>
+    def dec38(c: Column) = c.cast("decimal(38,0)")
+    val t = T(s, dir, "documents")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"))
+    val q = T(s, dir, "documents")
+      .crossJoin(broadcast(t))
+      .agg(sum(dec38(col("s") - col("n") * col("n_chars")) *
+        dec38(col("s") - col("n") * col("n_chars"))).cast("decimal(38,0)")
+        .as("ssq"))
+    t.crossJoin(broadcast(q))
+      .select(col("n"), col("s").as("sum_x"),
+        expr("(1000 * s) div n").as("mean_milli"),
+        round(lit(1000000) * sqrt(col("ssq").cast("double") /
+          (col("n").cast("double") * col("n") * col("n") * (col("n") - 1))))
+          .cast("long").as("se_fix"))
+  }
+
   val all: Seq[Q] = Seq(xFunnel, xRetention, xTransitions, xOutlierIqr,
-    xWinsorize, xDecayScore, xRfm, xRfmScaled, xAttribution, xAbChisq)
+    xWinsorize, xDecayScore, xRfm, xRfmScaled, xAttribution, xAbChisq,
+    xJackknifeSe)
 }

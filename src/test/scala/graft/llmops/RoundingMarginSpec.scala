@@ -332,6 +332,15 @@ class RoundingMarginSpec extends AnyFunSuite {
       // exact integers) × 1e6
       val bleu = Seq(Overlap.bleuRaw(spark, dir) * 1e6)
 
+      // x_jackknife_se: the single sqrt over the exact integer ratio × 1e6
+      val jkSe = {
+        val xs = docs.select(col("n_chars")).as[Long].collect()
+        val n = xs.length.toDouble
+        val s = xs.sum.toDouble
+        val ssq = xs.map(x => (s - n * x) * (s - n * x)).sum
+        Seq(1e6 * math.sqrt(ssq / (n * n * n * (n - 1))))
+      }
+
       // x_cluster_silhouette: the full all×all pair grid × 1e6 (a
       // superset of labelprop-grid; same shrinking-boundary argument)
       val silhouetteGrid = {
@@ -372,6 +381,7 @@ class RoundingMarginSpec extends AnyFunSuite {
 
       audit(dir, Seq(
         Fam("bleu-corpus", "half", 1e-4, bleu),
+        Fam("jackknife-se", "half", 1e-4, jkSe),
         Fam("coreset-sims", "half", 1e-6, coresetSims.toSeq),
         // x_ndcg_eval: the K constant discount weights 1e6/log2(i+1)
         // (data-independent grid, audio-trig class)

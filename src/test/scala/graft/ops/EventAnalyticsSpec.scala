@@ -169,4 +169,30 @@ class EventAnalyticsSpec extends AnyFunSuite {
       assert(votes >= 1 && votes <= 10)
     }
   }
+
+  test("jackknife SE matches literal leave-one-out AND the classic s/sqrt(n)") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val xs = graft.core.Tables(spark, dir, "documents")
+        .select(col("n_chars")).as[Long].collect().map(_.toDouble)
+      val n = xs.length
+      val mean = xs.sum / n
+      // literal jackknife: n leave-one-out replicate means
+      val loo = xs.indices.map(i => (xs.sum - xs(i)) / (n - 1))
+      val jkVar = loo.map(m => (m - mean) * (m - mean)).sum * (n - 1) / n
+      // classic SE of the mean
+      val s2 = xs.map(x => (x - mean) * (x - mean)).sum / (n - 1)
+      val classic = math.sqrt(s2 / n)
+      assert(math.abs(math.sqrt(jkVar) - classic) < 1e-9,
+        "jackknife must equal s/sqrt(n) for the mean")
+      val Array((qn, sumX, meanMilli, seFix)) =
+        EventAnalytics.xJackknifeSe.build(spark, dir)
+          .as[(Long, Long, Long, Long)].collect()
+      assert(qn == n && sumX == xs.sum.toLong)
+      assert(meanMilli == 1000L * sumX / qn)
+      assert(seFix == math.round(1e6 * classic),
+        s"$dir: se_fix $seFix vs classic ${1e6 * classic}")
+      info(f"$dir: mean ${mean}%.1f chars, SE ${seFix / 1e6}%.4f " +
+        "(jackknife = classic, asserted)")
+    }
+  }
 }
