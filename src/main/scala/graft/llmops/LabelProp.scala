@@ -97,10 +97,29 @@ object LabelProp {
   }
 
   /** (vec_id, pred_label, iter) over the unlabeled slice — the engine
-    * half shared by all three queries; the kNN edges and iteration-1
-    * votes are CacheBin-cached per (session, dir), so the eval queries
-    * reuse the propagation instead of re-running the grid. */
+    * half shared by all three queries. Memoized per (session, dir) with
+    * the embeddingsBase discipline (TrieMap + stopped-session sweep +
+    * eq-check): plan-level cache dedup does NOT work here because the
+    * TopKByScore UDAF compares by instance, so two builds of the same
+    * propagation never canonicalize equal — without the memo every
+    * query invocation re-paid the full kNN grid (measured ~4 s each in
+    * bench run 49; the memo makes the grid a once-per-session cost). */
+  private val preds =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
   private[llmops] def predictions(s: SparkSession, dir: String): DataFrame = {
+    preds.filterInPlace((_, df) => !df.sparkSession.sparkContext.isStopped)
+    val key = (System.identityHashCode(s), dir)
+    preds.get(key).filter(_.sparkSession eq s).getOrElse {
+      val df = buildPredictions(s, dir).cache()
+      graft.core.CacheBin.swap(
+        s"labelprop.pred:${System.identityHashCode(s)}:$dir", df)
+      preds.put(key, df)
+      df
+    }
+  }
+
+  private def buildPredictions(s: SparkSession, dir: String): DataFrame = {
     val e = VectorSearch.embeddingsBase(s, dir).select("vec_id", "label", "n_emb")
     val cut = seedCut(e)
     val unl = e.filter(col("vec_id") >= cut)
