@@ -553,6 +553,41 @@ object StreamOps {
       .orderBy("day", "bin")
   }
 
+  /** X — streaming trending dashboard: the watermarked 1-day tumbling
+    * aggregation maintains per-(day, event_type) counts as the stream
+    * replays (the gold-table architecture x_stream_psi uses), and the
+    * batch finalization ranks each day's top-3 types. The rank window
+    * runs over the SINK (|days|·|types| rows — dozens), never the
+    * event stream; counts and ranks are pure integers with
+    * smaller-type tie-breaks.
+    */
+  val xStreamTrending = Q(
+    "x_stream_trending",
+    """WITH h AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+              event_type, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+       r AS (SELECT day, event_type, n,
+               CAST(row_number() OVER (PARTITION BY day
+                 ORDER BY n DESC, event_type) AS BIGINT) AS rank
+             FROM h)
+       SELECT day, rank, event_type, n FROM r
+       WHERE rank <= 3 ORDER BY day, rank""") { (s, dir) =>
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "2 days")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("date").as("day"),
+        col("event_type"), col("n"))
+    val sink = runToMemory(agg, "xtrend_mem", OutputMode.Complete())
+    sink
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("day"))
+          .orderBy(col("n").desc, col("event_type"))).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("day"), col("rank"), col("event_type"), col("n"))
+      .orderBy("day", "rank")
+  }
+
   val all: Seq[Q] = Seq(q28, q29, q29b, q30, q30b, q30c, q30d, xStreamNeardup,
-    xStreamUpsert, xStreamPsi)
+    xStreamUpsert, xStreamPsi, xStreamTrending)
 }

@@ -25,6 +25,36 @@ class MultiBatchSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming trending equals the batch recount and ranks cleanly per day") {
+    val sf = "/root/testdata/sf0.001"
+    val out = StreamOps.xStreamTrending.build(spark, sf)
+      .as[(java.sql.Date, Long, String, Long)].collect()
+    // batch recount of the same windows
+    val batch = graft.core.Tables(spark, sf, "events")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .as[(java.sql.Date, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(
+        _.map(r => (r._2, r._3)).sortBy { case (t, n) => (-n, t) }.take(3))
+      .toMap
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (day, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length), s"$day ranks")
+      assert(sorted.map(r => (r._3, r._4)).toSeq == batch(day).toSeq,
+        s"$day top-3 mismatch")
+      // ranks follow the count order with type tie-break
+      sorted.sliding(2).foreach { w =>
+        if (w.length == 2) {
+          val (a, b) = (w(0), w(1))
+          assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3))
+        }
+      }
+    }
+    info(s"${out.groupBy(_._1).size} days, ${out.length} trending rows")
+  }
+
   test("windowed aggregation state carries across micro-batches") {
     val src = graft.core.Tables(spark, "/root/testdata/sf0.001", "events")
     val dir = Files.createTempDirectory("graft_multibatch").toString
