@@ -154,5 +154,50 @@ object Governance {
       .orderBy("bin")
   }
 
-  val all: Seq[Q] = Seq(xKAnonymity, xKappaAgreement, xEceCalibration)
+  /** X — l-diversity audit, the k-anonymity companion (Machanavajjhala
+    * et al.): a QI group can be k-anonymous yet leak the sensitive
+    * attribute if every member shares it. Here the QI is
+    * (source, coarse length bucket) and the sensitive attribute is
+    * `lang`; per group we report the population, the number of DISTINCT
+    * sensitive values, and the largest single value's share, with the
+    * two standard release flags — distinct l-diversity (≥ 3 values) and
+    * a bounded-majority check (top value ≤ half the group, i.e. no
+    * sensitive value is a majority).
+    *
+    * Pure integer: counts and an integer comparison (top·2 ≤ n) — no
+    * division anywhere. Scale posture: two chained hash aggs whose
+    * group domains are bounded (|source|·len-buckets·|lang|, then
+    * |source|·len-buckets) — map-side combine all the way; no windows,
+    * no driver state.
+    */
+  val xLDiversity = Q(
+    "x_l_diversity",
+    s"""WITH g AS (SELECT source, n_chars // $QI_BUCKET AS len_bucket, lang,
+             CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1, 2, 3),
+       q AS (SELECT source, len_bucket,
+               CAST(sum(n) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS distinct_langs,
+               CAST(max(n) AS BIGINT) AS top_lang_n
+             FROM g GROUP BY 1, 2)
+       SELECT source, len_bucket, n, distinct_langs, top_lang_n,
+              (distinct_langs >= 3) AS l3_diverse,
+              (top_lang_n * 2 <= n) AS majority_bounded
+       FROM q ORDER BY source, len_bucket""") { (s, dir) =>
+    T(s, dir, "documents")
+      .groupBy(col("source"), expr(s"n_chars div $QI_BUCKET").as("len_bucket"),
+        col("lang"))
+      .agg(count(lit(1)).as("ln"))
+      .groupBy("source", "len_bucket")
+      .agg(sum(col("ln")).as("n"), count(lit(1)).as("distinct_langs"),
+        max(col("ln")).as("top_lang_n"))
+      .select(col("source"), col("len_bucket"), col("n"),
+        col("distinct_langs"), col("top_lang_n"),
+        (col("distinct_langs") >= 3).as("l3_diverse"),
+        (col("top_lang_n") * 2 <= col("n")).as("majority_bounded"))
+      .orderBy("source", "len_bucket")
+  }
+
+  val all: Seq[Q] =
+    Seq(xKAnonymity, xKappaAgreement, xEceCalibration, xLDiversity)
 }

@@ -155,5 +155,49 @@ object HeavyHitters {
     */
   val CMS_SEED = 42
 
-  val all: Seq[Q] = Seq(xHeavyHitters, xCountMin)
+  /** X — exact distinct rollup via mergeable bitmaps
+    * ([[graft.functions.BitmapFns]]): monthly active-customer bitsets OR
+    * up to EXACT quarterly distinct counts without rescanning the detail
+    * rows — the third sketch in the family (Misra–Gries prunes, CMS
+    * bounds, bitmaps are exact over a dense-id domain). The output pairs
+    * the naive Σ-of-month-distincts with the true quarterly distinct, so
+    * the double-count (`overlap`) the bitmap rollup avoids is visible in
+    * the result.
+    *
+    * Scale posture: one (quarter, month) hash agg whose per-group state
+    * is a domain-bounded bitset (custkey/8 bytes; dictionary-encode via
+    * x_dense_ids first at corpus scale), then a 3-rows-per-quarter
+    * re-agg of binary blobs. Both stages partial-aggregate map-side;
+    * exactness is order-independent because OR is commutative. The
+    * oracle recounts both levels with COUNT(DISTINCT).
+    */
+  val xBitmapDistinct = Q(
+    "x_bitmap_distinct",
+    """WITH m AS (SELECT date_trunc('quarter', o_orderdate) AS quarter,
+             date_trunc('month', o_orderdate) AS mo,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS md
+           FROM orders GROUP BY 1, 2),
+       qd AS (SELECT date_trunc('quarter', o_orderdate) AS quarter,
+                CAST(count(DISTINCT o_custkey) AS BIGINT) AS q_distinct
+              FROM orders GROUP BY 1)
+       SELECT quarter, CAST(count(*) AS BIGINT) AS n_months,
+              CAST(sum(md) AS BIGINT) AS sum_month_distinct, q_distinct,
+              CAST(sum(md) AS BIGINT) - q_distinct AS overlap
+       FROM m JOIN qd USING (quarter)
+       GROUP BY quarter, q_distinct ORDER BY quarter""") { (s, dir) =>
+    val bm = graft.functions.BitmapFns.bitmapAgg
+    val ru = graft.functions.BitmapFns.bitmapRollup
+    val m = T(s, dir, "orders")
+      .groupBy(trunc(col("o_orderdate"), "quarter").as("quarter"),
+        trunc(col("o_orderdate"), "month").as("mo"))
+      .agg(bm(col("o_custkey")).as("bmp"))
+    m.groupBy("quarter")
+      .agg(count(lit(1)).as("n_months"), ru(col("bmp")).as("r"))
+      .select(col("quarter"), col("n_months"),
+        col("r._2").as("sum_month_distinct"), col("r._1").as("q_distinct"),
+        (col("r._2") - col("r._1")).as("overlap"))
+      .orderBy("quarter")
+  }
+
+  val all: Seq[Q] = Seq(xHeavyHitters, xCountMin, xBitmapDistinct)
 }

@@ -205,5 +205,129 @@ object Overlap {
         .cast("long").as("bleu_fix"))
   }
 
-  val all: Seq[Q] = Seq(xRougeEval, xBleuEval)
+  /** The nine corpus-level chrF integers: per n ∈ {1,2,3} the clipped
+    * match / candidate-total / reference-total character-n-gram counts
+    * (whitespace stripped, per the chrF definition), summed over the
+    * corpus sacrebleu-style. Same single tagged gram shuffle as BLEU.
+    */
+  private[graft] def chrfPartsFrom(docs: DataFrame): DataFrame = {
+    val p0 = pairsFrom(docs).select(col("doc_id"),
+      array_join(col("rw"), "").as("rt"), array_join(col("cw"), "").as("ct"))
+    def grams(c: String) = expr(
+      s"""flatten(transform(array(1, 2, 3), n ->
+            CASE WHEN length($c) >= n THEN
+              transform(sequence(1, length($c) - n + 1),
+                i -> struct(n AS n, substring($c, i, n) AS g))
+            ELSE slice(transform(sequence(1, 1),
+                i -> struct(n AS n, '' AS g)), 1, 0) END))""")
+    val ex = p0.select(col("doc_id"), lit(1L).as("is_cand"),
+        explode(grams("ct")).as("e"))
+      .union(p0.select(col("doc_id"), lit(0L).as("is_cand"),
+        explode(grams("rt")).as("e")))
+      .select(col("doc_id"), col("is_cand"),
+        col("e.n").as("n"), col("e.g").as("g"))
+    val cnt = ex.groupBy("doc_id", "n", "g").agg(
+      sum(col("is_cand")).as("cc"), sum(lit(1L) - col("is_cand")).as("rc"))
+    val byN = cnt.groupBy("n").agg(
+      sum(least(col("cc"), col("rc"))).as("m"),
+      sum(col("cc")).as("c"), sum(col("rc")).as("r"))
+    byN.agg(
+      sum(when(col("n") === 1, col("m"))).as("m1"),
+      sum(when(col("n") === 1, col("c"))).as("c1"),
+      sum(when(col("n") === 1, col("r"))).as("r1"),
+      sum(when(col("n") === 2, col("m"))).as("m2"),
+      sum(when(col("n") === 2, col("c"))).as("c2"),
+      sum(when(col("n") === 2, col("r"))).as("r2"),
+      sum(when(col("n") === 3, col("m"))).as("m3"),
+      sum(when(col("n") === 3, col("c"))).as("c3"),
+      sum(when(col("n") === 3, col("r"))).as("r3"))
+  }
+
+  private[llmops] def chrfParts(s: SparkSession, dir: String): DataFrame =
+    chrfPartsFrom(T(s, dir, "documents"))
+
+  /** The pre-round corpus chrF double (for the rounding-margin audit). */
+  private[llmops] def chrfRaw(s: SparkSession, dir: String): Double = {
+    val r = chrfParts(s, dir).collect()(0)
+    def l(i: Int) = r.getLong(i)
+    val p = (l(0).toDouble / l(1) + l(3).toDouble / l(4) +
+      l(6).toDouble / l(7)) / 3.0
+    val rr = (l(0).toDouble / l(2) + l(3).toDouble / l(5) +
+      l(6).toDouble / l(8)) / 3.0
+    5.0 * p * rr / (4.0 * p + rr)
+  }
+
+  /** X — corpus chrF (Popović 2015), the third leg of the MT/rewrite
+    * eval panel beside ROUGE and BLEU: character-n-gram F-score with
+    * n = 1..3 and β = 2 (recall-weighted), whitespace stripped. CHRP and
+    * CHRR macro-average the per-n clipped precisions/recalls over the
+    * corpus-summed statistics (sacrebleu's corpus aggregation), and
+    * chrF = 5·P·R/(4·P + R). The nine aggregates are exact integers;
+    * the final expression is written in the identical IEEE evaluation
+    * order in both engines and rounded once to a 1e6 fixed point
+    * (margin audited — "chrf-corpus" family).
+    *
+    * Scale posture: identical to BLEU's — one tagged explode of both
+    * sides' grams, one (doc_id, n, g) hash agg with map-side combine,
+    * two bounded re-aggs (3 rows, then 1). The char-gram explode is 3×
+    * the corpus character count per side: scan-proportional, no
+    * windows, no driver state.
+    */
+  val xChrfEval = Q(
+    "x_chrf_eval",
+    s"""WITH p AS (SELECT doc_id,
+             array_to_string(string_split(text, ' '), '') AS rt,
+             array_to_string($duckRewrite, '') AS ct FROM documents),
+       ex AS (
+         SELECT doc_id, 1 AS is_cand, n, substr(ct, i, n) AS g
+         FROM p, LATERAL (SELECT unnest([1, 2, 3]) AS n) ln,
+              LATERAL (SELECT unnest(generate_series(1, len(ct) - n + 1)) AS i) li
+         WHERE len(ct) >= n
+         UNION ALL
+         SELECT doc_id, 0 AS is_cand, n, substr(rt, i, n) AS g
+         FROM p, LATERAL (SELECT unnest([1, 2, 3]) AS n) ln,
+              LATERAL (SELECT unnest(generate_series(1, len(rt) - n + 1)) AS i) li
+         WHERE len(rt) >= n),
+       cnt AS (SELECT doc_id, n, g,
+                 CAST(sum(is_cand) AS BIGINT) AS cc,
+                 CAST(sum(1 - is_cand) AS BIGINT) AS rc
+               FROM ex GROUP BY 1, 2, 3),
+       byn AS (SELECT n, CAST(sum(least(cc, rc)) AS BIGINT) AS m,
+                 CAST(sum(cc) AS BIGINT) AS c, CAST(sum(rc) AS BIGINT) AS r
+               FROM cnt GROUP BY n),
+       agg AS (SELECT
+           CAST(sum(CASE WHEN n = 1 THEN m END) AS BIGINT) AS m1,
+           CAST(sum(CASE WHEN n = 1 THEN c END) AS BIGINT) AS c1,
+           CAST(sum(CASE WHEN n = 1 THEN r END) AS BIGINT) AS r1,
+           CAST(sum(CASE WHEN n = 2 THEN m END) AS BIGINT) AS m2,
+           CAST(sum(CASE WHEN n = 2 THEN c END) AS BIGINT) AS c2,
+           CAST(sum(CASE WHEN n = 2 THEN r END) AS BIGINT) AS r2,
+           CAST(sum(CASE WHEN n = 3 THEN m END) AS BIGINT) AS m3,
+           CAST(sum(CASE WHEN n = 3 THEN c END) AS BIGINT) AS c3,
+           CAST(sum(CASE WHEN n = 3 THEN r END) AS BIGINT) AS r3
+         FROM byn),
+       f AS (SELECT *,
+           (CAST(m1 AS DOUBLE) / c1 + CAST(m2 AS DOUBLE) / c2 +
+            CAST(m3 AS DOUBLE) / c3) / 3.0 AS chrp,
+           (CAST(m1 AS DOUBLE) / r1 + CAST(m2 AS DOUBLE) / r2 +
+            CAST(m3 AS DOUBLE) / r3) / 3.0 AS chrr
+         FROM agg)
+       SELECT m1, c1, r1, m2, c2, r2, m3, c3, r3,
+              CAST(round(1000000 * (5.0 * chrp * chrr / (4.0 * chrp + chrr)))
+                AS BIGINT) AS chrf_fix
+       FROM f""") { (s, dir) =>
+    val parts = chrfParts(s, dir)
+    val chrp = (col("m1").cast("double") / col("c1") +
+      col("m2").cast("double") / col("c2") +
+      col("m3").cast("double") / col("c3")) / lit(3.0)
+    val chrr = (col("m1").cast("double") / col("r1") +
+      col("m2").cast("double") / col("r2") +
+      col("m3").cast("double") / col("r3")) / lit(3.0)
+    parts.select(col("m1"), col("c1"), col("r1"), col("m2"), col("c2"),
+      col("r2"), col("m3"), col("c3"), col("r3"),
+      round(lit(1000000.0) * (lit(5.0) * chrp * chrr /
+        (lit(4.0) * chrp + chrr))).cast("long").as("chrf_fix"))
+  }
+
+  val all: Seq[Q] = Seq(xRougeEval, xBleuEval, xChrfEval)
 }

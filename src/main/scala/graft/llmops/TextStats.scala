@@ -706,7 +706,60 @@ object TextStats {
       .orderBy("rank")
   }
 
+  /** X — Flesch reading-ease readability, exact fixed point. The classic
+    * curation signal (readability-banded sampling is a standard web-corpus
+    * recipe): FRE = 206.835 − 1.015·(W/S) − 84.6·(Y/W) with W words,
+    * S sentences, Y syllables. The syllable heuristic is vowel-group
+    * counting (runs of [aeiouy] in the lowercased word, min 1 per word);
+    * S counts terminal-punctuation runs ([.!?]+, min 1).
+    *
+    * Exactness: multiply through by the common denominator S·W — the
+    * milli-FRE is the single integer quotient
+    *   (206835·S·W − 1015·W² − 84600·Y·S) div (S·W)
+    * sign-split because Spark's `div` truncates toward zero while
+    * DuckDB's `//` floors (negative FRE happens for run-on synthetic
+    * text). Pure integers end to end; no rounding margin to audit.
+    *
+    * Scale posture: per-document map-only arithmetic over array
+    * higher-order functions (no explode, no shuffle beyond the final
+    * presentation sort) — the whole-stage-codegen shape that is scan-
+    * bound at 100 TB.
+    */
+  val xReadability = Q(
+    "x_readability",
+    """WITH b AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+             greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS s,
+             CAST(list_sum(list_transform(string_split(lower(text), ' '),
+               t -> greatest(1, len(regexp_extract_all(t, '[aeiouy]+'))))) AS BIGINT) AS y
+           FROM documents),
+       f AS (SELECT doc_id, w, s, y,
+               206835 * s * w - 1015 * w * w - 84600 * y * s AS num,
+               s * w AS den FROM b)
+       SELECT doc_id, w, s, y,
+              CASE WHEN num >= 0 THEN num // den
+                   ELSE -((-num) // den) END AS fre_milli
+       FROM f ORDER BY doc_id""") { (s, dir) =>
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("w"),
+        greatest(lit(1L),
+          size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long"))
+          .as("s"),
+        expr("""aggregate(split(lower(text), ' '), CAST(0 AS BIGINT),
+                  (a, t) -> a + greatest(1,
+                    size(regexp_extract_all(t, '[aeiouy]+', 0))))""").as("y"))
+      .withColumn("num",
+        lit(206835L) * col("s") * col("w") - lit(1015L) * col("w") * col("w") -
+          lit(84600L) * col("y") * col("s"))
+      .withColumn("den", col("s") * col("w"))
+      .select(col("doc_id"), col("w"), col("s"), col("y"),
+        expr("CASE WHEN num >= 0 THEN num div den ELSE -((-num) div den) END")
+          .as("fre_milli"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q35, q35b, xTfIdf, xQuality, xTokenCount, xLangId,
     xRepetition, xQualityRules, xWordEntropy, xHashEmbed, xBm25, xDsirWeights,
-    xRrfFusion, xQualityEnsemble)
+    xRrfFusion, xQualityEnsemble, xReadability)
 }

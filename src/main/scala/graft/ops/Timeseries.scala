@@ -289,6 +289,54 @@ object Timeseries {
       .orderBy("region", "nation")
   }
 
+  /** X — CUSUM changepoint detection on the daily order-count series:
+    * the classic single-changepoint statistic is the maximum absolute
+    * deviation of the cumulative sum from its expected straight line,
+    * argmax_t |S_t − t·μ|. Cross-multiplied to pure integers:
+    * dev_num_t = |T·S_t − t·S_T| (T days, S_T total rows), so no mean
+    * is ever divided. The flagged day is the max-deviation day,
+    * earliest-first on ties.
+    *
+    * Scale posture: raw rows reduce in a (date)-keyed hash agg FIRST —
+    * the windows (running sum, global argmax rank) run over the bounded
+    * date dimension (~2.4k rows regardless of corpus size), the same
+    * contract as x_window_distinct. One shuffle on day, two tiny window
+    * passes, a broadcast of the 1-row total.
+    */
+  val xChangepoint = Q(
+    "x_changepoint",
+    """WITH d AS (SELECT o_orderdate AS day, CAST(count(*) AS BIGINT) AS y
+           FROM orders GROUP BY 1),
+       c AS (SELECT day, y,
+               CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+               CAST(sum(y) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+             FROM d),
+       tot AS (SELECT CAST(max(t) AS BIGINT) AS tt,
+                      CAST(sum(y) AS BIGINT) AS st FROM c),
+       dev AS (SELECT day, y, t, cum,
+                 abs(tt * cum - t * st) AS dev_num FROM c, tot),
+       r AS (SELECT *, row_number() OVER (ORDER BY dev_num DESC, t ASC) AS rn
+             FROM dev)
+       SELECT day, y, t, cum, dev_num, (rn = 1) AS is_changepoint
+       FROM r ORDER BY day""") { (s, dir) =>
+    val d = T(s, dir, "orders")
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val wCum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = d.withColumn("t", row_number().over(Window.orderBy("day")).cast("long"))
+      .withColumn("cum", sum(col("y")).over(wCum))
+    val tot = c.agg(max(col("t")).as("tt"), sum(col("y")).as("st"))
+    val dev = c.crossJoin(broadcast(tot))
+      .withColumn("dev_num", abs(col("tt") * col("cum") - col("t") * col("st")))
+    dev.withColumn("rn",
+        row_number().over(Window.orderBy(col("dev_num").desc, col("t").asc)))
+      .select(col("day"), col("y"), col("t"), col("cum"), col("dev_num"),
+        (col("rn") === 1).as("is_changepoint"))
+      .orderBy("day")
+  }
+
   val all: Seq[Q] = Seq(xInterpolate, xGapDetect, xWindowDistinct,
-    xRollingMedian, xPopGrowth, xPctOfParent)
+    xRollingMedian, xPopGrowth, xPctOfParent, xChangepoint)
 }

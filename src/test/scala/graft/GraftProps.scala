@@ -448,4 +448,28 @@ object DemuxBenchProps extends Properties("demux_bench") {
         .foldLeft(agg.zero)(agg.merge)
       merged.toList == brute
     }
+
+  property("bitmap agg+rollup equals exact distinct under any partition split") =
+    forAll(Gen.listOf(Gen.choose(0L, 5000L)), Gen.choose(1, 5)) { (ids, nSplits) =>
+      val B = graft.functions.BitmapFns
+      val agg = new B.BitmapAgg
+      val parts = (0 until nSplits).map(i =>
+        ids.zipWithIndex.collect { case (x, j) if j % nSplits == i => x })
+      // stage 1: OR-merge across arbitrary splits, serialize
+      val bytes = agg.finish(parts
+        .map(p => p.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)((a, b) => agg.merge(a, b)))
+      // stage 2: rollup of the per-split bitsets must give (true distinct,
+      // Σ per-split distincts) regardless of split shape
+      val ru = new B.BitmapRollup
+      val splitBlobs = parts.map(p =>
+        agg.finish(p.foldLeft(agg.zero)(agg.reduce)))
+      val (orDistinct, sumParts) = ru.finish(
+        splitBlobs.foldLeft(ru.zero)(ru.reduce))
+      val trailing = bytes.isEmpty || bytes.takeRight(8).exists(_ != 0)
+      B.popcount(B.fromBytes(bytes)) == ids.distinct.length.toLong &&
+        orDistinct == ids.distinct.length.toLong &&
+        sumParts == parts.map(_.distinct.length.toLong).sum &&
+        trailing // serialization trims trailing zero words canonically
+    }
 }

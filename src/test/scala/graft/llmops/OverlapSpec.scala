@@ -50,6 +50,38 @@ class OverlapSpec extends AnyFunSuite {
     }
   }
 
+  test("chrf: fixed point matches the recomputed formula and grams are exact") {
+    for (dir <- dirs) {
+      val Array(r) = Overlap.xChrfEval.build(spark, dir).collect()
+      def l(i: Int) = r.getLong(i)
+      val (m1, c1, r1, m2, c2, r2, m3, c3, r3) =
+        (l(0), l(1), l(2), l(3), l(4), l(5), l(6), l(7), l(8))
+      // clipped matches bounded by both sides; candidate shorter than
+      // reference at every n (the rewrite drops 'the' tokens AND their
+      // characters)
+      for ((m, c, rr) <- Seq((m1, c1, r1), (m2, c2, r2), (m3, c3, r3))) {
+        assert(m >= 0 && m <= c && m <= rr)
+        assert(c < rr, "candidate char stream must be shorter")
+      }
+      // total gram counts are determined by the stripped text lengths:
+      // Σ_n (len - n + 1) per doc, n = 1..3
+      val docs = graft.core.Tables(spark, dir, "documents")
+      val refChars = docs.select(
+          length(regexp_replace(col("text"), " ", "")).cast("long"))
+        .as[Long].collect()
+      assert(r1 == refChars.sum)
+      assert(r2 == refChars.map(n => math.max(0L, n - 1)).sum)
+      assert(r3 == refChars.map(n => math.max(0L, n - 2)).sum)
+      val p = (m1.toDouble / c1 + m2.toDouble / c2 + m3.toDouble / c3) / 3.0
+      val rc = (m1.toDouble / r1 + m2.toDouble / r2 + m3.toDouble / r3) / 3.0
+      val chrf = 5.0 * p * rc / (4.0 * p + rc)
+      assert(r.getLong(9) == math.round(1e6 * chrf))
+      assert(r.getLong(9) > 500000 && r.getLong(9) < 999999,
+        s"degenerate chrF ${r.getLong(9)}")
+      info(f"$dir: chrF=${r.getLong(9) / 1e6}%.6f (P=$p%.4f, R=$rc%.4f)")
+    }
+  }
+
   test("dpo pairs: agg spelling equals the brute-force window spelling") {
     for (dir <- dirs) {
       val docs = graft.core.Tables(spark, dir, "documents")

@@ -332,6 +332,10 @@ class RoundingMarginSpec extends AnyFunSuite {
       // exact integers) × 1e6
       val bleu = Seq(Overlap.bleuRaw(spark, dir) * 1e6)
 
+      // x_chrf_eval: the single corpus chrF double (harmonic-mean ratio
+      // over nine exact integers) × 1e6
+      val chrf = Seq(Overlap.chrfRaw(spark, dir) * 1e6)
+
       // x_jackknife_se: the single sqrt over the exact integer ratio × 1e6
       val jkSe = {
         val xs = docs.select(col("n_chars")).as[Long].collect()
@@ -381,6 +385,7 @@ class RoundingMarginSpec extends AnyFunSuite {
 
       audit(dir, Seq(
         Fam("bleu-corpus", "half", 1e-4, bleu),
+        Fam("chrf-corpus", "half", 1e-4, chrf),
         Fam("jackknife-se", "half", 1e-4, jkSe),
         Fam("coreset-sims", "half", 1e-6, coresetSims.toSeq),
         // x_ndcg_eval: the K constant discount weights 1e6/log2(i+1)

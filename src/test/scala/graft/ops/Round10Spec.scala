@@ -319,4 +319,121 @@ class Round10Spec extends AnyFunSuite {
         s"$dir: got $got want $ks")
     }
   }
+
+  test("l-diversity matches a driver-side brute force and k-anon is consistent") {
+    val G = graft.llmops.Governance
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = graft.core.Tables(spark, dir, "documents")
+        .select(col("source"), (col("n_chars") / G.QI_BUCKET)
+          .cast("long").as("len_bucket"), col("lang"))
+        .as[(String, Long, String)].collect()
+      val expect = docs.groupBy(t => (t._1, t._2)).view.mapValues { rows =>
+        val byLang = rows.groupBy(_._3).view.mapValues(_.length.toLong)
+        (rows.length.toLong, byLang.size.toLong, byLang.values.max)
+      }.toMap
+      val out = G.xLDiversity.build(spark, dir)
+        .as[(String, Long, Long, Long, Long, Boolean, Boolean)].collect()
+      assert(out.length == expect.size)
+      out.foreach { case (src, lb, n, dl, top, l3, mb) =>
+        val (en, edl, etop) = expect((src, lb))
+        assert((n, dl, top) == ((en, edl, etop)), s"$dir ($src,$lb)")
+        assert(l3 == (dl >= 3) && mb == (top * 2 <= n))
+      }
+      // the flags must actually partition the groups on this fixture
+      assert(out.exists(_._6) && out.exists(!_._6),
+        s"$dir: l3_diverse never varies — flag untested")
+      info(s"$dir: ${out.length} QI groups, " +
+        s"${out.count(_._6)} l3-diverse, ${out.count(_._7)} majority-bounded")
+    }
+  }
+
+  test("bitmap distinct rollup equals COUNT(DISTINCT) at both levels") {
+    val H = graft.llmops.HeavyHitters
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val orders = graft.core.Tables(spark, dir, "orders")
+      val expectQ = orders
+        .groupBy(trunc(col("o_orderdate"), "quarter").as("quarter"))
+        .agg(countDistinct(col("o_custkey")).as("qd"))
+        .as[(java.sql.Date, Long)].collect().toMap
+      val expectSum = orders
+        .groupBy(trunc(col("o_orderdate"), "quarter").as("quarter"),
+          trunc(col("o_orderdate"), "month").as("mo"))
+        .agg(countDistinct(col("o_custkey")).as("md"))
+        .groupBy("quarter").agg(sum("md").as("s"), count(lit(1)).as("nm"))
+        .as[(java.sql.Date, Long, Long)].collect()
+        .map(t => t._1 -> (t._2, t._3)).toMap
+      val out = H.xBitmapDistinct.build(spark, dir)
+        .as[(java.sql.Date, Long, Long, Long, Long)].collect()
+      assert(out.length == expectQ.size)
+      out.foreach { case (q, nm, sumMd, qd, overlap) =>
+        assert(qd == expectQ(q), s"$dir $q: quarterly distinct")
+        assert((sumMd, nm) == expectSum(q), s"$dir $q: month roll")
+        assert(overlap == sumMd - qd && overlap >= 0)
+      }
+      // double-counting must actually occur (repeat customers in a quarter)
+      assert(out.exists(_._5 > 0), s"$dir: no overlap — rollup untested")
+      info(s"$dir: ${out.length} quarters, " +
+        s"max overlap ${out.map(_._5).max}")
+    }
+  }
+
+  test("readability fixed point matches a driver-side recompute") {
+    val T = graft.llmops.TextStats
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val texts = graft.core.Tables(spark, dir, "documents")
+        .select("doc_id", "text").as[(Long, String)].collect().toMap
+      val out = T.xReadability.build(spark, dir)
+        .as[(Long, Long, Long, Long, Long)].collect()
+      assert(out.length == texts.size)
+      val vowels = "[aeiouy]+".r
+      val sents = "[.!?]+".r
+      out.foreach { case (id, w, s, y, fre) =>
+        val t = texts(id)
+        val ew = t.split(" ", -1).length.toLong
+        val es = math.max(1L, sents.findAllIn(t).length.toLong)
+        val ey = t.toLowerCase.split(" ", -1)
+          .map(tok => math.max(1L, vowels.findAllIn(tok).length.toLong)).sum
+        assert((w, s, y) == ((ew, es, ey)), s"$dir doc $id counts")
+        val num = 206835L * es * ew - 1015L * ew * ew - 84600L * ey * es
+        val den = es * ew
+        val want = if (num >= 0) num / den else -((-num) / den)
+        assert(fre == want, s"$dir doc $id: fre $fre vs $want")
+      }
+      // the corpus must exercise both signs of the truncating division
+      assert(out.exists(_._5 < 0) && out.exists(_._5 > 0),
+        s"$dir: FRE sign never varies — sign-split division untested")
+      info(s"$dir: ${out.length} docs, FRE range " +
+        s"[${out.map(_._5).min}, ${out.map(_._5).max}] milli")
+    }
+  }
+
+  test("CUSUM changepoint matches a driver-side argmax") {
+    val TS = Timeseries
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val days = graft.core.Tables(spark, dir, "orders")
+        .groupBy(col("o_orderdate").cast("string").as("day"))
+        .agg(count(lit(1)).as("y"))
+        .as[(String, Long)].collect().sortBy(_._1)
+      val tt = days.length.toLong
+      val st = days.map(_._2).sum
+      var cum = 0L
+      val devs = days.zipWithIndex.map { case ((d, y), i) =>
+        cum += y
+        (d, y, i + 1L, cum, math.abs(tt * cum - (i + 1L) * st))
+      }
+      val flag = devs.maxBy { case (_, _, t, _, dev) => (dev, -t) }._3
+      val out = TS.xChangepoint.build(spark, dir)
+        .withColumn("day", col("day").cast("string"))
+        .as[(String, Long, Long, Long, Long, Boolean)].collect()
+      assert(out.length == days.length)
+      out.foreach { case (d, y, t, c, dev, isCp) =>
+        val (ed, ey, et, ec, edev) = devs((t - 1).toInt)
+        assert((d, y, c, dev) == ((ed, ey, ec, edev)), s"$dir t=$t")
+        assert(isCp == (t == flag), s"$dir t=$t flag")
+      }
+      assert(out.count(_._6) == 1, "exactly one changepoint")
+      info(s"$dir: $tt days, changepoint at t=$flag " +
+        s"(${devs((flag - 1).toInt)._1})")
+    }
+  }
 }
