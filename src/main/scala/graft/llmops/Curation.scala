@@ -296,6 +296,147 @@ object Curation {
     }
   }
 
+  /** Priority-sample size. */
+  val PS_K = 50
+
+  /** 2^40 — the hash domain for the deterministic uniform draw. */
+  val PS_DOM = 1099511627776L
+
+  /** X — priority sampling (Duffield–Lund–Thorup): a weight-aware sample
+    * of K documents with per-item Horvitz–Thompson-style estimates, the
+    * principled replacement for "keep the biggest" when a pipeline must
+    * subsample yet still estimate subset totals. Each doc gets priority
+    * q = w/u with u a uniform draw; the K highest-priority docs are kept
+    * and each carries the estimate max(w, τ) with τ the (K+1)-th
+    * priority — Σ estimates is unbiased for Σ w over any subset.
+    *
+    * Determinism: u is the md5-derived 40-bit integer (h+1)/2^40, so
+    * q·2^40/2^40 = w·2^40 div (h+1) is an EXACT integer priority both
+    * engines compute bit-identically; ranking ties break on doc_id. No
+    * RNG, no float.
+    *
+    * Scale posture: map-only priority computation, then
+    * TakeOrderedAndProject(K+1) — the same k-bounded head as q18_topk;
+    * τ broadcasts back as a 1-row frame. No window over the corpus, no
+    * full sort.
+    */
+  val xPrioritySample = Q(
+    "x_priority_sample",
+    s"""WITH q AS (SELECT doc_id, n_chars AS w,
+             (n_chars * $PS_DOM) // (('0x' ||
+                substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT + 1)
+               AS q_fix
+           FROM documents),
+       r AS (SELECT *, CAST(row_number() OVER (ORDER BY q_fix DESC, doc_id)
+               AS BIGINT) AS rank FROM q),
+       tau AS (SELECT CAST(coalesce(max(CASE WHEN rank = ${PS_K + 1}
+                 THEN q_fix END), 0) AS BIGINT) AS tau
+               FROM r WHERE rank <= ${PS_K + 1})
+       SELECT rank, doc_id, w, q_fix, greatest(w, tau) AS est
+       FROM r, tau WHERE rank <= $PS_K ORDER BY rank""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val q = T(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars").as("w"),
+        expr(s"""(n_chars * $PS_DOM) div
+                 (cast(conv(substring(md5(cast(doc_id as string)), 1, 10),
+                            16, 10) as bigint) + 1)""").as("q_fix"))
+    val top = q.orderBy(col("q_fix").desc, col("doc_id")).limit(PS_K + 1)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("q_fix").desc, col("doc_id"))).cast("long"))
+    val tau = top.agg(coalesce(
+      max(when(col("rank") === (PS_K + 1), col("q_fix"))), lit(0L)).as("tau"))
+    top.filter(col("rank") <= PS_K)
+      .crossJoin(broadcast(tau))
+      .select(col("rank"), col("doc_id"), col("w"), col("q_fix"),
+        greatest(col("w"), col("tau")).as("est"))
+      .orderBy("rank")
+  }
+
+  /** Epoch cap for data-constrained mixing: no source repeats more than
+    * this many times (Muennighoff et al. measure ~4 epochs as the point
+    * of sharply diminishing returns; 3 here so the cap bisects this
+    * fixture — the corpus sources are near-uniform in size, and a 3×
+    * budget under UNIFORM shares wants ≈3·t_avg/t epochs of each, i.e.
+    * above the cap for below-average sources and below it for
+    * above-average ones, so both regimes are gate-covered at every SF).
+    */
+  val EPOCH_MAX = 3L
+
+  /** Token budget as a multiple of the corpus total (×1000): 3× the
+    * unique-token count — a data-constrained run that WANTS more tokens
+    * than one epoch supplies. */
+  val BUDGET_PERMILLE = 3000L
+
+  /** X — data-constrained epoch scheduling: allocate a token budget of
+    * 3× the corpus across sources under UNIFORM target shares (the
+    * maximal-upsampling mixing recipe — every source gets an equal slice
+    * of the budget regardless of its size, the α→0 limit of temperature
+    * mixing), capped at EPOCH_MAX epochs of each source's unique tokens,
+    * with one closed-form redistribution of the capped excess equally
+    * across uncapped sources (re-capped; whatever still can't be placed
+    * stays visible as the want-vs-alloc gap per row rather than silently
+    * dropped). This is the planning step of "Scaling Data-Constrained
+    * Language Models": how many times each source repeats inside a fixed
+    * compute budget.
+    *
+    * Exactness: pure integers end to end — token counts, source count,
+    * and every allocation line is integer multiply/divide (uniform
+    * shares need no pow table at all).
+    *
+    * Scale posture: one hash agg to per-source token counts (20 rows),
+    * then driver-free integer arithmetic over the bounded source
+    * dimension via two broadcast joins of 1-row totals. The corpus is
+    * scanned once.
+    */
+  val xEpochSchedule = Q(
+    "x_epoch_schedule",
+    s"""WITH s AS (SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t
+           FROM documents GROUP BY 1),
+       tot AS (SELECT CAST(sum(t) AS BIGINT) AS tt,
+                 CAST(count(*) AS BIGINT) AS ns FROM s),
+       b AS (SELECT tt, ns, (tt * $BUDGET_PERMILLE) // 1000 AS budget FROM tot),
+       p1 AS (SELECT source, t, budget // ns AS want,
+                least(budget // ns, $EPOCH_MAX * t) AS got1,
+                ns FROM s, b),
+       x AS (SELECT CAST(sum(want - got1) AS BIGINT) AS excess,
+               CAST(sum(CASE WHEN want < $EPOCH_MAX * t THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n2 FROM p1),
+       p2 AS (SELECT source, t, want, got1,
+                CASE WHEN want < $EPOCH_MAX * t AND n2 > 0
+                     THEN least(got1 + excess // n2, $EPOCH_MAX * t)
+                     ELSE got1 END AS alloc
+              FROM p1, x)
+       SELECT source, t AS unique_tokens, want, alloc,
+              (1000 * alloc) // t AS epochs_milli,
+              (alloc = $EPOCH_MAX * t) AS capped
+       FROM p2 ORDER BY source""") { (s, dir) =>
+    val w = T(s, dir, "documents")
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("t"))
+    val tot = w.agg(sum(col("t")).as("tt"), count(lit(1)).as("ns"))
+      .withColumn("budget", expr(s"(tt * $BUDGET_PERMILLE) div 1000"))
+    val p1 = w.crossJoin(broadcast(tot))
+      .withColumn("want", expr("budget div ns"))
+      .withColumn("got1", least(col("want"), lit(EPOCH_MAX) * col("t")))
+    val x = p1.agg(
+      sum(col("want") - col("got1")).as("excess"),
+      sum(when(col("want") < lit(EPOCH_MAX) * col("t"), 1L)
+        .otherwise(0L)).as("n2"))
+    p1.crossJoin(broadcast(x))
+      .withColumn("alloc",
+        when(col("want") < lit(EPOCH_MAX) * col("t") && col("n2") > 0,
+          least(col("got1") + expr("excess div n2"),
+            lit(EPOCH_MAX) * col("t")))
+          .otherwise(col("got1")))
+      .select(col("source"), col("t").as("unique_tokens"),
+        col("want"), col("alloc"),
+        expr("(1000 * alloc) div t").as("epochs_milli"),
+        (col("alloc") === lit(EPOCH_MAX) * col("t")).as("capped"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(xNgramContamination, xMixSample, xDomainCap,
-    xDatasetCard, xNgramNovelty, xTemperatureMix)
+    xDatasetCard, xNgramNovelty, xTemperatureMix, xPrioritySample,
+    xEpochSchedule)
 }

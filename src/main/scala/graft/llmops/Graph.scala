@@ -302,5 +302,102 @@ object Graph {
     rankTop20(packed)
   }
 
-  val all: Seq[Q] = Seq(xPageRank, xCommonNeighbors, xCommonNeighborsCapped)
+  /** Co-occurrence threshold for the triangle substrate: part pairs must
+    * share ≥ this many orders to become an edge. Sparsification before
+    * triangle enumeration is the standard recipe (a raw co-occurrence
+    * graph is near-complete noise; thresholded, it keeps only repeated
+    * associations). */
+  val COOC_MIN = 2L
+
+  /** X — triangle counting + global clustering coefficient over the
+    * thresholded part co-purchase graph: parts are linked when they
+    * appear together in ≥ COOC_MIN orders, and the query reports the
+    * graph's edge/wedge/triangle counts and transitivity
+    * 3·triangles/wedges — the classic cohesion statistic (community
+    * structure, spam-graph detection, and the third graph shape the
+    * inventory lacked: pagerank iterates, common-neighbors joins pairs,
+    * triangles close length-2 paths).
+    *
+    * Algorithm (Spark side): DEGREE-ORIENTED edge join — each undirected
+    * edge is directed from its lower-(degree, id) endpoint to the higher,
+    * so every triangle is counted exactly once at its unique out-degree-2
+    * apex and the join fan-out per node is bounded by its ORIENTED
+    * out-degree ≤ O(√|E|) (the classic compact-forward bound) instead of
+    * its raw degree — the spelling that survives power-law graphs at
+    * corpus scale, where a hub's raw degree is unbounded but its oriented
+    * out-degree is not. The oracle counts the same triangles with the
+    * simple id-ordered 3-way join (orientation changes the join cost,
+    * never the count). Pair generation reuses the capped-CN spelling:
+    * one exchange by order, per-order sorted part sets, the codegen'd
+    * packed-pairs expression (orders are small baskets, so no degree cap
+    * is needed on this substrate — the basket size bounds the fan-out).
+    * The thresholded edge list is cached once and feeds the degree,
+    * wedge, and triangle passes; wedges Σ_v d_v(d_v−1)/2 and the
+    * transitivity ratio are pure integers (ppm by integer division).
+    */
+  val xTriangleCount = Q(
+    "x_triangle_count",
+    s"""WITH e0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       pr AS (SELECT CAST(a.p AS BIGINT) AS p1, CAST(b.p AS BIGINT) AS p2
+              FROM e0 a JOIN e0 b ON a.o = b.o AND a.p < b.p
+              GROUP BY 1, 2 HAVING count(*) >= $COOC_MIN),
+       deg AS (SELECT p, CAST(count(*) AS BIGINT) AS d
+               FROM (SELECT p1 AS p FROM pr UNION ALL SELECT p2 FROM pr)
+               GROUP BY 1),
+       w AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+       t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+             FROM pr e1 JOIN pr e2 ON e1.p2 = e2.p1
+                  JOIN pr e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+       ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM pr)
+       SELECT n_nodes, n_edges, n_wedges, n_triangles,
+              CASE WHEN n_wedges = 0 THEN 0
+                   ELSE (3000000 * n_triangles) // n_wedges END AS gcc_ppm
+       FROM w, t, ne""") { (s, dir) =>
+    val pr = T(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .repartition(col("o"))
+      .groupBy(col("o"))
+      .agg(sort_array(collect_set(col("p").cast("long"))).as("ps"))
+      .select(explode(graft.functions.ArrayOps.packedPairs(col("ps"))).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= COOC_MIN)
+      .select(shiftright(col("k"), 32).as("p1"),
+        col("k").bitwiseAND(lit(0xffffffffL)).as("p2"))
+      .cache()
+    graft.core.CacheBin.swap(
+      s"triangles.pr:${System.identityHashCode(s)}:$dir", pr)
+    val deg = pr.select(col("p1").as("p"))
+      .union(pr.select(col("p2").as("p")))
+      .groupBy("p").agg(count(lit(1)).as("d"))
+    val counts = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    // orient each edge from lower (degree, id) to higher — the oriented
+    // out-lists drive the 3-way closure join
+    val ed = pr
+      .join(deg.select(col("p").as("p1"), col("d").as("d1")), "p1")
+      .join(deg.select(col("p").as("p2"), col("d").as("d2")), "p2")
+      .select(
+        when(col("d1") < col("d2") ||
+             (col("d1") === col("d2") && col("p1") < col("p2")),
+          col("p1")).otherwise(col("p2")).as("u"),
+        when(col("d1") < col("d2") ||
+             (col("d1") === col("d2") && col("p1") < col("p2")),
+          col("p2")).otherwise(col("p1")).as("v"))
+    val tri = ed.as("e1")
+      .join(ed.as("e2"), col("e1.v") === col("e2.u"))
+      .join(ed.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val edges = pr.agg(count(lit(1)).as("n_edges"))
+    counts.crossJoin(broadcast(tri)).crossJoin(broadcast(edges))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") === 0, 0L)
+          .otherwise(expr("(3000000 * n_triangles) div n_wedges"))
+          .as("gcc_ppm"))
+  }
+
+  val all: Seq[Q] =
+    Seq(xPageRank, xCommonNeighbors, xCommonNeighborsCapped, xTriangleCount)
 }

@@ -135,5 +135,130 @@ object Kmv {
         col("exact_inter"))
   }
 
-  val all: Seq[Q] = Seq(xKmvDistinct)
+  // ---------------------------------------------------------------------
+  // x_hll_custom — register-exact HyperLogLog
+  // ---------------------------------------------------------------------
+
+  /** HLL precision: p = 6 → m = 64 registers. Small by production
+    * standards (±13% typical error) but the full algorithm; the register
+    * array stays a visible 64-row group domain instead of an opaque blob.
+    */
+  val HLL_P = 6
+  val HLL_M = 64L
+
+  /** 2^(60−p) = 2^54: the register index is the top p bits of a 60-bit
+    * (15 hex chars) md5 prefix; the remaining 54 bits feed the rank. */
+  val HLL_W = 18014398509481984L
+
+  /** 2^55: ranks live in [1, 55] (54 payload bits + 1), so Σ 2^(55−M_j)
+    * over 64 registers is an exact BIGINT ≤ 2^61 — the harmonic-mean
+    * denominator scaled to integers. An EMPTY register has M = 0 and
+    * contributes a full 2^55. */
+  val HLL_Z1 = 36028797018963968L
+
+  /** α_64 · m² · 2^55 · 10^6-cancel, as one exact integer numerator:
+    * est_raw = round-free integer division ANUM div (Z55 · 10^6) where
+    * ANUM = round(10^6·α_64) · m² · 2^55. α is a model-sized constant
+    * rounded ONCE (margin trivially safe: 0.72134/1.01686 lands nowhere
+    * near a half at 1e6 scale); everything downstream is exact. */
+  val HLL_ALPHA_FIX: Long = math.round(1e6 * 0.7213 / (1.0 + 1.079 / 64.0))
+  val HLL_ANUM: BigInt = BigInt(HLL_ALPHA_FIX) * 4096 * BigInt(HLL_Z1)
+
+  /** Linear-counting table: round(10^6·ln(m/V)) for V = 1..63 empty
+    * registers — 63 model-sized constants computed once driver-side and
+    * embedded as the SAME literals in both engines' plans, the
+    * x_dsir_weights fixed-point discipline (margin audited as family
+    * "hll-lin-table"). */
+  val HLL_LN_TABLE: IndexedSeq[Long] =
+    (1 to 63).map(v => math.round(1e6 * math.log(64.0 / v)))
+
+  /** Linear-counting switchover: raw estimate ≤ 5/2·m. */
+  val HLL_LC_CUT = 160L
+
+  /** X — HyperLogLog from first principles, register-exact across
+    * engines: per nation, estimate the distinct customer count from a
+    * 64-register sketch and report it against the exact count. Unlike
+    * q07_approx_hll (Spark's built-in approx_count_distinct, gated by a
+    * derived within-5% fact because its hash is engine-private), every
+    * intermediate here is portable: the hash is a 60-bit md5 prefix,
+    * registers are MAX aggregates over (group, j), the harmonic mean is
+    * the exact integer Z55 = Σ 2^(55−M_j), and both the raw estimator
+    * α·m²/Z and the small-range linear-counting branch m·ln(m/V) are
+    * integer arithmetic over literals shared by both plans — DuckDB
+    * recomputes every cell, estimate included. The fixture crosses the
+    * branch boundary across scale factors (≈60 customers/nation at
+    * sf0.01 → linear counting; ≈600 at sf0.1 → raw), so both branches
+    * are gate-covered.
+    *
+    * Scale posture: one (group, register) hash agg with map-side MAX
+    * combine — 64·|groups| rows out of the corpus scan, then a
+    * |groups|-sized re-agg; mergeable by construction (MAX commutes), no
+    * driver state, no window. This is the distributed shape HLL exists
+    * for: the register frame IS the sketch, OR-able across shards like
+    * x_bitmap_distinct's bitsets but in 64 rows instead of max_id/8
+    * bytes.
+    */
+  val xHllCustom = Q(
+    "x_hll_custom",
+    s"""WITH h AS (SELECT c_nationkey AS nat,
+             ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+           FROM customer),
+       r AS (SELECT nat, h // $HLL_W AS j,
+               CASE WHEN h % $HLL_W = 0 THEN 55
+                    ELSE 55 - length(bin(h % $HLL_W)) END AS m
+             FROM h),
+       reg AS (SELECT nat, j, CAST(max(m) AS BIGINT) AS mj FROM r GROUP BY 1, 2),
+       z AS (SELECT nat, CAST(count(*) AS BIGINT) AS present,
+               CAST(sum(1::BIGINT << CAST(55 - mj AS INTEGER)) AS BIGINT) AS zp
+             FROM reg GROUP BY 1),
+       e AS (SELECT nat, $HLL_M - present AS v,
+               zp + ($HLL_M - present) * $HLL_Z1 AS z55 FROM z),
+       est AS (SELECT nat, v, z55,
+           CAST('$HLL_ANUM'::HUGEINT // (z55::HUGEINT * 1000000) AS BIGINT)
+             AS est_raw
+         FROM e),
+       fin AS (SELECT nat, v, z55, est_raw,
+           CASE WHEN v > 0 AND est_raw <= $HLL_LC_CUT
+                THEN ($HLL_M * ([${HLL_LN_TABLE.mkString(", ")}])[v]) // 1000000
+                ELSE est_raw END AS est
+         FROM est),
+       ex AS (SELECT c_nationkey AS nat,
+                CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_exact
+              FROM customer GROUP BY 1)
+       SELECT nat AS nationkey, n_exact, v AS v_empty, z55, est_raw, est,
+              (abs(est - n_exact) * 1000000) // n_exact AS err_ppm
+       FROM fin JOIN ex USING (nat) ORDER BY nationkey""") { (s, dir) =>
+    val reg = T(s, dir, "customer")
+      .select(col("c_nationkey").as("nat"),
+        expr("cast(conv(substring(md5(cast(c_custkey as string)), 1, 15), 16, 10) as bigint)")
+          .as("h"))
+      .select(col("nat"), expr(s"h div $HLL_W").as("j"),
+        expr(s"""CASE WHEN h % $HLL_W = 0 THEN 55
+                 ELSE 55 - length(bin(h % $HLL_W)) END""").as("m"))
+      .groupBy("nat", "j").agg(max(col("m")).cast("long").as("mj"))
+    val z = reg.groupBy("nat")
+      .agg(count(lit(1)).as("present"),
+        sum(expr("shiftleft(cast(1 as bigint), cast(55 - mj as int))")).as("zp"))
+      .select(col("nat"), (lit(HLL_M) - col("present")).as("v"),
+        (col("zp") + (lit(HLL_M) - col("present")) * HLL_Z1).as("z55"))
+    val est = z.withColumn("est_raw", expr(
+      s"""CAST(CAST('$HLL_ANUM' AS DECIMAL(38,0))
+          DIV (CAST(z55 AS DECIMAL(38,0)) * 1000000) AS BIGINT)"""))
+    val fin = est.withColumn("est",
+      when(col("v") > 0 && col("est_raw") <= HLL_LC_CUT,
+        expr(s"""($HLL_M * element_at(
+                   array(${HLL_LN_TABLE.mkString("L, ")}L),
+                   cast(v as int))) div 1000000"""))
+        .otherwise(col("est_raw")))
+    val ex = T(s, dir, "customer")
+      .groupBy(col("c_nationkey").as("nat"))
+      .agg(countDistinct(col("c_custkey")).as("n_exact"))
+    fin.join(ex, "nat")
+      .select(col("nat").as("nationkey"), col("n_exact"),
+        col("v").as("v_empty"), col("z55"), col("est_raw"), col("est"),
+        expr("(abs(est - n_exact) * 1000000) div n_exact").as("err_ppm"))
+      .orderBy("nationkey")
+  }
+
+  val all: Seq[Q] = Seq(xKmvDistinct, xHllCustom)
 }

@@ -759,7 +759,53 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** X — lexical-diversity audit per source: the corpus-health indices a
+    * curation report quotes before mixing. Simpson's index (the
+    * probability two random tokens are the same type — high = repetitive
+    * vocabulary), type-token ratio, and the hapax fraction (share of
+    * types seen exactly once — high = productive/noisy vocabulary). All
+    * three are exact rationals over token/type counts, emitted as ppm by
+    * integer division — no float crosses engines.
+    *
+    * Scale posture: one explode → (source, word) hash agg with map-side
+    * combine, then a |sources|-sized re-agg; Simpson's Σ n_i(n_i−1)
+    * accumulates as exact BIGINTs. The same two-level shape as
+    * x_word_entropy, minus its transcendental.
+    */
+  val xDiversityIndex = Q(
+    "x_diversity_index",
+    """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+       c AS (SELECT source, word, CAST(count(*) AS BIGINT) AS n
+             FROM w WHERE word != '' GROUP BY 1, 2),
+       a AS (SELECT source,
+               CAST(sum(n) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+               CAST(sum(n * (n - 1)) AS BIGINT) AS simpson_num
+             FROM c GROUP BY 1)
+       SELECT source, n_tokens, n_types, hapax,
+              (1000000 * simpson_num) // (n_tokens * (n_tokens - 1)) AS simpson_ppm,
+              (1000000 * n_types) // n_tokens AS ttr_ppm,
+              (1000000 * hapax) // n_types AS hapax_ppm
+       FROM a ORDER BY source""") { (s, dir) =>
+    T(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("source", "word").agg(count(lit(1)).as("n"))
+      .groupBy("source")
+      .agg(sum(col("n")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("hapax"),
+        sum(col("n") * (col("n") - 1)).as("simpson_num"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("hapax"),
+        expr("(1000000 * simpson_num) div (n_tokens * (n_tokens - 1))")
+          .as("simpson_ppm"),
+        expr("(1000000 * n_types) div n_tokens").as("ttr_ppm"),
+        expr("(1000000 * hapax) div n_types").as("hapax_ppm"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(q35, q35b, xTfIdf, xQuality, xTokenCount, xLangId,
     xRepetition, xQualityRules, xWordEntropy, xHashEmbed, xBm25, xDsirWeights,
-    xRrfFusion, xQualityEnsemble, xReadability)
+    xRrfFusion, xQualityEnsemble, xReadability, xDiversityIndex)
 }

@@ -336,6 +336,12 @@ class RoundingMarginSpec extends AnyFunSuite {
       // over nine exact integers) × 1e6
       val chrf = Seq(Overlap.chrfRaw(spark, dir) * 1e6)
 
+      // x_hll_custom: the 63 linear-counting constants 1e6·ln(64/V) plus
+      // the single α_64 fixed point (data-independent grid, audio-trig
+      // class)
+      val hllTable = (1 to 63).map(v => 1e6 * math.log(64.0 / v)) :+
+        (1e6 * 0.7213 / (1.0 + 1.079 / 64.0))
+
       // x_jackknife_se: the single sqrt over the exact integer ratio × 1e6
       val jkSe = {
         val xs = docs.select(col("n_chars")).as[Long].collect()
@@ -386,6 +392,7 @@ class RoundingMarginSpec extends AnyFunSuite {
       audit(dir, Seq(
         Fam("bleu-corpus", "half", 1e-4, bleu),
         Fam("chrf-corpus", "half", 1e-4, chrf),
+        Fam("hll-lin-table", "half", 1e-4, hllTable),
         Fam("jackknife-se", "half", 1e-4, jkSe),
         Fam("coreset-sims", "half", 1e-6, coresetSims.toSeq),
         // x_ndcg_eval: the K constant discount weights 1e6/log2(i+1)

@@ -436,4 +436,169 @@ class Round10Spec extends AnyFunSuite {
         s"(${devs((flag - 1).toInt)._1})")
     }
   }
+
+  test("triangle count matches a driver-side enumeration") {
+    val G = graft.llmops.Graph
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val op = graft.core.Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct().as[(Long, Long)].collect()
+      val edges = op.groupBy(_._1).values.toSeq
+        .flatMap { basket =>
+          val ps = basket.map(_._2).distinct.sorted
+          for (i <- ps.indices; j <- (i + 1) until ps.length)
+            yield (ps(i), ps(j))
+        }
+        .groupBy(identity)
+        .filter { case (_, hits) => hits.length >= G.COOC_MIN }
+        .keySet
+      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val wedges = deg.values.map(d => d * (d - 1) / 2).sum
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val tri = edges.toSeq.map { case (a, b) =>
+        (adj.getOrElse(a, Set.empty) & adj.getOrElse(b, Set.empty)).size.toLong
+      }.sum
+      val Array(r) = G.xTriangleCount.build(spark, dir)
+        .as[(Long, Long, Long, Long, Long)].collect()
+      assert(r == ((deg.size.toLong, edges.size.toLong, wedges, tri,
+        if (wedges == 0) 0L else 3000000L * tri / wedges)), s"$dir: $r")
+      assert(tri > 0, s"$dir: no triangles — closure join untested")
+      info(s"$dir: ${edges.size} edges, $wedges wedges, $tri triangles, " +
+        s"gcc=${r._5} ppm")
+    }
+  }
+
+  test("custom HLL registers and estimates match a driver-side recompute") {
+    val K = graft.llmops.Kmv
+    var branches = Set.empty[Boolean]
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val cust = graft.core.Tables(spark, dir, "customer")
+        .select(col("c_nationkey"), col("c_custkey"))
+        .as[(Long, Long)].collect()
+      def md5hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      val expect = cust.groupBy(_._1).view.mapValues { rows =>
+        val regs = scala.collection.mutable.Map.empty[Long, Long]
+        rows.foreach { case (_, ck) =>
+          val h = java.lang.Long.parseLong(md5hex(ck.toString).take(15), 16)
+          val j = h / K.HLL_W
+          val w = h % K.HLL_W
+          val m = if (w == 0) 55L
+            else 55L - (64 - java.lang.Long.numberOfLeadingZeros(w))
+          regs(j) = math.max(regs.getOrElse(j, 0L), m)
+        }
+        val v = 64L - regs.size
+        val z55 = regs.values.map(m => 1L << (55 - m)).sum + v * K.HLL_Z1
+        val raw = (K.HLL_ANUM / (BigInt(z55) * 1000000)).toLong
+        val est = if (v > 0 && raw <= K.HLL_LC_CUT)
+          64L * K.HLL_LN_TABLE((v - 1).toInt) / 1000000L
+        else raw
+        val n = rows.map(_._2).distinct.length.toLong
+        (n, v, z55, raw, est, (est - n).abs * 1000000 / n)
+      }.toMap
+      val out = K.xHllCustom.build(spark, dir)
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      assert(out.length == expect.size)
+      out.foreach { case (nat, n, v, z55, raw, est, err) =>
+        assert((n, v, z55, raw, est, err) == expect(nat), s"$dir nation $nat")
+        branches += (est == raw)
+        assert(err <= 500000L, s"$dir nation $nat: err ${err} ppm > 50%")
+      }
+      info(s"$dir: ${out.length} nations, max err " +
+        s"${out.map(_._7).max} ppm, " +
+        s"${out.count(o => o._6 != o._5)} linear-counting corrections")
+    }
+    assert(branches == Set(true, false),
+      "both estimator branches must bind across the SF sweep")
+  }
+
+  test("priority sample matches a driver-side brute force") {
+    val C = graft.llmops.Curation
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = graft.core.Tables(spark, dir, "documents")
+        .select("doc_id", "n_chars").as[(Long, Long)].collect()
+      def md5hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      val pri = docs.map { case (id, w) =>
+        val h = java.lang.Long.parseLong(md5hex(id.toString).take(10), 16)
+        (id, w, w * C.PS_DOM / (h + 1))
+      }.sortBy { case (id, _, q) => (-q, id) }
+      val tau = if (pri.length > C.PS_K) pri(C.PS_K)._3 else 0L
+      val out = C.xPrioritySample.build(spark, dir)
+        .as[(Long, Long, Long, Long, Long)].collect()
+      assert(out.length == C.PS_K)
+      out.zipWithIndex.foreach { case ((rank, id, w, q, est), i) =>
+        val (eid, ew, eq) = pri(i)
+        assert((rank, id, w, q) == ((i + 1L, eid, ew, eq)), s"$dir rank $rank")
+        assert(est == math.max(ew, tau))
+      }
+      // τ must actually lift some small-weight estimates
+      assert(out.exists(o => o._5 > o._3),
+        s"$dir: no estimate lifted to τ — estimator untested")
+      info(s"$dir: τ=$tau, ${out.count(o => o._5 > o._3)} of ${C.PS_K} " +
+        "estimates lifted")
+    }
+  }
+
+  test("diversity indices match a driver-side recompute") {
+    val T = graft.llmops.TextStats
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val words = graft.core.Tables(spark, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "").as[(String, String)].collect()
+      val expect = words.groupBy(_._1).view.mapValues { ws =>
+        val counts = ws.groupBy(_._2).view.mapValues(_.length.toLong).values
+        val n = counts.sum
+        val types = counts.size.toLong
+        val hapax = counts.count(_ == 1L).toLong
+        val simp = counts.map(c => c * (c - 1)).sum
+        (n, types, hapax, 1000000L * simp / (n * (n - 1)),
+          1000000L * types / n, 1000000L * hapax / types)
+      }.toMap
+      val out = T.xDiversityIndex.build(spark, dir)
+        .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      assert(out.length == expect.size)
+      out.foreach { case (src, n, ty, ha, si, tt, hp) =>
+        assert((n, ty, ha, si, tt, hp) == expect(src), s"$dir $src")
+      }
+      info(s"$dir: ${out.length} sources, simpson range " +
+        s"[${out.map(_._5).min}, ${out.map(_._5).max}] ppm")
+    }
+  }
+
+  test("epoch schedule matches a driver-side waterfill and both regimes bind") {
+    val C = graft.llmops.Curation
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val ts = graft.core.Tables(spark, dir, "documents")
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("t"))
+        .groupBy("source").agg(sum("t").as("t"))
+        .as[(String, Long)].collect().toMap
+      val budget = ts.values.sum * C.BUDGET_PERMILLE / 1000
+      val want = budget / ts.size
+      val got1 = ts.view.mapValues(t => math.min(want, C.EPOCH_MAX * t)).toMap
+      val excess = ts.keys.map(s => want - got1(s)).sum
+      val uncapped = ts.filter { case (_, t) => want < C.EPOCH_MAX * t }.keySet
+      val expect = ts.map { case (s, t) =>
+        val alloc = if (uncapped(s) && uncapped.nonEmpty)
+          math.min(got1(s) + excess / uncapped.size, C.EPOCH_MAX * t)
+        else got1(s)
+        s -> (t, want, alloc, 1000 * alloc / t, alloc == C.EPOCH_MAX * t)
+      }
+      val out = C.xEpochSchedule.build(spark, dir)
+        .as[(String, Long, Long, Long, Long, Boolean)].collect()
+      assert(out.length == expect.size)
+      out.foreach { case (src, t, w, alloc, em, capped) =>
+        assert((t, w, alloc, em, capped) == expect(src), s"$dir $src")
+      }
+      assert(out.exists(_._6) && out.exists(!_._6),
+        s"$dir: cap never varies — one regime untested")
+      info(s"$dir: ${out.count(_._6)} capped of ${out.length}, " +
+        s"epochs range [${out.map(_._5).min}, ${out.map(_._5).max}] milli")
+    }
+  }
 }
