@@ -198,6 +198,59 @@ object Governance {
       .orderBy("source", "len_bucket")
   }
 
+  /** Per-release privacy cost and the advanced-composition constants
+    * (ε = 0.01, δ' = 1e-6). The two transcendentals are MODEL-SIZED
+    * literals (ln(1/δ'), e^ε − 1) interpolated into both plans at full
+    * shortest-roundtrip precision, so both engines parse the identical
+    * IEEE double; everything per-row is +/×/sqrt — all correctly rounded
+    * per IEEE-754, hence bit-identical cross-engine — then ONE audited
+    * rounding to micro units (family "dp-advanced").
+    */
+  val DP_EPS = 0.01
+  val DP_LN_INV_DELTA: Double = math.log(1e6)
+  val DP_EGROW: Double = math.expm1(DP_EPS)
+
+  /** X — differential-privacy budget accounting: per user, treat each
+    * active day as one ε = 0.01 release against that user's data and
+    * report the cumulative privacy spend under BASIC composition
+    * (ε_tot = k·ε, exact integer micro) vs ADVANCED composition
+    * (Dwork–Rothblum–Vadhan: √(2k·ln(1/δ'))·ε + k·ε(e^ε − 1)), plus
+    * which bound is tighter — the ledger a privacy-aware release
+    * pipeline keeps next to k-anonymity/l-diversity. The fixture's
+    * active-day counts straddle the crossover (k ≈ 28 at ε = 0.01,
+    * δ' = 1e-6), so the `advanced_tighter` flag genuinely varies at
+    * oracle scale.
+    *
+    * Scale posture: one (user, day)-distinct reduction then a per-user
+    * count — two map-side-combined hash aggs; the budget arithmetic is a
+    * projection. Bounded to user_id < 60 for a stable report size.
+    */
+  val xDpBudget = Q(
+    "x_dp_budget",
+    s"""WITH k AS (SELECT user_id,
+             CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS k
+           FROM events WHERE user_id < 60 GROUP BY 1),
+       b AS (SELECT user_id, k,
+               10000 * k AS basic_micro,
+               CAST(round(1000000 * (sqrt(2.0 * k * $DP_LN_INV_DELTA) * $DP_EPS
+                 + k * $DP_EPS * $DP_EGROW)) AS BIGINT) AS advanced_micro
+             FROM k)
+       SELECT user_id, k, basic_micro, advanced_micro,
+              (advanced_micro < basic_micro) AS advanced_tighter
+       FROM b ORDER BY user_id""") { (s, dir) =>
+    T(s, dir, "events")
+      .filter(col("user_id") < 60)
+      .groupBy("user_id")
+      .agg(countDistinct(col("ts").cast("date")).as("k"))
+      .select(col("user_id"), col("k"),
+        (lit(10000L) * col("k")).as("basic_micro"),
+        expr(s"""CAST(round(1000000 * (sqrt(2.0 * k * $DP_LN_INV_DELTA) * $DP_EPS
+                 + k * $DP_EPS * $DP_EGROW)) AS BIGINT)""").as("advanced_micro"))
+      .withColumn("advanced_tighter",
+        col("advanced_micro") < col("basic_micro"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] =
-    Seq(xKAnonymity, xKappaAgreement, xEceCalibration, xLDiversity)
+    Seq(xKAnonymity, xKappaAgreement, xEceCalibration, xLDiversity, xDpBudget)
 }

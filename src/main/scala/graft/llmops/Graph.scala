@@ -367,14 +367,35 @@ object Graph {
       .cache()
     graft.core.CacheBin.swap(
       s"triangles.pr:${System.identityHashCode(s)}:$dir", pr)
-    val deg = pr.select(col("p1").as("p"))
-      .union(pr.select(col("p2").as("p")))
-      .groupBy("p").agg(count(lit(1)).as("d"))
+    val deg = degreesOf(pr)
     val counts = deg.agg(count(lit(1)).as("n_nodes"),
       sum(expr("d * (d - 1) div 2")).as("n_wedges"))
-    // orient each edge from lower (degree, id) to higher — the oriented
-    // out-lists drive the 3-way closure join
-    val ed = pr
+    val tri = closureCount(orient(pr, deg, byDegree = true))
+    val edges = pr.agg(count(lit(1)).as("n_edges"))
+    counts.crossJoin(broadcast(tri)).crossJoin(broadcast(edges))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") === 0, 0L)
+          .otherwise(expr("(3000000 * n_triangles) div n_wedges"))
+          .as("gcc_ppm"))
+  }
+
+  /** Node degrees of an undirected (p1 < p2) edge list. */
+  private[graft] def degreesOf(pr: DataFrame): DataFrame =
+    pr.select(col("p1").as("p"))
+      .union(pr.select(col("p2").as("p")))
+      .groupBy("p").agg(count(lit(1)).as("d"))
+
+  /** Direct each undirected edge: by (degree, id) ascending when
+    * `byDegree` (the compact-forward orientation that bounds per-node
+    * fan-out), else by raw id order (the naive spelling the ScaleProbe
+    * measures against — identical triangle COUNT, unbounded hub
+    * fan-out).
+    */
+  private[graft] def orient(
+      pr: DataFrame, deg: DataFrame, byDegree: Boolean): DataFrame =
+    if (!byDegree) pr.select(col("p1").as("u"), col("p2").as("v"))
+    else pr
       .join(deg.select(col("p").as("p1"), col("d").as("d1")), "p1")
       .join(deg.select(col("p").as("p2"), col("d").as("d2")), "p2")
       .select(
@@ -384,19 +405,16 @@ object Graph {
         when(col("d1") < col("d2") ||
              (col("d1") === col("d2") && col("p1") < col("p2")),
           col("p2")).otherwise(col("p1")).as("v"))
-    val tri = ed.as("e1")
+
+  /** Count directed length-2 paths closed by a third edge — each
+    * triangle exactly once at its out-degree-2 apex (any acyclic
+    * orientation of a triangle has exactly one). */
+  private[graft] def closureCount(ed: DataFrame): DataFrame =
+    ed.as("e1")
       .join(ed.as("e2"), col("e1.v") === col("e2.u"))
       .join(ed.as("e3"),
         col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
       .agg(count(lit(1)).as("n_triangles"))
-    val edges = pr.agg(count(lit(1)).as("n_edges"))
-    counts.crossJoin(broadcast(tri)).crossJoin(broadcast(edges))
-      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
-        col("n_triangles"),
-        when(col("n_wedges") === 0, 0L)
-          .otherwise(expr("(3000000 * n_triangles) div n_wedges"))
-          .as("gcc_ppm"))
-  }
 
   val all: Seq[Q] =
     Seq(xPageRank, xCommonNeighbors, xCommonNeighborsCapped, xTriangleCount)

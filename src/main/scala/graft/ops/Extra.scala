@@ -819,10 +819,96 @@ object Extra {
       .orderBy("doc_id")
   }
 
+  /** X — JSON-lines sink + source round-trip: write customer as JSONL,
+    * read it back with the original schema, aggregate. Completes the
+    * text/columnar round-trip pair (CSV, ORC) with the format every
+    * crawl/annotation pipeline actually exchanges. Doubles survive
+    * because Spark's JSON writer emits the shortest round-trip
+    * representation; the oracle aggregates the original parquet — green
+    * iff the round-trip is lossless.
+    */
+  val xJsonRoundtrip = Q(
+    "x_json_roundtrip",
+    """SELECT CAST(c_nationkey AS BIGINT) AS nation, count(*) AS n,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         max(c_name) AS last_name
+       FROM customer GROUP BY 1 ORDER BY nation""") { (s, dir) =>
+    val cust = T(s, dir, "customer")
+    val out = scratch("jsonrt/customer")
+    graft.sources.Lake.writeAs(cust, "json", out)
+    graft.sources.Lake.readAs(s, "json", out, Some(cust.schema))
+      .groupBy(col("c_nationkey").cast("long").as("nation"))
+      .agg(count(lit(1)).as("n"), E.sumd(col("c_acctbal")).as("total"),
+        max(col("c_name")).as("last_name"))
+      .orderBy("nation")
+  }
+
+  /** Busiest-hour incident count for the interval join. */
+  val INCIDENT_TOP = 20
+
+  /** X — interval-overlap join, the distributed spelling: user sessions
+    * (30-min-gap sessionization) joined against the top-20 busiest hours
+    * ("incidents") on TIME-BUCKET EQUALITY — each session explodes into
+    * the hour buckets it covers (bounded by session duration), incidents
+    * are already hour-keyed, and the join is a plain equi-join on the
+    * bucket. This is how interval joins scale: a naive
+    * `s.start <= i.end AND i.start <= s.end` range predicate has no
+    * equi-key and degenerates to a broadcast-nested-loop over the corpus,
+    * while bucketing makes the shuffle hash-partitionable and the
+    * per-row fan-out proportional to interval length, not corpus size
+    * (same family as q13_range_join's equi+residual, for the case where
+    * BOTH sides are intervals). Output: per incident hour, its event
+    * count and how many sessions overlap it. Pure counts.
+    */
+  val xIntervalJoin = Q(
+    "x_interval_join",
+    s"""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+       f AS (SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+             FROM e),
+       s AS (SELECT user_id, ts,
+               CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
+             FROM f),
+       sess AS (SELECT user_id, session_id,
+                  min(ts) AS t0, max(ts) AS t1
+                FROM s GROUP BY 1, 2),
+       hours AS (SELECT date_trunc('hour', ts) AS hour,
+                   CAST(count(*) AS BIGINT) AS n_events
+                 FROM e GROUP BY 1),
+       inc AS (SELECT hour, n_events FROM hours
+               ORDER BY n_events DESC, hour LIMIT $INCIDENT_TOP),
+       cov AS (SELECT user_id, session_id, unnest(generate_series(
+                   date_trunc('hour', t0), date_trunc('hour', t1),
+                   INTERVAL 1 HOUR)) AS hour
+               FROM sess)
+       SELECT inc.hour, inc.n_events,
+              CAST(count(cov.user_id) AS BIGINT) AS n_sessions
+       FROM inc LEFT JOIN cov ON inc.hour = cov.hour
+       GROUP BY 1, 2 ORDER BY inc.hour""") { (s, dir) =>
+    val e = T(s, dir, "events").select(col("user_id"), col("event_id"), col("ts"))
+    val sess = sessionize(e, gapMinutes = 30)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+    val inc = e.groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("n_events").desc, col("hour")).limit(INCIDENT_TOP)
+    val cov = sess.select(col("user_id"), col("session_id"),
+      explode(expr(
+        "sequence(date_trunc('hour', t0), date_trunc('hour', t1), interval 1 hour)"))
+        .as("hour"))
+    broadcast(inc).join(cov, Seq("hour"), "left")
+      .groupBy("hour", "n_events")
+      .agg(count(col("user_id")).as("n_sessions"))
+      .orderBy("hour")
+  }
+
   val all: Seq[Q] =
     Seq(xSessionize, xSampleHash, xStringAgg, xRedact, xRegrAgg, xFillForward,
       xGroupTopK, xApproxPercentile, xResample, xJaroWinkler, xWindowNtile,
       xCsvRoundtrip, xOrcRoundtrip, xProvenance, xUpsert, xManifestPrune,
       xDatasetDiff, xZorderPrune, xProfile, xModeMedian, xSchemaEvolution,
-      xPositionalJoin, xDistinctOn, xUnionByName, xBucketedJoin, xDenseIds)
+      xPositionalJoin, xDistinctOn, xUnionByName, xBucketedJoin, xDenseIds,
+      xJsonRoundtrip, xIntervalJoin)
 }

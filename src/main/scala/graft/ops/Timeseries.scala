@@ -337,6 +337,118 @@ object Timeseries {
       .orderBy("day")
   }
 
+  /** X — robust outlier detection via median absolute deviation (MAD),
+    * the standard-deviation-free anomaly flag (robust statistics: a few
+    * extreme days cannot drag the threshold the way they drag a mean/σ
+    * z-score). A day is anomalous when |y − median| > 3·MAD.
+    *
+    * Exactness — the DOUBLE-MEDIAN trick: a median of an even-count
+    * integer set is a half-integer, so every quantity is carried at 2×
+    * scale: med2 = y_lo + y_hi (the two middle order statistics), the
+    * deviations d = |2y − med2| (= 2·|y − med|), mad4 = d_lo + d_hi
+    * (= 4·MAD), and the flag 2·d > 3·mad4 is the exact integer spelling
+    * of |y − median| > 3·MAD. Both engines pick the same order
+    * statistics because the rank order (value, day) is total.
+    *
+    * Scale posture: raw rows reduce to the bounded date dimension FIRST
+    * (one hash agg); the two rank windows run over ~2.4k rows regardless
+    * of corpus size — the x_window_distinct contract.
+    */
+  val xAnomalyMad = Q(
+    "x_anomaly_mad",
+    """WITH d AS (SELECT o_orderdate AS day, CAST(count(*) AS BIGINT) AS y
+           FROM orders GROUP BY 1),
+       n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+       r AS (SELECT day, y,
+               CAST(row_number() OVER (ORDER BY y, day) AS BIGINT) AS rk
+             FROM d),
+       m AS (SELECT CAST(max(CASE WHEN rk = (n + 1) // 2 THEN y END)
+                  + max(CASE WHEN rk = n // 2 + 1 THEN y END) AS BIGINT)
+               AS med2 FROM r, n),
+       dev AS (SELECT day, y, abs(2 * y - med2) AS d2, med2 FROM r, m),
+       r2 AS (SELECT day, y, d2, med2,
+                CAST(row_number() OVER (ORDER BY d2, day) AS BIGINT) AS rk
+              FROM dev),
+       m2 AS (SELECT CAST(max(CASE WHEN rk = (n + 1) // 2 THEN d2 END)
+                   + max(CASE WHEN rk = n // 2 + 1 THEN d2 END) AS BIGINT)
+                AS mad4 FROM r2, n)
+       SELECT day, y, d2, med2, mad4, (2 * d2 > 3 * mad4) AS is_outlier
+       FROM r2, m2 ORDER BY day""") { (s, dir) =>
+    val d = T(s, dir, "orders")
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val nF = d.agg(count(lit(1)).as("n"))
+    def med2Of(r: org.apache.spark.sql.DataFrame, c: String, as: String) =
+      r.crossJoin(broadcast(nF)).agg(
+        (max(when(col("rk") === expr("(n + 1) div 2"), col(c))) +
+          max(when(col("rk") === expr("n div 2 + 1"), col(c)))).as(as))
+    val r = d.withColumn("rk",
+      row_number().over(Window.orderBy("y", "day")).cast("long"))
+    val dev = r.crossJoin(broadcast(med2Of(r, "y", "med2")))
+      .select(col("day"), col("y"),
+        abs(lit(2) * col("y") - col("med2")).as("d2"), col("med2"))
+    val r2 = dev.withColumn("rk",
+      row_number().over(Window.orderBy("d2", "day")).cast("long"))
+    r2.crossJoin(broadcast(med2Of(r2, "d2", "mad4")))
+      .select(col("day"), col("y"), col("d2"), col("med2"), col("mad4"),
+        (lit(2) * col("d2") > lit(3) * col("mad4")).as("is_outlier"))
+      .orderBy("day")
+  }
+
+  /** X — day-of-week seasonal decomposition: the weekday profile of the
+    * daily order-count series and the top-5 deseasonalized anomalies
+    * (days most unlike their own weekday). The weekday index is the
+    * engine-neutral epoch-day mod 7 (Spark and DuckDB disagree on
+    * dayofweek numbering, so neither's is used).
+    *
+    * Exactness: the residual y − mean(dow) is carried cross-multiplied
+    * as resid_num = y·cnt_dow − sum_dow (exact), and the reported
+    * milli-residual divides once with the sign-split div/floor guard
+    * (x_readability pattern). The anomaly rank orders by
+    * (|resid_milli| desc, day) — a total order over integers.
+    *
+    * Scale posture: corpus → bounded date dim (one hash agg), a 7-row
+    * profile re-agg broadcast back, one rank window over ~2.4k rows.
+    */
+  val xSeasonalDow = Q(
+    "x_seasonal_dow",
+    """WITH d AS (SELECT o_orderdate AS day, CAST(count(*) AS BIGINT) AS y
+           FROM orders GROUP BY 1),
+       dw AS (SELECT day, y,
+                CAST(date_diff('day', DATE '1970-01-01', CAST(day AS DATE)) % 7
+                  AS BIGINT) AS dow FROM d),
+       p AS (SELECT dow, CAST(count(*) AS BIGINT) AS dow_days,
+               CAST(sum(y) AS BIGINT) AS dow_sum FROM dw GROUP BY 1),
+       j AS (SELECT day, y, dw.dow, dow_days,
+               y * dow_days - dow_sum AS rn FROM dw JOIN p ON dw.dow = p.dow),
+       f AS (SELECT day, y, dow,
+               CASE WHEN rn >= 0 THEN (1000 * rn) // dow_days
+                    ELSE -((1000 * (-rn)) // dow_days) END AS resid_milli
+             FROM j),
+       g AS (SELECT *, row_number() OVER
+               (ORDER BY abs(resid_milli) DESC, day) AS rk FROM f)
+       SELECT day, y, dow, resid_milli, (rk <= 5) AS is_anomaly
+       FROM g ORDER BY day""") { (s, dir) =>
+    val d = T(s, dir, "orders")
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("dow",
+        expr("CAST(datediff(CAST(day AS DATE), DATE '1970-01-01') % 7 AS BIGINT)"))
+    val p = d.groupBy("dow")
+      .agg(count(lit(1)).as("dow_days"), sum(col("y")).as("dow_sum"))
+    val f = d.join(broadcast(p), "dow")
+      .withColumn("rn", col("y") * col("dow_days") - col("dow_sum"))
+      .select(col("day"), col("y"), col("dow"),
+        expr("""CASE WHEN rn >= 0 THEN (1000 * rn) div dow_days
+                ELSE -((1000 * (-rn)) div dow_days) END""").as("resid_milli"))
+    f.withColumn("rk", row_number().over(
+        Window.orderBy(abs(col("resid_milli")).desc, col("day"))))
+      .select(col("day"), col("y"), col("dow"), col("resid_milli"),
+        (col("rk") <= 5).as("is_anomaly"))
+      .orderBy("day")
+  }
+
   val all: Seq[Q] = Seq(xInterpolate, xGapDetect, xWindowDistinct,
-    xRollingMedian, xPopGrowth, xPctOfParent, xChangepoint)
+    xRollingMedian, xPopGrowth, xPctOfParent, xChangepoint, xAnomalyMad,
+    xSeasonalDow)
 }

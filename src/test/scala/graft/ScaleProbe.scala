@@ -25,7 +25,7 @@ object ScaleProbe {
     // comma-separated section filter for re-measuring one family without
     // paying the whole probe:
     // neardup,setsim,nn,km,inc,lm,bpe,contam,pr,qc,evt,cn,cnskew,budget,
-    // cap,winnow,cdc,cumsum,cumsumN,linededup,substr
+    // cap,winnow,cdc,cumsum,cumsumN,linededup,substr,triangles
     val only = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def want(section: String): Boolean = only.forall(_.contains(section))
@@ -318,6 +318,52 @@ object ScaleProbe {
         println(f"SCALE-SUBSTR k=$k%2d docs=$n%6d regions=${r.getLong(0)}%6d " +
           f"rep_chars=${r.getLong(1)}%8d sec=$sec%6.2f")
         docs.unpersist()
+      }
+    }
+
+    // ---- triangle counting (round 10): degree orientation vs naive id
+    // orientation on a HUB graph. The synthetic graph is a uniform
+    // random background plus one mid-id hub wired to every 3rd node
+    // (capped at 20k spokes). Under id orientation the hub sits in the
+    // middle of the order, so ~half its spokes point in and half out —
+    // the v==u wedge join materializes in(hub)·out(hub) ≈ (spokes/2)²
+    // intermediate rows from that ONE node. Degree orientation points
+    // every hub edge INTO the hub (it has max degree), out(hub) = 0, and
+    // the same join is bounded by the background degree. Both paths
+    // must report the identical triangle count.
+    if (want("triangles")) {
+      val G = graft.llmops.Graph
+      for (e <- Seq(250000L, 1000000L)) {
+        val n = e / 10
+        val spokes = math.min(n / 3, 8000L)
+        val hub = n / 2
+        val bg = spark.range(e).select(
+          (abs(xxhash64(col("id"))) % n).as("a"),
+          (abs(xxhash64(col("id") + e)) % n).as("b"))
+          .filter(col("a") =!= col("b"))
+          .select(least(col("a"), col("b")).as("p1"),
+            greatest(col("a"), col("b")).as("p2"))
+        val star = spark.range(spokes)
+          .select((col("id") * 3 % n).as("s"))
+          .filter(col("s") =!= hub)
+          .select(least(col("s"), lit(hub)).as("p1"),
+            greatest(col("s"), lit(hub)).as("p2"))
+        val pr = bg.union(star).distinct().repartition(32).cache()
+        val nEdges = pr.count()
+        val deg = G.degreesOf(pr).cache(); deg.count()
+        val t0 = System.nanoTime()
+        val triDeg = G.closureCount(G.orient(pr, deg, byDegree = true))
+          .first().getLong(0)
+        val degSec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val triNaive = G.closureCount(G.orient(pr, deg, byDegree = false))
+          .first().getLong(0)
+        val naiveSec = (System.nanoTime() - t1) / 1e9
+        require(triDeg == triNaive, s"orientation changed the count: " +
+          s"$triDeg vs $triNaive")
+        println(f"SCALE-TRIANGLES edges=$nEdges%8d hub_spokes=$spokes%6d " +
+          f"tri=$triDeg%7d deg_oriented=$degSec%7.2f naive_id=$naiveSec%7.2f")
+        deg.unpersist(); pr.unpersist()
       }
     }
 

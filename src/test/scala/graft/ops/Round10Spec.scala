@@ -601,4 +601,157 @@ class Round10Spec extends AnyFunSuite {
         s"epochs range [${out.map(_._5).min}, ${out.map(_._5).max}] milli")
     }
   }
+
+  test("MAD outliers match a driver-side double-median recompute") {
+    val TS = Timeseries
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val days = graft.core.Tables(spark, dir, "orders")
+        .groupBy(col("o_orderdate").cast("string").as("day"))
+        .agg(count(lit(1)).as("y"))
+        .as[(String, Long)].collect()
+      val n = days.length
+      def med2(xs: Seq[Long]): Long = {
+        val s = xs.sorted
+        s((n + 1) / 2 - 1) + s(n / 2)
+      }
+      val m = med2(days.map(_._2).toSeq)
+      val devs = days.map { case (d, y) => (d, y, (2 * y - m).abs) }
+      val mad4 = med2(devs.map(_._3).toSeq)
+      val expect = devs.map { case (d, y, d2) =>
+        d -> (y, d2, m, mad4, 2 * d2 > 3 * mad4)
+      }.toMap
+      val out = TS.xAnomalyMad.build(spark, dir)
+        .withColumn("day", col("day").cast("string"))
+        .as[(String, Long, Long, Long, Long, Boolean)].collect()
+      assert(out.length == n)
+      out.foreach { case (d, y, d2, me, ma, f) =>
+        assert((y, d2, me, ma, f) == expect(d), s"$dir $d")
+      }
+      assert(out.exists(_._6) && out.exists(!_._6),
+        s"$dir: outlier flag never varies")
+      info(s"$dir: ${out.count(_._6)} outliers of $n days, " +
+        s"med2=$m mad4=$mad4")
+    }
+  }
+
+  test("day-of-week decomposition matches a driver-side recompute") {
+    val TS = Timeseries
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val days = graft.core.Tables(spark, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(count(lit(1)).as("y"))
+        .as[(java.sql.Date, Long)].collect()
+      val withDow = days.map { case (d, y) =>
+        (d.toString, y, d.toLocalDate.toEpochDay % 7)
+      }
+      val prof = withDow.groupBy(_._3).view.mapValues(rows =>
+        (rows.length.toLong, rows.map(_._2).sum)).toMap
+      val resid = withDow.map { case (d, y, dow) =>
+        val (cnt, s) = prof(dow)
+        val rn = y * cnt - s
+        val rm = if (rn >= 0) 1000 * rn / cnt else -(1000 * -rn / cnt)
+        (d, y, dow, rm)
+      }
+      val top5 = resid.sortBy { case (d, _, _, rm) => (-rm.abs, d) }
+        .take(5).map(_._1).toSet
+      val out = TS.xSeasonalDow.build(spark, dir)
+        .withColumn("day", col("day").cast("date").cast("string"))
+        .as[(String, Long, Long, Long, Boolean)].collect()
+      assert(out.length == days.length)
+      val expect = resid.map(r => r._1 -> r).toMap
+      out.foreach { case (d, y, dow, rm, anom) =>
+        val (_, ey, edow, erm) = expect(d)
+        assert((y, dow, rm) == ((ey, edow, erm)), s"$dir $d")
+        assert(anom == top5(d), s"$dir $d anomaly flag")
+      }
+      assert(out.count(_._5) == 5)
+      info(s"$dir: top-5 anomalies ${out.filter(_._5).map(_._1).mkString(", ")}")
+    }
+  }
+
+  test("interval join matches a driver-side session coverage count") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val ev = graft.core.Tables(spark, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .as[(Long, Long, Long)].collect()
+      // sessions: 30-min gap, (ts, event_id) order
+      val sessions = ev.groupBy(_._1).values.flatMap { rows =>
+        val sorted = rows.sortBy(r => (r._3, r._2))
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var s0 = -1L; var s1 = -1L
+        sorted.foreach { case (_, _, us) =>
+          if (s0 < 0) { s0 = us; s1 = us }
+          else if (us - s1 > 1800000000L) { out += ((s0, s1)); s0 = us; s1 = us }
+          else s1 = us
+        }
+        if (s0 >= 0) out += ((s0, s1))
+        out
+      }.toSeq
+      val hourUs = 3600000000L
+      def hourOf(us: Long) = us / hourUs
+      val hourCounts = ev.groupBy(e => hourOf(e._3)).view
+        .mapValues(_.length.toLong).toMap
+      val incidents = hourCounts.toSeq
+        .sortBy { case (h, c) => (-c, h) }.take(Extra.INCIDENT_TOP)
+      val expect = incidents.map { case (h, c) =>
+        h -> (c, sessions.count { case (a, b) =>
+          hourOf(a) <= h && h <= hourOf(b) })
+      }.toMap
+      val out = Extra.xIntervalJoin.build(spark, dir)
+        .select(unix_micros(col("hour")).as("h"), col("n_events"),
+          col("n_sessions"))
+        .as[(Long, Long, Long)].collect()
+      assert(out.length == expect.size)
+      out.foreach { case (h, ne, ns) =>
+        assert((ne, ns) == expect(h / hourUs), s"$dir hour $h")
+      }
+      info(s"$dir: ${out.length} incidents, sessions overlapping " +
+        s"[${out.map(_._3).min}, ${out.map(_._3).max}]")
+    }
+  }
+
+  test("dp budget composition matches a driver-side recompute") {
+    val G = graft.llmops.Governance
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val ks = graft.core.Tables(spark, dir, "events")
+        .filter(col("user_id") < 60)
+        .groupBy("user_id")
+        .agg(countDistinct(col("ts").cast("date")).as("k"))
+        .as[(Long, Long)].collect().toMap
+      val out = G.xDpBudget.build(spark, dir)
+        .as[(Long, Long, Long, Long, Boolean)].collect()
+      assert(out.length == ks.size)
+      out.foreach { case (u, k, basic, adv, tighter) =>
+        assert(k == ks(u))
+        assert(basic == 10000 * k)
+        val want = math.round(1e6 * (math.sqrt(2.0 * k * G.DP_LN_INV_DELTA) *
+          G.DP_EPS + k * G.DP_EPS * G.DP_EGROW))
+        assert(adv == want, s"$dir user $u")
+        assert(tighter == (adv < basic))
+      }
+      if (dir.endsWith("0.01"))
+        assert(out.exists(_._5) && out.exists(!_._5),
+          s"$dir: advanced_tighter never varies at oracle scale")
+      info(s"$dir: ${out.count(_._5)} of ${out.length} users past the " +
+        "advanced-composition crossover")
+    }
+  }
+
+  test("json roundtrip is lossless against the parquet original") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val direct = graft.core.Tables(spark, dir, "customer")
+        .groupBy(col("c_nationkey").cast("long").as("nation"))
+        .agg(count(lit(1)).as("n"),
+          graft.core.Exact.sumd(col("c_acctbal")).as("total"),
+          max(col("c_name")).as("last_name"))
+        .orderBy("nation")
+        .as[(Long, Long, Double, String)].collect()
+      val rt = Extra.xJsonRoundtrip.build(spark, dir)
+        .as[(Long, Long, Double, String)].collect()
+      assert(rt.toSeq == direct.toSeq,
+        s"$dir: JSON round-trip diverged from the parquet aggregate")
+      info(s"$dir: ${rt.length} nations identical through JSONL")
+    }
+  }
 }
