@@ -333,18 +333,21 @@ object ScaleProbe {
     // must report the identical triangle count.
     if (want("triangles")) {
       val G = graft.llmops.Graph
-      for (e <- Seq(250000L, 1000000L)) {
-        val n = e / 10
-        val spokes = math.min(n / 3, 8000L)
-        val hub = n / 2
+      val e = 250000L
+      val n = e / 10
+      val hub = n / 2
+      for (spokes <- Seq(4000L, 8000L, 16000L, 24000L)) {
         val bg = spark.range(e).select(
           (abs(xxhash64(col("id"))) % n).as("a"),
           (abs(xxhash64(col("id") + e)) % n).as("b"))
           .filter(col("a") =!= col("b"))
           .select(least(col("a"), col("b")).as("p1"),
             greatest(col("a"), col("b")).as("p2"))
+        // the hub is wired to `spokes` evenly-spread nodes; id order puts
+        // it mid-sequence so naive orientation splits its edges ~half in,
+        // half out — the (spokes/2)² wedge blowup degree orientation kills
         val star = spark.range(spokes)
-          .select((col("id") * 3 % n).as("s"))
+          .select(((col("id") * (n / spokes)) % n).as("s"))
           .filter(col("s") =!= hub)
           .select(least(col("s"), lit(hub)).as("p1"),
             greatest(col("s"), lit(hub)).as("p2"))
