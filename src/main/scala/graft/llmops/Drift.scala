@@ -140,5 +140,72 @@ object Drift {
       .limit(1)
   }
 
-  val all: Seq[Q] = Seq(xPsiDrift, xKsDrift)
+  /** X — Mann–Whitney U rank-sum test on the same ref/new split as
+    * x_ks_drift, over document character lengths: the nonparametric
+    * "did the location of the distribution shift" companion to KS's
+    * max-gap statistic. Ties use midranks.
+    *
+    * Exactness — everything rides the DOUBLED rank: for a value v with
+    * c occurrences and cum_less smaller rows, 2·midrank = 2·cum_less +
+    * c + 1 (always an integer), so 2R_ref and U2 = 2U = 2R_ref −
+    * n_ref(n_ref+1) are exact BIGINTs. The normal-approximation verdict
+    * |z| > 1.96 is cross-multiplied to integers:
+    *   z² > 1.96² ⇔ (2U − n₁n₂)²·3·10⁴ > 38416·n₁n₂·(N+1)
+    * (σ² = n₁n₂(N+1)/12 without tie correction — documented choice; the
+    * tie-corrected variance is smaller, so TRUE here is conservative in
+    * only one direction and the flag is still a pure integer fact).
+    * Both sides ≤ ~5·10¹⁸ at sf0.1-scale corpora — inside BIGINT.
+    *
+    * Scale posture: one hash agg to the bounded VALUE domain (distinct
+    * lengths), a running-sum window over that domain, 1-row broadcasts —
+    * the x_ks_drift shape exactly.
+    */
+  val xMannWhitney = Q(
+    "x_mannwhitney",
+    """WITH t AS (SELECT n_chars AS v,
+           doc_id <= (SELECT CAST(floor(0.8 * max(doc_id)) AS BIGINT) FROM documents) AS ref
+         FROM documents),
+       h AS (SELECT v, CAST(count(*) AS BIGINT) AS c,
+               CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS cr
+             FROM t GROUP BY v),
+       w AS (SELECT v, c, cr,
+               CAST(coalesce(sum(c) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum_less FROM h),
+       r AS (SELECT CAST(sum(cr * (2 * cum_less + c + 1)) AS BIGINT) AS r2,
+               CAST(sum(cr) AS BIGINT) AS n1,
+               CAST(sum(c - cr) AS BIGINT) AS n2 FROM w),
+       u AS (SELECT n1, n2, r2 - n1 * (n1 + 1) AS u2 FROM r)
+       SELECT n1 AS n_ref, n2 AS n_new, u2,
+              (u2 - n1 * n2) * (u2 - n1 * n2) * 30000 AS z2_num,
+              38416 * n1 * n2 * (n1 + n2 + 1) AS z2_den,
+              ((u2 - n1 * n2) * (u2 - n1 * n2) * 30000
+                > 38416 * n1 * n2 * (n1 + n2 + 1)) AS significant
+       FROM u""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = T(s, dir, "documents")
+    val cut = Incremental.cutoffValue(docs)
+    val h = docs.select(col("n_chars").as("v"),
+        (col("doc_id") <= cut).as("ref"))
+      .groupBy("v").agg(count(lit(1)).as("c"),
+        sum(when(col("ref"), 1L).otherwise(0L)).as("cr"))
+    val w = h.withColumn("cum_less",
+      coalesce(sum(col("c")).over(Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    w.agg(
+        sum(col("cr") * (lit(2) * col("cum_less") + col("c") + 1)).as("r2"),
+        sum(col("cr")).as("n1"),
+        sum(col("c") - col("cr")).as("n2"))
+      .select(col("n1").as("n_ref"), col("n2").as("n_new"),
+        (col("r2") - col("n1") * (col("n1") + 1)).as("u2"),
+        col("n1"), col("n2"))
+      .select(col("n_ref"), col("n_new"), col("u2"),
+        ((col("u2") - col("n1") * col("n2")) *
+          (col("u2") - col("n1") * col("n2")) * 30000).as("z2_num"),
+        (lit(38416L) * col("n1") * col("n2") *
+          (col("n1") + col("n2") + 1)).as("z2_den"))
+      .withColumn("significant", col("z2_num") > col("z2_den"))
+  }
+
+  val all: Seq[Q] = Seq(xPsiDrift, xKsDrift, xMannWhitney)
 }

@@ -251,6 +251,49 @@ object Governance {
       .orderBy("user_id")
   }
 
+  /** X — Gini concentration of the corpus across sources: how unequal
+    * is the token distribution over the source dimension — the
+    * concentration number a dataset card quotes ("is this corpus 90%
+    * one crawl?"). Computed by the sorted-cumulative formula
+    *   G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ)
+    * with xᵢ ascending, i the 1-based rank (ties broken by source name —
+    * any tiebreak yields the same G because equal values commute in the
+    * weighted sum). Pure integers end to end; ppm by one division.
+    *
+    * Scale posture: one hash agg to per-source token counts, a rank
+    * window over the bounded source dimension, a 1-row re-agg.
+    */
+  val xGiniConcentration = Q(
+    "x_gini_concentration",
+    """WITH s AS (SELECT source,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t
+         FROM documents GROUP BY 1),
+       r AS (SELECT t, CAST(row_number() OVER (ORDER BY t, source) AS BIGINT) AS i
+             FROM s),
+       g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(t) AS BIGINT) AS total,
+               CAST(sum(i * t) AS BIGINT) AS wsum FROM r)
+       SELECT n AS n_sources, total AS total_tokens,
+              2 * wsum - (n + 1) * total AS g_num,
+              n * total AS g_den,
+              (1000000 * (2 * wsum - (n + 1) * total)) // (n * total) AS gini_ppm
+       FROM g""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val src = T(s, dir, "documents")
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("t"))
+    src.withColumn("i",
+        row_number().over(Window.orderBy("t", "source")).cast("long"))
+      .agg(count(lit(1)).as("n"), sum(col("t")).as("total"),
+        sum(col("i") * col("t")).as("wsum"))
+      .select(col("n").as("n_sources"), col("total").as("total_tokens"),
+        (lit(2) * col("wsum") - (col("n") + 1) * col("total")).as("g_num"),
+        (col("n") * col("total")).as("g_den"),
+        expr("(1000000 * (2 * wsum - (n + 1) * total)) div (n * total)")
+          .as("gini_ppm"))
+  }
+
   val all: Seq[Q] =
-    Seq(xKAnonymity, xKappaAgreement, xEceCalibration, xLDiversity, xDpBudget)
+    Seq(xKAnonymity, xKappaAgreement, xEceCalibration, xLDiversity, xDpBudget,
+      xGiniConcentration)
 }

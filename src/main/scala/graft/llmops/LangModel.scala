@@ -418,6 +418,70 @@ object LangModel {
       .orderBy("w1", "w2")
   }
 
+  /** Number of deterministic draws in the negative-sampling audit. */
+  val NEG_DRAWS = 20
+
+  /** X — the word2vec negative-sampling table: unigram counts raised to
+    * the 3/4 power (Mikolov et al. — flattens the head so frequent
+    * words aren't drawn proportionally), laid out as cumulative integer
+    * ranges, plus NEG_DRAWS deterministic md5 draws resolved against
+    * those ranges — the sampling infrastructure every embedding /
+    * contrastive trainer builds over its corpus.
+    *
+    * Exactness: count^0.75 is fixed-pointed once per VOCABULARY entry
+    * (model-sized — ~31 words on this fixture; margin family
+    * "negsample-pow"); ranges and draw arithmetic are pure integers
+    * (draw_j = md5-48bit(j) mod total_weight, resolved by range
+    * containment cum ≤ h < cum + w).
+    *
+    * Scale posture: one corpus explode → word hash agg (map-side
+    * combine); the table is vocabulary-sized, the range-resolution join
+    * is draws × vocab over a broadcast — both bounded. At a 10⁶-word
+    * vocabulary the same layout feeds an alias table; the ranges stay
+    * the exact spelling.
+    */
+  val xNegativeSampling = Q(
+    "x_negative_sampling",
+    s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       c AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+             FROM w WHERE word != '' GROUP BY 1),
+       p AS (SELECT word, n,
+               CAST(round(1000000 * pow(CAST(n AS DOUBLE), 0.75)) AS BIGINT) AS pw
+             FROM c),
+       r AS (SELECT word, n, pw,
+               CAST(coalesce(sum(pw) OVER (ORDER BY word
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum FROM p),
+       tot AS (SELECT CAST(sum(pw) AS BIGINT) AS tw FROM p),
+       d AS (SELECT j, ('0x' || substr(md5(CAST(j AS VARCHAR)), 1, 12))::BIGINT % tw AS h
+             FROM (SELECT unnest(generate_series(0, ${NEG_DRAWS - 1})) AS j), tot)
+       SELECT d.j AS draw, r.word, r.n, r.pw
+       FROM d JOIN r ON d.h >= r.cum AND d.h < r.cum + r.pw
+       ORDER BY draw""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val p = T(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .withColumn("pw",
+        expr("CAST(round(1000000 * pow(CAST(n AS DOUBLE), 0.75)) AS BIGINT)"))
+    val r = p.withColumn("cum",
+      coalesce(sum(col("pw")).over(Window.orderBy("word")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val tot = p.agg(sum(col("pw")).as("tw"))
+    val d = s.range(NEG_DRAWS)
+      .select(col("id").as("j"))
+      .crossJoin(broadcast(tot))
+      .select(col("j"), expr(
+        "cast(conv(substring(md5(cast(j as string)), 1, 12), 16, 10) as bigint) % tw")
+        .as("h"))
+    d.join(broadcast(r),
+        col("h") >= col("cum") && col("h") < col("cum") + col("pw"))
+      .select(col("j").as("draw"), col("word"), col("n"), col("pw"))
+      .orderBy("draw")
+  }
+
   val all: Seq[Q] =
-    Seq(xBigramLm, xLmCrossPpl, xPmiTerms, xCcnetBuckets, xKnBigram)
+    Seq(xBigramLm, xLmCrossPpl, xPmiTerms, xCcnetBuckets, xKnBigram,
+      xNegativeSampling)
 }

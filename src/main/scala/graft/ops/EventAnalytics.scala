@@ -575,7 +575,58 @@ object EventAnalytics {
           .cast("long").as("se_fix"))
   }
 
+  /** X — session path mining: the top-10 three-step event-type paths
+    * across 30-min sessions (the "what do users actually do" sequence
+    * report; x_transitions is the 2-step Markov edition, this is the
+    * order-3 n-gram over real session boundaries). Steps are ordered by
+    * (ts, event_id) inside each session, so the trigram stream is
+    * deterministic; counts and ranks are pure integers.
+    *
+    * Scale posture: sessionization and the two lead() windows partition
+    * by (user, session) — per-key frames bounded by session length, no
+    * corpus-wide window; the path count is one hash agg with map-side
+    * combine and the head is TakeOrderedAndProject(10).
+    */
+  val xEventPaths = Q(
+    "x_event_paths",
+    """WITH e AS (SELECT user_id, event_id, event_type,
+             CAST(ts AS TIMESTAMP) AS ts FROM events),
+       f AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+               THEN 1 ELSE 0 END AS new_s
+             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       s AS (SELECT user_id, event_id, event_type, ts,
+               CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS BIGINT) AS session_id FROM f),
+       p AS (SELECT event_type || '>' ||
+               lead(event_type, 1) OVER w2 || '>' ||
+               lead(event_type, 2) OVER w2 AS path
+             FROM s WINDOW w2 AS
+               (PARTITION BY user_id, session_id ORDER BY ts, event_id)),
+       c AS (SELECT path, CAST(count(*) AS BIGINT) AS n
+             FROM p WHERE path IS NOT NULL GROUP BY 1)
+       SELECT CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT) AS rank,
+              path, n
+       FROM c ORDER BY rank LIMIT 10""") { (s, dir) =>
+    val sess = graft.ops.Extra.sessionize(
+      T(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts")),
+      gapMinutes = 30)
+    val w2 = Window.partitionBy("user_id", "session_id")
+      .orderBy(col("ts"), col("event_id"))
+    val paths = sess
+      .select(concat(col("event_type"), lit(">"),
+        lead(col("event_type"), 1).over(w2), lit(">"),
+        lead(col("event_type"), 2).over(w2)).as("path"))
+      .filter(col("path").isNotNull)
+      .groupBy("path").agg(count(lit(1)).as("n"))
+    paths.orderBy(col("n").desc, col("path")).limit(10)
+      .select(row_number().over(Window.orderBy(col("n").desc, col("path")))
+        .cast("long").as("rank"), col("path"), col("n"))
+      .orderBy("rank")
+  }
+
   val all: Seq[Q] = Seq(xFunnel, xRetention, xTransitions, xOutlierIqr,
     xWinsorize, xDecayScore, xRfm, xRfmScaled, xAttribution, xAbChisq,
-    xJackknifeSe)
+    xJackknifeSe, xEventPaths)
 }

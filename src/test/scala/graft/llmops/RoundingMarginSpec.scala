@@ -342,6 +342,28 @@ class RoundingMarginSpec extends AnyFunSuite {
       val hllTable = (1 to 63).map(v => 1e6 * math.log(64.0 / v)) :+
         (1e6 * 0.7213 / (1.0 + 1.079 / 64.0))
 
+      // x_negative_sampling: 1e6·count^0.75 per vocabulary entry
+      // (model-sized — one value per word)
+      val negPow = docs
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .select("n").as[Long].collect()
+        .map(n => 1e6 * math.pow(n.toDouble, 0.75))
+
+      // x_dp_budget: the advanced-composition bound × 1e6 over the
+      // fixture's per-user release counts
+      val dpAdv = {
+        val G = Governance
+        graft.core.Tables(spark, dir, "events")
+          .filter(col("user_id") < 60)
+          .groupBy("user_id")
+          .agg(countDistinct(col("ts").cast("date")).as("k"))
+          .select("k").as[Long].collect()
+          .map(k => 1e6 * (math.sqrt(2.0 * k * G.DP_LN_INV_DELTA) *
+            G.DP_EPS + k * G.DP_EPS * G.DP_EGROW))
+      }
+
       // x_jackknife_se: the single sqrt over the exact integer ratio × 1e6
       val jkSe = {
         val xs = docs.select(col("n_chars")).as[Long].collect()
@@ -393,6 +415,8 @@ class RoundingMarginSpec extends AnyFunSuite {
         Fam("bleu-corpus", "half", 1e-4, bleu),
         Fam("chrf-corpus", "half", 1e-4, chrf),
         Fam("hll-lin-table", "half", 1e-4, hllTable),
+        Fam("negsample-pow", "half", 1e-4, negPow.toSeq),
+        Fam("dp-advanced", "half", 1e-4, dpAdv.toSeq),
         Fam("jackknife-se", "half", 1e-4, jkSe),
         Fam("coreset-sims", "half", 1e-6, coresetSims.toSeq),
         // x_ndcg_eval: the K constant discount weights 1e6/log2(i+1)

@@ -738,6 +738,128 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("Mann-Whitney U matches a driver-side midrank recompute") {
+    val D = graft.llmops.Drift
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = graft.core.Tables(spark, dir, "documents")
+      val cut = graft.llmops.Incremental.cutoffValue(docs)
+      val vals = docs.select(col("n_chars"), (col("doc_id") <= cut).as("ref"))
+        .as[(Long, Boolean)].collect()
+      val sorted = vals.map(_._1).sorted
+      def midrank2(v: Long): Long = {
+        val less = sorted.count(_ < v).toLong
+        val eq = sorted.count(_ == v).toLong
+        2 * less + eq + 1
+      }
+      val n1 = vals.count(_._2).toLong
+      val n2 = vals.length - n1
+      val r2 = vals.filter(_._2).map(v => midrank2(v._1)).sum
+      val u2 = r2 - n1 * (n1 + 1)
+      val z2n = (u2 - n1 * n2) * (u2 - n1 * n2) * 30000
+      val z2d = 38416L * n1 * n2 * (n1 + n2 + 1)
+      val got = D.xMannWhitney.build(spark, dir)
+        .as[(Long, Long, Long, Long, Long, Boolean)].head()
+      assert(got == ((n1, n2, u2, z2n, z2d, z2n > z2d)), s"$dir: $got")
+      info(f"$dir: U2=$u2 z²=${z2n.toDouble / z2d}%.3f " +
+        s"significant=${z2n > z2d}")
+    }
+  }
+
+  test("event paths match a driver-side session trigram count") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val ev = graft.core.Tables(spark, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .as[(Long, Long, String, Long)].collect()
+      val paths = ev.groupBy(_._1).values.flatMap { rows =>
+        val sorted = rows.sortBy(r => (r._4, r._2))
+        // split into 30-min-gap sessions, then per-session trigrams
+        val sessions = scala.collection.mutable.ArrayBuffer(
+          scala.collection.mutable.ArrayBuffer.empty[String])
+        var prev = Long.MinValue
+        sorted.foreach { case (_, _, t, us) =>
+          if (prev != Long.MinValue && us - prev > 1800000000L)
+            sessions += scala.collection.mutable.ArrayBuffer.empty[String]
+          sessions.last += t
+          prev = us
+        }
+        sessions.flatMap(s => s.sliding(3).filter(_.length == 3)
+          .map(_.mkString(">")))
+      }.toSeq
+      val expect = paths.groupBy(identity).view.mapValues(_.length.toLong)
+        .toSeq.sortBy { case (p, n) => (-n, p) }.take(10)
+      val got = EventAnalytics.xEventPaths.build(spark, dir)
+        .as[(Long, String, Long)].collect()
+      assert(got.length == math.min(10, expect.length))
+      got.zipWithIndex.foreach { case ((rank, path, n), i) =>
+        assert((rank, path, n) == ((i + 1L, expect(i)._1, expect(i)._2)),
+          s"$dir rank ${i + 1}")
+      }
+      info(s"$dir: top path ${got.head._2} ×${got.head._3}")
+    }
+  }
+
+  test("negative-sampling table and draws match a driver-side recompute") {
+    val L = graft.llmops.LangModel
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val counts = graft.core.Tables(spark, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect().sortBy(_._1)
+      val table = counts.map { case (w, n) =>
+        (w, n, math.round(1e6 * math.pow(n.toDouble, 0.75)))
+      }
+      val cums = table.scanLeft(0L)(_ + _._3)
+      val tw = cums.last
+      def md5hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      val expect = (0 until L.NEG_DRAWS).map { j =>
+        val h = java.lang.Long.parseLong(md5hex(j.toString).take(12), 16) % tw
+        val idx = cums.lastIndexWhere(_ <= h) // cums(idx) <= h < cums(idx+1)
+        j.toLong -> table(idx)
+      }.toMap
+      val out = L.xNegativeSampling.build(spark, dir)
+        .as[(Long, String, Long, Long)].collect()
+      assert(out.length == L.NEG_DRAWS, "every draw resolves exactly once")
+      out.foreach { case (j, w, n, pw) =>
+        assert((w, n, pw) == expect(j), s"$dir draw $j")
+      }
+      // the power flattening must actually bias draws away from raw
+      // counts: the drawn multiset should include at least one word
+      // whose count is below the vocabulary median
+      val medianN = counts.map(_._2).sorted.apply(counts.length / 2)
+      assert(out.exists(_._3 < medianN),
+        s"$dir: draws never hit the tail — flattening untested")
+      info(s"$dir: ${counts.length}-word vocab, tw=$tw, " +
+        s"${out.map(_._2).distinct.length} distinct words drawn")
+    }
+  }
+
+  test("gini concentration matches a driver-side recompute") {
+    val G = graft.llmops.Governance
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val ts = graft.core.Tables(spark, dir, "documents")
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("t"))
+        .groupBy("source").agg(sum("t").as("t"))
+        .as[(String, Long)].collect()
+      val sorted = ts.sortBy { case (s, t) => (t, s) }
+      val n = sorted.length.toLong
+      val total = sorted.map(_._2).sum
+      val wsum = sorted.zipWithIndex.map { case ((_, t), i) =>
+        (i + 1) * t
+      }.sum
+      val gNum = 2 * wsum - (n + 1) * total
+      val got = G.xGiniConcentration.build(spark, dir)
+        .as[(Long, Long, Long, Long, Long)].head()
+      assert(got == ((n, total, gNum, n * total,
+        1000000L * gNum / (n * total))), s"$dir: $got")
+      info(s"$dir: gini=${got._5} ppm over $n sources")
+    }
+  }
+
   test("json roundtrip is lossless against the parquet original") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val direct = graft.core.Tables(spark, dir, "customer")
