@@ -293,7 +293,45 @@ object Governance {
           .as("gini_ppm"))
   }
 
+  /** X — corpus coverage curve: sources ranked by token volume with the
+    * cumulative share at each depth — the "top-3 crawls are 40% of the
+    * corpus" line on a dataset card, the rank-resolved companion to
+    * [[xGiniConcentration]]'s single number. Pure integers: cumulative
+    * sums over the bounded source dimension, shares as ppm by one
+    * division per row.
+    */
+  val xCoverageCurve = Q(
+    "x_coverage_curve",
+    """WITH s AS (SELECT source,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t
+         FROM documents GROUP BY 1),
+       tot AS (SELECT CAST(sum(t) AS BIGINT) AS total FROM s),
+       r AS (SELECT source, t,
+               CAST(row_number() OVER (ORDER BY t DESC, source) AS BIGINT) AS k,
+               CAST(sum(t) OVER (ORDER BY t DESC, source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+             FROM s)
+       SELECT k, source, t AS tokens, cum AS cum_tokens,
+              (1000000 * cum) // total AS cum_share_ppm
+       FROM r, tot ORDER BY k""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val src = T(s, dir, "documents")
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("t"))
+    val tot = src.agg(sum(col("t")).as("total"))
+    val w = Window.orderBy(col("t").desc, col("source"))
+    src
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("t")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("source"), col("t").as("tokens"),
+        col("cum").as("cum_tokens"),
+        expr("(1000000 * cum) div total").as("cum_share_ppm"))
+      .orderBy("k")
+  }
+
   val all: Seq[Q] =
     Seq(xKAnonymity, xKappaAgreement, xEceCalibration, xLDiversity, xDpBudget,
-      xGiniConcentration)
+      xGiniConcentration, xCoverageCurve)
 }

@@ -805,7 +805,78 @@ object TextStats {
       .orderBy("source")
   }
 
+  /** X — Zipf-law fit over the word frequency spectrum: least-squares
+    * slope/intercept of ln(count) against ln(rank) — the "is this
+    * corpus naturally distributed" audit (synthetic or template-spam
+    * corpora show slopes far from the natural ≈ −1).
+    *
+    * Exactness: ln(rank) and ln(count) are fixed-pointed once per
+    * VOCABULARY entry (model-sized; margin family "zipf-ln"); the
+    * regression sums and the slope quotient are exact integers
+    * (sign-split division — the slope is negative); the intercept's
+    * wide product goes through DECIMAL(38,0)/HUGEINT like the HLL
+    * estimator.
+    *
+    * Scale posture: one word hash agg, a rank window over the
+    * vocabulary dimension, a 1-row regression re-agg.
+    */
+  val xZipfFit = Q(
+    "x_zipf_fit",
+    """WITH c AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+           FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+           WHERE word != '' GROUP BY 1),
+       r AS (SELECT n, CAST(row_number() OVER (ORDER BY n DESC, word) AS BIGINT) AS rk
+             FROM c),
+       p AS (SELECT CAST(round(1000000 * ln(CAST(rk AS DOUBLE))) AS BIGINT) AS x,
+               CAST(round(1000000 * ln(CAST(n AS DOUBLE))) AS BIGINT) AS y
+             FROM r),
+       s AS (SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx FROM p),
+       f AS (SELECT k, k * sxy - sx * sy AS num, k * sxx - sx * sx AS den,
+               sy, sx FROM s)
+       SELECT k AS n_vocab,
+              CASE WHEN num >= 0
+                   THEN CAST((1000000::HUGEINT * num) // den AS BIGINT)
+                   ELSE -CAST((1000000::HUGEINT * (-num)) // den AS BIGINT)
+              END AS slope_micro,
+              CASE WHEN sy::HUGEINT * den - num::HUGEINT * sx >= 0
+                   THEN CAST((sy::HUGEINT * den - num::HUGEINT * sx)
+                          // (k::HUGEINT * den) AS BIGINT)
+                   ELSE -CAST((-(sy::HUGEINT * den - num::HUGEINT * sx))
+                          // (k::HUGEINT * den) AS BIGINT) END AS intercept_micro
+       FROM f""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val c = T(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    val p = c.withColumn("rk",
+        row_number().over(Window.orderBy(col("n").desc, col("word"))).cast("long"))
+      .select(
+        expr("CAST(round(1000000 * ln(CAST(rk AS DOUBLE))) AS BIGINT)").as("x"),
+        expr("CAST(round(1000000 * ln(CAST(n AS DOUBLE))) AS BIGINT)").as("y"))
+    p.agg(count(lit(1)).as("k"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("k"), (col("k") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("k") * col("sxx") - col("sx") * col("sx")).as("den"),
+        col("sy"), col("sx"))
+      .select(col("k").as("n_vocab"),
+        expr("""CASE WHEN num >= 0
+                THEN CAST(CAST(1000000 AS DECIMAL(38,0)) * num DIV den AS BIGINT)
+                ELSE -CAST(CAST(1000000 AS DECIMAL(38,0)) * (-num) DIV den AS BIGINT)
+                END""").as("slope_micro"),
+        expr("""CASE WHEN CAST(sy AS DECIMAL(38,0)) * den - CAST(num AS DECIMAL(38,0)) * sx >= 0
+                THEN CAST((CAST(sy AS DECIMAL(38,0)) * den - CAST(num AS DECIMAL(38,0)) * sx)
+                       DIV (CAST(k AS DECIMAL(38,0)) * den) AS BIGINT)
+                ELSE -CAST((-(CAST(sy AS DECIMAL(38,0)) * den - CAST(num AS DECIMAL(38,0)) * sx))
+                       DIV (CAST(k AS DECIMAL(38,0)) * den) AS BIGINT) END""")
+          .as("intercept_micro"))
+  }
+
   val all: Seq[Q] = Seq(q35, q35b, xTfIdf, xQuality, xTokenCount, xLangId,
     xRepetition, xQualityRules, xWordEntropy, xHashEmbed, xBm25, xDsirWeights,
-    xRrfFusion, xQualityEnsemble, xReadability, xDiversityIndex)
+    xRrfFusion, xQualityEnsemble, xReadability, xDiversityIndex, xZipfFit)
 }

@@ -626,7 +626,58 @@ object EventAnalytics {
       .orderBy("rank")
   }
 
+  /** The Wilson lower bound at z = 1.96, written as ONE expression
+    * string shared verbatim by both engines: every operation
+    * (division, multiply, add, sqrt) is IEEE-correctly-rounded and
+    * evaluated in the identical order, so the pre-round double is
+    * bit-identical cross-engine; the single rounding to micro units is
+    * margin-audited (family "wilson-lb").
+    */
+  private val wilsonSql =
+    """CAST(round(1000000 * (
+         (CAST(s AS DOUBLE) / n + 1.9208 / n
+          - 1.96 * sqrt((CAST(s AS DOUBLE) / n) * (1.0 - CAST(s AS DOUBLE) / n) / n
+                        + 0.9604 / (CAST(n AS DOUBLE) * n)))
+         / (1.0 + 3.8416 / n))) AS BIGINT)"""
+
+  /** X — confidence-adjusted rate ranking via the Wilson score lower
+    * bound (the canonical "sort by rating" fix: a 3/4 success rate must
+    * not outrank a 700/1000 one). Per event type, trials = events and
+    * successes = high-value events (value > 50); types rank by the
+    * z = 1.96 lower bound, not the raw rate.
+    *
+    * Scale posture: one corpus hash agg to the |event_type| dimension
+    * (map-side combine), then constant-size arithmetic and a 5-row
+    * rank window.
+    */
+  val xCtrWilson = Q(
+    "x_ctr_wilson",
+    s"""WITH a AS (SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS s
+           FROM events GROUP BY 1),
+       w AS (SELECT event_type, n, s,
+               (1000000 * s) // n AS rate_ppm,
+               $wilsonSql AS lb_micro FROM a)
+       SELECT CAST(row_number() OVER (ORDER BY lb_micro DESC, event_type)
+                AS BIGINT) AS rank,
+              event_type, n AS trials, s AS successes, rate_ppm, lb_micro
+       FROM w ORDER BY rank""") { (sp, dir) =>
+    val a = T(sp, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") > 50, 1L).otherwise(0L)).as("s"))
+    a.select(col("event_type"), col("n"), col("s"),
+        expr("(1000000 * s) div n").as("rate_ppm"),
+        expr(wilsonSql).as("lb_micro"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("lb_micro").desc, col("event_type"))).cast("long"))
+      .select(col("rank"), col("event_type"), col("n").as("trials"),
+        col("s").as("successes"), col("rate_ppm"), col("lb_micro"))
+      .orderBy("rank")
+  }
+
   val all: Seq[Q] = Seq(xFunnel, xRetention, xTransitions, xOutlierIqr,
     xWinsorize, xDecayScore, xRfm, xRfmScaled, xAttribution, xAbChisq,
-    xJackknifeSe, xEventPaths)
+    xJackknifeSe, xEventPaths, xCtrWilson)
 }

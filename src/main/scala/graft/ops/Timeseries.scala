@@ -448,7 +448,77 @@ object Timeseries {
       .orderBy("day")
   }
 
+  /** Rolling-correlation window length (days). */
+  val CORR_WIN = 7
+
+  /** The Pearson correlation of the exact integer regression sums,
+    * written as ONE expression string both engines evaluate verbatim:
+    * corr = cov / sqrt(vx·vy) where cov = n·Σxy − ΣxΣy and
+    * vx/vy = n·Σx² − (Σx)² are EXACT BIGINTs from the rolling frames,
+    * so the only doubles are one product, one sqrt, one division — all
+    * IEEE-correctly-rounded in identical order — and the single
+    * rounding to micro units is margin-audited (family "rolling-corr").
+    */
+  private val corrSql =
+    """CASE WHEN vx = 0 OR vy = 0 THEN NULL
+       ELSE CAST(round(1000000 * (CAST(cov AS DOUBLE)
+              / sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)))) AS BIGINT)
+       END"""
+
+  /** X — 7-day rolling correlation between the click and view daily
+    * series: the co-movement monitor (campaign attribution, metric
+    * coupling, leading-indicator checks). Windows shorter than
+    * CORR_WIN days are suppressed (NULL corr) rather than reported on
+    * partial data; zero-variance windows likewise.
+    *
+    * Scale posture: the corpus reduces to (day × 2 types) in one hash
+    * agg; every rolling frame runs over the bounded date dimension.
+    */
+  val xRollingCorr = Q(
+    "x_rolling_corr",
+    s"""WITH d AS (SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS y
+           FROM events GROUP BY 1),
+       w AS (SELECT day, x, y,
+               CAST(count(*) OVER r AS BIGINT) AS n,
+               CAST(sum(x) OVER r AS BIGINT) AS sx,
+               CAST(sum(y) OVER r AS BIGINT) AS sy,
+               CAST(sum(x * y) OVER r AS BIGINT) AS sxy,
+               CAST(sum(x * x) OVER r AS BIGINT) AS sxx,
+               CAST(sum(y * y) OVER r AS BIGINT) AS syy
+             FROM d WINDOW r AS (ORDER BY day
+               ROWS BETWEEN ${CORR_WIN - 1} PRECEDING AND CURRENT ROW)),
+       c AS (SELECT day, x, y, n,
+               n * sxy - sx * sy AS cov,
+               n * sxx - sx * sx AS vx,
+               n * syy - sy * sy AS vy FROM w)
+       SELECT day, x, y, cov, vx, vy,
+              CASE WHEN n < $CORR_WIN THEN NULL ELSE $corrSql END AS corr_micro
+       FROM c ORDER BY day""") { (s, dir) =>
+    val d = T(s, dir, "events")
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("y"))
+    val r = Window.orderBy("day").rowsBetween(-(CORR_WIN - 1), Window.currentRow)
+    d.select(col("day"), col("x"), col("y"),
+        count(lit(1)).over(r).as("n"),
+        sum(col("x")).over(r).as("sx"), sum(col("y")).over(r).as("sy"),
+        sum(col("x") * col("y")).over(r).as("sxy"),
+        sum(col("x") * col("x")).over(r).as("sxx"),
+        sum(col("y") * col("y")).over(r).as("syy"))
+      .select(col("day"), col("x"), col("y"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("cov"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("vx"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("vy"))
+      .select(col("day"), col("x"), col("y"), col("cov"), col("vx"), col("vy"),
+        when(col("n") < CORR_WIN, lit(null).cast("long"))
+          .otherwise(expr(corrSql)).as("corr_micro"))
+      .orderBy("day")
+  }
+
   val all: Seq[Q] = Seq(xInterpolate, xGapDetect, xWindowDistinct,
     xRollingMedian, xPopGrowth, xPctOfParent, xChangepoint, xAnomalyMad,
-    xSeasonalDow)
+    xSeasonalDow, xRollingCorr)
 }

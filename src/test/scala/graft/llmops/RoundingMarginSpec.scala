@@ -351,6 +351,53 @@ class RoundingMarginSpec extends AnyFunSuite {
         .select("n").as[Long].collect()
         .map(n => 1e6 * math.pow(n.toDouble, 0.75))
 
+      // x_zipf_fit: the fixed-point ln(rank)/ln(count) grid (model-sized
+      // — two values per vocabulary entry)
+      val zipfLn = {
+        val counts = docs
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy("w").agg(count(lit(1)).as("n"))
+          .select("n").as[Long].collect()
+        counts.indices.map(i => 1e6 * math.log(i + 1.0)) ++
+          counts.map(n => 1e6 * math.log(n.toDouble))
+      }
+
+      // x_ctr_wilson: the per-type Wilson lower bounds × 1e6
+      val wilson = graft.core.Tables(spark, dir, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") > 50, 1L).otherwise(0L)).as("s"))
+        .as[(String, Long, Long)].collect()
+        .map { case (_, n, s) =>
+          val p = s.toDouble / n
+          1e6 * ((p + 1.9208 / n - 1.96 * math.sqrt(
+            p * (1.0 - p) / n + 0.9604 / (n.toDouble * n))) /
+            (1.0 + 3.8416 / n))
+        }
+
+      // x_rolling_corr: the full-window Pearson values × 1e6
+      val rollCorr = {
+        val d = graft.core.Tables(spark, dir, "events")
+          .groupBy(col("ts").cast("date").cast("string").as("day"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("y"))
+          .as[(String, Long, Long)].collect().sortBy(_._1)
+        val W = graft.ops.Timeseries.CORR_WIN
+        d.indices.flatMap { i =>
+          if (i < W - 1) None else {
+            val win = d.slice(i - W + 1, i + 1)
+            val n = win.length.toLong
+            val sx = win.map(_._2).sum; val sy = win.map(_._3).sum
+            val cov = n * win.map(r => r._2 * r._3).sum - sx * sy
+            val vx = n * win.map(r => r._2 * r._2).sum - sx * sx
+            val vy = n * win.map(r => r._3 * r._3).sum - sy * sy
+            if (vx == 0 || vy == 0) None
+            else Some(1e6 * (cov.toDouble / math.sqrt(vx.toDouble * vy.toDouble)))
+          }
+        }
+      }
+
       // x_dp_budget: the advanced-composition bound × 1e6 over the
       // fixture's per-user release counts
       val dpAdv = {
@@ -417,6 +464,9 @@ class RoundingMarginSpec extends AnyFunSuite {
         Fam("hll-lin-table", "half", 1e-4, hllTable),
         Fam("negsample-pow", "half", 1e-4, negPow.toSeq),
         Fam("dp-advanced", "half", 1e-4, dpAdv.toSeq),
+        Fam("zipf-ln", "half", 1e-4, zipfLn.toSeq),
+        Fam("wilson-lb", "half", 1e-4, wilson.toSeq),
+        Fam("rolling-corr", "half", 1e-4, rollCorr.toSeq),
         Fam("jackknife-se", "half", 1e-4, jkSe),
         Fam("coreset-sims", "half", 1e-6, coresetSims.toSeq),
         // x_ndcg_eval: the K constant discount weights 1e6/log2(i+1)

@@ -860,6 +860,131 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("zipf fit matches a driver-side least squares") {
+    val T = graft.llmops.TextStats
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val counts = graft.core.Tables(spark, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect()
+        .sortBy { case (w, n) => (-n, w) }
+      val pts = counts.zipWithIndex.map { case ((_, n), i) =>
+        (math.round(1e6 * math.log(i + 1.0)),
+          math.round(1e6 * math.log(n.toDouble)))
+      }
+      val k = pts.length.toLong
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val num = BigInt(k) * sxy - BigInt(sx) * sy
+      val den = BigInt(k) * sxx - BigInt(sx) * sx
+      def sdiv(a: BigInt, b: BigInt): Long =
+        (if (a >= 0) a / b else -((-a) / b)).toLong
+      val slope = sdiv(BigInt(1000000) * num, den)
+      val icept = sdiv(BigInt(sy) * den - num * sx, BigInt(k) * den)
+      val got = T.xZipfFit.build(spark, dir)
+        .as[(Long, Long, Long)].head()
+      assert(got == ((k, slope, icept)), s"$dir: $got vs ($k,$slope,$icept)")
+      assert(slope < 0, "Zipf slope must be negative")
+      info(f"$dir: slope=${slope / 1e6}%.4f intercept=${icept / 1e6}%.3f " +
+        s"over $k vocab entries")
+    }
+  }
+
+  test("Wilson lower bounds match a driver-side recompute and reorder rates") {
+    val E = EventAnalytics
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val a = graft.core.Tables(spark, dir, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") > 50, 1L).otherwise(0L)).as("s"))
+        .as[(String, Long, Long)].collect()
+      val expect = a.map { case (t, n, s) =>
+        val p = s.toDouble / n
+        val lb = (p + 1.9208 / n -
+          1.96 * math.sqrt(p * (1.0 - p) / n + 0.9604 / (n.toDouble * n))) /
+          (1.0 + 3.8416 / n)
+        t -> (n, s, 1000000 * s / n, math.round(1e6 * lb))
+      }.toMap
+      val out = E.xCtrWilson.build(spark, dir)
+        .as[(Long, String, Long, Long, Long, Long)].collect()
+      assert(out.length == expect.size)
+      out.foreach { case (_, t, n, s, rate, lb) =>
+        assert((n, s, rate, lb) == expect(t), s"$dir $t")
+        assert(lb < rate, s"$dir $t: LB must sit under the raw rate")
+      }
+      val ranked = expect.toSeq.sortBy { case (t, v) => (-v._4, t) }.map(_._1)
+      assert(out.sortBy(_._1).map(_._2).toSeq == ranked)
+      info(s"$dir: ranks ${out.sortBy(_._1).map(_._2).mkString(" > ")}")
+    }
+  }
+
+  test("coverage curve matches a driver-side cumulative share") {
+    val G = graft.llmops.Governance
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val ts = graft.core.Tables(spark, dir, "documents")
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("t"))
+        .groupBy("source").agg(sum("t").as("t"))
+        .as[(String, Long)].collect()
+        .sortBy { case (s, t) => (-t, s) }
+      val total = ts.map(_._2).sum
+      var cum = 0L
+      val expect = ts.zipWithIndex.map { case ((s, t), i) =>
+        cum += t
+        (i + 1L, s, t, cum, 1000000L * cum / total)
+      }
+      val out = G.xCoverageCurve.build(spark, dir)
+        .as[(Long, String, Long, Long, Long)].collect()
+      assert(out.toSeq == expect.toSeq, s"$dir")
+      assert(out.last._5 == 1000000L, "curve must end at 100%")
+      info(s"$dir: top source holds ${out.head._5} ppm")
+    }
+  }
+
+  test("rolling correlation matches a driver-side recompute") {
+    val TS = Timeseries
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val d = graft.core.Tables(spark, dir, "events")
+        .groupBy(col("ts").cast("date").cast("string").as("day"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("y"))
+        .as[(String, Long, Long)].collect().sortBy(_._1)
+      val expect = d.indices.map { i =>
+        val win = d.slice(math.max(0, i - TS.CORR_WIN + 1), i + 1)
+        val n = win.length.toLong
+        val sx = win.map(_._2).sum; val sy = win.map(_._3).sum
+        val sxy = win.map(r => r._2 * r._3).sum
+        val sxx = win.map(r => r._2 * r._2).sum
+        val syy = win.map(r => r._3 * r._3).sum
+        val cov = n * sxy - sx * sy
+        val vx = n * sxx - sx * sx; val vy = n * syy - sy * sy
+        val corr = if (n < TS.CORR_WIN || vx == 0 || vy == 0) None
+          else Some(math.round(1e6 *
+            (cov.toDouble / math.sqrt(vx.toDouble * vy.toDouble))))
+        d(i)._1 -> (d(i)._2, d(i)._3, cov, vx, vy, corr)
+      }.toMap
+      val out = TS.xRollingCorr.build(spark, dir)
+        .withColumn("day", col("day").cast("string"))
+        .collect()
+      assert(out.length == expect.size)
+      out.foreach { r =>
+        val day = r.getString(0)
+        val corr = if (r.isNullAt(6)) None else Some(r.getLong(6))
+        assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), corr) == expect(day), s"$dir $day")
+      }
+      val defined = out.count(!_.isNullAt(6))
+      assert(defined == out.length - (TS.CORR_WIN - 1),
+        "exactly the full-window days carry a correlation")
+      info(s"$dir: $defined full windows, corr range " +
+        s"[${out.filter(!_.isNullAt(6)).map(_.getLong(6)).min}, " +
+        s"${out.filter(!_.isNullAt(6)).map(_.getLong(6)).max}] micro")
+    }
+  }
+
   test("json roundtrip is lossless against the parquet original") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val direct = graft.core.Tables(spark, dir, "customer")
