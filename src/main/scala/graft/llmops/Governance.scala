@@ -331,7 +331,47 @@ object Governance {
       .orderBy("k")
   }
 
+  /** X — Brier score of the same confidence/outcome stream the ECE
+    * audit bins ([[xEceCalibration]]): the proper scoring rule
+    * companion — ECE measures bin-wise calibration, Brier the overall
+    * squared-error quality of the probabilities, with the climatology
+    * reference BS_ref = p̄(1−p̄) and a skill verdict (a forecaster must
+    * beat always-predict-the-base-rate).
+    *
+    * Exact integers: conf is the ECE chain's milli-probability, so
+    * Brier·10⁶ = Σ(conf − 1000y)² div n and
+    * ref·10⁶ = 10⁶·pos·(n−pos) div n² — no rounding, no doubles.
+    *
+    * Scale posture: one map-side-combined corpus agg; the score is a
+    * 1-row projection.
+    */
+  val xBrierScore = Q(
+    "x_brier_score",
+    """WITH t AS (SELECT (1000 * n_chars) // (n_chars + 300) AS conf,
+             CASE WHEN len(string_split(text, ' ')) >= 50 THEN 1 ELSE 0 END AS y
+           FROM documents),
+       a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS pos,
+               CAST(sum((conf - 1000 * y) * (conf - 1000 * y)) AS BIGINT) AS sq
+             FROM t)
+       SELECT n, pos, sq,
+              sq // n AS brier_micro,
+              (1000000 * pos * (n - pos)) // (n * n) AS ref_micro,
+              (sq // n < (1000000 * pos * (n - pos)) // (n * n)) AS skillful
+       FROM a""") { (s, dir) =>
+    T(s, dir, "documents")
+      .select(expr("(1000 * n_chars) div (n_chars + 300)").as("conf"),
+        when(size(split(col("text"), " ")) >= 50, 1L).otherwise(0L).as("y"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"),
+        sum((col("conf") - lit(1000) * col("y")) *
+          (col("conf") - lit(1000) * col("y"))).as("sq"))
+      .select(col("n"), col("pos"), col("sq"),
+        expr("sq div n").as("brier_micro"),
+        expr("(1000000 * pos * (n - pos)) div (n * n)").as("ref_micro"))
+      .withColumn("skillful", col("brier_micro") < col("ref_micro"))
+  }
+
   val all: Seq[Q] =
     Seq(xKAnonymity, xKappaAgreement, xEceCalibration, xLDiversity, xDpBudget,
-      xGiniConcentration, xCoverageCurve)
+      xGiniConcentration, xCoverageCurve, xBrierScore)
 }

@@ -876,7 +876,60 @@ object TextStats {
           .as("intercept_micro"))
   }
 
+  /** X — word burstiness: the variance-to-mean ratio (VMR) of per-doc
+    * occurrence counts, top-10 burstiest words. Function words spread
+    * evenly (VMR ≈ 1, Poisson-like); topical words clump into few
+    * documents (VMR ≫ 1) — the Church–Gale burstiness signal used for
+    * keyword extraction and template/spam detection. Zeros count:
+    * stats run over ALL D docs, not just the word's df.
+    *
+    * Exactness: VMR = var/mean = (D·Σc² − tot²)/(D·tot) over the
+    * per-doc counts c — exact integers cross-multiplied (the numerator
+    * is ≥ 0 by Cauchy–Schwarz), ppm by one division; the rank orders
+    * the truncated ppm with a word tiebreak (identical integers both
+    * engines).
+    *
+    * Scale posture: one explode → (doc, word) hash agg → per-word
+    * re-agg, a 1-row D broadcast, TakeOrdered(10).
+    */
+  val xBurstiness = Q(
+    "x_burstiness",
+    """WITH c AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                 FROM documents)
+           WHERE word != '' GROUP BY 1, 2),
+       w AS (SELECT word, CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(c) AS BIGINT) AS tot,
+               CAST(sum(c * c) AS BIGINT) AS sq FROM c GROUP BY 1),
+       dd AS (SELECT CAST(count(*) AS BIGINT) AS d FROM documents),
+       v AS (SELECT word, df, tot,
+               (1000000 * (d * sq - tot * tot)) // (d * tot) AS vmr_ppm
+             FROM w, dd),
+       r AS (SELECT *, row_number() OVER (ORDER BY vmr_ppm DESC, word) AS rk
+             FROM v)
+       SELECT CAST(rk AS BIGINT) AS rank, word, df, tot, vmr_ppm
+       FROM r WHERE rk <= 10 ORDER BY rank""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val c = T(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+    val w = c.groupBy("word").agg(count(lit(1)).as("df"),
+      sum(col("c")).as("tot"), sum(col("c") * col("c")).as("sq"))
+    val dd = T(s, dir, "documents").agg(count(lit(1)).as("d"))
+    val v = w.crossJoin(broadcast(dd))
+      .select(col("word"), col("df"), col("tot"),
+        expr("(1000000 * (d * sq - tot * tot)) div (d * tot)").as("vmr_ppm"))
+    v.orderBy(col("vmr_ppm").desc, col("word")).limit(10)
+      .select(row_number().over(
+          Window.orderBy(col("vmr_ppm").desc, col("word")))
+          .cast("long").as("rank"),
+        col("word"), col("df"), col("tot"), col("vmr_ppm"))
+      .orderBy("rank")
+  }
+
   val all: Seq[Q] = Seq(q35, q35b, xTfIdf, xQuality, xTokenCount, xLangId,
     xRepetition, xQualityRules, xWordEntropy, xHashEmbed, xBm25, xDsirWeights,
-    xRrfFusion, xQualityEnsemble, xReadability, xDiversityIndex, xZipfFit)
+    xRrfFusion, xQualityEnsemble, xReadability, xDiversityIndex, xZipfFit,
+    xBurstiness)
 }

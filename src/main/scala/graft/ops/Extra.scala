@@ -904,11 +904,59 @@ object Extra {
       .orderBy("hour")
   }
 
+  /** X — skyline / Pareto frontier: the documents no other document
+    * dominates on (shorter, lexically richer) — minimize n_chars,
+    * maximize distinct-word count. The classic multi-criteria operator
+    * (BÖRZSÖNYI et al.'s SKYLINE OF): here it surfaces the
+    * "dense" documents a curation pass would promote.
+    *
+    * Spelling: reduce to DISTINCT (c, d) points, keep each c's max d,
+    * then one running-max sweep over c ascending — a point survives iff
+    * its d strictly exceeds every smaller-c point's best d (ties on
+    * both axes are mutually non-dominating and all surviving docs are
+    * returned via the final equi-join). Pure integers, total order.
+    *
+    * Scale posture: the sweep window runs over the DISTINCT VALUE
+    * domain (≤ |distinct n_chars| rows), not the corpus; at 100 TB the
+    * standard two-phase skyline (per-partition local skyline, then the
+    * tiny merged sweep) keeps the same final window while bounding the
+    * shuffle to local survivors.
+    */
+  val xSkyline = Q(
+    "x_skyline",
+    """WITH pts AS (SELECT doc_id, n_chars AS c,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS d
+           FROM documents),
+       best AS (SELECT c, CAST(max(d) AS BIGINT) AS d FROM pts GROUP BY c),
+       sweep AS (SELECT c, d,
+               CAST(coalesce(max(d) OVER (ORDER BY c
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                 AS BIGINT) AS prev_best FROM best),
+       sky AS (SELECT c, d FROM sweep WHERE d > prev_best)
+       SELECT p.doc_id, p.c AS n_chars, p.d AS n_types
+       FROM pts p JOIN sky ON p.c = sky.c AND p.d = sky.d
+       ORDER BY p.c, p.doc_id""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val pts = T(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars").as("c"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("d"))
+    val best = pts.groupBy("c").agg(max(col("d")).as("d"))
+    val sky = best
+      .withColumn("prev_best", coalesce(
+        max(col("d")).over(Window.orderBy("c")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(-1L)))
+      .filter(col("d") > col("prev_best"))
+      .select("c", "d")
+    pts.join(sky, Seq("c", "d"))
+      .select(col("doc_id"), col("c").as("n_chars"), col("d").as("n_types"))
+      .orderBy("n_chars", "doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(xSessionize, xSampleHash, xStringAgg, xRedact, xRegrAgg, xFillForward,
       xGroupTopK, xApproxPercentile, xResample, xJaroWinkler, xWindowNtile,
       xCsvRoundtrip, xOrcRoundtrip, xProvenance, xUpsert, xManifestPrune,
       xDatasetDiff, xZorderPrune, xProfile, xModeMedian, xSchemaEvolution,
       xPositionalJoin, xDistinctOn, xUnionByName, xBucketedJoin, xDenseIds,
-      xJsonRoundtrip, xIntervalJoin)
+      xJsonRoundtrip, xIntervalJoin, xSkyline)
 }

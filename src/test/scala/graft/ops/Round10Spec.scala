@@ -985,6 +985,117 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("k-core peeling matches a driver-side iteration") {
+    val G = graft.llmops.Graph
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val op = graft.core.Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct().as[(Long, Long)].collect()
+      val edges0 = op.groupBy(_._1).values.toSeq
+        .flatMap { basket =>
+          val ps = basket.map(_._2).distinct.sorted
+          for (i <- ps.indices; j <- (i + 1) until ps.length)
+            yield (ps(i), ps(j))
+        }
+        .groupBy(identity)
+        .filter { case (_, hits) => hits.length >= G.COOC_MIN }
+        .keySet
+      def degrees(es: Set[(Long, Long)]): Map[Long, Long] =
+        es.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      var cur = edges0
+      for (_ <- 1 to G.PEEL_ROUNDS) {
+        val deg = degrees(cur)
+        val keep = deg.filter(_._2 >= G.K_CORE).keySet
+        cur = cur.filter(e => keep(e._1) && keep(e._2))
+      }
+      val d0 = degrees(edges0)
+      val df = degrees(cur)
+      val out = G.xKcore.build(spark, dir)
+        .as[(Long, Long, Long, Boolean)].collect()
+      assert(out.length == d0.size)
+      out.foreach { case (node, deg0, degF, inCore) =>
+        assert(deg0 == d0(node), s"$dir node $node deg0")
+        assert(degF == df.getOrElse(node, 0L), s"$dir node $node degF")
+        assert(inCore == df.contains(node), s"$dir node $node flag")
+      }
+      if (dir.endsWith("0.01"))
+        assert(out.exists(_._4) && out.exists(!_._4),
+          s"$dir: peeling never splits the graph at oracle scale")
+      info(s"$dir: ${out.count(_._4)} of ${out.length} nodes in the " +
+        s"${G.K_CORE}-core after ${G.PEEL_ROUNDS} rounds")
+    }
+  }
+
+  test("burstiness top-10 matches a driver-side VMR recompute") {
+    val T = graft.llmops.TextStats
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val perDoc = graft.core.Tables(spark, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .as[(Long, String, Long)].collect()
+      val dTotal = graft.core.Tables(spark, dir, "documents").count()
+      val expect = perDoc.groupBy(_._2).view.mapValues { rows =>
+        val tot = rows.map(_._3).sum
+        val sq = rows.map(r => r._3 * r._3).sum
+        (rows.length.toLong, tot,
+          1000000L * (dTotal * sq - tot * tot) / (dTotal * tot))
+      }.toSeq.sortBy { case (w, v) => (-v._3, w) }.take(10)
+      val out = T.xBurstiness.build(spark, dir)
+        .as[(Long, String, Long, Long, Long)].collect()
+      assert(out.length == 10)
+      out.zipWithIndex.foreach { case ((rank, w, df, tot, vmr), i) =>
+        val (ew, (edf, etot, evmr)) = expect(i)
+        assert((rank, w, df, tot, vmr) == ((i + 1L, ew, edf, etot, evmr)),
+          s"$dir rank ${i + 1}")
+      }
+      // burstiness must actually separate: the top word clumps harder
+      // than Poisson (VMR > 1)
+      assert(out.head._5 > 1000000L, s"$dir: top VMR ${out.head._5} ≤ 1")
+      info(s"$dir: burstiest '${out.head._2}' VMR=${out.head._5} ppm " +
+        s"(df ${out.head._3} of $dTotal docs)")
+    }
+  }
+
+  test("Brier score matches a driver-side recompute and beats climatology check") {
+    val G = graft.llmops.Governance
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val t = graft.core.Tables(spark, dir, "documents")
+        .select(expr("(1000 * n_chars) div (n_chars + 300)").as("conf"),
+          when(size(split(col("text"), " ")) >= 50, 1L).otherwise(0L).as("y"))
+        .as[(Long, Long)].collect()
+      val n = t.length.toLong
+      val pos = t.map(_._2).sum
+      val sq = t.map { case (c, y) => (c - 1000 * y) * (c - 1000 * y) }.sum
+      val brier = sq / n
+      val ref = 1000000L * pos * (n - pos) / (n * n)
+      val got = G.xBrierScore.build(spark, dir)
+        .as[(Long, Long, Long, Long, Long, Boolean)].head()
+      assert(got == ((n, pos, sq, brier, ref, brier < ref)), s"$dir: $got")
+      info(s"$dir: brier=$brier ref=$ref skillful=${brier < ref}")
+    }
+  }
+
+  test("skyline equals the O(n²) dominance definition") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val pts = graft.core.Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          size(array_distinct(split(col("text"), " "))).cast("long").as("d"))
+        .as[(Long, Long, Long)].collect()
+      def dominates(a: (Long, Long, Long), b: (Long, Long, Long)): Boolean =
+        a._2 <= b._2 && a._3 >= b._3 && (a._2 < b._2 || a._3 > b._3)
+      val expect = pts.filter(p => !pts.exists(q => dominates(q, p)))
+        .map(p => (p._1, p._2, p._3)).sortBy(p => (p._2, p._1))
+      val out = Extra.xSkyline.build(spark, dir)
+        .as[(Long, Long, Long)].collect()
+      assert(out.toSeq == expect.toSeq, s"$dir")
+      assert(out.length > 1 && out.length < pts.length,
+        s"$dir: degenerate skyline of ${out.length}")
+      info(s"$dir: ${out.length} non-dominated of ${pts.length} docs")
+    }
+  }
+
   test("json roundtrip is lossless against the parquet original") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val direct = graft.core.Tables(spark, dir, "customer")
