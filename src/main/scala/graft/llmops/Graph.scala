@@ -356,11 +356,12 @@ object Graph {
        FROM w, t, ne""") { (s, dir) =>
     val pr = partEdges(s, dir)
     val deg = degreesOf(pr)
+    // n_edges = Σd/2 rides the same degree re-agg — no separate count job
     val counts = deg.agg(count(lit(1)).as("n_nodes"),
+      expr("sum(d) div 2").as("n_edges"),
       sum(expr("d * (d - 1) div 2")).as("n_wedges"))
     val tri = closureCount(orient(pr, deg, byDegree = true))
-    val edges = pr.agg(count(lit(1)).as("n_edges"))
-    counts.crossJoin(broadcast(tri)).crossJoin(broadcast(edges))
+    counts.crossJoin(broadcast(tri))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),
         when(col("n_wedges") === 0, 0L)
