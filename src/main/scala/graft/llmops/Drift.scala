@@ -154,7 +154,12 @@ object Drift {
     * (σ² = n₁n₂(N+1)/12 without tie correction — documented choice; the
     * tie-corrected variance is smaller, so TRUE here is conservative in
     * only one direction and the flag is still a pure integer fact).
-    * Both sides ≤ ~5·10¹⁸ at sf0.1-scale corpora — inside BIGINT.
+    * The squared term grows as N⁴, so the whole comparison runs in
+    * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — the x_ab_chisq
+    * discipline — good to |u2 − n₁n₂| ≈ 10¹⁷, i.e. corpora of ~6·10⁸
+    * docs. The graded z² readout is the BOUNDED quotient
+    * z2_ratio_milli = 1000·z2_num DIV z2_den ≈ 260·z² ≤ O(N) rather
+    * than the raw N⁴ products, so the output schema stays BIGINT.
     *
     * Scale posture: one hash agg to the bounded VALUE domain (distinct
     * lengths), a running-sum window over that domain, 1-row broadcasts —
@@ -177,10 +182,13 @@ object Drift {
                CAST(sum(c - cr) AS BIGINT) AS n2 FROM w),
        u AS (SELECT n1, n2, r2 - n1 * (n1 + 1) AS u2 FROM r)
        SELECT n1 AS n_ref, n2 AS n_new, u2,
-              (u2 - n1 * n2) * (u2 - n1 * n2) * 30000 AS z2_num,
-              38416 * n1 * n2 * (n1 + n2 + 1) AS z2_den,
-              ((u2 - n1 * n2) * (u2 - n1 * n2) * 30000
-                > 38416 * n1 * n2 * (n1 + n2 + 1)) AS significant
+              CAST((1000 * CAST(u2 - n1 * n2 AS HUGEINT)
+                    * CAST(u2 - n1 * n2 AS HUGEINT) * 30000)
+                // (38416::HUGEINT * n1 * n2 * (n1 + n2 + 1))
+                AS BIGINT) AS z2_ratio_milli,
+              (CAST(u2 - n1 * n2 AS HUGEINT)
+                 * CAST(u2 - n1 * n2 AS HUGEINT) * 30000
+                > 38416::HUGEINT * n1 * n2 * (n1 + n2 + 1)) AS significant
        FROM u""") { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     val docs = T(s, dir, "documents")
@@ -200,11 +208,14 @@ object Drift {
         (col("r2") - col("n1") * (col("n1") + 1)).as("u2"),
         col("n1"), col("n2"))
       .select(col("n_ref"), col("n_new"), col("u2"),
-        ((col("u2") - col("n1") * col("n2")) *
-          (col("u2") - col("n1") * col("n2")) * 30000).as("z2_num"),
-        (lit(38416L) * col("n1") * col("n2") *
-          (col("n1") + col("n2") + 1)).as("z2_den"))
-      .withColumn("significant", col("z2_num") > col("z2_den"))
+        expr("""CAST((1000 * CAST(u2 - n1 * n2 AS DECIMAL(38,0))
+                      * CAST(u2 - n1 * n2 AS DECIMAL(38,0)) * 30000)
+                  DIV (CAST(38416 AS DECIMAL(38,0)) * n1 * n2 * (n1 + n2 + 1))
+                  AS BIGINT)""").as("z2_ratio_milli"),
+        expr("""CAST(u2 - n1 * n2 AS DECIMAL(38,0))
+                  * CAST(u2 - n1 * n2 AS DECIMAL(38,0)) * 30000
+                > CAST(38416 AS DECIMAL(38,0)) * n1 * n2 * (n1 + n2 + 1)""")
+          .as("significant"))
   }
 
   val all: Seq[Q] = Seq(xPsiDrift, xKsDrift, xMannWhitney)

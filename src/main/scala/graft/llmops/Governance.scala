@@ -70,7 +70,10 @@ object Governance {
     * (n01+n00)(n10+n00), so
     *   kappa = (N·(n11+n00) − pe·N²) / (N² − pe·N²)
     * is an exact integer rational; kappa_fix is its sign-split 1e6
-    * fixed-point quotient.
+    * fixed-point quotient. A degenerate split (every doc on the same
+    * side of both rules) makes kappa_den = 0; kappa_fix then reports 0,
+    * matching the zero-denominator convention of x_class_metrics /
+    * x_ece_calibration.
     */
   val xKappaAgreement = Q(
     "x_kappa_agreement",
@@ -89,7 +92,8 @@ object Governance {
                         (n01 + n00) * (n10 + n00)) AS kappa_den
              FROM c)
        SELECT n11, n10, n01, n00, n, kappa_num, kappa_den,
-              CASE WHEN kappa_num < 0
+              CASE WHEN kappa_den = 0 THEN 0
+                   WHEN kappa_num < 0
                    THEN -((1000000 * -kappa_num) // kappa_den)
                    ELSE (1000000 * kappa_num) // kappa_den END AS kappa_fix
        FROM k""") { (s, dir) =>
@@ -109,8 +113,9 @@ object Governance {
       (col("n") * col("n") - pe).as("kappa_den"))
     k.select(col("n11"), col("n10"), col("n01"), col("n00"), col("n"),
       col("kappa_num"), col("kappa_den"),
-      when(col("kappa_num") < 0,
-        -expr("(1000000 * -kappa_num) div kappa_den"))
+      when(col("kappa_den") === 0, lit(0L))
+        .when(col("kappa_num") < 0,
+          -expr("(1000000 * -kappa_num) div kappa_den"))
         .otherwise(expr("(1000000 * kappa_num) div kappa_den"))
         .as("kappa_fix"))
   }

@@ -812,10 +812,13 @@ object TextStats {
     *
     * Exactness: ln(rank) and ln(count) are fixed-pointed once per
     * VOCABULARY entry (model-sized; margin family "zipf-ln"); the
-    * regression sums and the slope quotient are exact integers
-    * (sign-split division — the slope is negative); the intercept's
-    * wide product goes through DECIMAL(38,0)/HUGEINT like the HLL
-    * estimator.
+    * regression runs exact-integer with sign-split division (the slope
+    * is negative). Per-term x·y ≈ 3·10¹⁴, so the second-moment sums
+    * sxy/sxx — and everything derived from them (num, den, the
+    * intercept products) — are carried in DECIMAL(38,0) (Spark) /
+    * HUGEINT (DuckDB) FROM THE AGGREGATION ONWARD: a 10⁵-type
+    * vocabulary already pushes sxy and k·sxy past int64, and ANSI
+    * checked arithmetic would loud-fail the BIGINT spelling.
     *
     * Scale posture: one word hash agg, a rank window over the
     * vocabulary dimension, a 1-row regression re-agg.
@@ -832,9 +835,11 @@ object TextStats {
              FROM r),
        s AS (SELECT CAST(count(*) AS BIGINT) AS k,
                CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-               CAST(sum(x * y) AS BIGINT) AS sxy,
-               CAST(sum(x * x) AS BIGINT) AS sxx FROM p),
-       f AS (SELECT k, k * sxy - sx * sy AS num, k * sxx - sx * sx AS den,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx FROM p),
+       f AS (SELECT k,
+               k::HUGEINT * sxy - sx::HUGEINT * sy AS num,
+               k::HUGEINT * sxx - sx::HUGEINT * sx AS den,
                sy, sx FROM s)
        SELECT k AS n_vocab,
               CASE WHEN num >= 0
@@ -858,10 +863,18 @@ object TextStats {
         expr("CAST(round(1000000 * ln(CAST(rk AS DOUBLE))) AS BIGINT)").as("x"),
         expr("CAST(round(1000000 * ln(CAST(n AS DOUBLE))) AS BIGINT)").as("y"))
     p.agg(count(lit(1)).as("k"), sum(col("x")).as("sx"),
-        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"))
-      .select(col("k"), (col("k") * col("sxy") - col("sx") * col("sy")).as("num"),
-        (col("k") * col("sxx") - col("sx") * col("sx")).as("den"),
+        sum(col("y")).as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y"))
+          .cast("decimal(38,0)").as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x"))
+          .cast("decimal(38,0)").as("sxx"))
+      .select(col("k"),
+        (col("k") * col("sxy") -
+          col("sx").cast("decimal(38,0)") * col("sy")).cast("decimal(38,0)")
+          .as("num"),
+        (col("k") * col("sxx") -
+          col("sx").cast("decimal(38,0)") * col("sx")).cast("decimal(38,0)")
+          .as("den"),
         col("sy"), col("sx"))
       .select(col("k").as("n_vocab"),
         expr("""CASE WHEN num >= 0

@@ -419,9 +419,11 @@ object EventAnalytics {
     *                by event_id, both engines);
     *   linear     — value split across all touches in the window; the
     *                per-touch share is the exact integer
-    *                cents·SCALE // n (floor fixed-point), so channel
-    *                sums are bit-identical cross-engine with no
-    *                rational arithmetic.
+    *                cents·SCALE // n, SIGN-SPLIT (DuckDB `//` floors
+    *                while Spark `div` truncates, so a refund's
+    *                negative cents would otherwise diverge by one),
+    *                so channel sums are bit-identical cross-engine
+    *                with no rational arithmetic.
     *
     * Join shape is the q13 band-join discipline: equi key user_id plus
     * a time-range residual — never a cartesian; per-purchase windows
@@ -446,7 +448,9 @@ object EventAnalytics {
        SELECT channel,
               CAST(count(*) AS BIGINT) AS n_touches,
               CAST(sum(CASE WHEN rn = 1 THEN cents ELSE 0 END) AS BIGINT) AS last_touch_cents,
-              CAST(sum((cents * 1000000) // n) AS BIGINT) AS linear_fix
+              CAST(sum(CASE WHEN cents >= 0 THEN (cents * 1000000) // n
+                           ELSE -(((-cents) * 1000000) // n) END)
+                AS BIGINT) AS linear_fix
        FROM pr GROUP BY channel ORDER BY channel""") { (s, dir) =>
     val e = T(s, dir, "events")
     val p = e.filter(col("event_type") === "purchase")
@@ -465,7 +469,9 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_touches"),
         sum(when(col("rn") === 1, col("cents")).otherwise(0L))
           .as("last_touch_cents"),
-        sum(expr("(cents * 1000000) div n")).as("linear_fix"))
+        sum(expr("""CASE WHEN cents >= 0 THEN (cents * 1000000) div n
+                    ELSE -(((-cents) * 1000000) div n) END"""))
+          .as("linear_fix"))
       .orderBy("channel")
   }
 

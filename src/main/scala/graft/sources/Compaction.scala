@@ -53,7 +53,15 @@ object Compaction {
     */
   val SLICE = 10000L
 
-  private lazy val scratchRoot: java.nio.file.Path = {
+  /** Fresh scratch directory PER INVOCATION (never a JVM-wide lazy
+    * singleton): two concurrent invocations — parallel bench/verify
+    * sessions in one JVM — must not overwrite each other's staged
+    * files between the write and the audit re-read. Each dir is
+    * removed by a shutdown hook (the audit DataFrame reads the
+    * compacted output lazily, so eager deletion inside the query body
+    * would race evaluation).
+    */
+  private def freshScratch(): java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory("graft_compact")
     sys.addShutdownHook {
       def rm(f: java.io.File): Unit = {
@@ -83,8 +91,9 @@ object Compaction {
               CAST(sum(rows_f) AS BIGINT) AS n_rows,
               CAST(1 AS BIGINT) AS n_files_out
        FROM o GROUP BY 1, 2 ORDER BY part, grp""") { (s, dir) =>
-    val stage = s"$scratchRoot/stage"
-    val out = s"$scratchRoot/compacted"
+    val scratch = freshScratch()
+    val stage = s"$scratch/stage"
+    val out = s"$scratch/compacted"
 
     // 1. stage: manufacture the small-file problem (one writer task per
     // partition value => derivable ceil(n/64) layout)

@@ -36,7 +36,13 @@ import graft.core.{Exact => E, Q, Tables => T}
   */
 object TimeTravel {
 
-  private lazy val root: java.nio.file.Path = {
+  /** Fresh version-store root PER INVOCATION (the Compaction
+    * discipline): a JVM-wide singleton store would let two concurrent
+    * sessions overwrite each other's v1/v2 between the version writes
+    * and the audit re-read. Shutdown-hook cleanup, not eager — the
+    * audit DataFrame reads the store lazily.
+    */
+  private def freshRoot(): java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory("graft_ttravel")
     sys.addShutdownHook {
       def rm(f: java.io.File): Unit = {
@@ -78,7 +84,7 @@ object TimeTravel {
        ORDER BY version""") { (s, dir) =>
     val orders = T(s, dir, "orders")
       .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
-    val store = s"$root/orders"
+    val store = s"${freshRoot()}/orders"
 
     // version 1: the full table
     orders.write.mode("overwrite").parquet(s"$store/v1")

@@ -755,12 +755,14 @@ class Round10Spec extends AnyFunSuite {
       val n2 = vals.length - n1
       val r2 = vals.filter(_._2).map(v => midrank2(v._1)).sum
       val u2 = r2 - n1 * (n1 + 1)
-      val z2n = (u2 - n1 * n2) * (u2 - n1 * n2) * 30000
-      val z2d = 38416L * n1 * n2 * (n1 + n2 + 1)
+      // BigInt recompute mirrors the DECIMAL(38,0)/HUGEINT routing
+      val z2n = BigInt(u2 - n1 * n2) * BigInt(u2 - n1 * n2) * 30000
+      val z2d = BigInt(38416L) * n1 * n2 * (n1 + n2 + 1)
+      val ratio = (z2n * 1000 / z2d).toLong
       val got = D.xMannWhitney.build(spark, dir)
-        .as[(Long, Long, Long, Long, Long, Boolean)].head()
-      assert(got == ((n1, n2, u2, z2n, z2d, z2n > z2d)), s"$dir: $got")
-      info(f"$dir: U2=$u2 z²=${z2n.toDouble / z2d}%.3f " +
+        .as[(Long, Long, Long, Long, Boolean)].head()
+      assert(got == ((n1, n2, u2, ratio, z2n > z2d)), s"$dir: $got")
+      info(f"$dir: U2=$u2 z²=${(z2n.toDouble / z2d.toDouble)}%.3f " +
         s"significant=${z2n > z2d}")
     }
   }
