@@ -33,7 +33,7 @@ object SparkEntry {
       llmops.WebClean.all ++ llmops.HeavyHitters.all ++ llmops.Bpe.all ++
       llmops.LangModel.all ++ llmops.QualityModel.all ++ llmops.Unigram.all ++
       llmops.WordPiece.all ++
-      llmops.Drift.all ++ llmops.Governance.all ++
+      llmops.Drift.all ++ llmops.Governance.all ++ llmops.Evals.all ++
       llmops.Overlap.all ++ llmops.Preference.all ++
       llmops.Kmv.all ++ llmops.Quantize.all ++ llmops.Coreset.all ++
       llmops.LabelProp.all ++ llmops.Silhouette.all ++

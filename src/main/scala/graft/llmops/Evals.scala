@@ -1,0 +1,156 @@
+package graft.llmops
+
+import org.apache.spark.sql.functions._
+import graft.core.{Q, Tables => T}
+
+/** Model-evaluation estimators a training pipeline runs over generated
+  * samples — combinatorial and order-statistic, so both are EXACT
+  * integer arithmetic end to end (no Monte Carlo, no floats):
+  *
+  *  - x_pass_at_k: the unbiased pass@k estimator (Chen et al., the
+  *    Codex paper): with n samples per problem and c correct,
+  *    pass@k = 1 − C(n−c,k)/C(n,k). The binomial ratio telescopes to
+  *    Π_{i=0}^{k−1}(n−c−i)/(n−i), so the ppm readout is one exact
+  *    integer product ratio — carried in DECIMAL(38,0)/HUGEINT
+  *    (n=100, k=10 → products ≈ 10²⁶, past int64).
+  *  - x_conformal_interval: split-conformal calibration (Vovk; the
+  *    distribution-free coverage recipe): the q̂ = ⌈(1−α)(n+1)⌉-th
+  *    smallest calibration residual is an exact integer ORDER
+  *    STATISTIC, and test-set coverage is a count — both engines agree
+  *    bit-for-bit with zero rounding contract.
+  *
+  * Scale posture:
+  *  - pass@k caps samples at SAMPLE_CAP per problem via a per-problem
+  *    rank (partitioned window, bounded frames) — the real-world shape:
+  *    eval harnesses draw a fixed sample budget per problem, so the
+  *    combinatorics stay bounded no matter the event volume behind
+  *    them.
+  *  - conformal selects the order statistic from a VALUE-DOMAIN
+  *    histogram (hash agg to distinct residuals + a running-sum window
+  *    over that bounded domain), never a corpus-wide sort — the
+  *    x_mannwhitney / x_ks_drift discipline.
+  */
+object Evals {
+
+  /** Samples per problem (the eval harness's fixed draw budget). */
+  val SAMPLE_CAP = 100
+  /** "Correct" threshold on the sample's score. */
+  val PASS_VALUE = 90.0
+
+  /** Π_{i=0}^{k-1} (base − i), first factor cast so the whole product
+    * accumulates in the wide type (DECIMAL(38,0) on Spark, HUGEINT on
+    * DuckDB).
+    */
+  private def fallingProd(base: String, k: Int, wide: String): String =
+    (0 until k).map {
+      case 0 => s"CAST($base AS $wide)"
+      case i => s"($base - $i)"
+    }.mkString(" * ")
+
+  private def passSql(k: Int, wide: String): String =
+    s"""CASE WHEN n - c < $k THEN 1000000
+        ELSE 1000000 - CAST((1000000 * ${fallingProd("n - c", k, wide)})
+          // (${fallingProd("n", k, wide)}) AS BIGINT) END"""
+
+  private def passSpark(k: Int): String =
+    s"""CASE WHEN n - c < $k THEN 1000000L
+        ELSE 1000000L - CAST((1000000 * ${fallingProd("n - c", k, "DECIMAL(38,0)")})
+          DIV (${fallingProd("n", k, "DECIMAL(38,0)")}) AS BIGINT) END"""
+
+  /** X — unbiased pass@k per problem (problem = event_type, sample =
+    * event, correct = value > PASS_VALUE), over the first SAMPLE_CAP
+    * samples per problem in event_id order. pass@1 = c/n directly;
+    * pass@5 / pass@10 via the telescoped product ratio. If fewer than k
+    * incorrect samples exist the estimator is exactly 1 (C(n−c,k) = 0).
+    */
+  val xPassAtK = Q(
+    "x_pass_at_k",
+    s"""WITH e AS (SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY event_id) AS rn
+           FROM events),
+       s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN value > $PASS_VALUE THEN 1 ELSE 0 END)
+                 AS BIGINT) AS c
+             FROM e WHERE rn <= $SAMPLE_CAP GROUP BY 1)
+       SELECT event_type, n, c,
+              (1000000 * c) // n AS pass1_ppm,
+              ${passSql(5, "HUGEINT")} AS pass5_ppm,
+              ${passSql(10, "HUGEINT")} AS pass10_ppm
+       FROM s ORDER BY event_type""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    T(s, dir, "events")
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("event_id")))
+      .filter(col("rn") <= SAMPLE_CAP)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") > PASS_VALUE, 1L).otherwise(0L)).as("c"))
+      .select(col("event_type"), col("n"), col("c"),
+        expr("(1000000 * c) div n").as("pass1_ppm"),
+        expr(passSpark(5)).as("pass5_ppm"),
+        expr(passSpark(10)).as("pass10_ppm"))
+      .orderBy("event_type")
+  }
+
+  /** Conformal miscoverage α = 0.1 (the 90% interval). */
+  val CONF_ALPHA_NUM = 9 // (1-α) as 9/10
+
+  /** X — split-conformal interval calibration: the predictor
+    * n̂_chars = 6·n_tokens is scored on the even-doc_id calibration
+    * half; q̂ is the ⌈0.9·(n_cal+1)⌉-th smallest |residual| (exact
+    * integer order statistic via the value-domain histogram), and the
+    * odd-doc_id test half reports empirical coverage of the interval
+    * n̂ ± q̂ — the distribution-free ~90% guarantee, audited exactly.
+    */
+  val xConformal = Q(
+    "x_conformal_interval",
+    """WITH r AS (SELECT doc_id,
+             abs(n_chars - 6 * CAST(len(string_split(text, ' ')) AS BIGINT))
+               AS res,
+             doc_id % 2 = 0 AS cal FROM documents),
+       mm AS (SELECT CAST(count(*) AS BIGINT) AS n_cal,
+                ((count(*) + 1) * 9 + 9) // 10 AS rank_m
+              FROM r WHERE cal),
+       h AS (SELECT res, CAST(count(*) AS BIGINT) AS c
+             FROM r WHERE cal GROUP BY 1),
+       w AS (SELECT res, CAST(sum(c) OVER (ORDER BY res) AS BIGINT) AS cum
+             FROM h),
+       q AS (SELECT min(res) AS q_hat FROM w, mm WHERE cum >= rank_m),
+       t AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+               CAST(sum(CASE WHEN res <= q_hat THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_cov
+             FROM r, q WHERE NOT cal)
+       SELECT mm.n_cal, CAST(mm.rank_m AS BIGINT) AS rank_m, q.q_hat,
+              t.n_test, t.n_cov,
+              (1000000 * t.n_cov) // t.n_test AS coverage_ppm,
+              (10 * t.n_cov >= 9 * t.n_test) AS covered_90
+       FROM mm, q, t""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val r = T(s, dir, "documents").select(col("doc_id"),
+      abs(col("n_chars") -
+        lit(6L) * size(split(col("text"), " ")).cast("long")).as("res"),
+      (col("doc_id") % 2 === 0).as("cal"))
+    val mm = r.filter(col("cal"))
+      .agg(count(lit(1)).as("n_cal"),
+        expr("((count(1) + 1) * 9 + 9) div 10").as("rank_m"))
+    val w = r.filter(col("cal")).groupBy("res").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.orderBy("res")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val q = w.crossJoin(broadcast(mm))
+      .filter(col("cum") >= col("rank_m"))
+      .agg(min(col("res")).as("q_hat"))
+    val t = r.filter(!col("cal")).crossJoin(broadcast(q))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("res") <= col("q_hat"), 1L).otherwise(0L)).as("n_cov"))
+    mm.crossJoin(broadcast(q)).crossJoin(broadcast(t))
+      .select(col("n_cal"), col("rank_m"), col("q_hat"),
+        col("n_test"), col("n_cov"),
+        expr("(1000000 * n_cov) div n_test").as("coverage_ppm"),
+        (lit(10L) * col("n_cov") >= lit(9L) * col("n_test")).as("covered_90"))
+  }
+
+  val all: Seq[Q] = Seq(xPassAtK, xConformal)
+}

@@ -203,6 +203,77 @@ object Governance {
       .orderBy("source", "len_bucket")
   }
 
+  /** X — t-closeness audit (Li–Li–Venkatasubramanian), the third leg of
+    * the k-anonymity / l-diversity release triad: a QI group passes only
+    * if its SENSITIVE-ATTRIBUTE DISTRIBUTION stays close to the global
+    * one (l-diversity counts values; t-closeness bounds the whole
+    * distribution, catching skew attacks where a group is diverse but
+    * 90% one value). QI = (source, coarse length bucket), sensitive =
+    * lang (categorical → the distance is total variation, ½·L1).
+    *
+    * Pure integer: with N docs total, n_g in the group, N_v global and
+    * n_gv in-group counts of value v,
+    *   t · 2·N·n_g = Σ_v |N·n_gv − n_g·N_v|
+    * so t_fix = 1e6·Σ|…| // (2·N·n_g) and the release flag t ≤ 0.2 is
+    * the cross-multiplied comparison 5·Σ|…| ≤ 2·N·n_g — no division
+    * until the final fixed-point readout, no floats anywhere.
+    *
+    * Scale posture: two bounded hash aggs (QI groups, QI×lang cells), a
+    * broadcast of the |lang|-row global distribution and the 1-row
+    * total, and a QI×lang expansion whose size is |groups|·|langs| —
+    * audit-table-sized, never corpus-sized. Absent (group, v) cells
+    * enter via the left join's coalesce(n_gv, 0), which the TV distance
+    * requires.
+    */
+  val xTCloseness = Q(
+    "x_t_closeness",
+    s"""WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       gdist AS (SELECT lang, CAST(count(*) AS BIGINT) AS nv
+                FROM documents GROUP BY 1),
+       grp AS (SELECT source, n_chars // $QI_BUCKET AS len_bucket,
+                 CAST(count(*) AS BIGINT) AS ng
+               FROM documents GROUP BY 1, 2),
+       gl AS (SELECT source, n_chars // $QI_BUCKET AS len_bucket, lang,
+                CAST(count(*) AS BIGINT) AS ngv
+              FROM documents GROUP BY 1, 2, 3),
+       d AS (SELECT g.source, g.len_bucket, g.ng, t.n,
+               abs(t.n * coalesce(x.ngv, 0) - g.ng * v.nv) AS term
+             FROM grp g CROSS JOIN gdist v CROSS JOIN tot t
+             LEFT JOIN gl x ON x.source = g.source
+               AND x.len_bucket = g.len_bucket AND x.lang = v.lang)
+       SELECT source, len_bucket, ng AS n,
+              CAST(sum(term) AS BIGINT) AS emd_num,
+              2 * max(n) * ng AS emd_den,
+              (1000000 * CAST(sum(term) AS BIGINT)) // (2 * max(n) * ng)
+                AS t_fix,
+              (5 * CAST(sum(term) AS BIGINT) <= 2 * max(n) * ng) AS t02_close
+       FROM d GROUP BY source, len_bucket, ng
+       ORDER BY source, len_bucket""") { (s, dir) =>
+    import org.apache.spark.sql.functions.broadcast
+    val docs = T(s, dir, "documents")
+    val bucket = expr(s"n_chars div $QI_BUCKET").as("len_bucket")
+    val tot = docs.agg(count(lit(1)).as("n"))
+    val glob = docs.groupBy("lang").agg(count(lit(1)).as("nv"))
+    val grp = docs.groupBy(col("source"), bucket)
+      .agg(count(lit(1)).as("ng"))
+    val gl = docs.groupBy(col("source"), bucket, col("lang"))
+      .agg(count(lit(1)).as("ngv"))
+    grp.crossJoin(broadcast(glob)).crossJoin(broadcast(tot))
+      .join(gl, Seq("source", "len_bucket", "lang"), "left")
+      .select(col("source"), col("len_bucket"), col("ng"), col("n"),
+        abs(col("n") * coalesce(col("ngv"), lit(0L)) -
+          col("ng") * col("nv")).as("term"))
+      .groupBy("source", "len_bucket", "ng")
+      .agg(sum(col("term")).as("emd_num"), max(col("n")).as("nn"))
+      .select(col("source"), col("len_bucket"), col("ng").as("n"),
+        col("emd_num"),
+        (lit(2L) * col("nn") * col("ng")).as("emd_den"),
+        expr("(1000000 * emd_num) div (2 * nn * ng)").as("t_fix"),
+        (lit(5L) * col("emd_num") <= lit(2L) * col("nn") * col("ng"))
+          .as("t02_close"))
+      .orderBy("source", "len_bucket")
+  }
+
   /** Per-release privacy cost and the advanced-composition constants
     * (ε = 0.01, δ' = 1e-6). The two transcendentals are MODEL-SIZED
     * literals (ln(1/δ'), e^ε − 1) interpolated into both plans at full
@@ -377,6 +448,6 @@ object Governance {
   }
 
   val all: Seq[Q] =
-    Seq(xKAnonymity, xKappaAgreement, xEceCalibration, xLDiversity, xDpBudget,
-      xGiniConcentration, xCoverageCurve, xBrierScore)
+    Seq(xKAnonymity, xKappaAgreement, xEceCalibration, xLDiversity,
+      xTCloseness, xDpBudget, xGiniConcentration, xCoverageCurve, xBrierScore)
 }

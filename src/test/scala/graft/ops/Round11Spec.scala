@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Round-11 additions beyond the per-operator specs. */
+class Round11Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+
+  test("t-closeness: TV distance matches a driver-side recompute and " +
+    "brackets l-diversity") {
+    val G = graft.llmops.Governance
+    for (dir <- dirs) {
+      val docs = graft.core.Tables(spark, dir, "documents")
+        .select(col("source"), (col("n_chars") / G.QI_BUCKET).cast("long"),
+          col("lang"))
+        .as[(String, Long, String)].collect()
+      val n = docs.length.toLong
+      val globalDist = docs.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+      val expect = docs.groupBy(d => (d._1, d._2)).map { case (k, rows) =>
+        val ng = rows.length.toLong
+        val inGrp = rows.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+        val num = globalDist.map { case (v, nv) =>
+          math.abs(n * inGrp.getOrElse(v, 0L) - ng * nv)
+        }.sum
+        k -> ((ng, num, 1000000L * num / (2 * n * ng),
+          5 * num <= 2 * n * ng))
+      }
+      val got = G.xTCloseness.build(spark, dir)
+        .as[(String, Long, Long, Long, Long, Long, Boolean)].collect()
+      assert(got.length == expect.size)
+      got.foreach { case (src, lb, ngot, num, den, tfix, close) =>
+        val (ng, enum_, efix, eclose) = expect((src, lb))
+        assert(ngot == ng && num == enum_ && tfix == efix && close == eclose,
+          s"$dir ($src,$lb): got ($ngot,$num,$tfix,$close) want " +
+            s"($ng,$enum_,$efix,$eclose)")
+        assert(den == 2 * n * ng)
+      }
+      // the audit must discriminate at oracle scale: some groups close,
+      // some not (a constant column would grade nothing)
+      if (dir.endsWith("0.01"))
+        assert(got.exists(_._7) && got.exists(!_._7),
+          s"$dir: t02_close never varies")
+      info(s"$dir: ${got.length} QI groups, ${got.count(_._7)} t<=0.2-close")
+    }
+  }
+
+  test("pass@k: product-ratio estimator equals the BigInt binomial form " +
+    "and is monotone in k") {
+    val E = graft.llmops.Evals
+    def binom(n: Long, k: Long): BigInt =
+      if (k < 0 || k > n) BigInt(0)
+      else (0L until k).map(i => BigInt(n - i)).product /
+        (1L to k).map(BigInt(_)).product
+    for (dir <- dirs) {
+      val ev = graft.core.Tables(spark, dir, "events")
+        .select(col("event_type"), col("event_id"), col("value"))
+        .as[(String, Long, Double)].collect()
+      val expect = ev.groupBy(_._1).map { case (t, rows) =>
+        val cap = rows.sortBy(_._2).take(E.SAMPLE_CAP)
+        val n = cap.length.toLong
+        val c = cap.count(_._3 > E.PASS_VALUE).toLong
+        def pak(k: Long): Long =
+          if (n - c < k) 1000000L
+          else (BigInt(1000000) -
+            BigInt(1000000) * binom(n - c, k) / binom(n, k)).toLong
+        t -> ((n, c, 1000000L * c / n, pak(5), pak(10)))
+      }
+      val got = E.xPassAtK.build(spark, dir)
+        .as[(String, Long, Long, Long, Long, Long)].collect()
+      assert(got.length == expect.size)
+      got.foreach { case (t, n, c, p1, p5, p10) =>
+        assert((n, c, p1, p5, p10) == expect(t), s"$dir $t")
+        // pass@k is monotone nondecreasing in k (more draws can only help)
+        assert(p1 <= p5 + 1 && p5 <= p10 + 1, s"$dir $t: $p1 $p5 $p10")
+        assert(p10 < 1000000L, s"$dir $t: saturated pass@10 grades nothing")
+      }
+      info(s"$dir: " + got.sortBy(_._1).map(g =>
+        f"${g._1}=${g._6 / 1e6}%.3f").mkString("pass@10 ", " ", ""))
+    }
+  }
+
+  test("conformal: q_hat is the exact order statistic and coverage is " +
+    "near the nominal 90%") {
+    val E = graft.llmops.Evals
+    for (dir <- dirs) {
+      val r = graft.core.Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          abs(col("n_chars") -
+            lit(6L) * size(split(col("text"), " ")).cast("long")).as("res"))
+        .as[(Long, Long)].collect()
+      val cal = r.filter(_._1 % 2 == 0).map(_._2).sorted
+      val test_ = r.filter(_._1 % 2 != 0).map(_._2)
+      val m = ((cal.length + 1) * 9 + 9) / 10
+      val qHat = cal(m - 1) // m-th smallest, 1-indexed
+      val nCov = test_.count(_ <= qHat).toLong
+      val got = E.xConformal.build(spark, dir)
+        .as[(Long, Long, Long, Long, Long, Long, Boolean)].head()
+      assert(got == ((cal.length.toLong, m.toLong, qHat, test_.length.toLong,
+        nCov, 1000000L * nCov / test_.length, 10 * nCov >= 9 * test_.length)),
+        s"$dir: $got")
+      // distribution-free guarantee holds in expectation; on one fixed
+      // split allow +-5% slack around the nominal 90% (sf0.01 lands at
+      // exactly 0.860)
+      val cov = nCov.toDouble / test_.length
+      assert(cov >= 0.85 && cov < 1.0, s"$dir: coverage $cov out of band")
+      info(f"$dir: q_hat=$qHat coverage=$cov%.3f (nominal 0.90)")
+    }
+  }
+}
