@@ -92,5 +92,156 @@ object Quantize {
       .orderBy("probe_id")
   }
 
-  val all: Seq[Q] = Seq(xSq8Search)
+  /** Candidate pool for the 1-bit and matryoshka funnels (re-ranked
+    * exactly). Larger than SQ8's CAND because one bit (or a 32-dim
+    * prefix) carries far less signal than 8 bits/dim — measured, not
+    * assumed: see the per-variant scaladocs.
+    */
+  val BQ_POOL = 200
+
+  /** X — binary (1-bit) quantization search, the extreme end of the
+    * quantization ladder (RaBitQ / "binary embeddings"): each dimension
+    * keeps only its SIGN, so a 64-dim vector is ONE 64-bit word at rest
+    * (256 bytes → 8: a 32× scan-bandwidth win) and candidate scoring is
+    * sign-flip adds. Search is ASYMMETRIC (query stays float; score =
+    * Σ_d q_d·sign(x_d)) — measured here to dominate symmetric Hamming:
+    * Hamming@pool-50 recalls 0.3–0.8 on this fixture while asymmetric
+    * @pool-200 holds worst-probe ≥ 0.9 at ALL THREE SFs (sf0.1:
+    * [10,9,10,10,10]).
+    *
+    * Funnel: asym-score top-BQ_POOL (bounded-heap TopKByScore — map-side
+    * partials, ≤ pool rows per probe per partition) → exact cosine
+    * re-rank of the pool → top-10 vs the exact top-10; the graded fact
+    * is the OVERLAP COUNT and the recall ≥ 0.9 flag, and the oracle
+    * RECOMPUTES THE WHOLE FUNNEL in SQL (signs, asym ranking, re-rank,
+    * exact arm) — a full cross-engine audit, not a derived-fact gate.
+    * Both engines rank by the same 1e-6-rounded scores with vec_id
+    * tie-break (the q34 rank-only-double discipline).
+    */
+  val xBinaryQuantize = Q(
+    "x_binary_quantize",
+    s"""WITH p AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe
+              FROM embeddings WHERE vec_id < 5),
+       s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CASE WHEN x > 0 THEN 1.0 ELSE -1.0 END) AS se
+             FROM embeddings),
+       sc AS (SELECT p.probe_id, s.vec_id,
+                round(list_dot_product(s.se, p.pe), 6) AS asym,
+                round(list_cosine_similarity(s.ee, p.pe), 6) AS sim
+              FROM s CROSS JOIN p),
+       cand AS (SELECT probe_id, vec_id, sim,
+                  row_number() OVER (PARTITION BY probe_id
+                    ORDER BY asym DESC, vec_id) AS crn
+                FROM sc),
+       rr AS (SELECT probe_id, vec_id,
+                row_number() OVER (PARTITION BY probe_id
+                  ORDER BY sim DESC, vec_id) AS rrn
+              FROM cand WHERE crn <= $BQ_POOL),
+       ex AS (SELECT probe_id, vec_id,
+                row_number() OVER (PARTITION BY probe_id
+                  ORDER BY sim DESC, vec_id) AS ern
+              FROM sc)
+       SELECT r.probe_id, CAST(count(*) AS BIGINT) AS n_overlap,
+              count(*) >= 9 AS recall_ok
+       FROM (SELECT probe_id, vec_id FROM rr WHERE rrn <= $TOPK) r
+       JOIN (SELECT probe_id, vec_id FROM ex WHERE ern <= $TOPK) x
+         USING (probe_id, vec_id)
+       GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+    funnel(s, dir,
+      (se, _, pe) => graft.functions.ArrayOps.dot(se, pe))
+  }
+
+  /** X — matryoshka (MRL) prefix search: rank candidates by the cosine
+    * of the FIRST 32 of 64 dimensions (Kusupati et al.'s nested
+    * representations — the cheap stage reads half the bytes; a real MRL
+    * deployment truncates to 1/4 or less), then exact-re-rank the pool.
+    * Same funnel, pool and full SQL oracle as x_binary_quantize.
+    *
+    * Measured honesty (these embeddings are NOT MRL-trained, so the
+    * prefix carries no concentrated signal): pool-200 worst-probe
+    * recall is 0.9/1.0 at sf0.001/sf0.01 but decays to 0.7 at sf0.1,
+    * and holding 0.9 there needs pool ≈ N/4 (measured 500) — i.e. on
+    * UNTRAINED embeddings the prefix funnel does not scale; MRL's
+    * contract assumes prefix-trained embeddings, where the fixed-pool
+    * funnel is the production path. Recorded in docs/SCALING.md rather
+    * than papered over; the graded gate runs at the oracle SF where the
+    * funnel holds with one-hit slack.
+    */
+  val xMatryoshkaRecall = Q(
+    "x_matryoshka_recall",
+    s"""WITH p AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe
+              FROM embeddings WHERE vec_id < 5),
+       s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee
+             FROM embeddings),
+       sc AS (SELECT p.probe_id, s.vec_id,
+                round(list_cosine_similarity(s.ee[1:32], p.pe[1:32]), 6)
+                  AS asym,
+                round(list_cosine_similarity(s.ee, p.pe), 6) AS sim
+              FROM s CROSS JOIN p),
+       cand AS (SELECT probe_id, vec_id, sim,
+                  row_number() OVER (PARTITION BY probe_id
+                    ORDER BY asym DESC, vec_id) AS crn
+                FROM sc),
+       rr AS (SELECT probe_id, vec_id,
+                row_number() OVER (PARTITION BY probe_id
+                  ORDER BY sim DESC, vec_id) AS rrn
+              FROM cand WHERE crn <= $BQ_POOL),
+       ex AS (SELECT probe_id, vec_id,
+                row_number() OVER (PARTITION BY probe_id
+                  ORDER BY sim DESC, vec_id) AS ern
+              FROM sc)
+       SELECT r.probe_id, CAST(count(*) AS BIGINT) AS n_overlap,
+              count(*) >= 9 AS recall_ok
+       FROM (SELECT probe_id, vec_id FROM rr WHERE rrn <= $TOPK) r
+       JOIN (SELECT probe_id, vec_id FROM ex WHERE ern <= $TOPK) x
+         USING (probe_id, vec_id)
+       GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+    funnel(s, dir,
+      (_, ee, pe) => VectorSearch.cosine(slice(ee, 1, 32), slice(pe, 1, 32)))
+  }
+
+  /** Shared cheap-stage→exact-re-rank funnel: `cheap(signs, emb, probe)`
+    * scores the candidate stage; pool + re-rank + exact arm + overlap
+    * are identical across the quantization variants.
+    */
+  private def funnel(
+      s: SparkSession, dir: String,
+      cheap: (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column) => org.apache.spark.sql.Column)
+      : DataFrame = {
+    val base = VectorSearch.embeddingsBase(s, dir)
+    val e = base.select(col("vec_id"), col("emb"))
+      .withColumn("se",
+        transform(col("emb"), x => when(x > 0, 1.0).otherwise(-1.0)))
+    val probes = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("emb").as("pe"))
+    val scored = e.crossJoin(broadcast(probes)).select(
+      col("probe_id"), col("vec_id"),
+      round(cheap(col("se"), col("emb"), col("pe")) * 1e6).cast("long")
+        .as("asym_fix"),
+      round(VectorSearch.cosine(col("emb"), col("pe")) * 1e6).cast("long")
+        .as("sim_fix"))
+    val topP = graft.functions.TopKByScore.topK(BQ_POOL)
+    val top10 = graft.functions.TopKByScore.topK(TOPK)
+    val cand = scored.groupBy("probe_id")
+      .agg(topP(col("asym_fix"), col("vec_id")).as("t"))
+      .select(col("probe_id"), explode(col("t.id")).as("vec_id"))
+    val rr = cand
+      .join(scored.select("probe_id", "vec_id", "sim_fix"),
+        Seq("probe_id", "vec_id"))
+      .groupBy("probe_id").agg(top10(col("sim_fix"), col("vec_id")).as("t"))
+      .select(col("probe_id"), col("t.id").as("pool_ids"))
+    val exact = scored.groupBy("probe_id")
+      .agg(top10(col("sim_fix"), col("vec_id")).as("t"))
+      .select(col("probe_id"), col("t.id").as("exact_ids"))
+    rr.join(exact, "probe_id")
+      .select(col("probe_id"),
+        size(array_intersect(col("pool_ids"), col("exact_ids")))
+          .cast("long").as("n_overlap"))
+      .withColumn("recall_ok", col("n_overlap") >= 9)
+      .orderBy("probe_id")
+  }
+
+  val all: Seq[Q] = Seq(xSq8Search, xBinaryQuantize, xMatryoshkaRecall)
 }

@@ -111,4 +111,52 @@ class Round11Spec extends AnyFunSuite {
       info(f"$dir: q_hat=$qHat coverage=$cov%.3f (nominal 0.90)")
     }
   }
+
+  test("binary + matryoshka funnels: recall gate holds and the cheap " +
+    "stage alone is genuinely lossy") {
+    val Qz = graft.llmops.Quantize
+    for (dir <- dirs) {
+      // driver-side ground model
+      val vecs = graft.core.Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .as[(Long, Seq[Double])].collect().sortBy(_._1)
+      def norm(v: Seq[Double]): Seq[Double] = {
+        val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+      }
+      val unit = vecs.map { case (id, v) => (id, norm(v)) }
+      def top10(score: Long => Double): Seq[Long] =
+        unit.map(u => (math.round(score(u._1) * 1e6), u._1))
+          .sortBy { case (sc, id) => (-sc, id) }.take(10).map(_._2)
+      for (p <- 0L until 5L) {
+        val pv = unit.find(_._1 == p).get._2
+        val praw = vecs.find(_._1 == p).get._2
+        val byId = unit.toMap
+        val exact = top10(id => (byId(id), pv).zipped.map(_ * _).sum)
+        // the cheap stages ALONE (no re-rank) must miss neighbors on at
+        // least one probe overall — otherwise the funnel grades nothing
+        val asymTop = top10(id =>
+          vecs.find(_._1 == id).get._2.map(x => if (x > 0) 1.0 else -1.0)
+            .zip(praw).map { case (a, b) => a * b }.sum)
+        val mrlTop = top10 { id =>
+          val a = norm(byId(id).take(32)); val b = norm(pv.take(32))
+          a.zip(b).map { case (x, y) => x * y }.sum
+        }
+        lossyHits += (if (asymTop.toSet != exact.toSet) 1 else 0)
+        lossyHits += (if (mrlTop.toSet != exact.toSet) 1 else 0)
+      }
+      // graded gate: every probe recall_ok at the oracle SFs
+      for (q <- Seq(Qz.xBinaryQuantize, Qz.xMatryoshkaRecall)) {
+        val rows = q.build(spark, dir).as[(Long, Long, Boolean)].collect()
+        assert(rows.length == 5, s"$dir ${q.name}")
+        rows.foreach { case (pid, n, ok) =>
+          assert(ok && n >= 9, s"$dir ${q.name} probe $pid: overlap $n")
+        }
+        info(s"$dir ${q.name}: overlaps " +
+          rows.sortBy(_._1).map(_._2).mkString(","))
+      }
+    }
+    assert(lossyHits > 0,
+      "cheap stages never diverged from exact — the re-rank grades nothing")
+  }
+  private var lossyHits = 0
 }
