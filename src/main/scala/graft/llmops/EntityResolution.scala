@@ -108,5 +108,72 @@ object EntityResolution {
       .orderBy("custkey")
   }
 
-  val all: Seq[Q] = Seq(xEntityResolution)
+  /** X — edit-distance-1 fuzzy join with PROVABLY EXHAUSTIVE blocking
+    * — the scale counterpart to x_entity_resolution's heuristic
+    * first-char block. Completeness argument for distance ≤ 1: a
+    * single edit at position p ≥ 2 leaves the first character intact
+    * (prefix block catches it); an edit at p = 1 — substitution,
+    * insertion or deletion at the front — leaves the suffix intact, so
+    * the last characters match whenever both strings have length ≥ 2
+    * (suffix block); the only escapees are length-≤1 strings, caught
+    * by an explicit (and empty-at-scale) short-string branch. The
+    * length band |len(a) − len(b)| ≤ 1 is a further valid filter.
+    *
+    * The ORACLE IS THE BRUTE FORCE: DuckDB scores every vocabulary
+    * pair (no blocks, no bands) — so a hash match doesn't just check
+    * arithmetic, it PROVES the blocked plan loses no pair on this
+    * corpus. The fixture synthesizes a dirty vocabulary the ER way
+    * (x_entity_resolution's records discipline): per entity, a clean
+    * 8-char key, a first-char corruption (only the suffix block can
+    * catch it) and a last-char deletion (only the prefix block can) —
+    * both block arms are therefore load-bearing, not decorative.
+    *
+    * Scale posture: two equi-joins keyed on 1-char block keys with the
+    * length-band residual (never a cartesian), pair volume Σ|block|²
+    * exactly like LSH buckets; levenshtein runs per-candidate only.
+    * The brute-force arm exists only in the oracle.
+    */
+  val xFuzzyJoin = Q(
+    "x_fuzzy_join",
+    """WITH v AS (SELECT DISTINCT
+             CASE c_custkey % 3
+               WHEN 0 THEN substr(md5(CAST(c_custkey // 3 AS VARCHAR)), 1, 8)
+               WHEN 1 THEN 'z' || substr(md5(CAST(c_custkey // 3 AS VARCHAR)), 2, 7)
+               ELSE substr(md5(CAST(c_custkey // 3 AS VARCHAR)), 1, 7)
+             END AS w
+           FROM customer)
+       SELECT a.w AS a, b.w AS b
+       FROM v a JOIN v b ON a.w < b.w
+       WHERE levenshtein(a.w, b.w) <= 1
+       ORDER BY a, b""") { (s, dir) =>
+    val base = md5(expr("cast(c_custkey div 3 as string)"))
+    val v = T(s, dir, "customer")
+      .select(
+        when(col("c_custkey") % 3 === 0, substring(base, 1, 8))
+          .when(col("c_custkey") % 3 === 1,
+            concat(lit("z"), substring(base, 2, 7)))
+          .otherwise(substring(base, 1, 7)).as("w"))
+      .distinct()
+    def arm(key: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
+      val l = v.select(col("w").as("a"), key(col("w")).as("blk"))
+      val r = v.select(col("w").as("b"), key(col("w")).as("blk"))
+      l.join(r, "blk").filter(col("a") < col("b") &&
+        abs(length(col("a")) - length(col("b"))) <= 1)
+        .select("a", "b")
+    }
+    val prefixArm = arm(w => substring(w, 1, 1))
+    val suffixArm = arm(w => substring(w, -1, 1))
+    // length-<=1 strings evade both arms; empty on this fixture but the
+    // completeness proof requires the branch to exist
+    val shorts = v.filter(length(col("w")) <= 1)
+    val shortArm = shorts.select(col("w").as("a"))
+      .crossJoin(broadcast(shorts.select(col("w").as("b"))))
+      .filter(col("a") < col("b"))
+    prefixArm.unionByName(suffixArm).unionByName(shortArm)
+      .distinct()
+      .filter(levenshtein(col("a"), col("b")) <= 1)
+      .orderBy("a", "b")
+  }
+
+  val all: Seq[Q] = Seq(xEntityResolution, xFuzzyJoin)
 }

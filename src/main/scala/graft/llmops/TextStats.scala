@@ -941,8 +941,88 @@ object TextStats {
       .orderBy("rank")
   }
 
+  /** X — RAKE keyword extraction (Rose et al.): split each document
+    * into candidate phrases at stopword boundaries, score every
+    * content word by deg(w)/freq(w) (deg = Σ length of the phrases its
+    * occurrences sit in — co-occurrence degree including self; freq =
+    * occurrence count), and score a phrase as the sum of its member
+    * words' scores; report the corpus top-10 phrases. The classic
+    * unsupervised keyword extractor — one corpus pass, no training.
+    *
+    * Exactness: per-word score is the TRUNCATED fixed point
+    * 1e6·deg div freq (both engines truncate identically; the declared
+    * contract is the integer share, the x_attribution discipline), so
+    * phrase scores are exact BIGINT sums and the top-10 rank
+    * (score DESC, phrase) is a pure integer fact.
+    *
+    * Scale posture: phrase segmentation is a per-doc window (sum of
+    * break flags over token position — frames bounded by doc length,
+    * partitioned by doc, never corpus-wide); word stats are one hash
+    * agg to the vocabulary domain; the phrase join broadcasts the
+    * vocabulary-sized score table; the head is TakeOrdered(10).
+    */
+  val xRakeKeywords = Q(
+    "x_rake_keywords",
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS t
+              FROM documents),
+       tok AS (SELECT doc_id, t[i] AS w, i,
+                 CASE WHEN t[i] IN (${sqlList(stopEn)}) THEN 1 ELSE 0 END
+                   AS brk
+               FROM words,
+                 LATERAL (SELECT unnest(generate_series(1, len(t))) AS i)),
+       ph AS (SELECT doc_id, w, i, brk,
+                CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY i)
+                  AS BIGINT) AS pid
+              FROM tok),
+       member AS (SELECT doc_id, pid, w, i FROM ph
+                  WHERE brk = 0 AND w <> ''),
+       phlen AS (SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS plen
+                 FROM member GROUP BY 1, 2),
+       wscore AS (SELECT w,
+                    (1000000 * CAST(sum(plen) AS BIGINT))
+                      // CAST(count(*) AS BIGINT) AS wsc
+                  FROM member JOIN phlen USING (doc_id, pid) GROUP BY w),
+       phrases AS (SELECT m.doc_id, m.pid,
+                     string_agg(m.w, ' ' ORDER BY m.i) AS phrase,
+                     CAST(sum(s.wsc) AS BIGINT) AS score
+                   FROM member m JOIN wscore s ON m.w = s.w
+                   GROUP BY 1, 2)
+       SELECT phrase, max(score) AS score,
+              CAST(count(*) AS BIGINT) AS n_occur
+       FROM phrases GROUP BY phrase
+       ORDER BY score DESC, phrase LIMIT 10""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val tok = T(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("i", "w")))
+      .withColumn("brk",
+        when(col("w").isInCollection(stopEn), 1L).otherwise(0L))
+    val member = tok
+      .withColumn("pid", sum(col("brk")).over(
+        Window.partitionBy("doc_id").orderBy("i")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("brk") === 0 && col("w") =!= "")
+      .select("doc_id", "pid", "w", "i")
+    val phlen = member.groupBy("doc_id", "pid")
+      .agg(count(lit(1)).as("plen"))
+    val wscore = member.join(phlen, Seq("doc_id", "pid"))
+      .groupBy("w")
+      .agg(expr("(1000000 * sum(plen)) div count(1)").as("wsc"))
+    member.join(broadcast(wscore), "w")
+      .groupBy("doc_id", "pid")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("i"), col("w")))),
+          x => x.getField("w")), " ").as("phrase"),
+        sum(col("wsc")).as("score"))
+      .groupBy("phrase")
+      .agg(max(col("score")).as("score"), count(lit(1)).as("n_occur"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(10)
+  }
+
   val all: Seq[Q] = Seq(q35, q35b, xTfIdf, xQuality, xTokenCount, xLangId,
     xRepetition, xQualityRules, xWordEntropy, xHashEmbed, xBm25, xDsirWeights,
     xRrfFusion, xQualityEnsemble, xReadability, xDiversityIndex, xZipfFit,
-    xBurstiness)
+    xBurstiness, xRakeKeywords)
 }

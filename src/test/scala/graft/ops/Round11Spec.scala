@@ -159,4 +159,72 @@ class Round11Spec extends AnyFunSuite {
       "cheap stages never diverged from exact — the re-rank grades nothing")
   }
   private var lossyHits = 0
+
+  test("fuzzy join: blocked plan equals brute force and both block arms " +
+    "are load-bearing") {
+    val E = graft.llmops.EntityResolution
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (dir <- dirs) {
+      val vocab = graft.core.Tables(spark, dir, "customer")
+        .select(expr("""CASE CAST(c_custkey % 3 AS INT)
+            WHEN 0 THEN substring(md5(cast(c_custkey div 3 as string)), 1, 8)
+            WHEN 1 THEN concat('z', substring(md5(cast(c_custkey div 3 as string)), 2, 7))
+            ELSE substring(md5(cast(c_custkey div 3 as string)), 1, 7) END"""))
+        .as[String].collect().distinct.sorted
+      val brute = (for {
+        i <- vocab.indices; j <- (i + 1) until vocab.length
+        if lev(vocab(i), vocab(j)) <= 1
+      } yield (vocab(i), vocab(j))).toSet
+      val got = E.xFuzzyJoin.build(spark, dir)
+        .as[(String, String)].collect().toSet
+      assert(got == brute, s"$dir: blocked != brute " +
+        s"(missing ${(brute -- got).take(3)}, extra ${(got -- brute).take(3)})")
+      // both arms load-bearing: pairs exist whose first chars differ
+      // (prefix arm alone would miss them) and whose last chars differ
+      assert(brute.exists { case (a, b) => a.head != b.head }, s"$dir")
+      assert(brute.exists { case (a, b) => a.last != b.last }, s"$dir")
+      info(s"$dir: ${brute.size} d<=1 pairs, blocked plan exhaustive")
+    }
+  }
+
+  test("RAKE: top-10 phrases match a driver-side recompute") {
+    val Ts = graft.llmops.TextStats
+    for (dir <- dirs) {
+      val stops = Set("the", "a", "of", "and", "to")
+      val docs = graft.core.Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      // phrase segmentation + word scores, straight from the paper
+      val phrases = docs.flatMap { case (_, text) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[Vector[String]]
+        var cur = Vector.empty[String]
+        text.split(" ", -1).foreach { w =>
+          if (stops(w)) { if (cur.nonEmpty) out += cur; cur = Vector.empty }
+          else if (w.nonEmpty) cur :+= w
+        }
+        if (cur.nonEmpty) out += cur
+        out
+      }
+      val freq = phrases.flatten.groupBy(identity).view.mapValues(_.length.toLong)
+      val deg = phrases.flatMap(p => p.map(w => (w, p.length.toLong)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      val wsc = freq.keys.map(w => w -> 1000000L * deg(w) / freq(w)).toMap
+      val expect = phrases.map(p => (p.mkString(" "), p.map(wsc).sum))
+        .groupBy(_._1).map { case (ph, occ) =>
+          (ph, occ.head._2, occ.length.toLong)
+        }.toSeq.sortBy { case (ph, sc, _) => (-sc, ph) }.take(10)
+      val got = Ts.xRakeKeywords.build(spark, dir)
+        .as[(String, Long, Long)].collect().toSeq
+      assert(got == expect, s"$dir:\n got    $got\n expect $expect")
+      info(s"$dir: top phrase score=${got.head._2} " +
+        s"(${got.head._1.split(" ").length} words)")
+    }
+  }
 }
