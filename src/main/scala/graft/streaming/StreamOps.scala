@@ -130,14 +130,19 @@ object StreamOps {
     * could otherwise restore each other's pinned values.
     */
   private val replayLock = new Object
-  private def withPinnedReplay[T](spark: SparkSession, ckptPrefix: String)(
+  private def withPinnedReplay[T](spark: SparkSession, ckptPrefix: String,
+      keepNoDataBatches: Boolean = false)(
       body: String => T): T = replayLock.synchronized {
     val ckpt = scratchDir(ckptPrefix)
     val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
     val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val oldNoData = spark.conf.getOption(noDataKey)
     spark.conf.set("spark.sql.shuffle.partitions", "1")
-    spark.conf.set(noDataKey, "false")
+    // x_stream_late NEEDS the watermark-flush batch: without it the
+    // advanced watermark is never written to the offset log, so a
+    // resumed run re-plans its first batch with watermark 0 and late
+    // rows sail through unfiltered (measured: 3375 rows, 0 dropped)
+    spark.conf.set(noDataKey, keepNoDataBatches.toString)
     try body(ckpt.toString)
     finally {
       spark.conf.set("spark.sql.shuffle.partitions", oldParts)
@@ -588,6 +593,131 @@ object StreamOps {
       .orderBy("day", "rank")
   }
 
+  /** Late-set predicate for x_stream_late: a deterministic slice of the
+    * OLDEST fifth of the stream (20+ days older than the final
+    * watermark, so eviction-boundary conventions can never matter).
+    */
+  private def isLateRow(c: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c < lit("2024-01-10").cast("timestamp") && id % 7 === 0
+
+  /** Write one slice of the events table as a single parquet file into
+    * `root` (x_stream_late's staging): the file source sees exactly the
+    * files we placed, when we place them.
+    */
+  private def stageLateFile(root: java.nio.file.Path, df: DataFrame,
+      name: String): Unit = {
+    val tmp = scratchDir(s"graft_late_tmp_$name")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = new java.io.File(tmp.toString).listFiles()
+      .find(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).get
+    Files.copy(part.toPath, root.resolve(s"$name.parquet"))
+    ()
+  }
+
+  /** X — watermark late-data accounting: the operational half of
+    * event-time processing (how many rows did the watermark DROP, and
+    * is the emitted result exactly the on-time aggregate?). The stage
+    * replays the lake as two micro-batches — every on-time row, then a
+    * deterministic 20-days-late slice — through a 1-hour watermark and
+    * an APPEND-mode hourly aggregation, so:
+    *
+    *   - the watermark after batch 1 is max(on-time ts) − 1h; every
+    *     late row sits ~20 days below it and is dropped, counted by
+    *     the engine in numRowsDroppedByWatermark — the graded
+    *     n_dropped column comes from the ENGINE'S OWN metric, not from
+    *     re-deriving the late count. Measured semantics: the metric
+    *     counts rows REACHING THE STATE OPERATOR, i.e. post-partial-
+    *     aggregation (window, type) groups — 376 distinct late groups
+    *     at sf0.01, not the 426 raw late rows — and the oracle counts
+    *     exactly that;
+    *   - append mode emits exactly the windows whose end ≤ that final
+    *     watermark — the newest ~2 hours stay open and must NOT appear.
+    *
+    * The oracle recomputes both facts in batch SQL (aggregate of the
+    * on-time set, restricted to closed windows, plus the late-set
+    * count), so a hash match pins down the eviction boundary, the drop
+    * accounting and the agg itself. Boundary audit: the watermark
+    * carries sub-second micros while window ends are hour-aligned, so
+    * end = watermark is unreachable and the ≤-vs-< convention cannot
+    * flip the result.
+    *
+    * Scale posture: identical to q28's continuous deployment — keyed
+    * state bounded by the watermark horizon; the two-batch replay is
+    * the test harness, not the operator.
+    */
+  /** Replays as TWO SEPARATE AvailableNow runs over ONE checkpoint —
+    * the on-time file alone, then the late file added — because a
+    * single AvailableNow pass may batch every pre-existing file
+    * together (observed: maxFilesPerTrigger=1 did not split it),
+    * leaving the watermark at its initial value while all rows are
+    * aggregated. Two runs IS the production shape anyway: an
+    * incremental job waking up on new arrivals, watermark restored
+    * from the checkpoint.
+    */
+  val xStreamLate = Q(
+    "x_stream_late",
+    """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+              FROM events),
+       lateset AS (SELECT DISTINCT CAST(date_trunc('hour', ts) AS TIMESTAMP)
+                     AS win_start, event_type
+                   FROM e
+                   WHERE ts < TIMESTAMP '2024-01-10' AND event_id % 7 = 0),
+       o AS (SELECT * FROM e
+             WHERE NOT (ts < TIMESTAMP '2024-01-10' AND event_id % 7 = 0)),
+       wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM o),
+       agg AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+                 event_type, CAST(count(*) AS BIGINT) AS n
+               FROM o GROUP BY 1, 2)
+       SELECT a.win_start, a.event_type, a.n,
+              (SELECT CAST(count(*) AS BIGINT) FROM lateset) AS n_dropped
+       FROM agg a, wm
+       WHERE a.win_start + INTERVAL 1 HOUR <= wm.w
+       ORDER BY win_start, event_type""") { (s, dir) =>
+    val ev = T(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"))
+    val lateC = isLateRow(col("ts"), col("event_id"))
+    val stage = scratchDir("graft_stream_late")
+    stageLateFile(stage, ev.filter(!lateC), "ontime")
+    val sch = s.read.parquet(stage.toString).schema
+    def agg = {
+      val st = s.readStream.schema(sch).parquet(stage.toString)
+      st.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"))
+    }
+    var dropped = 0L
+    val out = scratchDir("graft_stream_late_out").toString + "/emitted"
+    withPinnedReplay(s, "graft_ckpt_late", keepNoDataBatches = true) { ckpt =>
+      // memory sinks can't resume a checkpoint; foreachBatch can, and
+      // appending each emitted micro-batch to parquet is the real
+      // incremental-gold shape anyway
+      def runOnce(): Long = {
+        val q = agg.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(out)
+          }
+          .outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        q.recentProgress
+          .flatMap(p => p.stateOperators.map(_.numRowsDroppedByWatermark))
+          .sum
+      }
+      runOnce() // run 1: on-time history; watermark lands in the ckpt
+      stageLateFile(stage, ev.filter(lateC), "late")
+      dropped = runOnce() // run 2: the late arrivals, dropped + counted
+    }
+    s.read.parquet(out)
+      .withColumn("n_dropped", lit(dropped))
+      .orderBy("win_start", "event_type")
+  }
+
   val all: Seq[Q] = Seq(q28, q29, q29b, q30, q30b, q30c, q30d, xStreamNeardup,
-    xStreamUpsert, xStreamPsi, xStreamTrending)
+    xStreamUpsert, xStreamPsi, xStreamTrending, xStreamLate)
 }

@@ -227,4 +227,36 @@ class Round11Spec extends AnyFunSuite {
         s"(${got.head._1.split(" ").length} words)")
     }
   }
+
+  test("stream late-data accounting: emitted = on-time closed windows, " +
+    "engine drop metric = late group count, open windows stay unemitted") {
+    val S = graft.streaming.StreamOps
+    for (dir <- Seq("/root/testdata/sf0.001")) {
+      val ev = graft.core.Tables(spark, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"))
+        .as[(Long, java.sql.Timestamp, String)].collect()
+      val cut = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+      val (late, ontime) = ev.partition(e =>
+        e._2.before(cut) && e._1 % 7 == 0)
+      val wm = ontime.map(_._2.getTime).max - 3600000L
+      def hour(t: java.sql.Timestamp): Long = t.getTime / 3600000L * 3600000L
+      val expect = ontime.groupBy(e => (hour(e._2), e._3)).view
+        .mapValues(_.length.toLong).toMap
+        .filter { case ((h, _), _) => h + 3600000L <= wm }
+      val lateGroups = late.map(e => (hour(e._2), e._3)).distinct.length.toLong
+      val got = S.xStreamLate.build(spark, dir)
+        .as[(java.sql.Timestamp, String, Long, Long)].collect()
+      assert(got.length == expect.size, s"$dir: ${got.length} vs ${expect.size}")
+      got.foreach { case (ws, et, n, dropped) =>
+        assert(expect((ws.getTime, et)) == n, s"$dir ($ws,$et)")
+        assert(dropped == lateGroups, s"$dir: dropped=$dropped")
+        assert(ws.getTime + 3600000L <= wm, s"$dir: open window $ws emitted")
+      }
+      // boundary audit: no window end collides with the watermark, so
+      // the <=-vs-< eviction convention cannot flip the result
+      assert(!expect.keys.exists(_._1 + 3600000L == wm), s"$dir boundary")
+      info(s"$dir: ${got.length} closed windows, $lateGroups late groups " +
+        "dropped by the engine")
+    }
+  }
 }
