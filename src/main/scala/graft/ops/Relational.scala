@@ -621,8 +621,66 @@ object Relational {
       .limit(10)
   }
 
+  /** X — TPC-H Q5 shape (local supplier volume): the 6-table star join
+    * (region→nation→{customer,supplier}→orders→lineitem) with the
+    * customer-and-supplier-in-the-same-nation constraint — the classic
+    * optimizer workout: join ORDER matters (region/nation are 1-row/25-row
+    * broadcasts that must prune early; the l_suppkey = s_suppkey AND
+    * c_nationkey = s_nationkey pair closes the snowflake), and revenue
+    * uses the exact decimal-product sum (the q10_promo_revenue
+    * discipline). One shared SQL string runs on BOTH engines.
+    *
+    * Scale posture: Catalyst broadcasts region/nation/supplier (dim-
+    * sized), shuffles only orders⋈lineitem on the order key, and the
+    * date filter reaches the orders scan (PushedFilters); the group
+    * domain is |nation| — map-side combine all the way.
+    */
+  private val xTpchQ5Sql =
+    """SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation ON c_nationkey = n_nationkey AND s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1998-01-01'
+       GROUP BY n_name ORDER BY revenue DESC, n_name"""
+  val xTpchQ5 = Q("x_tpch_q5", xTpchQ5Sql) { (s, dir) =>
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+      .foreach(n => T(s, dir, n).createOrReplaceTempView(n))
+    s.sql(xTpchQ5Sql)
+  }
+
+  /** X — TPC-H Q18 shape (large-volume customers): a HAVING-filtered
+    * aggregate feeding an IN-subquery (planned as a semi-join against
+    * the aggregated key set), re-joined to orders/customer, exact
+    * decimal quantity sums, TakeOrdered(20) head. The pattern that
+    * punishes engines which materialize the subquery per-row.
+    */
+  private val xTpchQ18Sql =
+    """SELECT c_name, o_orderkey,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+       FROM orders
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN customer ON c_custkey = o_custkey
+       WHERE o_orderkey IN (
+         SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+         HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+       GROUP BY c_name, o_orderkey
+       ORDER BY total_qty DESC, o_orderkey LIMIT 20"""
+  val xTpchQ18 = Q("x_tpch_q18", xTpchQ18Sql) { (s, dir) =>
+    Seq("orders", "lineitem", "customer")
+      .foreach(n => T(s, dir, n).createOrReplaceTempView(n))
+    s.sql(xTpchQ18Sql)
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q06b, q07, q07b, q08, q08b, q08c, q08d,
     q09, q10, q10b, q10c, q11, q11b, q12, q12b, q13, q13b, q14, q15,
-    q16, q16b, q17, q17b, q18)
+    q16, q16b, q17, q17b, q18, xTpchQ5, xTpchQ18)
 }
