@@ -315,7 +315,15 @@ object Extra {
     }
     p
   }
-  private def scratch(name: String): String = s"$scratchRoot/$name"
+  /** Session-keyed scratch path (the round-10 advice discipline, applied
+    * here too): two concurrent sessions in one JVM — parallel bench and
+    * verify — must not overwrite each other's staged files between a
+    * query's write and its audit re-read. Within ONE session, bench reps
+    * still rewrite in place rather than leaking a fresh dir per rep.
+    */
+  private def scratch(s: org.apache.spark.sql.SparkSession,
+      name: String): String =
+    s"$scratchRoot/s${System.identityHashCode(s)}/$name"
 
   /** X — CSV sink + source round-trip: write orders as headered CSV,
     * read it back with the original schema, aggregate. The oracle runs
@@ -328,7 +336,7 @@ object Extra {
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, dir) =>
     val orders = T(s, dir, "orders")
-    val out = scratch("csvrt/orders")
+    val out = scratch(s, "csvrt/orders")
     graft.sources.Lake.writeAs(orders, "csv", out)
     graft.sources.Lake.readAs(s, "csv", out, Some(orders.schema))
       .groupBy(col("o_orderpriority"))
@@ -351,7 +359,7 @@ object Extra {
        FROM lineitem GROUP BY l_returnflag, l_linestatus
        ORDER BY l_returnflag, l_linestatus""") { (s, dir) =>
     val li = T(s, dir, "lineitem")
-    val out = scratch("orcrt/lineitem")
+    val out = scratch(s, "orcrt/lineitem")
     graft.sources.Lake.writeAs(li, "orc", out)
     graft.sources.Lake.readAs(s, "orc", out)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -397,7 +405,7 @@ object Extra {
        ORDER BY o_orderkey""") { (s, dir) =>
     val orders = T(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-    val stage = scratch("upsert/orders")
+    val stage = scratch(s, "upsert/orders")
     orders.write.mode("overwrite").parquet(stage)
     val updates = orders.filter(col("o_orderkey") % 97 === 0)
       .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
@@ -421,7 +429,7 @@ object Extra {
        FROM orders WHERE o_custkey BETWEEN 40 AND 70
        GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, dir) =>
     val orders = T(s, dir, "orders")
-    val stage = scratch("clustered/orders")
+    val stage = scratch(s, "clustered/orders")
     graft.sources.Lake.writeClusteredWithManifest(orders, stage, 8, "o_custkey")
     graft.sources.Lake.readPruned(s, stage, "o_custkey", 40L, 70L)
       .groupBy(col("o_orderpriority"))
@@ -448,11 +456,41 @@ object Extra {
          AND CAST(floor(o_totalprice) AS BIGINT) BETWEEN 20000 AND 120000
        GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, dir) =>
     val orders = T(s, dir, "orders")
-    val stage = scratch("zorder/orders")
+    val stage = scratch(s, "zorder/orders")
     graft.sources.Lake.writeZOrdered(orders, stage, 16,
       "o_custkey", "o_totalprice")
     graft.sources.Lake.readZPruned(s, stage,
       Seq("o_custkey" -> (100L, 400L), "o_totalprice" -> (20000L, 120000L)))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), E.sumd(col("o_totalprice")).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** X — Hilbert-curve clustering + manifest pruning: x_zorder_prune
+    * with the OTHER space-filling curve (Delta/Iceberg OPTIMIZE offer
+    * both; the Hilbert walk never jumps across the space, so index
+    * ranges are tighter rectangles — measured file-skipping comparison
+    * vs the Z layout in LakeSpec and docs/SCALING.md). The curve walk
+    * is the native codegen'd HilbertIndex2 expression
+    * (graft/functions/Hilbert.scala); layout correctness is graded the
+    * zorder way — the oracle runs the plain filtered aggregate, so any
+    * row lost or double-read by clustering, manifest stats, or pruning
+    * lands in the hash.
+    */
+  val xHilbertPrune = Q(
+    "x_hilbert_prune",
+    """SELECT o_orderpriority, count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+       FROM orders
+       WHERE o_custkey BETWEEN 700 AND 1000
+         AND CAST(floor(o_totalprice) AS BIGINT) BETWEEN 150000 AND 300000
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, dir) =>
+    val orders = T(s, dir, "orders")
+    val stage = scratch(s, "hilbert/orders")
+    graft.sources.Lake.writeHilbertOrdered(orders, stage, 16,
+      "o_custkey", "o_totalprice")
+    graft.sources.Lake.readHPruned(s, stage,
+      Seq("o_custkey" -> (700L, 1000L), "o_totalprice" -> (150000L, 300000L)))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), E.sumd(col("o_totalprice")).as("total"))
       .orderBy("o_orderpriority")
@@ -652,7 +690,7 @@ object Extra {
        GROUP BY o_orderstatus
        ORDER BY o_orderstatus NULLS FIRST""") { (s, dir) =>
     val orders = T(s, dir, "orders")
-    val root = scratch("schevo/orders")
+    val root = scratch(s, "schevo/orders")
     orders.filter(col("o_orderkey") % 3 === 0)
       .select(col("o_orderkey"), col("o_totalprice"))
       .write.mode("overwrite").parquet(s"$root/batch=1")
@@ -834,7 +872,7 @@ object Extra {
          max(c_name) AS last_name
        FROM customer GROUP BY 1 ORDER BY nation""") { (s, dir) =>
     val cust = T(s, dir, "customer")
-    val out = scratch("jsonrt/customer")
+    val out = scratch(s, "jsonrt/customer")
     graft.sources.Lake.writeAs(cust, "json", out)
     graft.sources.Lake.readAs(s, "json", out, Some(cust.schema))
       .groupBy(col("c_nationkey").cast("long").as("nation"))
@@ -956,7 +994,8 @@ object Extra {
     Seq(xSessionize, xSampleHash, xStringAgg, xRedact, xRegrAgg, xFillForward,
       xGroupTopK, xApproxPercentile, xResample, xJaroWinkler, xWindowNtile,
       xCsvRoundtrip, xOrcRoundtrip, xProvenance, xUpsert, xManifestPrune,
-      xDatasetDiff, xZorderPrune, xProfile, xModeMedian, xSchemaEvolution,
+      xDatasetDiff, xZorderPrune, xHilbertPrune, xProfile, xModeMedian,
+      xSchemaEvolution,
       xPositionalJoin, xDistinctOn, xUnionByName, xBucketedJoin, xDenseIds,
       xJsonRoundtrip, xIntervalJoin, xSkyline)
 }

@@ -534,6 +534,54 @@ object Lake {
       bands: Seq[(String, (Long, Long))]): DataFrame =
     readBandPruned(spark, path, "_zmanifest.json", bands)
 
+  /** Hilbert-curve key of two columns scaled to [0, 2^bits) — the
+    * zvalue2 companion (graft.functions.Hilbert has the curve walk and
+    * the why). Same monotone linear scaling; only the space-filling
+    * curve differs.
+    */
+  def hvalue2(a: Column, aLo: Long, aHi: Long,
+      b: Column, bLo: Long, bHi: Long, bits: Int = 16): Column = {
+    val top = (1L << bits) - 1
+    def norm(c: Column, lo: Long, hi: Long): Column = {
+      val span = math.max(1L, hi - lo)
+      least(greatest((c.cast("long") - lit(lo)) * lit(top) / lit(span),
+        lit(0L)), lit(top))
+    }
+    graft.functions.Hilbert.index2(norm(a, aLo, aHi), norm(b, bLo, bHi), bits)
+  }
+
+  /** Hilbert-clustered write — writeZOrdered with the curve swapped
+    * (manifest `_hmanifest.json`); readHPruned is the query path.
+    */
+  def writeHilbertOrdered(df: DataFrame, path: String, numFiles: Int,
+      colA: String, colB: String): Unit = {
+    val spark = df.sparkSession
+    val bounds = df.agg(
+      min(col(colA).cast("long")), max(col(colA).cast("long")),
+      min(col(colB).cast("long")), max(col(colB).cast("long"))).head()
+    if ((0 to 3).exists(bounds.isNullAt)) {
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
+    val hv = hvalue2(col(colA), bounds.getLong(0), bounds.getLong(1),
+      col(colB), bounds.getLong(2), bounds.getLong(3))
+    df.withColumn("__hv", hv)
+      .repartitionByRange(numFiles, col("__hv"))
+      .sortWithinPartitions(col("__hv"))
+      .drop("__hv")
+      .write.mode("overwrite").parquet(path)
+    writeStatsManifest(spark, path, "_hmanifest.json", Seq(colA, colB))
+  }
+
+  private[graft] def hPrunedFiles(fs: org.apache.hadoop.fs.FileSystem,
+      mPath: org.apache.hadoop.fs.Path,
+      bands: Seq[(String, (Long, Long))]): Seq[String] =
+    prunedFiles(fs, mPath, bands)
+
+  def readHPruned(spark: SparkSession, path: String,
+      bands: Seq[(String, (Long, Long))]): DataFrame =
+    readBandPruned(spark, path, "_hmanifest.json", bands)
+
   /** Format round-trips (csv/json/orc share the same DataFrameReader/
     * Writer surface as parquet; schema must be supplied for the schemaless
     * text formats on read).

@@ -259,4 +259,72 @@ class Round11Spec extends AnyFunSuite {
         "dropped by the engine")
     }
   }
+
+  test("Hilbert index: bijective on the grid and unit-step adjacent " +
+    "(the locality property Z-order lacks)") {
+    val bits = 4
+    val n = 1 << bits
+    val grid = spark.range(n.toLong * n)
+      .select((col("id") % n).as("x"), expr(s"id div $n").as("y"))
+      .select(col("x"), col("y"),
+        graft.functions.Hilbert.index2(col("x"), col("y"), bits).as("d"))
+      .as[(Long, Long, Long)].collect()
+    assert(grid.map(_._3).sorted.toSeq == (0L until n.toLong * n),
+      "not a bijection onto [0, 4^bits)")
+    val walk = grid.sortBy(_._3)
+    walk.sliding(2).foreach { case Array(a, b) =>
+      assert(math.abs(a._1 - b._1) + math.abs(a._2 - b._2) == 1,
+        s"curve jumps between d=${a._3} and d=${b._3}")
+    }
+    // Z-order, by contrast, jumps: max manhattan step on the same grid
+    val zWalk = grid.map { case (x, y, _) =>
+      val z = (0 until bits).map(i =>
+        (((x >> i) & 1) << (2 * i)) | (((y >> i) & 1) << (2 * i + 1))).sum
+      (x, y, z)
+    }.sortBy(_._3)
+    val zMax = zWalk.sliding(2).map { case Array(a, b) =>
+      math.abs(a._1 - b._1) + math.abs(a._2 - b._2) }.max
+    assert(zMax > 1, "expected Z-curve jumps on this grid")
+    info(s"hilbert max step 1, z-order max step $zMax on a ${n}x$n grid")
+  }
+
+  test("Hilbert vs Z-order file pruning: measured on staged orders " +
+    "layouts across box predicates") {
+    import org.apache.hadoop.fs.Path
+    val dir = "/root/testdata/sf0.01"
+    val orders = graft.core.Tables(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory("hvz").toString
+    graft.sources.Lake.writeZOrdered(orders, s"$root/z", 16,
+      "o_custkey", "o_totalprice")
+    graft.sources.Lake.writeHilbertOrdered(orders, s"$root/h", 16,
+      "o_custkey", "o_totalprice")
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val boxes = Seq(
+      Seq("o_custkey" -> (100L, 400L), "o_totalprice" -> (20000L, 120000L)),
+      Seq("o_custkey" -> (700L, 1000L), "o_totalprice" -> (150000L, 300000L)),
+      Seq("o_custkey" -> (0L, 150L)),
+      Seq("o_totalprice" -> (400000L, 460000L)),
+      Seq("o_custkey" -> (500L, 600L), "o_totalprice" -> (0L, 50000L)))
+    val rows = boxes.map { box =>
+      val z = graft.sources.Lake.zPrunedFiles(fs,
+        new Path(s"$root/z/_zmanifest.json"), box).size
+      val h = graft.sources.Lake.hPrunedFiles(fs,
+        new Path(s"$root/h/_hmanifest.json"), box).size
+      assert(z < 16 && h < 16, s"box $box prunes nothing (z=$z h=$h)")
+      // correctness: pruned scans agree with the full filtered scan
+      val full = box.foldLeft(orders) { case (df, (c, (lo, hi))) =>
+        df.filter(col(c).cast("long") >= lo && col(c).cast("long") <= hi)
+      }.count()
+      val hv = box.foldLeft(graft.sources.Lake.readHPruned(spark,
+        s"$root/h", box))((df, _) => df).count()
+      assert(hv == full, s"box $box: hilbert pruned scan lost rows")
+      (box.map(_._1).mkString("+"), z, h)
+    }
+    rows.foreach { case (b, z, h) => info(f"$b%-28s z=$z%2d h=$h%2d") }
+    val (zTot, hTot) = (rows.map(_._2).sum, rows.map(_._3).sum)
+    info(s"total files scanned over ${boxes.size} boxes: z=$zTot h=$hTot")
+    assert(hTot <= zTot + 2,
+      s"hilbert materially worse than z-order ($hTot vs $zTot)")
+  }
 }
