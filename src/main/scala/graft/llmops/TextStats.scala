@@ -1021,8 +1021,72 @@ object TextStats {
       .limit(10)
   }
 
+  /** Hill-estimator order statistics (top-k tail). */
+  val HILL_K = 20
+
+  /** X — Hill tail-index estimator over the word-frequency spectrum:
+    * α̂ = k / Σ_{i≤k}(ln f_(i) − ln f_(k+1)) over the k+1 largest
+    * frequencies — the standard heavy-tail exponent companion to
+    * x_zipf_fit's least-squares slope (Hill uses only the extreme order
+    * statistics, so it is robust to the mid-rank bulge that biases the
+    * regression; real corpora report both).
+    *
+    * Exactness: the SAME fixed-point ln(count) grid as x_zipf_fit
+    * (margin family "zipf-ln" — model-sized, once per distinct
+    * frequency), then pure integers: order statistics by (count DESC,
+    * word) rank, an exact micro-unit sum, and floor-division readouts.
+    * A degenerate spectrum (top k+1 counts all equal) zeroes the
+    * denominator and reports alpha_milli = 0 (the kappa convention).
+    *
+    * Scale posture: one vocabulary hash agg, a rank over the vocab
+    * domain, a k-row reduction — x_zipf_fit's exact shape.
+    */
+  val xTailIndex = Q(
+    "x_tail_index",
+    s"""WITH c AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+           FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+           WHERE word != '' GROUP BY 1),
+       r AS (SELECT n, CAST(row_number() OVER (ORDER BY n DESC, word)
+               AS BIGINT) AS rk FROM c),
+       t AS (SELECT CAST(round(1000000 * ln(CAST(n AS DOUBLE))) AS BIGINT)
+               AS y, rk
+             FROM r WHERE rk <= ${HILL_K + 1}),
+       s AS (SELECT
+               CAST(sum(CASE WHEN rk <= $HILL_K THEN y ELSE 0 END)
+                 AS BIGINT) AS sy,
+               CAST(max(CASE WHEN rk = ${HILL_K + 1} THEN y ELSE 0 END)
+                 AS BIGINT) AS yk
+             FROM t)
+       SELECT $HILL_K AS k, sy, yk,
+              (sy - $HILL_K * yk) // $HILL_K AS hill_inv_micro,
+              CASE WHEN sy - $HILL_K * yk > 0
+                   THEN (1000000000 * CAST($HILL_K AS BIGINT))
+                        // (sy - $HILL_K * yk)
+                   ELSE 0 END AS alpha_milli
+       FROM s""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val c = T(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    c.withColumn("rk",
+        row_number().over(Window.orderBy(col("n").desc, col("word")))
+          .cast("long"))
+      .filter(col("rk") <= HILL_K + 1)
+      .select(expr("CAST(round(1000000 * ln(CAST(n AS DOUBLE))) AS BIGINT)")
+        .as("y"), col("rk"))
+      .agg(
+        sum(when(col("rk") <= HILL_K, col("y")).otherwise(0L)).as("sy"),
+        max(when(col("rk") === HILL_K + 1, col("y")).otherwise(0L)).as("yk"))
+      .select(lit(HILL_K.toLong).as("k"), col("sy"), col("yk"),
+        expr(s"(sy - $HILL_K * yk) div $HILL_K").as("hill_inv_micro"),
+        when(col("sy") - col("yk") * HILL_K > 0,
+          expr(s"(1000000000 * CAST($HILL_K AS BIGINT)) div (sy - $HILL_K * yk)"))
+          .otherwise(0L).as("alpha_milli"))
+  }
+
   val all: Seq[Q] = Seq(q35, q35b, xTfIdf, xQuality, xTokenCount, xLangId,
     xRepetition, xQualityRules, xWordEntropy, xHashEmbed, xBm25, xDsirWeights,
     xRrfFusion, xQualityEnsemble, xReadability, xDiversityIndex, xZipfFit,
-    xBurstiness, xRakeKeywords)
+    xBurstiness, xRakeKeywords, xTailIndex)
 }

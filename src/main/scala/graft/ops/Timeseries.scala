@@ -518,7 +518,60 @@ object Timeseries {
       .orderBy("day")
   }
 
+  /** EWMA smoothing constant α = 1/4 and truncation depth. */
+  val EWMA_LAGS = 16
+  private val EWMA_DEN = 1L << (2 * EWMA_LAGS) // 4^16
+  /** w_i = α(1−α)^i = 3^i/4^(i+1), scaled by 4^16: exact integers. */
+  private val EWMA_W: IndexedSeq[Long] =
+    (0 until EWMA_LAGS).map(i =>
+      BigInt(3).pow(i).toLong * (1L << (2 * (EWMA_LAGS - 1 - i))))
+
+  /** X — exponentially weighted moving average of the daily event count
+    * per type, with ZERO floats: α = 1/4 makes every weight the exact
+    * dyadic-ternary rational 3^i/4^(i+1), so the 16-lag truncated filter
+    * is one integer dot product num = Σ x_{t−i}·3^i·4^(15−i) over the
+    * per-type window (pre-history reads as 0 — the standard truncated
+    * filter; the dropped tail mass is (3/4)^16 ≈ 1%). The milli readout
+    * divides by 4^16 through DECIMAL(38,0)/HUGEINT so the product has
+    * int64 headroom at any SF.
+    *
+    * Scale posture: corpus → (type × day) hash agg first (map-side
+    * combine), THEN the window runs over the tiny per-type daily series
+    * — frames of 16 rows, never corpus-wide.
+    */
+  val xEwma = Q(
+    "x_ewma",
+    s"""WITH d AS (SELECT event_type,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+               AS day,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+       w AS (SELECT event_type, day, x,
+               CAST(${(0 until EWMA_LAGS).map(i =>
+                 s"coalesce(lag(x, $i) OVER win, 0) * ${EWMA_W(i)}")
+                 .mkString(" + ")} AS BIGINT) AS num
+             FROM d
+             WINDOW win AS (PARTITION BY event_type ORDER BY day))
+       SELECT event_type, day, x, num,
+              CAST(CAST(num AS HUGEINT) * 1000 // $EWMA_DEN AS BIGINT)
+                AS ewma_milli
+       FROM w ORDER BY event_type, day""") { (s, dir) =>
+    val d = T(s, dir, "events")
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val win = Window.partitionBy("event_type").orderBy("day")
+    val num = (0 until EWMA_LAGS).map(i =>
+      coalesce(lag(col("x"), i).over(win), lit(0L)) * lit(EWMA_W(i)))
+      .reduce(_ + _)
+    d.withColumn("num", num)
+      .select(col("event_type"), col("day"), col("x"), col("num"),
+        expr(s"CAST(CAST(num AS DECIMAL(38,0)) * 1000 DIV $EWMA_DEN AS BIGINT)")
+          .as("ewma_milli"))
+      .orderBy("event_type", "day")
+  }
+
   val all: Seq[Q] = Seq(xInterpolate, xGapDetect, xWindowDistinct,
     xRollingMedian, xPopGrowth, xPctOfParent, xChangepoint, xAnomalyMad,
-    xSeasonalDow, xRollingCorr)
+    xSeasonalDow, xRollingCorr, xEwma)
 }

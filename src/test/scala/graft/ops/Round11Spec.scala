@@ -327,4 +327,70 @@ class Round11Spec extends AnyFunSuite {
     assert(hTot <= zTot + 2,
       s"hilbert materially worse than z-order ($hTot vs $zTot)")
   }
+
+  test("Hill tail index matches a driver-side recompute off the top-k " +
+    "order statistics") {
+    val Ts = graft.llmops.TextStats
+    for (dir <- dirs) {
+      val counts = graft.core.Tables(spark, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect()
+      assert(counts.length >= Ts.HILL_K + 1,
+        s"$dir: vocabulary smaller than k+1")
+      val top = counts.sortBy { case (w, n) => (-n, w) }
+        .take(Ts.HILL_K + 1)
+        .map { case (_, n) => math.round(1e6 * math.log(n.toDouble)) }
+      val sy = top.take(Ts.HILL_K).sum
+      val yk = top.last
+      val inv = (sy - Ts.HILL_K * yk) / Ts.HILL_K
+      val alpha =
+        if (sy - Ts.HILL_K * yk > 0)
+          1000000000L * Ts.HILL_K / (sy - Ts.HILL_K * yk)
+        else 0L
+      val got = Ts.xTailIndex.build(spark, dir)
+        .as[(Long, Long, Long, Long, Long)].head()
+      assert(got == ((Ts.HILL_K.toLong, sy, yk, inv, alpha)), s"$dir: $got")
+      info(f"$dir: alpha=${alpha / 1000.0}%.3f (near-uniform spectrum is " +
+        "heavy alpha, as expected on this fixture)")
+    }
+  }
+
+  test("EWMA: integer dot product equals the float filter within fixed-" +
+    "point resolution and reacts to level shifts") {
+    val Ti = graft.ops.Timeseries
+    for (dir <- dirs) {
+      val series = graft.core.Tables(spark, dir, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+        .as[(String, java.sql.Timestamp, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2.getTime).map(_._3)).toMap
+      val got = Ti.xEwma.build(spark, dir)
+        .as[(String, java.sql.Timestamp, Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2.getTime)).toMap
+      for ((et, xs) <- series) {
+        val rows = got(et)
+        assert(rows.length == xs.length)
+        rows.zipWithIndex.foreach { case ((_, _, x, num, milli), t) =>
+          assert(x == xs(t))
+          // exact integer recompute
+          val expect = (0 until Ti.EWMA_LAGS).map { i =>
+            if (t - i >= 0)
+              xs(t - i) * BigInt(3).pow(i).toLong *
+                (1L << (2 * (Ti.EWMA_LAGS - 1 - i)))
+            else 0L
+          }.sum
+          assert(num == expect, s"$dir $et t=$t")
+          assert(milli == BigInt(num) * 1000 / (1L << 32), s"$dir $et t=$t")
+          // float cross-check: same filter in doubles, within 1 milli
+          val f = (0 until Ti.EWMA_LAGS).map(i =>
+            if (t - i >= 0) xs(t - i) * 0.25 * math.pow(0.75, i) else 0.0).sum
+          assert(math.abs(milli / 1000.0 - f) < 0.002 * math.max(1.0, f),
+            s"$dir $et t=$t: $milli vs $f")
+        }
+      }
+      info(s"$dir: ${got.values.map(_.length).sum} EWMA points exact")
+    }
+  }
 }
