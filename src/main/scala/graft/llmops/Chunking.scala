@@ -630,7 +630,81 @@ object Chunking {
       .select(col("doc_id"), col("n_tokens"),
         expr(s"before div $SHARD_TOKENS").as("shard"))
 
+  /** Span length for x_span_corruption (T5 uses mean 3; ours is a fixed
+    * 3 so the mask is position-parallel and exactly replayable).
+    */
+  val SPAN_LEN = 3
+  /** Start-selection rate: md5 first byte < 0x0d ⇒ 13/256 ≈ 5.1% of
+    * positions start a span; ×3 length ≈ 14% corruption before overlap
+    * merge — the T5 ~15% target.
+    */
+  val SPAN_SEL = "0d"
+
+  /** X — span-corruption masking audit (the T5/UL2 denoising objective's
+    * data half): deterministically select span STARTS by a per-(doc,
+    * position) hash, corrupt SPAN_LEN tokens from each start, merge
+    * overlaps, and report per doc the mask rate and the sentinel count
+    * (= number of MAXIMAL masked runs — each run becomes one sentinel
+    * token in the corrupted input).
+    *
+    * The whole mask is POSITION-PARALLEL — masked(p) ⇔ some start in
+    * [p−SPAN_LEN+1, p] was selected, and a run begins where masked(p)
+    * ∧ ¬masked(p−1) — so no per-doc sequential scan exists anywhere:
+    * each position evaluates ≤ 2·SPAN_LEN hash tests independently
+    * (the map-only shape that scales to any document length), then one
+    * per-doc hash agg. Selection reuses the x_sample_hash md5-prefix
+    * idiom, so both engines compute the identical mask.
+    */
+  val xSpanCorruption = Q(
+    "x_span_corruption",
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS t
+              FROM documents),
+       pos AS (SELECT doc_id, len(t) AS n, i
+               FROM words,
+                 LATERAL (SELECT unnest(generate_series(1, len(t))) AS i)),
+       m AS (SELECT doc_id, n, i,
+               ${(0 until SPAN_LEN).map(k =>
+                 s"""(i - $k >= 1 AND substr(md5(CAST(doc_id AS VARCHAR)
+                    || ':' || CAST(i - $k AS VARCHAR)), 1, 2) < '$SPAN_SEL')""")
+                 .mkString(" OR ")} AS masked,
+               ${(1 to SPAN_LEN).map(k =>
+                 s"""(i - $k >= 1 AND substr(md5(CAST(doc_id AS VARCHAR)
+                    || ':' || CAST(i - $k AS VARCHAR)), 1, 2) < '$SPAN_SEL')""")
+                 .mkString(" OR ")} AS prev_masked
+             FROM pos)
+       SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+              CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_masked,
+              CAST(sum(CASE WHEN masked AND NOT prev_masked THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sentinels,
+              (1000000 * CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END)
+                 AS BIGINT)) // max(n) AS corruption_ppm
+       FROM m GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+    def sel(posExpr: String) =
+      s"""(($posExpr) >= 1 AND substr(md5(CAST(doc_id AS STRING)
+         || ':' || CAST(($posExpr) AS STRING)), 1, 2) < '$SPAN_SEL')"""
+    val masked = (0 until SPAN_LEN).map(k => sel(s"i - $k")).mkString(" OR ")
+    val prev = (1 to SPAN_LEN).map(k => sel(s"i - $k")).mkString(" OR ")
+    T(s, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " "))
+        .as(Seq("i0", "w")))
+      .select(col("doc_id"), (col("i0") + 1).as("i"),
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")).as("n"))
+      .select(col("doc_id"), col("n"),
+        expr(masked).as("masked"), expr(prev).as("prev_masked"))
+      .groupBy("doc_id")
+      .agg(max(col("n")).as("n_tokens"),
+        sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"),
+        sum(when(col("masked") && !col("prev_masked"), 1L).otherwise(0L))
+          .as("n_sentinels"))
+      .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+        col("n_sentinels"),
+        expr("(1000000 * n_masked) div n_tokens").as("corruption_ppm"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(xDocChunk, xStratifiedSample, xPackSequences, xSpanDedup,
     xTokenBudget, xLineDedup, xSubstrDedup, xCdcChunk, xCdcIncremental,
-    xShardAssign)
+    xShardAssign, xSpanCorruption)
 }

@@ -345,5 +345,69 @@ object MinHashLSH {
       .orderBy("a_id", "b_id")
   }
 
-  val all: Seq[Q] = Seq(q33, xCharNgram, xMinhashEst)
+  /** Fixed-point multiply at 1e6 scale with round-half-up — one integer
+    * expression, identical text on both engines modulo the div token.
+    */
+  private def fpmul(a: String, b: String, div: String): String =
+    s"((($a) * ($b) + 500000) $div 1000000)"
+
+  /** x^(2^k)-style power by repeated squaring, unrolled as expression
+    * text (k ≤ 4 ⇒ tiny trees). `e` must be a power of two.
+    */
+  private def fppow(x: String, e: Int, div: String): String = {
+    require(e > 0 && (e & (e - 1)) == 0, s"fppow: $e not a power of two")
+    if (e == 1) x
+    else { val h = fppow(x, e / 2, div); fpmul(h, h, div) }
+  }
+
+  /** The tuned configs: (bands, rowsPerBand) with bands·rows = 32 —
+    * the SHIPPED signature length. First entry IS the shipped config.
+    */
+  val TUNE_CONFIGS: Seq[(Int, Int)] = Seq((BANDS, ROWS_PER_BAND), (16, 2), (4, 8))
+
+  /** X — LSH band tuning: the S-curve P(candidate | s) = 1 − (1 − s^r)^b
+    * for the SHIPPED 8×4 banding and its two 32-hash alternatives — the
+    * design table every LSH deployment writes down before picking b and
+    * r (wide bands catch low-similarity pairs but flood the verifier;
+    * narrow bands are precise but miss borderline near-dups). Anchored
+    * to the shipped q33 constants by construction
+    * (TUNE_CONFIGS.head == (BANDS, ROWS_PER_BAND), compile-checked).
+    *
+    * Exactness: the curve is evaluated in 1e6 FIXED POINT with
+    * round-half-up after every squaring (s^r and (1−s^r)^b unroll as
+    * power-of-two squaring chains), so both engines execute the
+    * identical integer op sequence — the value is a deterministic
+    * quantization of the true curve (per-step error ≤ 5e-7, ≤ 9 steps),
+    * and the table is bit-exact by construction, not margin-audited.
+    *
+    * Scale posture: model-sized compute (9 rows × 3 configs); the value
+    * at 100 TB is what it PREDICTS — expected verifier load and
+    * false-negative rate per config — before a corpus-wide re-banding
+    * is paid for.
+    */
+  val xLshBandTuning = Q(
+    "x_lsh_band_tuning", {
+      val div = "//"
+      val cols = TUNE_CONFIGS.map { case (b, r) =>
+        val q = s"(1000000 - ${fppow("sfix", r, div)})"
+        s"1000000 - ${fppow(q, b, div)} AS p_b${b}r${r}_ppm"
+      }.mkString(",\n              ")
+      s"""WITH s AS (SELECT CAST(unnest(generate_series(1, 9)) AS BIGINT)
+               * 100000 AS sfix)
+       SELECT sfix AS s_ppm,
+              $cols
+       FROM s ORDER BY s_ppm"""
+    }) { (s, dir) =>
+    val div = "DIV"
+    val cols = TUNE_CONFIGS.map { case (b, r) =>
+      val q = s"(1000000 - ${fppow("sfix", r, div)})"
+      expr(s"1000000 - ${fppow(q, b, div)}").as(s"p_b${b}r${r}_ppm")
+    }
+    s.range(1, 10)
+      .select((col("id") * 100000L).as("sfix"))
+      .select((col("sfix").as("s_ppm") +: cols): _*)
+      .orderBy("s_ppm")
+  }
+
+  val all: Seq[Q] = Seq(q33, xCharNgram, xMinhashEst, xLshBandTuning)
 }

@@ -393,4 +393,67 @@ class Round11Spec extends AnyFunSuite {
       info(s"$dir: ${got.values.map(_.length).sum} EWMA points exact")
     }
   }
+
+  test("span corruption: mask matches a sequential driver-side replay " +
+    "and the rate lands near the T5 target") {
+    val C = graft.llmops.Chunking
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    for (dir <- dirs) {
+      val docs = graft.core.Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      val expect = docs.map { case (id, text) =>
+        val n = text.split(" ", -1).length
+        // SEQUENTIAL reference: walk positions, paint spans forward
+        val mask = Array.fill(n)(false)
+        for (p <- 1 to n)
+          if (md5hex(s"$id:$p").take(2) < C.SPAN_SEL)
+            for (q <- p until math.min(p + C.SPAN_LEN, n + 1))
+              mask(q - 1) = true
+        val nMasked = mask.count(identity).toLong
+        val nRuns = mask.zipWithIndex.count { case (m, i) =>
+          m && (i == 0 || !mask(i - 1)) }.toLong
+        id -> ((n.toLong, nMasked, nRuns, 1000000L * nMasked / n))
+      }.toMap
+      val got = C.xSpanCorruption.build(spark, dir)
+        .as[(Long, Long, Long, Long, Long)].collect()
+      assert(got.length == expect.size)
+      got.foreach { case (id, n, m, sent, ppm) =>
+        assert(expect(id) == ((n, m, sent, ppm)), s"$dir doc $id")
+      }
+      val rate = got.map(_._3).sum.toDouble / got.map(_._2).sum
+      assert(rate > 0.08 && rate < 0.22, s"$dir: corruption rate $rate")
+      info(f"$dir: corpus corruption rate $rate%.3f, " +
+        s"${got.map(_._4).sum} sentinels")
+    }
+  }
+
+  test("LSH band tuning: fixed-point S-curve tracks the analytic curve " +
+    "and the shipped config is anchored") {
+    val M = graft.llmops.MinHashLSH
+    assert(M.TUNE_CONFIGS.head == ((M.BANDS, M.ROWS_PER_BAND)),
+      "first tuned config must be the shipped banding")
+    val rows = M.xLshBandTuning.build(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1 to 9).map(_ * 100000L))
+    for ((s_ppm, p1, p2, p3) <- rows; (p, (b, r)) <- Seq(p1, p2, p3)
+        .zip(M.TUNE_CONFIGS)) {
+      val s = s_ppm / 1e6
+      val truth = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+      assert(math.abs(p / 1e6 - truth) < 1e-4,
+        s"(b=$b r=$r s=$s): $p vs $truth")
+    }
+    // monotone in s, and wide bands dominate narrow at low similarity
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2 && a._3 <= b._3 && a._4 <= b._4)
+    }
+    val low = rows.head
+    assert(low._3 > low._2 && low._2 > low._4,
+      "expected p(16x2) > p(8x4) > p(4x8) at s=0.1")
+    info("S-curve exact to 1e-4 of analytic; shipped 8x4 crossover " +
+      f"s50=${rows.find(_._2 >= 500000).map(_._1.toDouble / 1e6).getOrElse(-1.0)}%.1f")
+  }
 }
