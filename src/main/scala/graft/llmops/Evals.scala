@@ -152,5 +152,59 @@ object Evals {
         (lit(10L) * col("n_cov") >= lit(9L) * col("n_test")).as("covered_90"))
   }
 
-  val all: Seq[Q] = Seq(xPassAtK, xConformal)
+  /** Hex-prefix boundaries splitting md5 space into 5 ~even folds. */
+  private val FOLD_CUTS = Seq("33", "66", "99", "cc")
+
+  /** X — deterministic k-fold cross-validation report: every document
+    * is assigned one of 5 folds by its md5 prefix (the hash-split
+    * discipline — stable under corpus growth and reshuffling, unlike
+    * row-number folds), and the length-rule classifier (n_chars ≥ 300
+    * predicting token count ≥ 50 — x_kappa_agreement's annotator pair)
+    * is scored per fold: confusion cells and exact-integer accuracy.
+    * The per-fold spread IS the report — a rule whose accuracy swings
+    * across folds is overfit to corpus structure.
+    *
+    * Pure integer end to end. Scale: one projection into a 5-group
+    * hash agg; fold assignment is a string compare on an md5 prefix.
+    */
+  val xCrossvalFolds = Q(
+    "x_crossval_folds",
+    s"""WITH t AS (SELECT
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '${FOLD_CUTS(0)}' THEN 0
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '${FOLD_CUTS(1)}' THEN 1
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '${FOLD_CUTS(2)}' THEN 2
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '${FOLD_CUTS(3)}' THEN 3
+                  ELSE 4 END AS fold,
+             (n_chars >= 300) AS pred,
+             (len(string_split(text, ' ')) >= 50) AS y
+           FROM documents)
+       SELECT CAST(fold AS BIGINT) AS fold, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN pred AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+              CAST(sum(CASE WHEN pred AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+              CAST(sum(CASE WHEN NOT pred AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+              CAST(sum(CASE WHEN NOT pred AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+              (1000000 * CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END)
+                 AS BIGINT)) // count(*) AS acc_ppm
+       FROM t GROUP BY fold ORDER BY fold""") { (s, dir) =>
+    val pfx = substring(md5(col("doc_id").cast("string")), 1, 2)
+    T(s, dir, "documents")
+      .select(
+        when(pfx < FOLD_CUTS(0), 0L).when(pfx < FOLD_CUTS(1), 1L)
+          .when(pfx < FOLD_CUTS(2), 2L).when(pfx < FOLD_CUTS(3), 3L)
+          .otherwise(4L).as("fold"),
+        (col("n_chars") >= 300).as("pred"),
+        (size(split(col("text"), " ")) >= 50).as("y"))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred") && col("y"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") && !col("y"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("pred") && col("y"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("pred") && !col("y"), 1L).otherwise(0L)).as("tn"))
+      .select(col("fold"), col("n"), col("tp"), col("fp"), col("fn"),
+        col("tn"),
+        expr("(1000000 * (tp + tn)) div n").as("acc_ppm"))
+      .orderBy("fold")
+  }
+
+  val all: Seq[Q] = Seq(xPassAtK, xConformal, xCrossvalFolds)
 }

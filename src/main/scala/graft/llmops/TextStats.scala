@@ -1085,8 +1085,65 @@ object TextStats {
           .otherwise(0L).as("alpha_milli"))
   }
 
+  /** X — log-odds-ratio keyword comparison ("fightin' words", Monroe et
+    * al.): which terms distinguish the en corpus slice from the rest,
+    * by the smoothed log-odds delta
+    *   δ_w = ln((a+1)/(A−a+1)) − ln((b+1)/(B−b+1))
+    * (a/b = w's token count in each group, A/B group token totals,
+    * +1 smoothing so absent words stay finite) — the statistically
+    * grounded replacement for raw tf ratios when comparing corpora.
+    *
+    * Exactness: each ln is fixed-pointed ONCE per integer argument
+    * (margin family "logodds-ln" — ln of counts, the zipf-ln class)
+    * and δ is a pure integer combination; the top-10 rank has a word
+    * tiebreak. Scale posture: one token hash agg to the vocabulary
+    * domain, a 1-row totals broadcast, TakeOrdered(10).
+    */
+  val xLogOdds = Q(
+    "x_log_odds",
+    """WITH tok AS (SELECT (lang = 'en') AS grp, w
+           FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+                 FROM documents) WHERE w <> ''),
+       tot AS (SELECT
+                 CAST(sum(CASE WHEN grp THEN 1 ELSE 0 END) AS BIGINT) AS ta,
+                 CAST(sum(CASE WHEN NOT grp THEN 1 ELSE 0 END) AS BIGINT) AS tb
+               FROM tok),
+       c AS (SELECT w,
+               CAST(sum(CASE WHEN grp THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(sum(CASE WHEN NOT grp THEN 1 ELSE 0 END) AS BIGINT) AS b
+             FROM tok GROUP BY w),
+       d AS (SELECT w, a, b,
+               CAST(round(1000000 * ln(CAST(a + 1 AS DOUBLE))) AS BIGINT)
+               - CAST(round(1000000 * ln(CAST(ta - a + 1 AS DOUBLE))) AS BIGINT)
+               - CAST(round(1000000 * ln(CAST(b + 1 AS DOUBLE))) AS BIGINT)
+               + CAST(round(1000000 * ln(CAST(tb - b + 1 AS DOUBLE))) AS BIGINT)
+                 AS delta_micro
+             FROM c, tot)
+       SELECT w AS word, a AS n_en, b AS n_rest, delta_micro
+       FROM d ORDER BY delta_micro DESC, word LIMIT 10""") { (s, dir) =>
+    val tok = T(s, dir, "documents")
+      .select((col("lang") === "en").as("grp"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val tot = tok.agg(
+      sum(when(col("grp"), 1L).otherwise(0L)).as("ta"),
+      sum(when(!col("grp"), 1L).otherwise(0L)).as("tb"))
+    val c = tok.groupBy("w").agg(
+      sum(when(col("grp"), 1L).otherwise(0L)).as("a"),
+      sum(when(!col("grp"), 1L).otherwise(0L)).as("b"))
+    def lnfix(e: String) =
+      s"CAST(round(1000000 * ln(CAST($e AS DOUBLE))) AS BIGINT)"
+    c.crossJoin(broadcast(tot))
+      .select(col("w").as("word"), col("a").as("n_en"), col("b").as("n_rest"),
+        expr(s"""${lnfix("a + 1")} - ${lnfix("ta - a + 1")}
+                 - ${lnfix("b + 1")} + ${lnfix("tb - b + 1")}""")
+          .as("delta_micro"))
+      .orderBy(col("delta_micro").desc, col("word"))
+      .limit(10)
+  }
+
   val all: Seq[Q] = Seq(q35, q35b, xTfIdf, xQuality, xTokenCount, xLangId,
     xRepetition, xQualityRules, xWordEntropy, xHashEmbed, xBm25, xDsirWeights,
     xRrfFusion, xQualityEnsemble, xReadability, xDiversityIndex, xZipfFit,
-    xBurstiness, xRakeKeywords, xTailIndex)
+    xBurstiness, xRakeKeywords, xTailIndex, xLogOdds)
 }

@@ -363,6 +363,23 @@ class RoundingMarginSpec extends AnyFunSuite {
           counts.map(n => 1e6 * math.log(n.toDouble))
       }
 
+      // x_log_odds: the four smoothed-count ln args per vocabulary entry
+      // (+ x_tail_index's top-k subset rides the zipf-ln family above)
+      val logOdds = {
+        val cs = docs
+          .select((col("lang") === "en").as("g"),
+            explode(split(col("text"), " ")).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy("w").agg(
+            sum(when(col("g"), 1L).otherwise(0L)).as("a"),
+            sum(when(!col("g"), 1L).otherwise(0L)).as("b"))
+          .as[(String, Long, Long)].collect()
+        val ta = cs.map(_._2).sum; val tb = cs.map(_._3).sum
+        cs.flatMap { case (_, a, b) =>
+          Seq(a + 1, ta - a + 1, b + 1, tb - b + 1)
+        }.map(m => 1e6 * math.log(m.toDouble))
+      }
+
       // x_ctr_wilson: the per-type Wilson lower bounds × 1e6
       val wilson = graft.core.Tables(spark, dir, "events")
         .groupBy("event_type")
@@ -465,6 +482,7 @@ class RoundingMarginSpec extends AnyFunSuite {
         Fam("negsample-pow", "half", 1e-4, negPow.toSeq),
         Fam("dp-advanced", "half", 1e-4, dpAdv.toSeq),
         Fam("zipf-ln", "half", 1e-4, zipfLn.toSeq),
+        Fam("logodds-ln", "half", 1e-4, logOdds.toSeq),
         Fam("wilson-lb", "half", 1e-4, wilson.toSeq),
         Fam("rolling-corr", "half", 1e-4, rollCorr.toSeq),
         Fam("jackknife-se", "half", 1e-4, jkSe),

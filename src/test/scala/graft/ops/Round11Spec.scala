@@ -456,4 +456,55 @@ class Round11Spec extends AnyFunSuite {
     info("S-curve exact to 1e-4 of analytic; shipped 8x4 crossover " +
       f"s50=${rows.find(_._2 >= 500000).map(_._1.toDouble / 1e6).getOrElse(-1.0)}%.1f")
   }
+
+  test("crossval folds: hash split is near-even, cells tile each fold, " +
+    "accuracy is fold-stable") {
+    val E = graft.llmops.Evals
+    for (dir <- dirs) {
+      val rows = E.xCrossvalFolds.build(spark, dir)
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      assert(rows.map(_._1).toSeq == (0L to 4L))
+      val total = rows.map(_._2).sum
+      rows.foreach { case (f, n, tp, fp, fn, tn, acc) =>
+        assert(tp + fp + fn + tn == n, s"$dir fold $f cells")
+        assert(acc == 1000000L * (tp + tn) / n, s"$dir fold $f acc")
+        // hash split: each fold within 2x of the ideal fifth
+        assert(n > total / 10 && n < total * 2 / 5, s"$dir fold $f size $n")
+      }
+      val accs = rows.map(_._7)
+      info(s"$dir: fold sizes ${rows.map(_._2).mkString(",")}, " +
+        s"acc spread ${(accs.max - accs.min) / 1e6}")
+    }
+  }
+
+  test("log-odds: delta matches a driver-side recompute and flags " +
+    "genuinely en-skewed terms") {
+    val Ts = graft.llmops.TextStats
+    for (dir <- dirs) {
+      val cs = graft.core.Tables(spark, dir, "documents")
+        .select((col("lang") === "en").as("g"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(
+          sum(when(col("g"), 1L).otherwise(0L)).as("a"),
+          sum(when(!col("g"), 1L).otherwise(0L)).as("b"))
+        .as[(String, Long, Long)].collect()
+      val ta = cs.map(_._2).sum; val tb = cs.map(_._3).sum
+      def lnfix(m: Long) = math.round(1e6 * math.log(m.toDouble))
+      val expect = cs.map { case (w, a, b) =>
+        (w, a, b, lnfix(a + 1) - lnfix(ta - a + 1) -
+          lnfix(b + 1) + lnfix(tb - b + 1))
+      }.sortBy { case (w, _, _, d) => (-d, w) }.take(10).toSeq
+      val got = Ts.xLogOdds.build(spark, dir)
+        .as[(String, Long, Long, Long)].collect().toSeq
+      assert(got == expect, s"$dir")
+      // discrimination: the top term must actually lean en
+      val (w0, a0, b0, d0) = got.head
+      assert(a0.toDouble / ta > b0.toDouble / tb,
+        s"$dir: top term $w0 does not lean en")
+      assert(d0 > 0, s"$dir")
+      info(s"$dir: top en-leaning terms " +
+        got.take(3).map(g => s"${g._1}(${g._4 / 1e6})").mkString(", "))
+    }
+  }
 }
