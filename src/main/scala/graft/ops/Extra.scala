@@ -482,7 +482,7 @@ object Extra {
     """SELECT o_orderpriority, count(*) AS n,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
        FROM orders
-       WHERE o_custkey BETWEEN 700 AND 1000
+       WHERE o_custkey BETWEEN 40 AND 120
          AND CAST(floor(o_totalprice) AS BIGINT) BETWEEN 150000 AND 300000
        GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, dir) =>
     val orders = T(s, dir, "orders")
@@ -490,7 +490,7 @@ object Extra {
     graft.sources.Lake.writeHilbertOrdered(orders, stage, 16,
       "o_custkey", "o_totalprice")
     graft.sources.Lake.readHPruned(s, stage,
-      Seq("o_custkey" -> (700L, 1000L), "o_totalprice" -> (150000L, 300000L)))
+      Seq("o_custkey" -> (40L, 120L), "o_totalprice" -> (150000L, 300000L)))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), E.sumd(col("o_totalprice")).as("total"))
       .orderBy("o_orderpriority")
