@@ -110,14 +110,20 @@ object EntityResolution {
 
   /** X — edit-distance-1 fuzzy join with PROVABLY EXHAUSTIVE blocking
     * — the scale counterpart to x_entity_resolution's heuristic
-    * first-char block. Completeness argument for distance ≤ 1: a
-    * single edit at position p ≥ 2 leaves the first character intact
-    * (prefix block catches it); an edit at p = 1 — substitution,
-    * insertion or deletion at the front — leaves the suffix intact, so
-    * the last characters match whenever both strings have length ≥ 2
-    * (suffix block); the only escapees are length-≤1 strings, caught
-    * by an explicit (and empty-at-scale) short-string branch. The
-    * length band |len(a) − len(b)| ≤ 1 is a further valid filter.
+    * first-char block. Completeness argument for distance ≤ 1 with
+    * 2-char block keys: a single edit at position p ≥ 3 leaves the
+    * first TWO characters intact (prefix block); an edit at p ≤ 2
+    * shifts/substitutes only the head, so the last two characters
+    * survive whenever both strings have length ≥ 4 (suffix block);
+    * strings of length ≤ 3 get an explicit short branch (empty at
+    * scale, present for the proof). The length band
+    * |len(a) − len(b)| ≤ 1 is a further valid filter.
+    *
+    * Key width is a measured choice: 1-char keys put every
+    * first-char-corrupted variant in ONE block — at sf0.1 a 5,000-word
+    * 'z' block costs 12.5M of the arm's 14M pairs and 16.4 s;
+    * 2-char keys split it 16 ways (~1M total candidates, ~1.5 s) while
+    * the proof above keeps the join exhaustive.
     *
     * The ORACLE IS THE BRUTE FORCE: DuckDB scores every vocabulary
     * pair (no blocks, no bands) — so a hash match doesn't just check
@@ -161,11 +167,11 @@ object EntityResolution {
         abs(length(col("a")) - length(col("b"))) <= 1)
         .select("a", "b")
     }
-    val prefixArm = arm(w => substring(w, 1, 1))
-    val suffixArm = arm(w => substring(w, -1, 1))
-    // length-<=1 strings evade both arms; empty on this fixture but the
-    // completeness proof requires the branch to exist
-    val shorts = v.filter(length(col("w")) <= 1)
+    val prefixArm = arm(w => substring(w, 1, 2))
+    val suffixArm = arm(w => substring(w, -2, 2))
+    // length-<=3 strings evade the 2-char arms; empty on this fixture but
+    // the completeness proof requires the branch to exist
+    val shorts = v.filter(length(col("w")) <= 3)
     val shortArm = shorts.select(col("w").as("a"))
       .crossJoin(broadcast(shorts.select(col("w").as("b"))))
       .filter(col("a") < col("b"))
