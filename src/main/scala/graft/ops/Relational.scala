@@ -679,8 +679,43 @@ object Relational {
     s.sql(xTpchQ18Sql)
   }
 
+  /** X — TPC-H Q8 shape (national market share): the 7-table join with
+    * TWO roles for nation (customer's nation gates the region filter,
+    * supplier's nation drives the share numerator) and the
+    * conditional-over-total ratio per order year. Ratio = exact decimal
+    * sums cast to double then divided once (the q10_promo_revenue
+    * discipline — correctly-rounded division of two bit-identical
+    * doubles). Same shared-SQL-on-both-engines pattern as Q5/Q18.
+    *
+    * Scale posture: dims broadcast, one shuffle on the order key, group
+    * domain = |years|; both CASE arms ride one aggregation pass.
+    */
+  private val xTpchQ8Sql =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CASE WHEN n2.n_name = 'NATION_7'
+                THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS mkt_share
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation n1 ON c_nationkey = n1.n_nationkey
+       JOIN region ON n1.n_regionkey = r_regionkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation n2 ON s_nationkey = n2.n_nationkey
+       WHERE r_name = 'ASIA'
+       GROUP BY o_year ORDER BY o_year"""
+  val xTpchQ8 = Q("x_tpch_q8", xTpchQ8Sql) { (s, dir) =>
+    Seq("lineitem", "orders", "customer", "supplier", "nation", "region")
+      .foreach(n => T(s, dir, n).createOrReplaceTempView(n))
+    s.sql(xTpchQ8Sql)
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q06b, q07, q07b, q08, q08b, q08c, q08d,
     q09, q10, q10b, q10c, q11, q11b, q12, q12b, q13, q13b, q14, q15,
-    q16, q16b, q17, q17b, q18, xTpchQ5, xTpchQ18)
+    q16, q16b, q17, q17b, q18, xTpchQ5, xTpchQ18, xTpchQ8)
 }

@@ -121,5 +121,87 @@ object TimeTravel {
       .orderBy("version")
   }
 
-  val all: Seq[Q] = Seq(xTimeTravel)
+  /** X — snapshot expiry / VACUUM audit: the retention half of time
+    * travel (a real lake expires old snapshots to reclaim storage and
+    * bound the manifest; the audit proves expiry removed EXACTLY the
+    * expired version's files while every retained version still reads
+    * back intact). Three versions are written (v1 = full orders, v2 =
+    * the x_time_travel change batch, v3 = v2 minus the k % 113 keys),
+    * then v1 is expired — its directory REALLY deleted through the
+    * Hadoop FileSystem — and the graded audit re-reads the store:
+    * version, still-available flag, and exact row/total stats for the
+    * survivors (zeros for the expired snapshot).
+    *
+    * The oracle recomputes every surviving version's stats
+    * arithmetically from raw orders (delete-wins precedence, update
+    * bump, inserts, then the second delete wave), so a vacuum that
+    * removes too much (v2/v3 rows lost) or too little cannot hash
+    * green; the spec additionally asserts the v1 directory is gone
+    * from disk.
+    *
+    * Scale posture: expiry is file-manifest work (one directory/prefix
+    * delete per expired snapshot), never a data scan; the audit scans
+    * only retained versions.
+    */
+  val xVacuumAudit = Q(
+    "x_vacuum_audit",
+    """WITH o AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
+       mx AS (SELECT CAST(max(k) AS BIGINT) AS mk FROM o),
+       v2k AS (SELECT k,
+                 CAST(v AS DECIMAL(18,2))
+                 + CASE WHEN k % 97 = 0 THEN CAST(1000.00 AS DECIMAL(18,2))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END AS v
+               FROM o WHERE k % 101 <> 0
+               UNION ALL
+               SELECT mk + i, CAST(100.00 * i AS DECIMAL(18,2))
+               FROM mx, LATERAL (SELECT unnest(generate_series(1, 3)) AS i)),
+       v3k AS (SELECT * FROM v2k WHERE k % 113 <> 0),
+       s2 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS DOUBLE) AS t
+              FROM v2k),
+       s3 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS DOUBLE) AS t
+              FROM v3k)
+       SELECT * FROM (
+         SELECT CAST(1 AS BIGINT) AS version, FALSE AS available,
+                CAST(0 AS BIGINT) AS n_rows, CAST(0 AS DOUBLE) AS total
+         UNION ALL SELECT 2, TRUE, n, t FROM s2
+         UNION ALL SELECT 3, TRUE, n, t FROM s3)
+       ORDER BY version""") { (s, dir) =>
+    val orders = T(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+    val store = s"${freshRoot()}/orders"
+    orders.write.mode("overwrite").parquet(s"$store/v1")
+    val v1 = s.read.parquet(s"$store/v1")
+    val maxK = orders.agg(max(col("k"))).head().getLong(0)
+    val v2 = v1
+      .filter(col("k") % 101 =!= 0)
+      .withColumn("v", when(col("k") % 97 === 0, col("v") + 1000.0)
+        .otherwise(col("v")))
+      .unionByName(s.range(1, 4)
+        .select((col("id") + maxK).as("k"), (col("id") * 100.0).as("v")))
+    v2.write.mode("overwrite").parquet(s"$store/v2")
+    s.read.parquet(s"$store/v2").filter(col("k") % 113 =!= 0)
+      .write.mode("overwrite").parquet(s"$store/v3")
+
+    // expire v1: a real prefix delete through the FileSystem
+    val conf = s.sparkContext.hadoopConfiguration
+    val p1 = new org.apache.hadoop.fs.Path(s"$store/v1")
+    val fs = p1.getFileSystem(conf)
+    fs.delete(p1, true)
+
+    def audit(ver: Int) = {
+      val path = new org.apache.hadoop.fs.Path(s"$store/v$ver")
+      if (fs.exists(path))
+        s.read.parquet(path.toString)
+          .agg(count(lit(1)).as("n_rows"), E.sumd(col("v")).as("total"))
+          .select(lit(ver.toLong).as("version"), lit(true).as("available"),
+            col("n_rows"), col("total"))
+      else
+        s.range(1).select(lit(ver.toLong).as("version"),
+          lit(false).as("available"), lit(0L).as("n_rows"),
+          lit(0.0).as("total"))
+    }
+    audit(1).unionByName(audit(2)).unionByName(audit(3)).orderBy("version")
+  }
+
+  val all: Seq[Q] = Seq(xTimeTravel, xVacuumAudit)
 }

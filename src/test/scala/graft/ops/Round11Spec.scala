@@ -507,4 +507,40 @@ class Round11Spec extends AnyFunSuite {
         got.take(3).map(g => s"${g._1}(${g._4 / 1e6})").mkString(", "))
     }
   }
+
+  test("vacuum audit: expired snapshot directory is really gone, " +
+    "survivors read back exactly") {
+    val Tt = graft.sources.TimeTravel
+    for (dir <- dirs) {
+      val rows = Tt.xVacuumAudit.build(spark, dir)
+        .as[(Long, Boolean, Long, Double)].collect().sortBy(_._1)
+      assert(rows.map(r => (r._1, r._2)).toSeq ==
+        Seq((1L, false), (2L, true), (3L, true)), s"$dir: $rows")
+      val (_, _, n2, t2) = rows(1); val (_, _, n3, t3) = rows(2)
+      // v3 strictly shrinks v2 (the second delete wave must bite)
+      assert(n3 < n2 && t3 < t2, s"$dir: v3 did not shrink ($n3/$n2)")
+      assert(rows(0)._3 == 0L && rows(0)._4 == 0.0)
+      info(s"$dir: v2=$n2 rows, v3=$n3 rows after expiry of v1")
+    }
+  }
+
+  test("tpch q8: market share brackets [0,1] and numerator is a real " +
+    "subset of the denominator") {
+    val R = graft.ops.Relational
+    for (dir <- dirs) {
+      val rows = R.xTpchQ8.build(spark, dir)
+        .as[(Long, Double)].collect()
+      assert(rows.nonEmpty)
+      rows.foreach { case (y, sh) =>
+        assert(sh >= 0.0 && sh <= 1.0, s"$dir year $y share $sh")
+      }
+      // the tiny SF's supplier draw can miss NATION_7 entirely; require
+      // a non-trivial share at the oracle SF
+      if (dir.endsWith("0.01"))
+        assert(rows.exists(r => r._2 > 0.0 && r._2 < 1.0),
+          s"$dir: share never non-trivial")
+      info(s"$dir: shares " + rows.sortBy(_._1)
+        .map(r => f"${r._1}:${r._2}%.3f").mkString(" "))
+    }
+  }
 }
