@@ -206,5 +206,77 @@ object Evals {
       .orderBy("fold")
   }
 
-  val all: Seq[Q] = Seq(xPassAtK, xConformal, xCrossvalFolds)
+  /** Bootstrap replicates. */
+  val BOOT_B = 20
+
+  /** X — deterministic multiplicity bootstrap of the mean document
+    * length: the SCALE-CORRECT bootstrap (Poisson/multinomial
+    * bootstrap family — Kleiner et al.'s observation that resampling
+    * indices can't exist at 100 TB, but per-row multiplicities can):
+    * each (doc, replicate) draws a multiplicity m ∈ {0, 1, 2} with
+    * DYADIC probabilities ¼/½/¼ (mean 1, variance ½ ≈ Poisson(1)'s
+    * resampling noise) from one md5 hex digit, so the whole bootstrap
+    * is ONE corpus pass with B conditional aggregates — no explode, no
+    * RNG state, exactly replayable on both engines.
+    *
+    * Output: per replicate the effective count and the exact
+    * fixed-point mean, plus the 80% percentile interval (order
+    * statistics 2 and 19 of the 20 replicate means — B-bounded
+    * arithmetic). Pure integers end to end.
+    */
+  val xDyadicBootstrap = Q(
+    "x_dyadic_bootstrap", {
+      val reps = (0 until BOOT_B).map { b =>
+        s"""SELECT CAST($b AS BIGINT) AS rep,
+            CAST(sum(m_$b) AS BIGINT) AS n_eff,
+            (1000 * CAST(sum(m_$b * n_chars) AS BIGINT))
+              // CAST(sum(m_$b) AS BIGINT) AS mean_milli
+            FROM t"""
+      }.mkString("\n         UNION ALL ")
+      val ms = (0 until BOOT_B).map { b =>
+        s"""CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':$b'), 1, 1) < '4'
+                 THEN 0
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':$b'), 1, 1) < 'c'
+                 THEN 1 ELSE 2 END AS m_$b"""
+      }.mkString(",\n             ")
+      s"""WITH t AS (SELECT n_chars,
+             $ms
+           FROM documents),
+       r AS ($reps),
+       ci AS (SELECT
+                (SELECT mean_milli FROM
+                  (SELECT mean_milli, row_number() OVER (ORDER BY mean_milli)
+                     AS rk FROM r) WHERE rk = 2) AS ci_lo_milli,
+                (SELECT mean_milli FROM
+                  (SELECT mean_milli, row_number() OVER (ORDER BY mean_milli)
+                     AS rk FROM r) WHERE rk = ${BOOT_B - 1}) AS ci_hi_milli)
+       SELECT rep, n_eff, mean_milli, ci_lo_milli, ci_hi_milli
+       FROM r, ci ORDER BY rep"""
+    }) { (s, dir) =>
+    val docs = T(s, dir, "documents")
+    val pfx = (b: Int) =>
+      substring(md5(concat(col("doc_id").cast("string"), lit(s":$b"))), 1, 1)
+    val withM = docs.select(col("n_chars") +:
+      (0 until BOOT_B).map(b =>
+        when(pfx(b) < "4", 0L).when(pfx(b) < "c", 1L).otherwise(2L)
+          .as(s"m_$b")): _*)
+    // ONE pass: B (n_eff, weighted-sum) aggregate pairs
+    val aggs = (0 until BOOT_B).flatMap(b => Seq(
+      sum(col(s"m_$b")).as(s"ne_$b"),
+      sum(col(s"m_$b") * col("n_chars")).as(s"ws_$b")))
+    val one = withM.agg(aggs.head, aggs.tail: _*)
+    // reshape the 1×2B row into B rows (driver-free, the x_profile shape)
+    val reps = (0 until BOOT_B).map(b => struct(
+      lit(b.toLong).as("rep"), col(s"ne_$b").as("n_eff"),
+      expr(s"(1000 * ws_$b) div ne_$b").as("mean_milli")))
+    val r = one.select(explode(array(reps: _*)).as("e"))
+      .select(col("e.rep").as("rep"), col("e.n_eff").as("n_eff"),
+        col("e.mean_milli").as("mean_milli"))
+    val ci = r.agg(sort_array(collect_list(col("mean_milli"))).as("ms"))
+      .select(element_at(col("ms"), 2).as("ci_lo_milli"),
+        element_at(col("ms"), BOOT_B - 1).as("ci_hi_milli"))
+    r.crossJoin(broadcast(ci)).orderBy("rep")
+  }
+
+  val all: Seq[Q] = Seq(xPassAtK, xConformal, xCrossvalFolds, xDyadicBootstrap)
 }

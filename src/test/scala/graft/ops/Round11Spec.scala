@@ -543,4 +543,43 @@ class Round11Spec extends AnyFunSuite {
         .map(r => f"${r._1}:${r._2}%.3f").mkString(" "))
     }
   }
+
+  test("dyadic bootstrap: multiplicities recompute exactly, the CI " +
+    "covers the true mean, and replicates genuinely vary") {
+    val E = graft.llmops.Evals
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    for (dir <- dirs) {
+      val docs = graft.core.Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars")).as[(Long, Long)].collect()
+      val expect = (0 until E.BOOT_B).map { b =>
+        var ne = 0L; var ws = 0L
+        docs.foreach { case (id, nc) =>
+          val c = md5hex(s"$id:$b").charAt(0)
+          val m = if (c < '4') 0L else if (c < 'c') 1L else 2L
+          ne += m; ws += m * nc
+        }
+        (b.toLong, ne, 1000L * ws / ne)
+      }
+      val sorted = expect.map(_._3).sorted
+      val (lo, hi) = (sorted(1), sorted(E.BOOT_B - 2))
+      val got = E.xDyadicBootstrap.build(spark, dir)
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+      assert(got.length == E.BOOT_B)
+      got.zip(expect).foreach { case ((b, ne, m, l, h), (eb, ene, em)) =>
+        assert((b, ne, m) == ((eb, ene, em)), s"$dir rep $b")
+        assert(l == lo && h == hi, s"$dir rep $b ci")
+      }
+      // replicate means genuinely vary and the 80% interval covers the
+      // plain corpus mean on this fixture
+      assert(got.map(_._3).distinct.length > 1, s"$dir: degenerate reps")
+      val trueMean = 1000L * docs.map(_._2).sum / docs.length
+      assert(lo <= trueMean && trueMean <= hi,
+        s"$dir: CI [$lo,$hi] misses $trueMean")
+      info(s"$dir: mean CI [${lo / 1000.0}, ${hi / 1000.0}] covers " +
+        s"${trueMean / 1000.0}; n_eff spread " +
+        s"${got.map(_._2).min}..${got.map(_._2).max} over ${docs.length}")
+    }
+  }
 }
