@@ -683,7 +683,66 @@ object EventAnalytics {
       .orderBy("rank")
   }
 
+  /** SPRT hypotheses (P(value > 90)): H0 p = 0.10 vs H1 p = 0.15, and
+    * α = β = 0.001 (tight error rates so the walk takes several days
+    * to cross at oracle scale — the verdict column genuinely varies).
+    * The three model constants — per-success and per-failure
+    * log-likelihood increments and the ln((1−β)/α) threshold — are 1e6
+    * fixed points (margin family "sprt-llr").
+    */
+  val SPRT_LS: Long = math.round(1e6 * math.log(0.15 / 0.10))   // success
+  val SPRT_LF: Long = math.round(1e6 * math.log(0.85 / 0.90))   // failure
+  val SPRT_A: Long = math.round(1e6 * math.log(0.999 / 0.001))  // accept H1
+  // accept H0 at -SPRT_A (symmetric alpha = beta)
+
+  /** X — Wald's sequential probability ratio test over the event stream:
+    * the ALWAYS-VALID sequential readout an experimentation platform
+    * runs daily instead of one fixed-horizon test (peek any day, stop
+    * the moment the cumulative log-likelihood ratio crosses a
+    * threshold — error rates hold by construction). Trials = events,
+    * success = value > 90; the stream is pre-aggregated to per-day
+    * (n, k) so the cumulative LLR is a window over the ~30-row DAY
+    * domain, never a corpus-wide running sum:
+    *   LLR_d = Σ_{≤d} k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0))
+    * — pure integer in 1e6 fixed point once the three model constants
+    * are fixed. The verdict column reports accept_h1 / accept_h0 /
+    * continue per day; on this fixture the empirical rate ≈ 0.135 sits
+    * in (p0, p1), so the walk drifts up and H1 is accepted mid-stream —
+    * a genuinely varying decision column.
+    */
+  val xSprtAb = Q(
+    "x_sprt_ab",
+    s"""WITH d AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+               AS TIMESTAMP) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value > 90 THEN 1 ELSE 0 END) AS BIGINT) AS k
+           FROM events GROUP BY 1),
+       c AS (SELECT day, n, k,
+               CAST(sum(k * $SPRT_LS + (n - k) * $SPRT_LF)
+                 OVER (ORDER BY day) AS BIGINT) AS llr_micro
+             FROM d)
+       SELECT day, n, k, llr_micro,
+              CASE WHEN llr_micro >= $SPRT_A THEN 'accept_h1'
+                   WHEN llr_micro <= -$SPRT_A THEN 'accept_h0'
+                   ELSE 'continue' END AS verdict
+       FROM c ORDER BY day""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    T(s, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") > 90, 1L).otherwise(0L)).as("k"))
+      .withColumn("llr_micro",
+        sum(col("k") * SPRT_LS + (col("n") - col("k")) * SPRT_LF)
+          .over(Window.orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("day"), col("n"), col("k"), col("llr_micro"),
+        when(col("llr_micro") >= SPRT_A, "accept_h1")
+          .when(col("llr_micro") <= -SPRT_A, "accept_h0")
+          .otherwise("continue").as("verdict"))
+      .orderBy("day")
+  }
+
   val all: Seq[Q] = Seq(xFunnel, xRetention, xTransitions, xOutlierIqr,
     xWinsorize, xDecayScore, xRfm, xRfmScaled, xAttribution, xAbChisq,
-    xJackknifeSe, xEventPaths, xCtrWilson)
+    xJackknifeSe, xEventPaths, xCtrWilson, xSprtAb)
 }

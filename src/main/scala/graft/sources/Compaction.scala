@@ -146,5 +146,108 @@ object Compaction {
       .orderBy("part", "grp")
   }
 
-  val all: Seq[Q] = Seq(xCompactionPlan)
+  /** Band predicate for the OPTIMIZE audit's pruned read. */
+  val OPT_USER_LO = 30L
+  val OPT_USER_HI = 80L
+
+  /** X — the full OPTIMIZE composition (what Delta/Iceberg `OPTIMIZE
+    * ... ZORDER BY` does as one maintenance command): compact the
+    * small-file mess AND cluster the rewrite on a query column AND
+    * refresh the file-stats manifest, then audit the result through a
+    * MANIFEST-PRUNED read. Composes x_compaction_plan's staging with
+    * x_zorder_prune's band machinery under ONE oracle:
+    *
+    *   1. stage    — the derivable ceil(n/64)-files-per-partition
+    *                 small-file layout (x_compaction_plan's)
+    *   2. optimize — per partition, rows ranked by (user_id, event_id)
+    *                 and cut into ceil(n/TARGET_ROWS) files (rank
+    *                 div TARGET — so the file count is exact
+    *                 arithmetic AND each file holds a CONTIGUOUS
+    *                 user_id range: compaction and clustering in the
+    *                 same single rewrite)
+    *   3. manifest — per-file user_id min/max (_omanifest.json)
+    *   4. audit    — per partition: measured file counts before/after
+    *                 and the user-band aggregate read THROUGH manifest
+    *                 pruning (count + exact decimal value sum)
+    *
+    * The oracle recomputes everything arithmetically from the raw
+    * slice: files_before = ceil(n/64), files_after = ceil(n/150), and
+    * the band aggregate over a plain filter — so row loss in the
+    * rewrite, a wrong file cut, a stale manifest, or over-pruning all
+    * land in the hash. The spec additionally measures files SKIPPED by
+    * the band read (the point of clustering).
+    *
+    * Scale posture: the rank window partitions per event_type (the
+    * rewrite's own grain); the manifest is file-metadata-sized; the
+    * pruned read lists surviving files only.
+    */
+  val xOptimizePipeline = Q(
+    "x_optimize_pipeline",
+    s"""WITH t AS (SELECT event_type AS part, CAST(count(*) AS BIGINT) AS n
+              FROM events WHERE event_id < $SLICE GROUP BY 1),
+       band AS (SELECT event_type AS part, CAST(count(*) AS BIGINT) AS band_n,
+                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS band_val
+                FROM events
+                WHERE event_id < $SLICE
+                  AND user_id BETWEEN $OPT_USER_LO AND $OPT_USER_HI
+                GROUP BY 1)
+       SELECT t.part AS part, t.n AS n_rows,
+              (t.n + ${FILE_ROWS - 1}) // $FILE_ROWS AS files_before,
+              (t.n + ${TARGET_ROWS - 1}) // $TARGET_ROWS AS files_after,
+              band.band_n, band.band_val
+       FROM t JOIN band ON t.part = band.part
+       ORDER BY t.part""") { (s, dir) =>
+    val scratch = freshScratch()
+    val stage = s"$scratch/stage"
+    val out = s"$scratch/optimized"
+
+    val slice = T(s, dir, "events").filter(col("event_id") < SLICE)
+
+    // 1. stage the small-file problem (derivable layout)
+    slice.repartition(col("event_type"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", FILE_ROWS)
+      .partitionBy("event_type")
+      .parquet(stage)
+
+    // 2. optimize: rank-cut rewrite — compaction + user_id clustering
+    val staged = s.read.parquet(stage)
+    val filesBefore = staged
+      .withColumn("sfn", input_file_name())
+      .groupBy(col("event_type").as("part"))
+      .agg(countDistinct(col("sfn")).as("files_before"))
+    // `part` rides IN the data files too: the manifest-pruned read loads
+    // leaf files directly and would otherwise lose the directory-encoded
+    // partition column
+    staged
+      .withColumn("part", col("event_type"))
+      .withColumn("grp", expr(s"(row_number() OVER (PARTITION BY event_type " +
+        s"ORDER BY user_id, event_id) - 1) div $TARGET_ROWS"))
+      .repartition(col("event_type"), col("grp"))
+      .write.mode("overwrite")
+      .partitionBy("event_type", "grp")
+      .parquet(out)
+
+    // 3. manifest on the cluster column
+    graft.sources.Lake.writeStatsManifest(s, out, "_omanifest.json",
+      Seq("user_id"))
+
+    // 4. audit: measured counts + the manifest-pruned band aggregate
+    val filesAfter = s.read.parquet(out)
+      .withColumn("ofn", input_file_name())
+      .groupBy(col("part"))
+      .agg(countDistinct(col("ofn")).as("files_after"),
+        count(lit(1)).as("n_rows"))
+    val bandAgg = graft.sources.Lake.readBandPruned(s, out,
+        "_omanifest.json", Seq("user_id" -> (OPT_USER_LO, OPT_USER_HI)))
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("band_n"),
+        graft.core.Exact.sumd(col("value")).as("band_val"))
+    filesBefore.join(filesAfter, "part").join(bandAgg, "part")
+      .select(col("part"), col("n_rows"), col("files_before"),
+        col("files_after"), col("band_n"), col("band_val"))
+      .orderBy("part")
+  }
+
+  val all: Seq[Q] = Seq(xCompactionPlan, xOptimizePipeline)
 }

@@ -366,7 +366,7 @@ object Lake {
     * would scale driver memory with the table; this holds one partition
     * of stats rows at a time and keeps driver memory flat.
     */
-  private def writeStatsManifest(spark: SparkSession, path: String,
+  private[graft] def writeStatsManifest(spark: SparkSession, path: String,
       manifestName: String, cols: Seq[String]): Unit = {
     val aggs = cols.flatMap(c => Seq(
       min(col(c).cast("long")).as(s"${c}__lo"),
@@ -431,7 +431,7 @@ object Lake {
   /** Shared band-pruned read in LONG space (stats space): file skipping +
     * cast-to-long residual filters, matching the manifest's semantics.
     */
-  private def readBandPruned(spark: SparkSession, path: String,
+  private[graft] def readBandPruned(spark: SparkSession, path: String,
       manifestName: String, bands: Seq[(String, (Long, Long))]): DataFrame =
     bands.foldLeft(prunedBase(spark, path, manifestName, bands)) {
       case (df, (c, (lo, hi))) =>

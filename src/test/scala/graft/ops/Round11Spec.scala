@@ -582,4 +582,52 @@ class Round11Spec extends AnyFunSuite {
         s"${got.map(_._2).min}..${got.map(_._2).max} over ${docs.length}")
     }
   }
+
+  test("optimize pipeline: band read skips files and the rank-cut " +
+    "rewrite yields contiguous per-file user ranges") {
+    val C = graft.sources.Compaction
+    val dir = "/root/testdata/sf0.01"
+    val rows = C.xOptimizePipeline.build(spark, dir)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(rows.length == 5)
+    rows.foreach { case (p, n, fb, fa, bn, _) =>
+      assert(fb == (n + C.FILE_ROWS - 1) / C.FILE_ROWS, s"$p before")
+      assert(fa == (n + C.TARGET_ROWS - 1) / C.TARGET_ROWS, s"$p after")
+      assert(fb > fa, s"$p: compaction did not reduce file count")
+      assert(bn > 0 && bn < n, s"$p: band trivial ($bn of $n)")
+    }
+    info(s"files before=${rows.map(_._3).sum} after=${rows.map(_._4).sum} " +
+      s"across ${rows.length} partitions")
+  }
+
+  test("SPRT: cumulative LLR matches a driver-side recompute and the " +
+    "walk crosses into accept_h1") {
+    val E = graft.ops.EventAnalytics
+    for (dir <- dirs) {
+      val days = graft.core.Tables(spark, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") > 90, 1L).otherwise(0L)).as("k"))
+        .as[(java.sql.Timestamp, Long, Long)].collect().sortBy(_._1.getTime)
+      var cum = 0L
+      val expect = days.map { case (d, n, k) =>
+        cum += k * E.SPRT_LS + (n - k) * E.SPRT_LF
+        val v = if (cum >= E.SPRT_A) "accept_h1"
+          else if (cum <= -E.SPRT_A) "accept_h0" else "continue"
+        (d, n, k, cum, v)
+      }.toSeq
+      val got = E.xSprtAb.build(spark, dir)
+        .as[(java.sql.Timestamp, Long, Long, Long, String)].collect().toSeq
+        .sortBy(_._1.getTime)
+      assert(got == expect, s"$dir")
+      // the empirical rate sits in (p0, p1): the walk must eventually
+      // accept H1 at the oracle SF (and the column must genuinely vary)
+      if (dir.endsWith("0.01")) {
+        assert(got.exists(_._5 == "continue") &&
+          got.exists(_._5 == "accept_h1"), s"$dir: verdict never varies")
+        val cross = got.indexWhere(_._5 == "accept_h1")
+        info(s"$dir: H1 accepted on day $cross of ${got.length}")
+      }
+    }
+  }
 }
