@@ -146,9 +146,11 @@ object Compaction {
       .orderBy("part", "grp")
   }
 
-  /** Band predicate for the OPTIMIZE audit's pruned read. */
-  val OPT_USER_LO = 30L
-  val OPT_USER_HI = 80L
+  /** Band predicate for the OPTIMIZE audit's pruned read — inside the
+    * user keyspace at EVERY SF (sf0.001 only has users 0-14).
+    */
+  val OPT_USER_LO = 3L
+  val OPT_USER_HI = 8L
 
   /** X — the full OPTIMIZE composition (what Delta/Iceberg `OPTIMIZE
     * ... ZORDER BY` does as one maintenance command): compact the

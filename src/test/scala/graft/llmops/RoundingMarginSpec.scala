@@ -483,6 +483,9 @@ class RoundingMarginSpec extends AnyFunSuite {
         Fam("dp-advanced", "half", 1e-4, dpAdv.toSeq),
         Fam("zipf-ln", "half", 1e-4, zipfLn.toSeq),
         Fam("logodds-ln", "half", 1e-4, logOdds.toSeq),
+        Fam("sprt-llr", "half", 1e-4, Seq(
+          1e6 * math.log(0.15 / 0.10), 1e6 * math.log(0.85 / 0.90),
+          1e6 * math.log(0.999 / 0.001))),
         Fam("wilson-lb", "half", 1e-4, wilson.toSeq),
         Fam("rolling-corr", "half", 1e-4, rollCorr.toSeq),
         Fam("jackknife-se", "half", 1e-4, jkSe),
