@@ -486,6 +486,8 @@ class RoundingMarginSpec extends AnyFunSuite {
         Fam("sprt-llr", "half", 1e-4, Seq(
           1e6 * math.log(0.15 / 0.10), 1e6 * math.log(0.85 / 0.90),
           1e6 * math.log(0.999 / 0.001))),
+        Fam("benford-log", "half", 1e-4,
+          (1 to 9).map(d => 1e6 * math.log10(1.0 + 1.0 / d))),
         Fam("wilson-lb", "half", 1e-4, wilson.toSeq),
         Fam("rolling-corr", "half", 1e-4, rollCorr.toSeq),
         Fam("jackknife-se", "half", 1e-4, jkSe),

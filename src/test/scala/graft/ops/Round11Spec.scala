@@ -630,4 +630,53 @@ class Round11Spec extends AnyFunSuite {
       }
     }
   }
+
+  test("forget-user: erasure is complete (leftover 0 measured from the " +
+    "rewritten store) and counts reconcile") {
+    val G = graft.llmops.Governance
+    for (dir <- dirs) {
+      val rows = G.xForgetUser.build(spark, dir)
+        .as[(String, Long, Long, Long, Long)].collect()
+      assert(rows.length == 5)
+      rows.foreach { case (t, before, after, erased, leftover) =>
+        assert(leftover == 0L, s"$dir $t: $leftover tombstoned rows remain")
+        assert(before == after + erased, s"$dir $t reconcile")
+        assert(erased > 0, s"$dir $t: erasure trivially empty")
+      }
+      info(s"$dir: erased ${rows.map(_._4).sum} of ${rows.map(_._2).sum} rows")
+    }
+  }
+
+  test("benford: chi-square matches a BigInt recompute and correctly " +
+    "flags the synthetic price distribution") {
+    val G = graft.llmops.Governance
+    for (dir <- dirs) {
+      val obs = graft.core.Tables(spark, dir, "orders")
+        .filter(col("o_totalprice") >= 1)
+        .select(expr("""CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+          AS STRING), 1, 1) AS BIGINT)""").as("d"))
+        .groupBy("d").agg(count(lit(1)).as("c"))
+        .as[(Long, Long)].collect().toMap
+      val n = obs.values.sum
+      val terms = (1 to 9).map { d =>
+        val o = obs.getOrElse(d.toLong, 0L)
+        val p = G.BENFORD_PPM(d - 1)
+        val diff = BigInt(1000000L * o - n * p)
+        (d.toLong, o, p, (diff * diff / BigInt(n * p)).toLong)
+      }
+      val chi2 = terms.map(_._4).sum
+      val got = G.xBenford.build(spark, dir)
+        .as[(Long, Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+      got.zip(terms).foreach { case ((d, o, p, term, tot, dev), e) =>
+        assert((d, o, p, term) == e, s"$dir digit $d")
+        assert(tot == chi2 && dev == (chi2 > G.BENFORD_CRIT_MICRO))
+      }
+      // the synthetic uniform prices MUST deviate, with digits 5-9
+      // depressed relative to 1-4 (the uniform-range signature)
+      assert(chi2 > G.BENFORD_CRIT_MICRO, s"$dir: audit failed to flag")
+      assert((5 to 9).map(d => obs(d.toLong)).max <
+        (1 to 4).map(d => obs(d.toLong)).min, s"$dir")
+      info(f"$dir: chi2=${chi2 / 1e6}%.0f vs crit 15.5 — flagged")
+    }
+  }
 }
