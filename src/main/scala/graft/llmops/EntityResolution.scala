@@ -152,14 +152,27 @@ object EntityResolution {
        FROM v a JOIN v b ON a.w < b.w
        WHERE levenshtein(a.w, b.w) <= 1
        ORDER BY a, b""") { (s, dir) =>
+    fuzzyPairs(dirtyVocab(T(s, dir, "customer"))).orderBy("a", "b")
+  }
+
+  /** The dirty fixture vocabulary from a customer frame: per entity a
+    * clean 8-char key, a first-char corruption, a last-char deletion.
+    */
+  private[graft] def dirtyVocab(customer: DataFrame): DataFrame = {
     val base = md5(expr("cast(c_custkey div 3 as string)"))
-    val v = T(s, dir, "customer")
-      .select(
-        when(col("c_custkey") % 3 === 0, substring(base, 1, 8))
-          .when(col("c_custkey") % 3 === 1,
-            concat(lit("z"), substring(base, 2, 7)))
-          .otherwise(substring(base, 1, 7)).as("w"))
+    customer.select(
+      when(col("c_custkey") % 3 === 0, substring(base, 1, 8))
+        .when(col("c_custkey") % 3 === 1,
+          concat(lit("z"), substring(base, 2, 7)))
+        .otherwise(substring(base, 1, 7)).as("w"))
       .distinct()
+  }
+
+  /** The exhaustively-blocked d≤1 join over a vocabulary column `w`
+    * (see xFuzzyJoin's completeness proof). Exposed for the ScaleProbe
+    * growth measurement.
+    */
+  private[graft] def fuzzyPairs(v: DataFrame): DataFrame = {
     def arm(key: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
       val l = v.select(col("w").as("a"), key(col("w")).as("blk"))
       val r = v.select(col("w").as("b"), key(col("w")).as("blk"))
@@ -178,7 +191,6 @@ object EntityResolution {
     prefixArm.unionByName(suffixArm).unionByName(shortArm)
       .distinct()
       .filter(levenshtein(col("a"), col("b")) <= 1)
-      .orderBy("a", "b")
   }
 
   val all: Seq[Q] = Seq(xEntityResolution, xFuzzyJoin)

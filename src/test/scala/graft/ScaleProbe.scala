@@ -854,6 +854,37 @@ object ScaleProbe {
         println(f"SCALE-COMPACT files=$n%8d groups=$groups%8d sec=$sec%6.2f")
       }
     }
+
+    // fuzzy: blocked vs brute d<=1 join growth. Vocabulary replicated by
+    // generating dirty records from DISJOINT entity key ranges (fresh md5
+    // words per replica — block diversity preserved; a tag-character
+    // decoration would create artificial cross-replica d=1 pairs).
+    if (want("fuzzy")) {
+      val cust = graft.core.Tables(spark, "/root/testdata/sf0.1", "customer")
+        .select(col("c_custkey"))
+      def vocab(k: Int) = graft.llmops.EntityResolution.dirtyVocab(
+        (0 until k).map(i => cust.select(
+          (col("c_custkey") + lit(i.toLong * 10000000L)).as("c_custkey")))
+          .reduce(_ union _)).cache()
+      for (k <- Seq(1, 2, 4)) {
+        val v = vocab(k)
+        val nv = v.count()
+        val t0 = System.nanoTime()
+        val blocked = graft.llmops.EntityResolution.fuzzyPairs(v).count()
+        val tb = (System.nanoTime() - t0) / 1e9
+        val (brute, tr) = if (k <= 2) {
+          val t1 = System.nanoTime()
+          val b = v.select(col("w").as("a"))
+            .join(v.select(col("w").as("b")), col("a") < col("b"))
+            .filter(levenshtein(col("a"), col("b")) <= 1).count()
+          (b, (System.nanoTime() - t1) / 1e9)
+        } else (-1L, -1.0)
+        println(f"SCALE-FUZZY k=$k vocab=$nv%7d pairs=$blocked%7d " +
+          f"blocked_s=$tb%6.2f brute_pairs=$brute%7d brute_s=$tr%7.2f")
+        v.unpersist()
+        ()
+      }
+    }
     spark.stop()
   }
 }
