@@ -156,8 +156,10 @@ object Drift {
     * only one direction and the flag is still a pure integer fact).
     * The squared term grows as N⁴, so the whole comparison runs in
     * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — the x_ab_chisq
-    * discipline — good to |u2 − n₁n₂| ≈ 10¹⁷, i.e. corpora of ~6·10⁸
-    * docs. The graded z² readout is the BOUNDED quotient
+    * discipline — good to |u2 − n₁n₂| ≈ 7·10¹⁶ for the flag (the
+    * squared term ×3·10⁴ must fit HUGEINT ≈ 1.7·10³⁸) and ≈ 2·10¹⁶ for
+    * z2_ratio_milli (the extra ×1000), i.e. corpora of ~2–3·10⁸ docs.
+    * The graded z² readout is the BOUNDED quotient
     * z2_ratio_milli = 1000·z2_num DIV z2_den ≈ 260·z² ≤ O(N) rather
     * than the raw N⁴ products, so the output schema stays BIGINT.
     *

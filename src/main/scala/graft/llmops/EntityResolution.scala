@@ -134,7 +134,7 @@ object EntityResolution {
     * catch it) and a last-char deletion (only the prefix block can) —
     * both block arms are therefore load-bearing, not decorative.
     *
-    * Scale posture: two equi-joins keyed on 1-char block keys with the
+    * Scale posture: two equi-joins keyed on 2-char block keys with the
     * length-band residual (never a cartesian), pair volume Σ|block|²
     * exactly like LSH buckets; levenshtein runs per-candidate only.
     * The brute-force arm exists only in the oracle.

@@ -48,12 +48,14 @@ object Evals {
     }.mkString(" * ")
 
   private def passSql(k: Int, wide: String): String =
-    s"""CASE WHEN n - c < $k THEN 1000000
+    s"""CASE WHEN n < $k THEN CAST(NULL AS BIGINT)
+        WHEN n - c < $k THEN 1000000
         ELSE 1000000 - CAST((1000000 * ${fallingProd("n - c", k, wide)})
           // (${fallingProd("n", k, wide)}) AS BIGINT) END"""
 
-  private def passSpark(k: Int): String =
-    s"""CASE WHEN n - c < $k THEN 1000000L
+  private[graft] def passSpark(k: Int): String =
+    s"""CASE WHEN n < $k THEN CAST(NULL AS BIGINT)
+        WHEN n - c < $k THEN 1000000L
         ELSE 1000000L - CAST((1000000 * ${fallingProd("n - c", k, "DECIMAL(38,0)")})
           DIV (${fallingProd("n", k, "DECIMAL(38,0)")}) AS BIGINT) END"""
 
@@ -61,7 +63,11 @@ object Evals {
     * event, correct = value > PASS_VALUE), over the first SAMPLE_CAP
     * samples per problem in event_id order. pass@1 = c/n directly;
     * pass@5 / pass@10 via the telescoped product ratio. If fewer than k
-    * incorrect samples exist the estimator is exactly 1 (C(n−c,k) = 0).
+    * incorrect samples exist (but n ≥ k) the estimator is exactly 1
+    * (C(n−c,k) = 0). Under-sampled problems (n < k) report NULL — the
+    * estimator is undefined there (C(n,k) = 0 makes it 0/0), and
+    * reporting 1.0 would score a problem with zero passing samples as
+    * perfectly solved.
     */
   val xPassAtK = Q(
     "x_pass_at_k",

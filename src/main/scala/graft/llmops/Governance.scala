@@ -216,7 +216,15 @@ object Governance {
     *   t · 2·N·n_g = Σ_v |N·n_gv − n_g·N_v|
     * so t_fix = 1e6·Σ|…| // (2·N·n_g) and the release flag t ≤ 0.2 is
     * the cross-multiplied comparison 5·Σ|…| ≤ 2·N·n_g — no division
-    * until the final fixed-point readout, no floats anywhere.
+    * until the final fixed-point readout, no floats anywhere. The
+    * N·n_gv / n_g·N_v products multiply two corpus-sized counts, so —
+    * the e3bebc2 Mann-Whitney/Zipf discipline — every product runs in
+    * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): headroom to N ≈ 10¹⁶
+    * docs for the term and Σ (vs int64's overflow at N ≈ 3·10⁹), with
+    * only the final BIGINT readouts assuming the per-group EMD numerator
+    * fits 9.2·10¹⁸ — true whenever N·n_g does, i.e. N ≲ 3·10⁹ for the
+    * raw emd_num/emd_den columns while the t_fix ratio and the flag stay
+    * exact far beyond.
     *
     * Scale posture: two bounded hash aggs (QI groups, QI×lang cells), a
     * broadcast of the |lang|-row global distribution and the 1-row
@@ -237,16 +245,19 @@ object Governance {
                 CAST(count(*) AS BIGINT) AS ngv
               FROM documents GROUP BY 1, 2, 3),
        d AS (SELECT g.source, g.len_bucket, g.ng, t.n,
-               abs(t.n * coalesce(x.ngv, 0) - g.ng * v.nv) AS term
+               abs(CAST(t.n AS HUGEINT) * coalesce(x.ngv, 0)
+                   - CAST(g.ng AS HUGEINT) * v.nv) AS term
              FROM grp g CROSS JOIN gdist v CROSS JOIN tot t
              LEFT JOIN gl x ON x.source = g.source
                AND x.len_bucket = g.len_bucket AND x.lang = v.lang)
        SELECT source, len_bucket, ng AS n,
               CAST(sum(term) AS BIGINT) AS emd_num,
-              2 * max(n) * ng AS emd_den,
-              (1000000 * CAST(sum(term) AS BIGINT)) // (2 * max(n) * ng)
+              CAST(CAST(2 AS HUGEINT) * max(n) * ng AS BIGINT) AS emd_den,
+              CAST((CAST(1000000 AS HUGEINT) * sum(term))
+                   // (CAST(2 AS HUGEINT) * max(n) * ng) AS BIGINT)
                 AS t_fix,
-              (5 * CAST(sum(term) AS BIGINT) <= 2 * max(n) * ng) AS t02_close
+              (CAST(5 AS HUGEINT) * sum(term)
+                 <= CAST(2 AS HUGEINT) * max(n) * ng) AS t02_close
        FROM d GROUP BY source, len_bucket, ng
        ORDER BY source, len_bucket""") { (s, dir) =>
     import org.apache.spark.sql.functions.broadcast
@@ -261,16 +272,19 @@ object Governance {
     grp.crossJoin(broadcast(glob)).crossJoin(broadcast(tot))
       .join(gl, Seq("source", "len_bucket", "lang"), "left")
       .select(col("source"), col("len_bucket"), col("ng"), col("n"),
-        abs(col("n") * coalesce(col("ngv"), lit(0L)) -
-          col("ng") * col("nv")).as("term"))
+        abs(col("n").cast("decimal(38,0)") * coalesce(col("ngv"), lit(0L)) -
+          col("ng").cast("decimal(38,0)") * col("nv")).as("term"))
       .groupBy("source", "len_bucket", "ng")
-      .agg(sum(col("term")).as("emd_num"), max(col("n")).as("nn"))
+      .agg(sum(col("term")).as("emd_numw"), max(col("n")).as("nn"))
       .select(col("source"), col("len_bucket"), col("ng").as("n"),
-        col("emd_num"),
-        (lit(2L) * col("nn") * col("ng")).as("emd_den"),
-        expr("(1000000 * emd_num) div (2 * nn * ng)").as("t_fix"),
-        (lit(5L) * col("emd_num") <= lit(2L) * col("nn") * col("ng"))
-          .as("t02_close"))
+        col("emd_numw").cast("long").as("emd_num"),
+        expr("CAST(CAST(2 AS DECIMAL(38,0)) * nn * ng AS BIGINT)")
+          .as("emd_den"),
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * emd_numw)
+                DIV (CAST(2 AS DECIMAL(38,0)) * nn * ng) AS BIGINT)""")
+          .as("t_fix"),
+        expr("""CAST(5 AS DECIMAL(38,0)) * emd_numw
+                <= CAST(2 AS DECIMAL(38,0)) * nn * ng""").as("t02_close"))
       .orderBy("source", "len_bucket")
   }
 
@@ -509,9 +523,14 @@ object Governance {
       .agg(count(lit(1)).as("rows_after"),
         sum(when(col("user_id") % 37 === 0, 1L).otherwise(0L))
           .as("leftover"))
-    before.join(after, "event_type")
-      .select(col("event_type"), col("rows_before"), col("rows_after"),
-        col("rows_erased"), col("leftover"))
+    // LEFT join from `before`: an event_type whose rows were ALL
+    // tombstoned has no v2 group at all — it must still report
+    // rows_after = 0 (the compliance fact), not vanish from the audit.
+    before.join(after, Seq("event_type"), "left")
+      .select(col("event_type"), col("rows_before"),
+        coalesce(col("rows_after"), lit(0L)).as("rows_after"),
+        col("rows_erased"),
+        coalesce(col("leftover"), lit(0L)).as("leftover"))
       .orderBy("event_type")
   }
 

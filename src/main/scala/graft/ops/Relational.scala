@@ -383,6 +383,31 @@ object Relational {
       .orderBy(col("n_nationkey").asc_nulls_first)
   }
 
+  /** Q11c — right outer join: the mirrored q11_join_left spelling with
+    * the preserved side on the RIGHT (orders is the left input, customer
+    * the right; customers with no orders survive with NULL order
+    * columns). Catalyst canonicalizes this to the same shuffled hash
+    * join as the left-outer form — the point of the row is the declared
+    * SURVEY §2b Q11 "left/right/full" API surface, and the aggregate
+    * proves the null side landed on the correct input (n_orders = 0,
+    * NULL spend for order-less customers).
+    */
+  val q11c = Q(
+    "q11_join_right",
+    """SELECT c_custkey, count(o_orderkey) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spent
+       FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_custkey ORDER BY c_custkey""") { (s, dir) =>
+    val c = T(s, dir, "customer")
+    val o = T(s, dir, "orders")
+    o.join(c, o("o_custkey") === c("c_custkey"), "right")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        sumd(col("o_totalprice")).as("spent"))
+      .orderBy("c_custkey")
+  }
+
   /** Q12a — semi join (EXISTS): customers having a >200k order. */
   val q12 = Q(
     "q12_semi_join",
@@ -716,6 +741,6 @@ object Relational {
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q06b, q07, q07b, q08, q08b, q08c, q08d,
-    q09, q10, q10b, q10c, q11, q11b, q12, q12b, q13, q13b, q14, q15,
+    q09, q10, q10b, q10c, q11, q11b, q11c, q12, q12b, q13, q13b, q14, q15,
     q16, q16b, q17, q17b, q18, xTpchQ5, xTpchQ18, xTpchQ8)
 }
