@@ -22,6 +22,7 @@ object SparkEntry {
       llmops.DedupFamilies.all ++ llmops.DedupPipeline.all ++
       llmops.FullCuration.all ++
       llmops.Incremental.all ++
+      llmops.IncrementalCuration.all ++
       llmops.Curation.all ++
       llmops.VectorSearch.all ++ llmops.LateInteraction.all ++
       llmops.Mmr.all ++ llmops.RetrievalEval.all ++ llmops.Rag.all ++

@@ -104,13 +104,13 @@ import graft.functions.{ArrayOps, TextNormalize}
   */
 object FullCuration {
 
-  private val K_GRAM = 8
-  private val MIN_TOKENS = 20
-  private val REP_MAX = 0.2
-  private val STOP_MAX = 0.5
-  private val MAX_BUCKET = 10000
+  private[llmops] val K_GRAM = 8
+  private[llmops] val MIN_TOKENS = 20
+  private[llmops] val REP_MAX = 0.2
+  private[llmops] val STOP_MAX = 0.5
+  private[llmops] val MAX_BUCKET = 10000
 
-  private def gramSql(k: Int): String =
+  private[llmops] def gramSql(k: Int): String =
     (0 until k).map(j => s"t[i+$j]").mkString(" || ' ' || ")
 
   import TextStats.{sqlList, stopEn, stopDe, stopEs, stopFr}

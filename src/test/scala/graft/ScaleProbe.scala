@@ -25,7 +25,7 @@ object ScaleProbe {
     // comma-separated section filter for re-measuring one family without
     // paying the whole probe:
     // neardup,setsim,nn,km,inc,lm,bpe,contam,pr,qc,evt,cn,cnskew,budget,
-    // cap,winnow,cdc,cumsum,cumsumN,linededup,substr,triangles
+    // cap,winnow,cdc,cumsum,cumsumN,linededup,substr,triangles,inccur
     val only = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def want(section: String): Boolean = only.forall(_.contains(section))
@@ -885,6 +885,64 @@ object ScaleProbe {
         ()
       }
     }
+    // ---- incremental CURATION: the full per-batch admission DAG
+    // (x_incremental_curation's batchVerdicts) against a k×-replicated
+    // standing index. Replica 0 keeps the original words (the fixed batch
+    // keeps finding its true standing dups there); replicas 1..k-1 are
+    // word-tagged so cross-replica similarity is 0 — the index grows k×,
+    // the answer stays IDENTICAL, and a batch-proportional pipeline
+    // shows ~flat per-batch wall. Index build is the one-time linear
+    // part, timed separately.
+    if (want("inccur")) {
+      val dirX = "/root/testdata/sf0.1"
+      val docsFull = graft.core.Tables(spark, dirX, "documents")
+        .select(col("doc_id"), col("lang"), col("text")).cache()
+      val cutX = graft.llmops.Incremental.cutoffValue(docsFull)
+      val hold = graft.llmops.Incremental.holdoutColumn
+      val standing0 = docsFull.filter(col("doc_id") < cutX && !hold)
+      val batchX = docsFull.filter(col("doc_id") >= cutX && !hold).cache()
+      val batchXN = batchX.count()
+      val benchX = docsFull.filter(hold)
+      val benchGramsX = benchX.select(
+          explode(graft.functions.ArrayOps.wordShingleHashes(col("text"), 8))
+            .as("g")).distinct().cache()
+      benchGramsX.count()
+      val ebX = graft.llmops.VectorSearch.embeddingsBase(spark, dirX)
+      val benchEmbX = ebX
+        .filter(substring(md5(col("vec_id").cast("string")), 1, 2) <= "19")
+        .select(col("emb").as("b_emb")).cache()
+      benchEmbX.count()
+      var admitted0 = -1L
+      for (k <- Seq(1, 2, 5, 10)) {
+        val standingK = (0 until k).map { i =>
+          val text =
+            if (i == 0) col("text")
+            else expr(s"array_join(transform(split(text, ' '), w -> concat('r$i', w)), ' ')")
+          standing0.select(
+            (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+            col("lang"), text.as("text"))
+        }.reduce(_ union _)
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft_inccur_probe").toString
+        val t0 = System.nanoTime()
+        graft.llmops.IncrementalCuration.bootstrapIndexes(standingK, scratch)
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        val standN = spark.read.parquet(s"$scratch/bands").count() /
+          MinHashLSH.BANDS
+        val t1 = System.nanoTime()
+        val verd = graft.llmops.IncrementalCuration
+          .batchVerdicts(spark, batchX, scratch, benchGramsX, benchEmbX, ebX)
+        val adm = verd.filter(col("verdict") === "admitted").count()
+        val tBatch = (System.nanoTime() - t1) / 1e9
+        // invariant: replicas can't match the batch, so the admission
+        // decision must be IDENTICAL at every k
+        if (admitted0 < 0) admitted0 = adm
+        val ok = if (adm == admitted0) "ok" else s"MISMATCH(vs $admitted0)"
+        println(f"SCALE-INCCUR k=$k%2d standing=$standN%7d batch=$batchXN%5d " +
+          f"build=$tBuild%6.2f batch_wall=$tBatch%6.2f admitted=$adm%5d $ok")
+      }
+    }
+
     spark.stop()
   }
 }
