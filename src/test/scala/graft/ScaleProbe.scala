@@ -25,7 +25,7 @@ object ScaleProbe {
     // comma-separated section filter for re-measuring one family without
     // paying the whole probe:
     // neardup,setsim,nn,km,inc,lm,bpe,contam,pr,qc,evt,cn,cnskew,budget,
-    // cap,winnow,cdc,cumsum,cumsumN,linededup,substr,triangles,inccur
+    // cap,winnow,cdc,cumsum,cumsumN,linededup,substr,triangles,inccur,fuzzy2
     val only = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def want(section: String): Boolean = only.forall(_.contains(section))
@@ -880,6 +880,38 @@ object ScaleProbe {
           (b, (System.nanoTime() - t1) / 1e9)
         } else (-1L, -1.0)
         println(f"SCALE-FUZZY k=$k vocab=$nv%7d pairs=$blocked%7d " +
+          f"blocked_s=$tb%6.2f brute_pairs=$brute%7d brute_s=$tr%7.2f")
+        v.unpersist()
+        ()
+      }
+    }
+
+    // ---- d≤2 fuzzy join: SymSpell deletion-neighborhood blocking vs
+    // brute force on the same growing vocabularies. The claim: blocked
+    // pair count EQUALS brute (the deletion-cover theorem, re-verified
+    // beyond the graded SF) while blocked wall stays near-linear and
+    // brute grows quadratically.
+    if (want("fuzzy2")) {
+      val cust = graft.core.Tables(spark, "/root/testdata/sf0.1", "customer")
+        .select(col("c_custkey"))
+      def vocab(k: Int) = graft.llmops.EntityResolution.dirtyVocab(
+        (0 until k).map(i => cust.select(
+          (col("c_custkey") + lit(i.toLong * 10000000L)).as("c_custkey")))
+          .reduce(_ union _)).cache()
+      for (k <- Seq(1, 2, 4)) {
+        val v = vocab(k)
+        val nv = v.count()
+        val t0 = System.nanoTime()
+        val blocked = graft.llmops.EntityResolution.fuzzyPairs2(v).count()
+        val tb = (System.nanoTime() - t0) / 1e9
+        val (brute, tr) = if (k <= 2) {
+          val t1 = System.nanoTime()
+          val b = v.select(col("w").as("a"))
+            .join(v.select(col("w").as("b")), col("a") < col("b"))
+            .filter(levenshtein(col("a"), col("b")) <= 2).count()
+          (b, (System.nanoTime() - t1) / 1e9)
+        } else (-1L, -1.0)
+        println(f"SCALE-FUZZY2 k=$k vocab=$nv%7d pairs=$blocked%7d " +
           f"blocked_s=$tb%6.2f brute_pairs=$brute%7d brute_s=$tr%7.2f")
         v.unpersist()
         ()
