@@ -92,5 +92,139 @@ object Silhouette {
       .orderBy("vec_id")
   }
 
-  val all: Seq[Q] = Seq(xClusterSilhouette)
+  /** X — the CORPUS-SCALE silhouette twin (the spelling
+    * xClusterSilhouette's scaladoc promises): the simplified silhouette
+    * of Hruschka et al. — a(i) = distance to the OWN-group centroid,
+    * b(i) = distance to the nearest OTHER-group centroid — which
+    * replaces the dense n² pair grid with an n×k centroid grid, the
+    * x_common_neighbors_capped discipline of shipping the bounded
+    * spelling beside the exact audit.
+    *
+    * Exactness without a float centroid: per-point components are 1e6
+    * fixed-point integers; group centroids are the ELEMENT-WISE
+    * sign-split integer-division means of those (exact, order-free
+    * integer sums; the quantization is part of the operator's
+    * definition, identical in both engines). Every dot product
+    * (x·m, x·x, m·m) is then an exact BIGINT (|component| ≤ 6·10⁵ at
+    * unit-ish norm, 64 dims → ≤ 2.3·10¹³ — int64 headroom to ~10⁹-dim
+    * vectors), and the only float step is
+    * cos_fix = round(1e6 · x·m / (√(x·x)·√(m·m))) — multiply, two
+    * correctly-rounded sqrts, one divide, one round, all on IDENTICAL
+    * integer inputs, hence bit-identical cross-engine (the q33/fixsim
+    * precedent; margins audited in RoundingMarginSpec's
+    * silhouette-centroid family). From there everything is integer:
+    * a = 1e6 − cos_own, b over the ≤k−1 other groups (max cos, label
+    * tiebreak), sil = 1e6·(b−a) DIV max(a,b), sign-split.
+    *
+    * Scale posture: one narrow quantization pass, one (label, dim)
+    * hash agg for the k centroids (k·dim driver-free rows), a
+    * broadcast of the k-row centroid table, and per-point work that is
+    * O(k·dim) — no pair grid, no corpus-wide window (the per-point
+    * argmax ranks ≤k broadcast rows). This is the spelling that runs
+    * at 100 TB; the dense xClusterSilhouette stays as the audit-sized
+    * exact variant.
+    */
+  val xSilhouetteScaled = Q(
+    "x_silhouette_scaled",
+    """WITH e AS MATERIALIZED (
+         SELECT vec_id, label,
+                list_transform(CAST(embedding AS DOUBLE[]),
+                  c -> CAST(round(1000000 * c) AS BIGINT)) AS x
+         FROM embeddings),
+       ex AS MATERIALIZED (
+         SELECT vec_id, label, unnest(x) AS v,
+                unnest(generate_series(1, len(x))) AS i
+         FROM e),
+       ci AS (SELECT label, i, CAST(sum(v) AS BIGINT) AS sv,
+                CAST(count(*) AS BIGINT) AS n
+              FROM ex GROUP BY 1, 2),
+       cm AS MATERIALIZED (
+         SELECT label AS grp, i,
+                CASE WHEN sv < 0 THEN -((-sv) // n) ELSE sv // n END AS mv
+         FROM ci),
+       xx AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS dxx
+              FROM ex GROUP BY 1),
+       mm AS (SELECT grp, CAST(sum(mv * mv) AS BIGINT) AS dmm
+              FROM cm GROUP BY 1),
+       pg AS (SELECT ex.vec_id, ex.label, cm.grp,
+                CAST(sum(ex.v * cm.mv) AS BIGINT) AS dxm
+              FROM ex JOIN cm ON ex.i = cm.i
+              GROUP BY 1, 2, 3),
+       cosg AS MATERIALIZED (
+         SELECT p.vec_id, p.label, p.grp,
+                CAST(round(1000000 * (CAST(p.dxm AS DOUBLE) /
+                  (sqrt(CAST(xx.dxx AS DOUBLE)) * sqrt(CAST(mm.dmm AS DOUBLE)))))
+                  AS BIGINT) AS cf
+         FROM pg p JOIN xx USING (vec_id) JOIN mm USING (grp)),
+       own AS (SELECT vec_id, label, 1000000 - cf AS a_fix
+               FROM cosg WHERE grp = label),
+       oth AS (SELECT vec_id, grp AS b_label, 1000000 - cf AS b_fix FROM (
+                 SELECT vec_id, grp, cf,
+                        row_number() OVER (PARTITION BY vec_id
+                          ORDER BY cf DESC, grp) AS rr
+                 FROM cosg WHERE grp <> label) WHERE rr = 1)
+       SELECT own.vec_id, own.label, oth.b_label, a_fix, b_fix,
+              b_fix - a_fix AS sil_num,
+              greatest(a_fix, b_fix) AS sil_den,
+              CASE WHEN b_fix - a_fix < 0
+                   THEN -((1000000 * (a_fix - b_fix)) // greatest(a_fix, b_fix))
+                   ELSE (1000000 * (b_fix - a_fix)) // greatest(a_fix, b_fix) END
+                AS sil_fix
+       FROM own JOIN oth USING (vec_id)
+       ORDER BY vec_id""") { (s, dir) =>
+    simplifiedSilhouette(VectorSearch.embeddingsBase(s, dir)
+      .select(col("vec_id"), col("label"), col("emb")))
+  }
+
+  /** The simplified-silhouette DAG over (vec_id, label, emb) — exposed
+    * so the SCALE-SIL probe can run it on replicated corpora.
+    */
+  private[graft] def simplifiedSilhouette(
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val e = emb.select(col("vec_id"), col("label"),
+      expr("transform(emb, c -> cast(round(1000000 * c) as bigint))").as("x"))
+    val ex = e.select(col("vec_id"), col("label"),
+        posexplode(col("x")).as(Seq("p", "v")))
+      .select(col("vec_id"), col("label"), (col("p") + 1).as("i"), col("v"))
+    val cm = ex.groupBy(col("label"), col("i"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+      .select(col("label").as("grp"), col("i"),
+        expr("CASE WHEN sv < 0 THEN -((-sv) div n) ELSE sv div n END")
+          .as("mv"))
+    // k-row centroid table, re-assembled as arrays for the codegen'd dots
+    val cent = cm.groupBy(col("grp"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, mv))), s -> s.mv)")
+        .as("m"))
+      .withColumn("dmm",
+        expr("aggregate(transform(m, a -> a * a), 0L, (acc, t) -> acc + t)"))
+    val pts = e.withColumn("dxx",
+      expr("aggregate(transform(x, a -> a * a), 0L, (acc, t) -> acc + t)"))
+    val cosg = pts.crossJoin(broadcast(cent))
+      .withColumn("dxm",
+        expr("aggregate(zip_with(x, m, (a, b) -> a * b), 0L, (acc, t) -> acc + t)"))
+      .select(col("vec_id"), col("label"), col("grp"),
+        expr("""cast(round(1000000 * (cast(dxm as double) /
+                (sqrt(cast(dxx as double)) * sqrt(cast(dmm as double)))))
+                as bigint)""").as("cf"))
+    val own = cosg.filter(col("grp") === col("label"))
+      .select(col("vec_id"), col("label"), (lit(1000000L) - col("cf")).as("a_fix"))
+    val oth = cosg.filter(col("grp") =!= col("label"))
+      .withColumn("rr", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("cf").desc, col("grp"))))
+      .filter(col("rr") === 1)
+      .select(col("vec_id"), col("grp").as("b_label"),
+        (lit(1000000L) - col("cf")).as("b_fix"))
+    own.join(oth, "vec_id")
+      .select(col("vec_id"), col("label"), col("b_label"),
+        col("a_fix"), col("b_fix"),
+        (col("b_fix") - col("a_fix")).as("sil_num"),
+        greatest(col("a_fix"), col("b_fix")).as("sil_den"))
+      .withColumn("sil_fix",
+        when(col("sil_num") < 0,
+          -expr("(1000000 * -sil_num) div sil_den"))
+          .otherwise(expr("(1000000 * sil_num) div sil_den")))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[Q] = Seq(xClusterSilhouette, xSilhouetteScaled)
 }

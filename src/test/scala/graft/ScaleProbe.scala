@@ -25,7 +25,7 @@ object ScaleProbe {
     // comma-separated section filter for re-measuring one family without
     // paying the whole probe:
     // neardup,setsim,nn,km,inc,lm,bpe,contam,pr,qc,evt,cn,cnskew,budget,
-    // cap,winnow,cdc,cumsum,cumsumN,linededup,substr,triangles,inccur,fuzzy2
+    // cap,winnow,cdc,cumsum,cumsumN,linededup,substr,triangles,inccur,fuzzy2,sil
     val only = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def want(section: String): Boolean = only.forall(_.contains(section))
@@ -917,6 +917,45 @@ object ScaleProbe {
         ()
       }
     }
+    // ---- silhouette: dense pair grid vs simplified (centroid) spelling
+    // on k×-replicated embeddings. Replicas reuse the label space, so
+    // the centroid table stays k_labels-sized while points grow — dense
+    // is n², simplified is n·k_labels.
+    if (want("sil")) {
+      val emb0 = graft.llmops.VectorSearch
+        .embeddingsBase(spark, "/root/testdata/sf0.1")
+        .select(col("vec_id"), col("label"), col("emb"))
+      for (k <- Seq(1, 2, 5, 10)) {
+        val emb = (0 until k).map(i => emb0.select(
+          (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+          col("label"), col("emb"))).reduce(_ union _).cache()
+        val n = emb.count()
+        val t1 = System.nanoTime()
+        val simp = graft.llmops.Silhouette.simplifiedSilhouette(emb).count()
+        val ts = (System.nanoTime() - t1) / 1e9
+        val (dense, td) = if (k <= 10) {
+          val t0 = System.nanoTime()
+          val e = emb.select(col("vec_id"), col("label"),
+            graft.functions.ArrayOps.l2normalize(col("emb")).as("n_emb"))
+          val g = e.select(col("vec_id").as("i"), col("label").as("own"),
+              col("n_emb").as("ei"))
+            .join(e.select(col("vec_id").as("j"), col("label").as("grp"),
+              col("n_emb").as("ej")), col("i") =!= col("j"))
+            .select(col("i"), col("own"), col("grp"),
+              round(graft.llmops.VectorSearch.dot(col("ei"), col("ej"))
+                * 1000000L).cast("long").as("sij"))
+            .groupBy("i", "own", "grp")
+            .agg(sum(col("sij")).as("s"), count(lit(1)).as("cnt"))
+            .count()
+          (g, (System.nanoTime() - t0) / 1e9)
+        } else (-1L, -1.0)
+        println(f"SCALE-SIL k=$k%2d points=$n%6d simplified_s=$ts%6.2f " +
+          f"dense_grid_s=$td%7.2f dense_rows=$dense%8d")
+        emb.unpersist()
+        ()
+      }
+    }
+
     // ---- incremental CURATION: the full per-batch admission DAG
     // (x_incremental_curation's batchVerdicts) against a k×-replicated
     // standing index. Replica 0 keeps the original words (the fixed batch

@@ -449,6 +449,29 @@ class RoundingMarginSpec extends AnyFunSuite {
           .as[Double].collect().map(_ * 1e6)
       }
 
+      // x_silhouette_scaled: the n×k point-vs-quantized-centroid cosine
+      // grid × 1e6 (integer dots → one double divide; the only libm step
+      // is two correctly-rounded sqrts)
+      val silhouetteCentroid = {
+        val rows = VectorSearch.embeddingsBase(spark, dir)
+          .select(col("vec_id"), col("label"), col("emb"))
+          .as[(Long, Int, Seq[Double])].collect()
+        val x = rows.map { case (_, l, v) =>
+          (l, v.map(c => math.round(1e6 * c)).toArray) }
+        def sdiv(a: Long, n: Long): Long = if (a < 0) -((-a) / n) else a / n
+        val cents = x.groupBy(_._1).view.mapValues { g =>
+          Array.tabulate(g.head._2.length)(i =>
+            sdiv(g.map(_._2(i)).sum, g.length.toLong))
+        }.toMap
+        for ((_, xi) <- x; (_, m) <- cents.toSeq) yield {
+          val dxm = xi.iterator.zip(m.iterator).map { case (p, q) => p * q }.sum
+          val dxx = xi.iterator.map(p => p * p).sum
+          val dmm = m.iterator.map(p => p * p).sum
+          1e6 * (dxm.toDouble /
+            (math.sqrt(dxx.toDouble) * math.sqrt(dmm.toDouble)))
+        }
+      }
+
       // x_label_prop: the full unlabeled×all ranking grid × 1e6
       val labelPropGrid = {
         val e = VectorSearch.embeddingsBase(spark, dir)
@@ -501,6 +524,7 @@ class RoundingMarginSpec extends AnyFunSuite {
         // bitext-grid bar — boundary approach shrinks with grid size)
         Fam("labelprop-grid", "half", 1e-8, labelPropGrid.toSeq),
         Fam("silhouette-grid", "half", 1e-8, silhouetteGrid.toSeq),
+        Fam("silhouette-centroid", "half", 1e-6, silhouetteCentroid.toSeq),
         Fam("bm25", "half", 1e-6, bm25.toSeq),
         Fam("audio-trig-weights", "half", 1e-4, trig),
         Fam("maxsim", "half", 1e-6, maxsim.toSeq),

@@ -48,4 +48,50 @@ class SilhouetteSpec extends AnyFunSuite {
         f"range ${out.map(_._10).min / 1e6}%.3f..${out.map(_._10).max / 1e6}%.3f")
     }
   }
+
+  test("simplified (centroid) silhouette matches a driver-side integer " +
+    "recompute of the quantized definition") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val vecs = VectorSearch.embeddingsBase(spark, dir)
+        .select("vec_id", "label", "emb")
+        .as[(Long, Int, Seq[Double])].collect()
+      val x = vecs.map { case (id, l, v) =>
+        (id, l, v.map(c => math.round(1e6 * c)).toArray)
+      }
+      def sdiv(a: Long, n: Long): Long = if (a < 0) -((-a) / n) else a / n
+      val cents = x.groupBy(_._2).view.mapValues { g =>
+        val dim = g.head._3.length
+        Array.tabulate(dim)(i => sdiv(g.map(_._3(i)).sum, g.length.toLong))
+      }.toMap
+      def cosFix(a: Array[Long], m: Array[Long]): Long = {
+        val dxm = a.iterator.zip(m.iterator).map { case (p, q) => p * q }.sum
+        val dxx = a.iterator.map(p => p * p).sum
+        val dmm = m.iterator.map(p => p * p).sum
+        math.round(1e6 * (dxm.toDouble /
+          (math.sqrt(dxx.toDouble) * math.sqrt(dmm.toDouble))))
+      }
+      val out = Silhouette.xSilhouetteScaled.build(spark, dir)
+        .as[(Long, Int, Int, Long, Long, Long, Long, Long)].collect()
+      assert(out.length == vecs.length)
+      out.foreach { case (id, lab, bLab, aFix, bFix, num, den, silFix) =>
+        val (_, trueLab, xi) = x.find(_._1 == id).get
+        assert(lab == trueLab)
+        val eA = 1000000L - cosFix(xi, cents(lab))
+        val (eBLab, eB) = cents.removed(lab).toSeq
+          .map { case (g, m) => (g, 1000000L - cosFix(xi, m)) }
+          .minBy { case (g, d) => (d, g) }
+        assert((aFix, bLab, bFix) == (eA, eBLab, eB), s"$dir $id a/b")
+        val eNum = eB - eA
+        val eDen = math.max(eA, eB)
+        val eFix = if (eNum < 0) -((1000000L * -eNum) / eDen)
+                   else (1000000L * eNum) / eDen
+        assert((num, den, silFix) == (eNum, eDen, eFix), s"$dir $id sil")
+      }
+      // same honest finding as the dense audit: geometrically arbitrary
+      // labels → mean near zero
+      val mean = out.map(_._8).sum.toDouble / out.length
+      assert(math.abs(mean) < 150000, s"$dir: mean simplified sil $mean")
+      info(f"$dir: mean simplified sil ${mean / 1e6}%.4f")
+    }
+  }
 }
