@@ -409,5 +409,139 @@ object MinHashLSH {
       .orderBy("s_ppm")
   }
 
-  val all: Seq[Q] = Seq(q33, xCharNgram, xMinhashEst, xLshBandTuning)
+  // ---- auto-tuned banding -------------------------------------------
+
+  /** Every (bands, rowsPerBand) factorization of the 32-hash budget with
+    * power-of-two rows (the fppow squaring-chain domain).
+    */
+  val AUTOTUNE_CONFIGS: Seq[(Int, Int)] =
+    Seq((1, 32), (2, 16), (4, 8), (8, 4), (16, 2), (32, 1))
+
+  /** The autotune design point: true near-dups must be caught with
+    * P ≥ R_MIN at similarity S_HI (the corpus' planted-dup regime), and
+    * among qualifying configs the one flooding the verifier least at
+    * noise similarity S_LO wins. All 1e6 fixed point.
+    */
+  val S_HI_PPM = 900000L
+  val S_LO_PPM = 200000L
+  val R_MIN_PPM = 990000L
+
+  /** Driver-side mirror of the SQL fixed-point S-curve (IDENTICAL
+    * integer op sequence: round-half-up after every squaring; operands
+    * are nonnegative so Scala's truncating / equals the SQL div).
+    */
+  private[graft] def fpMulL(a: Long, b: Long): Long =
+    (a * b + 500000L) / 1000000L
+  private[graft] def fpPowL(x: Long, e: Int): Long = {
+    require(e > 0 && (e & (e - 1)) == 0, s"fpPowL: $e not a power of two")
+    if (e == 1) x else { val h = fpPowL(x, e / 2); fpMulL(h, h) }
+  }
+  /** P(candidate | s) = 1 − (1 − s^r)^b in 1e6 fixed point. */
+  private[graft] def sCurvePpm(b: Int, r: Int, sPpm: Long): Long =
+    1000000L - fpPowL(1000000L - fpPowL(sPpm, r), b)
+
+  /** CHOOSE (b, r) from the design targets instead of hard-coding it:
+    * recall floor at S_HI, then minimize the S_LO candidate rate
+    * (verifier load), bands tiebreak. Pure integer — both engines and
+    * the driver compute the identical table, so the choice is
+    * deterministic and auditable (x_lsh_autotune IS that audit).
+    */
+  def chooseBanding(rMinPpm: Long = R_MIN_PPM, sHiPpm: Long = S_HI_PPM,
+      sLoPpm: Long = S_LO_PPM): (Int, Int) = {
+    val ok = AUTOTUNE_CONFIGS.filter { case (b, r) =>
+      sCurvePpm(b, r, sHiPpm) >= rMinPpm }
+    require(ok.nonEmpty, s"no banding of 32 hashes reaches recall " +
+      s"$rMinPpm ppm at s=$sHiPpm ppm — widen the budget")
+    ok.minBy { case (b, r) => (sCurvePpm(b, r, sLoPpm), b) }
+  }
+
+  /** X — LSH banding AUTOTUNE: the operator that PICKS (b, r) from a
+    * target (τ-regime recall, verifier-load minimization) rather than
+    * shipping a hard-coded banding. One row per factorization of the
+    * 32-hash budget: the fixed-point S-curve at the design points
+    * S_HI (planted-dup similarity 0.9) and S_LO (noise 0.2), the recall
+    * qualifier P(S_HI) ≥ 0.99, and the chosen flag — argmin P(S_LO)
+    * among qualifiers. The result DERIVES the shipped 8×4: (4,8) and
+    * narrower miss the recall floor (P(0.9) = 0.894 at (4,8)); (16,2),
+    * (32,1) qualify but flood the verifier at 38×/79× the (8,4) noise
+    * rate. x_neardup_tuned then runs the actual join under the chosen
+    * banding — the choice is exercised, not just printed.
+    *
+    * Exactness: the same 1e6 fixed-point squaring chains as
+    * x_lsh_band_tuning (round-half-up per squaring, identical op
+    * sequence in Scala/Spark/DuckDB — bit-exact by construction).
+    *
+    * Scale posture: model-sized (6 rows); what it buys at 100 TB is
+    * picking the banding BEFORE paying a corpus-wide signature +
+    * re-banding pass for the wrong one.
+    */
+  val xLshAutotune = Q(
+    "x_lsh_autotune", {
+      val div = "//"
+      def chain(sPpm: Long, b: Int, r: Int): String = {
+        // BIGINT seed: DuckDB types a bare 900000 as INT32 and the
+        // squaring chain overflows it
+        val q = s"(1000000 - ${fppow(s"CAST($sPpm AS BIGINT)", r, div)})"
+        s"1000000 - ${fppow(q, b, div)}"
+      }
+      val rows = AUTOTUNE_CONFIGS.map { case (b, r) =>
+        s"""SELECT CAST($b AS BIGINT) AS b, CAST($r AS BIGINT) AS r,
+            CAST(${chain(S_HI_PPM, b, r)} AS BIGINT) AS p_hi_ppm,
+            CAST(${chain(S_LO_PPM, b, r)} AS BIGINT) AS p_lo_ppm"""
+      }.mkString("\n       UNION ALL\n       ")
+      s"""WITH cfg AS ($rows),
+       q AS (SELECT b, r, p_hi_ppm, p_lo_ppm,
+               p_hi_ppm >= $R_MIN_PPM AS qualifies FROM cfg),
+       ch AS (SELECT b AS cb FROM q WHERE qualifies
+              ORDER BY p_lo_ppm, b LIMIT 1)
+       SELECT q.b, q.r, q.p_hi_ppm, q.p_lo_ppm, q.qualifies,
+              q.b = ch.cb AS chosen
+       FROM q, ch ORDER BY q.b"""
+    }) { (s, dir) =>
+    import s.implicits._
+    val (cb, _) = chooseBanding()
+    AUTOTUNE_CONFIGS.map { case (b, r) =>
+      (b.toLong, r.toLong, sCurvePpm(b, r, S_HI_PPM),
+        sCurvePpm(b, r, S_LO_PPM))
+    }.toDF("b", "r", "p_hi_ppm", "p_lo_ppm")
+      .withColumn("qualifies", col("p_hi_ppm") >= R_MIN_PPM)
+      .withColumn("chosen", col("b") === cb.toLong)
+      .orderBy("b")
+  }
+
+  /** X — the near-dup join under the AUTOTUNED banding: q33's exact
+    * machinery with (b, r) = chooseBanding() instead of the hard-coded
+    * constants, against the same brute-force oracle — proving the
+    * derived banding loses no τ-pair on this corpus. (The chooser
+    * derives 8×4 here, so this doubles as a regression pin: if the
+    * design constants drift, either this query's banding changes and
+    * the oracle re-proves it, or the recall floor trips loudly.)
+    */
+  val xNeardupTuned = Q(
+    "x_neardup_tuned",
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+              FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 1))) AS i)
+              WHERE len(t) >= 3),
+       card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+       inter AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS i
+                 FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                 GROUP BY 1, 2)
+       SELECT a_id, b_id, CAST(i AS DOUBLE) / (ca.c + cb.c - i) AS jaccard
+       FROM inter
+       JOIN card ca ON ca.doc_id = a_id
+       JOIN card cb ON cb.doc_id = b_id
+       WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= $TAU
+       ORDER BY a_id, b_id""") { (s, dir) =>
+    val (b, r) = chooseBanding()
+    val sets = wordSetsBase(s, dir)
+    val cand = candidates(bandKeys(signaturesFromSets(sets), b, r))
+    exactJaccardFromSets(cand, sets)
+      .filter(col("jaccard") >= TAU)
+      .orderBy("a_id", "b_id")
+  }
+
+  val all: Seq[Q] =
+    Seq(q33, xCharNgram, xMinhashEst, xLshBandTuning, xLshAutotune,
+      xNeardupTuned)
 }

@@ -59,6 +59,26 @@ class Round12Spec extends AnyFunSuite {
     assert(got("stay") == ((60L, 60L, 0L, 0L)))
   }
 
+  test("LSH autotune: the chooser derives the shipped banding from the " +
+    "design targets, and moves when the design point moves") {
+    val M = graft.llmops.MinHashLSH
+    // first principles -> the shipped 8x4 (not the other way around)
+    assert(M.chooseBanding() == ((M.BANDS, M.ROWS_PER_BAND)))
+    // a softer dup regime (s_hi = 0.7) disqualifies 8x4 (P = 0.889 <
+    // 0.99) and the verifier-load argmin moves to 16x2 — the choice is
+    // live, not a constant in disguise
+    assert(M.chooseBanding(sHiPpm = 700000L) == ((16, 2)))
+    assert(M.sCurvePpm(8, 4, 700000L) < M.R_MIN_PPM)
+    // an impossible floor fails loudly instead of shipping silent recall
+    intercept[IllegalArgumentException] {
+      M.chooseBanding(rMinPpm = 1000001L)
+    }
+    // driver-side curve mirrors the graded fixed-point table at the
+    // shipped config's design points
+    assert(M.sCurvePpm(8, 4, M.S_HI_PPM) == 999804L)
+    assert(M.sCurvePpm(8, 4, M.S_LO_PPM) == 12727L)
+  }
+
   test("pass@k: n < k reports NULL (undefined estimator), not 1.0") {
     val E = graft.llmops.Evals
     val df = Seq((3L, 0L), (3L, 3L), (20L, 5L), (10L, 10L))
