@@ -496,6 +496,75 @@ object Extra {
       .orderBy("o_orderpriority")
   }
 
+  /** X — PARQUET-NATIVE bloom-filter pruning: the format-level twin of
+    * the homegrown manifest machinery (x_manifest_prune / x_zorder_prune
+    * prune at the FILE level from stats the engine wrote beside the
+    * data; this prunes at the ROW-GROUP level from structures inside
+    * the format itself). Stage orders range-clustered on o_custkey with
+    * a bloom filter on o_orderkey — a key the cluster sort SCATTERS, so
+    * every row group's orderkey min/max spans ~the full domain and
+    * stats/column-index skipping is provably useless; the bloom filter
+    * is the only structure that can rule a row group out for a point
+    * lookup. The read is a plain spark.read.parquet + IN filter: Spark
+    * pushes the predicate to parquet-mr, which tests each row group's
+    * bloom before touching its pages (LakeSpec measures rows actually
+    * scanned with the bloom on vs off — same data, same plan, reader
+    * flag flipped). Oracle: the raw-table aggregate — green iff
+    * format-level skipping never drops or double-reads a row.
+    *
+    * At 100 TB this is the point-lookup path: trillions of rows,
+    * petabyte scans reduced to the handful of row groups whose filters
+    * admit the probed keys — no table format required, the structures
+    * live in the parquet footers.
+    */
+  val xParquetBloomPrune = Q(
+    "x_parquet_bloom_prune",
+    """SELECT o_orderpriority, count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+       FROM orders WHERE o_orderkey IN (7, 777, 1477)
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, dir) =>
+    val orders = T(s, dir, "orders")
+    val stage = scratch(s, "pqbloom/orders")
+    graft.sources.Lake.writeClusteredParquetNative(orders, stage, 8,
+      "o_custkey", Seq("o_orderkey" -> 200000L))
+    s.read.parquet(stage)
+      .filter(col("o_orderkey").isin(7L, 777L, 1477L))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), E.sumd(col("o_totalprice")).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** X — parquet PAGE-LEVEL column-index pruning: the intra-row-group
+    * skip the format provides on SORTED columns. Stage orders as ONE
+    * globally-sorted file with 500-row pages — file- and row-group-level
+    * pruning are impossible by construction (there is exactly one of
+    * each), so any reduction in rows scanned is the column index
+    * selecting pages whose [min, max] intersects the band (measured
+    * on/off in LakeSpec via the reader's columnindex flag). Oracle: the
+    * raw-table aggregate.
+    *
+    * Together with x_parquet_bloom_prune this covers the two native
+    * structures Delta/Iceberg OPTIMIZE relies on beneath its own
+    * manifests: sorted-column page indexes for bands, bloom filters for
+    * scattered-key points.
+    */
+  val xParquetPagePrune = Q(
+    "x_parquet_page_prune",
+    """SELECT o_orderpriority, count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+       FROM orders WHERE o_custkey BETWEEN 25 AND 60
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, dir) =>
+    val orders = T(s, dir, "orders")
+    val stage = scratch(s, "pqpage/orders")
+    graft.sources.Lake.writeClusteredParquetNative(orders, stage, 1,
+      "o_custkey", Seq.empty, pageRows = 500)
+    s.read.parquet(stage)
+      .filter(col("o_custkey").between(25L, 60L))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), E.sumd(col("o_totalprice")).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Library form of column profiling: one output row per requested
     * (numeric, decimal-exact) column with count / nulls / distinct /
     * min / max / mean — the data-quality pass a pipeline runs before
@@ -994,7 +1063,8 @@ object Extra {
     Seq(xSessionize, xSampleHash, xStringAgg, xRedact, xRegrAgg, xFillForward,
       xGroupTopK, xApproxPercentile, xResample, xJaroWinkler, xWindowNtile,
       xCsvRoundtrip, xOrcRoundtrip, xProvenance, xUpsert, xManifestPrune,
-      xDatasetDiff, xZorderPrune, xHilbertPrune, xProfile, xModeMedian,
+      xDatasetDiff, xZorderPrune, xHilbertPrune, xParquetBloomPrune,
+      xParquetPagePrune, xProfile, xModeMedian,
       xSchemaEvolution,
       xPositionalJoin, xDistinctOn, xUnionByName, xBucketedJoin, xDenseIds,
       xJsonRoundtrip, xIntervalJoin, xSkyline)

@@ -315,6 +315,38 @@ object Lake {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Clustered write with PARQUET-NATIVE skipping structures beside the
+    * homegrown manifests: per-column bloom filters (for point lookups on
+    * high-cardinality NON-cluster columns, where row-group min/max stats
+    * are useless because the cluster sort scattered the column) and
+    * small row-count-limited pages so the format's page-level COLUMN
+    * INDEX has real granularity on the sorted cluster column.
+    *
+    * Two deliberate writer flags per bloom column:
+    *  - `parquet.bloom.filter.enabled#col` + `expected.ndv#col` — the
+    *    filter itself, sized to the expected distinct count;
+    *  - `parquet.enable.dictionary#col = false` — parquet-mr SKIPS
+    *    writing a bloom filter for a fully dictionary-encoded chunk
+    *    (the dictionary already gives exact membership), and this
+    *    fixture's key column is small enough to dictionary-encode. At
+    *    real scale a 10⁹-distinct key blows the 1 MB dictionary
+    *    threshold and falls back to plain encoding ANYWAY — disabling
+    *    the dictionary reproduces the regime bloom filters exist for.
+    */
+  def writeClusteredParquetNative(df: DataFrame, path: String,
+      numFiles: Int, clusterCol: String, bloomCols: Seq[(String, Long)],
+      pageRows: Int = 1000): Unit = {
+    val base = df.repartitionByRange(numFiles, col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode("overwrite")
+      .option("parquet.page.row.count.limit", pageRows.toString)
+    bloomCols.foldLeft(base) { case (w, (c, ndv)) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+        .option(s"parquet.enable.dictionary#$c", "false")
+    }.parquet(path)
+  }
+
   /** writeClustered + a per-file [lo, hi] manifest over the (numeric)
     * cluster key, written as `_manifest.json` INSIDE the dataset directory
     * (underscore-prefixed → invisible to Spark's file index, so plain

@@ -316,4 +316,109 @@ class LakeSpec extends AnyFunSuite {
     assert(v2._4 == 3 && v2._5 == nDel && v2._6 == nUpd, "diff counts")
     info(s"v1=$n rows, v2=${v2._2} rows, +3/-$nDel/~$nUpd")
   }
+
+  /** Rows the parquet reader actually produced (post format-level
+    * skipping, pre Spark FilterExec) — the measured skip evidence for
+    * the parquet-native pruning tests. AQE is disabled by the caller so
+    * the scan leaf is reachable.
+    */
+  private def scannedRows(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    df.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numOutputRows").value
+    }.sum
+  }
+
+  test("parquet-native bloom filter: written to the footer and measured " +
+    "to skip row groups that stats cannot") {
+    import scala.jdk.CollectionConverters._
+    val sfDir = "/root/testdata/sf0.01"
+    val orders = graft.core.Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val dir = Files.createTempDirectory("graft_pqbloom").toString + "/orders"
+    Lake.writeClusteredParquetNative(orders, dir, 8, "o_custkey",
+      Seq("o_orderkey" -> 200000L))
+    // 1) the filter is physically in every footer (parquet-mr skips
+    //    writing blooms for dictionary-encoded chunks — the per-column
+    //    dictionary disable is load-bearing)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    assert(files.length == 8)
+    var groups = 0
+    files.foreach { f =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f), conf))
+      try rd.getRowGroups.asScala.foreach { bd =>
+        groups += 1
+        val cc = bd.getColumns.asScala
+          .find(_.getPath.toDotString == "o_orderkey").get
+        assert(rd.readBloomFilter(cc) != null, s"$f: no bloom on o_orderkey")
+      } finally rd.close()
+    }
+    // 2) measured skip: same data, same plan, reader bloom flag flipped.
+    //    The cluster sort scatters o_orderkey, so min/max stats and the
+    //    column index are useless for the point probes — any reduction
+    //    is the bloom filter's.
+    val aqePrior = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def probe(bloom: Boolean): Long = scannedRows(
+        spark.read.option("parquet.filter.bloom.enabled", bloom.toString)
+          .parquet(dir)
+          .filter(col("o_orderkey").isin(7L, 777L, 1477L))
+          .groupBy().count())
+      val withBloom = probe(true)
+      val without = probe(false)
+      val total = orders.count()
+      // control: with the bloom off, stats/column-index are near-useless
+      // on the scattered key (a boundary page or two may still trim)
+      assert(without >= total * 95 / 100,
+        s"control: stats/column-index skipped real volume (got $without " +
+          s"of $total) — the scattered-key premise broke")
+      assert(withBloom < total / 2,
+        s"bloom skipped too little: $withBloom of $total")
+      info(s"$groups row groups; rows scanned: bloom=$withBloom, " +
+        s"no-bloom=$without of $total " +
+        f"(${100.0 * (1 - withBloom.toDouble / total)}%.0f%% skipped)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqePrior)
+  }
+
+  test("parquet column index: page-level skipping measured on a sorted " +
+    "single-file layout where file/row-group pruning cannot help") {
+    val sfDir = "/root/testdata/sf0.01"
+    val orders = graft.core.Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val dir = Files.createTempDirectory("graft_pqpage").toString + "/orders"
+    Lake.writeClusteredParquetNative(orders, dir, 1, "o_custkey",
+      Seq.empty, pageRows = 500)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 1, "single file by construction")
+    val aqePrior = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def band(colIdx: Boolean): Long = scannedRows(
+        spark.read
+          .option("parquet.filter.columnindex.enabled", colIdx.toString)
+          .parquet(dir)
+          .filter(col("o_custkey").between(25L, 60L))
+          .groupBy().count())
+      val withIdx = band(true)
+      val without = band(false)
+      val total = orders.count()
+      val trueRows = orders.filter(col("o_custkey").between(25L, 60L)).count()
+      assert(without == total,
+        s"control: without the column index the single row group is " +
+          s"read whole (got $without of $total)")
+      assert(withIdx < total / 4,
+        s"column index skipped too little: $withIdx of $total")
+      assert(withIdx >= trueRows, "pages are a superset of the band's rows")
+      info(s"rows scanned: colindex=$withIdx, off=$without of $total " +
+        s"(band holds $trueRows rows; " +
+        f"${100.0 * (1 - withIdx.toDouble / total)}%.0f%% skipped)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqePrior)
+  }
 }
