@@ -603,8 +603,94 @@ object Governance {
       .orderBy("d")
   }
 
+  /** PII pattern classes (backslash-free regex: identical parse in Java
+    * regex and RE2, so no cross-engine escaping hazard).
+    */
+  val PII_EMAIL = "[a-z0-9._]+@[a-z0-9.-]+[.][a-z]{2,}"
+  val PII_PHONE = "555-[0-9]{4}"
+  val PII_IP = "10[.]0[.][0-9]{1,3}[.][0-9]{1,3}"
+
+  /** X — PII scan + scrub audit: the detect/count/redact/verify pass
+    * every corpus pipeline runs before release (the multi-class
+    * generalization of x_redact's single regexp). The fixture corpus is
+    * synthetic and PII-free, so PII is PLANTED deterministically from
+    * doc_id (the dirtyVocab discipline): every document gets an email,
+    * every third a phone, every 3k+1st an IPv4 — both engines construct
+    * the identical dirty text, so the hash grades detection and
+    * scrubbing, not the plant. Per source: docs, per-class match counts,
+    * and the compliance fact — class-wise re-scan of the SCRUBBED text
+    * finds ZERO leftovers (the x_forget_user zero-leftover shape, at
+    * pattern rather than row granularity).
+    *
+    * Scale posture: pure codegen'd map work (concat, three
+    * regexp_count, three regexp_replace, three re-counts) + one hash agg
+    * to the |source| domain — a free rider on any corpus scan, no
+    * shuffle beyond the card.
+    */
+  val xPiiScan = Q(
+    "x_pii_scan",
+    s"""WITH dirty AS (SELECT doc_id, source,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      ELSE '' END
+              || CASE WHEN doc_id % 3 = 1
+                      THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                           || '.' || CAST((doc_id // 256) % 256 AS VARCHAR)
+                      ELSE '' END AS t
+       FROM documents),
+       hits AS (SELECT source,
+         CAST(len(regexp_extract_all(t, '$PII_EMAIL')) AS BIGINT) AS emails,
+         CAST(len(regexp_extract_all(t, '$PII_PHONE')) AS BIGINT) AS phones,
+         CAST(len(regexp_extract_all(t, '$PII_IP')) AS BIGINT) AS ips,
+         regexp_replace(regexp_replace(regexp_replace(t,
+           '$PII_EMAIL', '[EMAIL]', 'g'),
+           '$PII_PHONE', '[PHONE]', 'g'),
+           '$PII_IP', '[IP]', 'g') AS scrubbed
+       FROM dirty)
+       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(emails) AS BIGINT) AS emails,
+              CAST(sum(phones) AS BIGINT) AS phones,
+              CAST(sum(ips) AS BIGINT) AS ips,
+              CAST(sum(len(regexp_extract_all(scrubbed, '$PII_EMAIL'))
+                     + len(regexp_extract_all(scrubbed, '$PII_PHONE'))
+                     + len(regexp_extract_all(scrubbed, '$PII_IP')))
+                AS BIGINT) AS leftover
+       FROM hits GROUP BY source ORDER BY source""") { (s, dir) =>
+    val dirty = T(s, dir, "documents").select(col("doc_id"), col("source"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 1,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit("."), (expr("doc_id div 256") % 256).cast("string")))
+          .otherwise(lit(""))).as("t"))
+    val hits = dirty.select(col("source"),
+      expr(s"regexp_count(t, '$PII_EMAIL')").cast("long").as("emails"),
+      expr(s"regexp_count(t, '$PII_PHONE')").cast("long").as("phones"),
+      expr(s"regexp_count(t, '$PII_IP')").cast("long").as("ips"),
+      regexp_replace(regexp_replace(regexp_replace(col("t"),
+        PII_EMAIL, "[EMAIL]"),
+        PII_PHONE, "[PHONE]"),
+        PII_IP, "[IP]").as("scrubbed"))
+    hits.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("emails")).as("emails"),
+        sum(col("phones")).as("phones"),
+        sum(col("ips")).as("ips"),
+        sum(expr(s"regexp_count(scrubbed, '$PII_EMAIL')").cast("long") +
+          expr(s"regexp_count(scrubbed, '$PII_PHONE')").cast("long") +
+          expr(s"regexp_count(scrubbed, '$PII_IP')").cast("long"))
+          .as("leftover"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] =
     Seq(xKAnonymity, xKappaAgreement, xEceCalibration, xLDiversity,
       xTCloseness, xDpBudget, xGiniConcentration, xCoverageCurve, xBrierScore,
-      xForgetUser, xBenford)
+      xForgetUser, xBenford, xPiiScan)
 }

@@ -739,8 +739,80 @@ object Relational {
     s.sql(xTpchQ8Sql)
   }
 
+  /** X — TPC-H Q7 shape (volume shipping): the two-nation trade-flow
+    * query where NATION joins twice with a symmetric OR predicate over
+    * the role pair — the disjunctive join condition that tempts engines
+    * into a cartesian nation×nation expansion. Spelled as two
+    * broadcast-able nation joins with the OR evaluated as a post-join
+    * residual; revenue per (supp_nation, cust_nation, ship year) via the
+    * exact decimal-product sum. Shared SQL on both engines.
+    *
+    * Scale posture: nation is a 25-row broadcast in BOTH roles; the only
+    * real shuffle is orders⋈lineitem on the order key; the group domain
+    * is 2 nations × |years| — map-side combine absorbs everything.
+    */
+  private val xTpchQ7Sql =
+    """SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+       FROM (
+         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                l_extendedprice, l_discount
+         FROM supplier
+         JOIN lineitem ON s_suppkey = l_suppkey
+         JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+             OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+       ) shipping
+       GROUP BY supp_nation, cust_nation, l_year
+       ORDER BY supp_nation, cust_nation, l_year"""
+  val xTpchQ7 = Q("x_tpch_q7", xTpchQ7Sql) { (s, dir) =>
+    Seq("lineitem", "orders", "customer", "supplier", "nation")
+      .foreach(n => T(s, dir, n).createOrReplaceTempView(n))
+    s.sql(xTpchQ7Sql)
+  }
+
+  /** X — TPC-H Q10 shape (returned-item reporting): the
+    * revenue-at-risk-per-customer query — a date-windowed 4-table join
+    * restricted to returned lineitems, aggregated at CUSTOMER grain (the
+    * widest group domain in the TPC-H set: |customer|, not |nation| or
+    * |years|), TakeOrdered(20) head on the revenue.
+    *
+    * Scale posture: the date window reaches the orders scan and
+    * l_returnflag = 'R' the lineitem scan (PushedFilters both); nation
+    * broadcasts; the customer-grain agg is the one real shuffle, and the
+    * global top-20 is TakeOrderedAndProject — no full sort. Exact
+    * decimal revenue; revenue-DESC ties broken by c_custkey.
+    */
+  private val xTpchQ10Sql =
+    """SELECT c_custkey, c_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue,
+       n_name
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN nation ON c_nationkey = n_nationkey
+       WHERE l_returnflag = 'R'
+         AND o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1996-07-01'
+       GROUP BY c_custkey, c_name, n_name
+       ORDER BY revenue DESC, c_custkey LIMIT 20"""
+  val xTpchQ10 = Q("x_tpch_q10", xTpchQ10Sql) { (s, dir) =>
+    Seq("lineitem", "orders", "customer", "nation")
+      .foreach(n => T(s, dir, n).createOrReplaceTempView(n))
+    s.sql(xTpchQ10Sql)
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q06b, q07, q07b, q08, q08b, q08c, q08d,
     q09, q10, q10b, q10c, q11, q11b, q11c, q12, q12b, q13, q13b, q14, q15,
-    q16, q16b, q17, q17b, q18, xTpchQ5, xTpchQ18, xTpchQ8)
+    q16, q16b, q17, q17b, q18, xTpchQ5, xTpchQ18, xTpchQ8, xTpchQ7,
+    xTpchQ10)
 }
