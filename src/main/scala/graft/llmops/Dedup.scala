@@ -136,5 +136,65 @@ object Dedup {
       .select(col("doc_id"), col("fp")).distinct()
   }
 
-  val all: Seq[Q] = Seq(q32, xFingerprint, xWinnow)
+  /** X — cross-SOURCE overlap matrix: for every source pair, the count
+    * of shared word-3-shingles and the containment ratio against the
+    * smaller side — the mixture-design table that answers "how much of
+    * source A is already in source B" BEFORE weights are assigned
+    * (upweighting two heavily-overlapping sources double-counts their
+    * shared text; the per-document dedup operators find the pairs, this
+    * finds the structural redundancy between whole collections).
+    *
+    * Pure integers: distinct (source, shingle) sets, pairwise
+    * intersection counts, containment = 1e6·|A∩B| DIV min(|A|,|B|).
+    * Spark shuffles 8-byte shingle DIGESTS, the oracle joins shingle
+    * strings — counts agree modulo 2⁻⁶⁴-probability collisions (the q33
+    * verify precedent).
+    *
+    * Scale posture: one distinct over (source, gram-digest) — the same
+    * stream every dedup pass already materializes — then a self-join
+    * whose per-key fan-out is bounded by |sources| (≤ 20 here; a corpus
+    * has tens of sources, not millions), group domain |sources|²/2. At
+    * 100 TB the same table can be estimated from the per-source KMV
+    * sketches (x_kmv_union's machinery) without the exact join; this is
+    * the exact spelling, feasible because fan-out is source-bounded.
+    */
+  val xSourceOverlap = Q(
+    "x_source_overlap",
+    """WITH words AS (SELECT doc_id, source, string_split(text, ' ') AS t
+              FROM documents),
+       sh AS (SELECT DISTINCT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+              FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 1))) AS i)
+              WHERE len(t) >= 3),
+       card AS (SELECT source, CAST(count(*) AS BIGINT) AS c
+                FROM sh GROUP BY source),
+       inter AS (SELECT a.source AS sa, b.source AS sb,
+                   CAST(count(*) AS BIGINT) AS shared
+                 FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+                 GROUP BY 1, 2)
+       SELECT sa, sb, shared, ca.c AS na, cb.c AS nb,
+              (1000000 * shared) // least(ca.c, cb.c) AS containment_ppm
+       FROM inter
+       JOIN card ca ON ca.source = sa
+       JOIN card cb ON cb.source = sb
+       ORDER BY sa, sb""") { (s, dir) =>
+    val docs = T(s, dir, "documents")
+    val sh = docs.select(col("source"),
+        explode(graft.functions.ArrayOps.wordShingleHashes(col("text"), 3))
+          .as("sh"))
+      .distinct()
+    val card = sh.groupBy(col("source")).agg(count(lit(1)).as("c"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+      .agg(count(lit(1)).as("shared"))
+    inter
+      .join(card.select(col("source").as("sa"), col("c").as("na")), "sa")
+      .join(card.select(col("source").as("sb"), col("c").as("nb")), "sb")
+      .select(col("sa"), col("sb"), col("shared"), col("na"), col("nb"),
+        expr("(1000000 * shared) div least(na, nb)").as("containment_ppm"))
+      .orderBy("sa", "sb")
+  }
+
+  val all: Seq[Q] = Seq(q32, xFingerprint, xWinnow, xSourceOverlap)
 }
