@@ -206,15 +206,20 @@ object Silhouette {
         expr("""cast(round(1000000 * (cast(dxm as double) /
                 (sqrt(cast(dxx as double)) * sqrt(cast(dmm as double)))))
                 as bigint)""").as("cf"))
-    val own = cosg.filter(col("grp") === col("label"))
-      .select(col("vec_id"), col("label"), (lit(1000000L) - col("cf")).as("a_fix"))
-    val oth = cosg.filter(col("grp") =!= col("label"))
-      .withColumn("rr", row_number().over(Window.partitionBy(col("vec_id"))
-        .orderBy(col("cf").desc, col("grp"))))
-      .filter(col("rr") === 1)
-      .select(col("vec_id"), col("grp").as("b_label"),
-        (lit(1000000L) - col("cf")).as("b_fix"))
-    own.join(oth, "vec_id")
+    // ONE aggregation extracts a and the argmin-b from the n×k grid:
+    // min over (d, grp) structs = smallest distance, label tiebreak —
+    // no window, no self-join, and the centroid subtree is evaluated
+    // once (the two-arm filter/join spelling re-planned the whole
+    // centroid aggregation per arm)
+    cosg.groupBy(col("vec_id"), col("label"))
+      .agg(
+        max(when(col("grp") === col("label"), lit(1000000L) - col("cf")))
+          .as("a_fix"),
+        min(when(col("grp") =!= col("label"),
+          struct((lit(1000000L) - col("cf")).as("d"), col("grp").as("g"))))
+          .as("bb"))
+      .select(col("vec_id"), col("label"), col("bb.g").as("b_label"),
+        col("a_fix"), col("bb.d").as("b_fix"))
       .select(col("vec_id"), col("label"), col("b_label"),
         col("a_fix"), col("b_fix"),
         (col("b_fix") - col("a_fix")).as("sil_num"),
