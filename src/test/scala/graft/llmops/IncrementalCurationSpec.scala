@@ -65,6 +65,47 @@ class IncrementalCurationSpec extends AnyFunSuite {
       108L -> "admitted"))
   }
 
+  test("the appended index generation is LIVE: batch 2 dups of batch-1 " +
+    "ADMITTED docs are caught by the updated store") {
+    val b1Clean = words("b1w", 25)
+    val standing = Seq((1L, "en", words("s1w", 25)))
+      .toDF("doc_id", "lang", "text")
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft-inccur-spec3").toString
+    IncrementalCuration.bootstrapIndexes(standing, scratch)
+    val benchGrams = Seq.empty[Long].toDF("g")
+    val eb = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "emb")
+    val benchEmb = Seq.empty[Tuple1[Seq[Double]]].toDF("b_emb")
+
+    // batch 1: one clean doc -> admitted; append it (the graded query's
+    // index-update step)
+    val batch1 = Seq((101L, "en", b1Clean)).toDF("doc_id", "lang", "text")
+    val v1 = IncrementalCuration
+      .batchVerdicts(spark, batch1, scratch, benchGrams, benchEmb, eb)
+      .as[(Long, String, Long, String)].collect()
+    assert(v1.toSeq == Seq((101L, "en", 25L, "admitted")))
+    MinHashLSH.bandIndex(MinHashLSH.wordSets(batch1, 3))
+      .write.mode("append").parquet(s"$scratch/bands")
+    batch1.select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("text")).as("digest"))
+      .write.mode("append").parquet(s"$scratch/digests")
+
+    // batch 2: an exact copy and a near-dup of the batch-1 admit — both
+    // must be rejected BY THE INDEX (they never saw batch 1's rows)
+    val batch2 = Seq(
+      (201L, "en", b1Clean),                 // exact dup of the admit
+      (202L, "en", b1Clean + " extraword"),  // J = 23/24 near-dup of it
+      (203L, "en", words("b2w", 25))         // genuinely new
+    ).toDF("doc_id", "lang", "text")
+    val v2 = IncrementalCuration
+      .batchVerdicts(spark, batch2, scratch, benchGrams, benchEmb, eb)
+      .as[(Long, String, Long, String)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(v2 == Map(201L -> "exact_dup", 202L -> "near_dup",
+      203L -> "admitted"),
+      s"updated index did not serve batch 2: $v2")
+  }
+
   test("stage precedence: a doc failing quality is 'quality' even when " +
     "it also exact-duplicates the standing lake") {
     val shortText = "tiny shared text"
