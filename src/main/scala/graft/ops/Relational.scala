@@ -810,9 +810,131 @@ object Relational {
     s.sql(xTpchQ10Sql)
   }
 
+  /** X — TPC-H Q6 shape (forecast revenue change): the pure
+    * scan-filter-aggregate that exists to measure predicate pushdown —
+    * all three predicates land in `PushedFilters`, no join, no group.
+    * revenue = Σ extprice·discount in exact decimal.
+    */
+  private val xTpchQ6Sql =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+         AS revenue
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate < TIMESTAMP '1997-01-01'
+         AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
+         AND l_quantity < 24"""
+  val xTpchQ6 = Q("x_tpch_q6", xTpchQ6Sql) { (s, dir) =>
+    Seq("lineitem").foreach(n => T(s, dir, n).createOrReplaceTempView(n))
+    s.sql(xTpchQ6Sql)
+  }
+
+  /** X — TPC-H Q13 shape (customer order-count distribution): the
+    * LEFT-join-then-histogram double aggregation — customers with zero
+    * orders must survive into the c_count = 0 bucket, which is exactly
+    * what an inner join silently loses. (The reference Q13 also excludes
+    * a comment pattern; this lake has no comment column, so the shape is
+    * the two-level aggregation itself.) Pure counts — integer-exact.
+    */
+  private val xTpchQ13Sql =
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+         SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey) t
+       GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""
+  val xTpchQ13 = Q("x_tpch_q13", xTpchQ13Sql) { (s, dir) =>
+    Seq("customer", "orders").foreach(n =>
+      T(s, dir, n).createOrReplaceTempView(n))
+    s.sql(xTpchQ13Sql)
+  }
+
+  /** X — TPC-H Q15 shape (top supplier): a revenue view re-consumed
+    * twice — once joined back to supplier, once under a scalar max — so
+    * the equality filter selects the argmax WITHOUT a sort. The equality
+    * compares exact decimals (identical derivation on both engines), the
+    * pattern float revenue would forbid.
+    */
+  private val xTpchQ15Sql =
+    """WITH revenue AS (
+         SELECT l_suppkey AS supplier_no,
+                sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1996-04-01'
+         GROUP BY l_suppkey)
+       SELECT s_suppkey, s_name,
+              CAST(total_revenue AS DOUBLE) AS total_revenue
+       FROM supplier JOIN revenue ON s_suppkey = supplier_no
+       WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+       ORDER BY s_suppkey"""
+  val xTpchQ15 = Q("x_tpch_q15", xTpchQ15Sql) { (s, dir) =>
+    Seq("lineitem", "supplier").foreach(n =>
+      T(s, dir, n).createOrReplaceTempView(n))
+    s.sql(xTpchQ15Sql)
+  }
+
+  /** X — TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    * per-part average threshold (l_quantity < 0.2·avg over the part),
+    * CROSS-MULTIPLIED to the exact decimal comparison 5·qty·n < Σqty so
+    * no division ever happens — the x_mannwhitney discipline applied to
+    * TPC-H's own correlated-subquery benchmark. The per-part (Σ, n)
+    * table replaces the correlated scalar subquery with one hash agg +
+    * join (what a decorrelating optimizer produces anyway).
+    */
+  private val xTpchQ17Sql =
+    """WITH pq AS (SELECT l_partkey AS pk,
+                sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+                CAST(count(*) AS BIGINT) AS nq
+              FROM lineitem GROUP BY 1)
+       SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                / 7.0 AS avg_yearly
+       FROM lineitem
+       JOIN part ON p_partkey = l_partkey
+       JOIN pq ON pk = l_partkey
+       WHERE p_brand = 'Brand#23'
+         AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * nq < sq"""
+  val xTpchQ17 = Q("x_tpch_q17", xTpchQ17Sql) { (s, dir) =>
+    Seq("lineitem", "part").foreach(n =>
+      T(s, dir, n).createOrReplaceTempView(n))
+    s.sql(xTpchQ17Sql)
+  }
+
+  /** X — TPC-H Q22 shape (global-customer-sentiment): eligible customers
+    * hold an above-global-average balance (the cross-engine trap: avg is
+    * a division — cross-multiplied to bal·n > Σ over the positive
+    * balances) and have gone dormant (anti join: no order since 2000 —
+    * adapted from the reference's no-order-ever, which is empty on this
+    * lake where every customer ordered; the phone-prefix country code
+    * becomes a nationkey bucket for the same reason). Counts + exact
+    * decimal balance sums per bucket.
+    */
+  private val xTpchQ22Sql =
+    """WITH pos AS (
+         SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s,
+                CAST(count(*) AS BIGINT) AS n
+         FROM customer WHERE c_acctbal > 0.0),
+       eligible AS (
+         SELECT c_custkey, c_nationkey,
+                CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+         FROM customer, pos
+         WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderdate >= TIMESTAMP '2000-01-01'))
+       SELECT c_nationkey % 5 AS cntry_bucket,
+              CAST(count(*) AS BIGINT) AS numcust,
+              CAST(sum(bal) AS DOUBLE) AS totacctbal
+       FROM eligible GROUP BY 1 ORDER BY 1"""
+  val xTpchQ22 = Q("x_tpch_q22", xTpchQ22Sql) { (s, dir) =>
+    Seq("customer", "orders").foreach(n =>
+      T(s, dir, n).createOrReplaceTempView(n))
+    s.sql(xTpchQ22Sql)
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q06b, q07, q07b, q08, q08b, q08c, q08d,
     q09, q10, q10b, q10c, q11, q11b, q11c, q12, q12b, q13, q13b, q14, q15,
     q16, q16b, q17, q17b, q18, xTpchQ5, xTpchQ18, xTpchQ8, xTpchQ7,
-    xTpchQ10)
+    xTpchQ10, xTpchQ6, xTpchQ13, xTpchQ15, xTpchQ17, xTpchQ22)
 }
