@@ -541,7 +541,85 @@ object MinHashLSH {
       .orderBy("a_id", "b_id")
   }
 
+  /** X — the dedup-threshold OPERATING CURVE: what each candidate τ
+    * would actually do to this corpus — pair count, documents dropped
+    * (higher id of any qualifying pair, the stage-5 greedy), and corpus
+    * retention — for τ ∈ {0.5 … 0.9}, all from ONE pair computation
+    * (every row of the curve is a cumulative slice of the τ=0.5 pair
+    * set, which q33's green oracle proves banding captures exhaustively
+    * on this corpus). x_lsh_autotune picks the banding from the S-curve
+    * MODEL; this picks τ from the CORPUS — the two tables a dedup
+    * deployment writes down before shipping either knob.
+    *
+    * Exact: J ≥ τ spelled cross-multiplied (10·inter ≥ t10·union) — no
+    * division; retention is the 1e6 integer quotient.
+    *
+    * Scale posture: the pair set is the capped-LSH candidate stream
+    * (never all-pairs); the ×5 threshold expansion multiplies PAIRS
+    * (already a sliver of the corpus), and the curve's group domain is
+    * 5 rows. The corpus-size scalar is one count.
+    *
+    * Measured finding on THIS lake (asserted in LlmOpsSpec): the curve
+    * is nearly flat — ≥96% of near-dup pairs sit at J ≥ 0.9 (27/28 at
+    * sf0.001, 25/25 at sf0.01: the fixture plants full-text variants
+    * with almost no mid-similarity tail), so the τ knob is close to
+    * free here. That is the kind of fact the table exists to surface:
+    * on a real web corpus the retention column falls as τ drops and
+    * the curve prices the trade.
+    */
+  val xDedupThresholdCurve = Q(
+    "x_dedup_threshold_curve",
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+              FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 1))) AS i)
+              WHERE len(t) >= 3),
+       card AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS c FROM sh GROUP BY doc_id),
+       inter AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+                   CAST(count(*) AS BIGINT) AS i
+                 FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                 GROUP BY 1, 2),
+       pairs AS (SELECT a_id, b_id, i, ca.c + cb.c - i AS u
+                 FROM inter
+                 JOIN card ca ON ca.doc_id = a_id
+                 JOIN card cb ON cb.doc_id = b_id
+                 WHERE 10 * i >= 5 * (ca.c + cb.c - i)),
+       taus AS (SELECT CAST(unnest(generate_series(5, 9)) AS BIGINT) AS tau_x10),
+       hit AS (SELECT tau_x10, a_id, b_id FROM pairs, taus
+               WHERE 10 * i >= tau_x10 * u),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+       SELECT tau_x10, CAST(count(*) AS BIGINT) AS n_pairs,
+              CAST(count(DISTINCT b_id) AS BIGINT) AS n_losers,
+              (1000000 * (tot.n - count(DISTINCT b_id))) // tot.n
+                AS retention_ppm
+       FROM hit, tot GROUP BY tau_x10, tot.n ORDER BY tau_x10""") { (s, dir) =>
+    val docs = T(s, dir, "documents")
+    val sets = wordSetsBase(s, dir)
+    val cand = candidates(bandKeys(signaturesFromSets(sets)))
+    val pairs = cand
+      .join(sets.select(col("doc_id").as("a_id"), col("hs").as("ha"),
+        col("c").as("ca")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("hs").as("hb"),
+        col("c").as("cb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        graft.functions.ArrayOps.sortedIntersectCount(col("ha"), col("hb"))
+          .as("i"), col("ca"), col("cb"))
+      .select(col("a_id"), col("b_id"), col("i"),
+        (col("ca") + col("cb") - col("i")).as("u"))
+      .filter(lit(10L) * col("i") >= lit(5L) * col("u"))
+    val taus = s.range(5, 10).select(col("id").as("tau_x10"))
+    val n = docs.count()
+    pairs.crossJoin(broadcast(taus))
+      .filter(lit(10L) * col("i") >= col("tau_x10") * col("u"))
+      .groupBy(col("tau_x10"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("b_id")).as("n_losers"))
+      .select(col("tau_x10"), col("n_pairs"), col("n_losers"),
+        expr(s"(1000000 * (${n}L - n_losers)) div ${n}L")
+          .as("retention_ppm"))
+      .orderBy("tau_x10")
+  }
+
   val all: Seq[Q] =
     Seq(q33, xCharNgram, xMinhashEst, xLshBandTuning, xLshAutotune,
-      xNeardupTuned)
+      xNeardupTuned, xDedupThresholdCurve)
 }

@@ -241,4 +241,25 @@ class LlmOpsSpec extends AnyFunSuite {
         ("img_doc_107.png", 64, 48)))
     assert(feats.forall(_.getString(5).matches("[0-9a-f]{32}")))
   }
+
+  test("dedup threshold curve: cumulative slices of one pair set, and " +
+    "the documented plateau is a corpus fact (all pairs J >= 0.9)") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = MinHashLSH.xDedupThresholdCurve.build(spark, dir)
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+      assert(rows.map(_._1).toSeq == Seq(5L, 6L, 7L, 8L, 9L))
+      // cumulative: pair/loser counts are non-increasing in tau,
+      // retention non-decreasing
+      rows.sliding(2).foreach { case Array(a, b) =>
+        assert(b._2 <= a._2 && b._3 <= a._3 && b._4 >= a._4)
+      case _ => }
+      // the near-plateau: >=96% of this lake's planted pairs sit at
+      // J >= 0.9 (27/28 at sf0.001, 25/25 at sf0.01) — if the fixture
+      // grows a real mid-similarity tail this flags the scaladoc finding
+      assert(rows.last._2 * 100 >= rows.head._2 * 96,
+        s"$dir: curve grew a mid-similarity tail — update the scaladoc")
+      info(s"$dir: ${rows.head._2} pairs at tau=0.5 -> ${rows.last._2} " +
+        s"at tau=0.9; retention ${rows.head._4}..${rows.last._4} ppm")
+    }
+  }
 }
