@@ -436,7 +436,160 @@ object Curation {
       .orderBy("source")
   }
 
+  /** X — per-BENCHMARK decontamination attribution: real pipelines hold
+    * out a SUITE of benchmarks, and "the corpus is contaminated" is not
+    * actionable until you know WHICH benchmark leaks through WHICH
+    * source — that row decides whether to drop documents or to re-split
+    * the benchmark. The holdout is partitioned into three suites by the
+    * same md5 machinery that defines it (prefix thirds), and each
+    * (suite, source) cell reports contaminated train docs + distinct
+    * verbatim-8-gram hits. A train doc can be contaminated by several
+    * suites; each attribution is its own row — the sum over suites
+    * intentionally exceeds the x_ngram_contamination doc count.
+    *
+    * Scale posture: identical to x_ngram_contamination (gram digests
+    * cross the membership join; the suite label rides the bench side) —
+    * the attribution grain adds |suites| to the group key, nothing to
+    * the data volume.
+    */
+  val xBenchAttribution = Q(
+    "x_bench_attribution",
+    s"""WITH words AS (SELECT doc_id, source, string_split(text, ' ') AS t
+              FROM documents),
+       sh AS (SELECT DISTINCT doc_id, source, ${gramSql(K)} AS sh
+              FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - ${K - 1}, 1))) AS i)
+              WHERE len(t) >= $K),
+       split AS (SELECT doc_id,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h
+                 FROM documents),
+       bench AS (SELECT DISTINCT
+                   CASE WHEN split.h <= '07' THEN 'suiteA'
+                        WHEN split.h <= '0f' THEN 'suiteB'
+                        ELSE 'suiteC' END AS suite, sh.sh
+                 FROM sh JOIN split USING (doc_id)
+                 WHERE split.h <= '19'),
+       hits AS (SELECT bench.suite, sh.source, sh.doc_id, sh.sh
+                FROM sh JOIN split USING (doc_id)
+                JOIN bench ON sh.sh = bench.sh
+                WHERE split.h > '19')
+       SELECT suite, source,
+              CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_contam,
+              CAST(count(DISTINCT sh) AS BIGINT) AS n_grams_hit
+       FROM hits GROUP BY suite, source ORDER BY suite, source""") { (s, dir) =>
+    val docs = T(s, dir, "documents")
+    val pre = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val grams = docs.select(col("doc_id"), col("source"), pre.as("h"),
+      explode(graft.functions.ArrayOps.wordShingleHashes(col("text"), K))
+        .as("g"))
+    val bench = grams.filter(col("h") <= "19")
+      .select(when(col("h") <= "07", "suiteA")
+        .when(col("h") <= "0f", "suiteB")
+        .otherwise("suiteC").as("suite"), col("g"))
+      .distinct()
+    grams.filter(col("h") > "19")
+      .select(col("doc_id"), col("source"), col("g"))
+      .join(bench, "g")
+      .groupBy(col("suite"), col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_contam"),
+        countDistinct(col("g")).as("n_grams_hit"))
+      .orderBy("suite", "source")
+  }
+
+  /** X — quality-gate ABLATION: per rule of the C4/Gopher keep-gate
+    * (token floor, stopword-ratio cap, 3-gram repetition cap), how many
+    * documents it fails and how many it SOLELY fails — the table that
+    * says which rule is doing the work and which is redundant before
+    * anyone retunes a threshold (a rule with n_sole_fail = 0 can be
+    * dropped without changing the kept corpus). Same constants as
+    * x_quality_rules / x_full_curation stage 3.
+    *
+    * Pure counts from one scan + the 3-gram bag agg; the 3-row reshape
+    * is a driver-side literal union, never a shuffle.
+    */
+  val xQualityAblation = Q(
+    "x_quality_ablation", {
+      import FullCuration.{MIN_TOKENS, REP_MAX, STOP_MAX}
+      import TextStats.{sqlList, stopEn}
+      s"""WITH q AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(string_split(text, ' '),
+               w -> w IN (${sqlList(stopEn)}))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stop_ratio
+           FROM documents),
+       w3 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sh3 AS (SELECT doc_id, ${gramSql(3)} AS sh
+               FROM w3, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 1))) AS i)
+               WHERE len(t) >= 3),
+       rep AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS rep_ratio
+               FROM (SELECT doc_id, sh, count(*) AS c FROM sh3 GROUP BY 1, 2)
+               GROUP BY 1),
+       f AS (SELECT q.doc_id,
+               q.n_tokens < $MIN_TOKENS AS f_tok,
+               q.stop_ratio > $STOP_MAX AS f_stop,
+               coalesce(rep.rep_ratio, 0) > $REP_MAX AS f_rep
+             FROM q LEFT JOIN rep USING (doc_id)),
+       agg AS (SELECT
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN NOT f_tok AND NOT f_stop AND NOT f_rep
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(sum(CASE WHEN f_tok THEN 1 ELSE 0 END) AS BIGINT) AS tok_f,
+           CAST(sum(CASE WHEN f_tok AND NOT f_stop AND NOT f_rep
+                         THEN 1 ELSE 0 END) AS BIGINT) AS tok_s,
+           CAST(sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS stop_f,
+           CAST(sum(CASE WHEN f_stop AND NOT f_tok AND NOT f_rep
+                         THEN 1 ELSE 0 END) AS BIGINT) AS stop_s,
+           CAST(sum(CASE WHEN f_rep THEN 1 ELSE 0 END) AS BIGINT) AS rep_f,
+           CAST(sum(CASE WHEN f_rep AND NOT f_tok AND NOT f_stop
+                         THEN 1 ELSE 0 END) AS BIGINT) AS rep_s
+         FROM f)
+       SELECT 'repetition' AS rule, rep_f AS n_fail, rep_s AS n_sole_fail,
+              n_docs, n_pass FROM agg
+       UNION ALL
+       SELECT 'stopword_ratio', stop_f, stop_s, n_docs, n_pass FROM agg
+       UNION ALL
+       SELECT 'token_floor', tok_f, tok_s, n_docs, n_pass FROM agg
+       ORDER BY rule"""
+    }) { (s, dir) =>
+    import FullCuration.{MIN_TOKENS, REP_MAX, STOP_MAX}
+    import TextStats.stopEn
+    val docs = T(s, dir, "documents")
+    val words = split(col("text"), " ")
+    val q = docs.select(col("doc_id"),
+      size(words).cast("long").as("n_tokens"),
+      (size(filter(words, w => w.isInCollection(stopEn))).cast("double") /
+        size(words)).as("stop_ratio"))
+    val rep = Shingles.wordShingles(docs.select(col("doc_id"), col("text")),
+        3, distinct = false)
+      .groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("c")).cast("double") / sum(col("c"))).as("rep_ratio"))
+    val f = q.join(rep, Seq("doc_id"), "left")
+      .select((col("n_tokens") < MIN_TOKENS).as("f_tok"),
+        (col("stop_ratio") > STOP_MAX).as("f_stop"),
+        (coalesce(col("rep_ratio"), lit(0.0)) > REP_MAX).as("f_rep"))
+    val agg = f.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(!col("f_tok") && !col("f_stop") && !col("f_rep"), 1L)
+        .otherwise(0L)).as("n_pass"),
+      sum(when(col("f_tok"), 1L).otherwise(0L)).as("tok_f"),
+      sum(when(col("f_tok") && !col("f_stop") && !col("f_rep"), 1L)
+        .otherwise(0L)).as("tok_s"),
+      sum(when(col("f_stop"), 1L).otherwise(0L)).as("stop_f"),
+      sum(when(col("f_stop") && !col("f_tok") && !col("f_rep"), 1L)
+        .otherwise(0L)).as("stop_s"),
+      sum(when(col("f_rep"), 1L).otherwise(0L)).as("rep_f"),
+      sum(when(col("f_rep") && !col("f_tok") && !col("f_stop"), 1L)
+        .otherwise(0L)).as("rep_s"))
+    agg.select(lit("repetition").as("rule"), col("rep_f").as("n_fail"),
+        col("rep_s").as("n_sole_fail"), col("n_docs"), col("n_pass"))
+      .unionAll(agg.select(lit("stopword_ratio"), col("stop_f"),
+        col("stop_s"), col("n_docs"), col("n_pass")))
+      .unionAll(agg.select(lit("token_floor"), col("tok_f"),
+        col("tok_s"), col("n_docs"), col("n_pass")))
+      .orderBy("rule")
+  }
+
   val all: Seq[Q] = Seq(xNgramContamination, xMixSample, xDomainCap,
     xDatasetCard, xNgramNovelty, xTemperatureMix, xPrioritySample,
-    xEpochSchedule)
+    xEpochSchedule, xBenchAttribution, xQualityAblation)
 }
