@@ -498,12 +498,22 @@ object MinHashLSH {
               q.b = ch.cb AS chosen
        FROM q, ch ORDER BY q.b"""
     }) { (s, dir) =>
-    import s.implicits._
+    // the curve is computed BY THE ENGINE (the same unrolled fixed-point
+    // squaring chains the oracle runs — Catalyst constant-folds them,
+    // which is the point: identical integer op sequence, zero runtime
+    // cost); only the argmin choice is driver logic, and the spec pins
+    // it to the engine table
+    def chain(sPpm: Long, b: Int, r: Int): String = {
+      val q = s"(1000000 - ${fppow(s"CAST($sPpm AS BIGINT)", r, "DIV")})"
+      s"1000000 - ${fppow(q, b, "DIV")}"
+    }
+    val rows = AUTOTUNE_CONFIGS.map { case (b, r) =>
+      s"""SELECT CAST($b AS BIGINT) AS b, CAST($r AS BIGINT) AS r,
+          CAST(${chain(S_HI_PPM, b, r)} AS BIGINT) AS p_hi_ppm,
+          CAST(${chain(S_LO_PPM, b, r)} AS BIGINT) AS p_lo_ppm"""
+    }.mkString(" UNION ALL ")
     val (cb, _) = chooseBanding()
-    AUTOTUNE_CONFIGS.map { case (b, r) =>
-      (b.toLong, r.toLong, sCurvePpm(b, r, S_HI_PPM),
-        sCurvePpm(b, r, S_LO_PPM))
-    }.toDF("b", "r", "p_hi_ppm", "p_lo_ppm")
+    s.sql(rows)
       .withColumn("qualifies", col("p_hi_ppm") >= R_MIN_PPM)
       .withColumn("chosen", col("b") === cb.toLong)
       .orderBy("b")
