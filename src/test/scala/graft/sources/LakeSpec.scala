@@ -373,6 +373,14 @@ class LakeSpec extends AnyFunSuite {
       val withBloom = probe(true)
       val without = probe(false)
       val total = orders.count()
+      // negative control: keys absent from the data — every row group's
+      // bloom answers definite-no, so the scan reads NOTHING
+      val absent = scannedRows(
+        spark.read.option("parquet.filter.bloom.enabled", "true")
+          .parquet(dir)
+          .filter(col("o_orderkey").isin(-1L, -2L, -3L))
+          .groupBy().count())
+      assert(absent == 0, s"absent-key probe scanned $absent rows")
       // control: with the bloom off, stats/column-index are near-useless
       // on the scattered key (a boundary page or two may still trim)
       assert(without >= total * 95 / 100,
