@@ -1142,8 +1142,61 @@ object TextStats {
       .limit(10)
   }
 
+  /** X — code-switching screen: per document, how MIXED the
+    * language-stopword vote is — monolingual-corpus curation drops (or
+    * routes) documents whose second-language share is material, a
+    * different decision than x_lang_id's argmax label (a doc can be
+    * confidently 'en' by vote and still be 30% German). Pure rationals:
+    * mixedness = 1e6·(total − top) DIV total and the flag is the
+    * cross-multiplied 10·(total − top) ≥ 3·total — no division until
+    * the fixed-point readout. Vote-free docs keep mixed_ppm NULL (the
+    * ratio is undefined) and flag false — no evidence of mixing is not
+    * evidence of it.
+    *
+    * Scale posture: a pure codegen'd map over the scan (the same four
+    * stopword-filter expressions x_lang_id evaluates) — a free rider on
+    * any corpus pass, no shuffle beyond the output order.
+    */
+  val xCodeSwitch = Q(
+    "x_code_switch",
+    s"""WITH scored AS (
+         SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), w -> w IN (${sqlList(stopEn)}))) AS BIGINT) AS s_en,
+           CAST(len(list_filter(string_split(text, ' '), w -> w IN (${sqlList(stopDe)}))) AS BIGINT) AS s_de,
+           CAST(len(list_filter(string_split(text, ' '), w -> w IN (${sqlList(stopEs)}))) AS BIGINT) AS s_es,
+           CAST(len(list_filter(string_split(text, ' '), w -> w IN (${sqlList(stopFr)}))) AS BIGINT) AS s_fr
+         FROM documents),
+       t AS (SELECT doc_id, s_en + s_de + s_es + s_fr AS tot,
+               greatest(s_en, s_de, s_es, s_fr) AS mx
+             FROM scored)
+       SELECT doc_id, tot AS n_votes, mx AS top_votes,
+              CASE WHEN tot = 0 THEN NULL
+                   ELSE (1000000 * (tot - mx)) // tot END AS mixed_ppm,
+              CASE WHEN tot = 0 THEN false
+                   ELSE 10 * (tot - mx) >= 3 * tot END AS code_switched
+       FROM t ORDER BY doc_id""") { (s, dir) =>
+    val words = split(col("text"), " ")
+    def score(ws: Seq[String]) =
+      size(filter(words, w => w.isInCollection(ws))).cast("long")
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        score(stopEn).as("s_en"), score(stopDe).as("s_de"),
+        score(stopEs).as("s_es"), score(stopFr).as("s_fr"))
+      .select(col("doc_id"),
+        (col("s_en") + col("s_de") + col("s_es") + col("s_fr")).as("tot"),
+        greatest(col("s_en"), col("s_de"), col("s_es"), col("s_fr")).as("mx"))
+      .select(col("doc_id"), col("tot").as("n_votes"),
+        col("mx").as("top_votes"),
+        when(col("tot") === 0, lit(null).cast("long"))
+          .otherwise(expr("(1000000 * (tot - mx)) div tot")).as("mixed_ppm"),
+        when(col("tot") === 0, lit(false))
+          .otherwise(lit(10L) * (col("tot") - col("mx")) >= lit(3L) * col("tot"))
+          .as("code_switched"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q35, q35b, xTfIdf, xQuality, xTokenCount, xLangId,
     xRepetition, xQualityRules, xWordEntropy, xHashEmbed, xBm25, xDsirWeights,
     xRrfFusion, xQualityEnsemble, xReadability, xDiversityIndex, xZipfFit,
-    xBurstiness, xRakeKeywords, xTailIndex, xLogOdds)
+    xBurstiness, xRakeKeywords, xTailIndex, xLogOdds, xCodeSwitch)
 }
