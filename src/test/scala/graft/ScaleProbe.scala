@@ -904,7 +904,11 @@ object ScaleProbe {
         val t0 = System.nanoTime()
         val blocked = graft.llmops.EntityResolution.fuzzyPairs2(v).count()
         val tb = (System.nanoTime() - t0) / 1e9
-        val (brute, tr) = if (k <= 2) {
+        // routine runs stop brute at k=2 (quadratic); SPARK_GRAFT_BRUTE_CAP=4
+        // measures the expensive endpoint on demand
+        val bruteCap = sys.env.get("SPARK_GRAFT_BRUTE_CAP")
+          .map(_.toInt).getOrElse(2)
+        val (brute, tr) = if (k <= bruteCap) {
           val t1 = System.nanoTime()
           val b = v.select(col("w").as("a"))
             .join(v.select(col("w").as("b")), col("a") < col("b"))
