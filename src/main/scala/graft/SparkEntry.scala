@@ -39,7 +39,9 @@ object SparkEntry {
       llmops.Kmv.all ++ llmops.Quantize.all ++ llmops.Coreset.all ++
       llmops.LabelProp.all ++ llmops.Silhouette.all ++
       llmops.Graph.all ++
-      llmops.SetSim.all ++ sources.Compaction.all ++ sources.TimeTravel.all
+      llmops.SetSim.all ++ sources.Compaction.all ++ sources.TimeTravel.all ++
+      sources.ConcurrentCommit.all ++ pipeline.ParseAudit.all ++
+      pipeline.GoldMaintenance.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

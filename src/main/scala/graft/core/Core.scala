@@ -141,6 +141,17 @@ object Scratch {
     p
   }
   def path(name: String): String = s"$root/$name"
+
+  /** A fresh directory per invocation under the SAME swept root, for
+    * stores that accumulate state and must not be reused in place
+    * (version stores, standing indexes). One JVM-wide shutdown hook
+    * total (round-12 advice: a hook registered per invocation
+    * accumulates hooks across bench reps); disk still grows per
+    * invocation by design — a build's returned DataFrame reads its
+    * store lazily, so an eager delete would race the driver's re-read.
+    */
+  def fresh(prefix: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(root, prefix)
 }
 
 object CacheBin {

@@ -47,7 +47,14 @@ import graft.functions.{ArrayOps, TextNormalize}
   *                       exact-Jaccard verify at τ on the full text;
   *                       higher doc_id of every pair drops. The oracle
   *                       spells brute-force Jaccard — exact verification
-  *                       makes banding a pure cost knob
+  *                       makes banding a pure cost knob for PRECISION;
+  *                       RECALL still rides the 8×4 S-curve (per-pair
+  *                       catch probability ≈40% at J = τ = 0.5), so the
+  *                       brute-oracle match holds because the fixture's
+  *                       real pairs sit at J ≥ 0.9 where the curve is
+  *                       ≈1 (the LlmOpsSpec plateau guard asserts this;
+  *                       a mid-similarity fixture would need wider
+  *                       banding or an x_lsh_autotune-derived (b,r))
   *   6. line dedup     — cross-document boilerplate lines (≥2 distinct
   *                       docs) removed, documents reassembled, token
   *                       floor RE-applied (stub docs that lost most

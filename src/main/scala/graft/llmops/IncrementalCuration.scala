@@ -92,16 +92,16 @@ object IncrementalCuration {
   import FullCuration.{K_GRAM, MIN_TOKENS, REP_MAX, STOP_MAX, MAX_BUCKET, gramSql}
   import TextStats.{sqlList, stopEn}
 
-  private def freshScratch(): java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft_inccur")
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(p.toFile)
-    }
-    p
-  }
+  /** Fresh per-invocation index root under graft.core.Scratch's single
+    * swept parent (round-12 advice: the previous per-invocation
+    * shutdown-hook registration accumulated one hook + one on-disk index
+    * copy per bench rep until JVM exit; the shared parent bounds hooks
+    * at one — disk still grows per invocation by design, since a build's
+    * returned DataFrame reads the index lazily and an eager delete would
+    * race the driver's re-read).
+    */
+  private def freshScratch(): java.nio.file.Path =
+    graft.core.Scratch.fresh("graft_inccur")
 
   /** Bootstrap the standing lake's persisted indexes: the distinct
     * digest index and the (doc_id, band, bh, hs, c) band index. In

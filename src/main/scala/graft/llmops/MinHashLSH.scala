@@ -604,7 +604,11 @@ object MinHashLSH {
        FROM hit, tot GROUP BY tau_x10, tot.n ORDER BY tau_x10""") { (s, dir) =>
     val docs = T(s, dir, "documents")
     val sets = wordSetsBase(s, dir)
-    val cand = candidates(bandKeys(signaturesFromSets(sets)))
+    // capped, like the incremental path: the scale-posture claim above
+    // ("the pair set is the capped-LSH candidate stream") is only true
+    // if the hot-bucket cap is actually applied (round-12 advice)
+    val cand = cappedCandidates(bandKeys(signaturesFromSets(sets)),
+      FullCuration.MAX_BUCKET)
     val pairs = cand
       .join(sets.select(col("doc_id").as("a_id"), col("hs").as("ha"),
         col("c").as("ca")), "a_id")

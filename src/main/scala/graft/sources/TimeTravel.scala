@@ -42,16 +42,8 @@ object TimeTravel {
     * and the audit re-read. Shutdown-hook cleanup, not eager — the
     * audit DataFrame reads the store lazily.
     */
-  private def freshRoot(): java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft_ttravel")
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(p.toFile)
-    }
-    p
-  }
+  private def freshRoot(): java.nio.file.Path =
+    graft.core.Scratch.fresh("graft_ttravel")
 
   val xTimeTravel = Q(
     "x_time_travel",

@@ -929,6 +929,10 @@ object ScaleProbe {
       val emb0 = graft.llmops.VectorSearch
         .embeddingsBase(spark, "/root/testdata/sf0.1")
         .select(col("vec_id"), col("label"), col("emb"))
+      // the O(n²) dense arm stops at k=5 by default (the k=10 endpoint
+      // is quadratic and only needed when re-measuring the full growth
+      // table — raise the cap explicitly, the fuzzy2 bruteCap pattern)
+      val denseCap = sys.env.getOrElse("SPARK_GRAFT_SIL_DENSE_CAP", "5").toInt
       for (k <- Seq(1, 2, 5, 10)) {
         val emb = (0 until k).map(i => emb0.select(
           (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
@@ -937,7 +941,7 @@ object ScaleProbe {
         val t1 = System.nanoTime()
         val simp = graft.llmops.Silhouette.simplifiedSilhouette(emb).count()
         val ts = (System.nanoTime() - t1) / 1e9
-        val (dense, td) = if (k <= 10) {
+        val (dense, td) = if (k <= denseCap) {
           val t0 = System.nanoTime()
           val e = emb.select(col("vec_id"), col("label"),
             graft.functions.ArrayOps.l2normalize(col("emb")).as("n_emb"))
