@@ -1391,7 +1391,190 @@ object VectorSearch {
       .orderBy("probe_id", "rank")
   }
 
+  // ---- Filtered (hybrid) ANN: attribute-constrained vector search ----
+  // Production vector search is almost always metadata-constrained
+  // ("results in my language", a date window, a source filter). Two
+  // standard spellings over the same IVF-PQ index:
+  //   PRE-filter — the predicate prunes CODE rows before ADC scoring
+  //     (the attribute is a STORED column of the code table, exactly as
+  //     a production index keeps filterable attributes beside the
+  //     codes); scanned work ≈ selectivity × nprobe/nlists × corpus,
+  //     and the shortlist is all-matching by construction.
+  //   POST-filter — the unfiltered search over-fetches a k′-sized
+  //     shortlist and filters afterwards; no index change needed, but
+  //     recall decays when k′ × selectivity < k (the shortlist fills
+  //     with non-matching near neighbors). Measured on this corpus
+  //     (FannProbe, docs/SCALING.md): at 10% selectivity the unfiltered
+  //     k′ = 64 shortlist collapses to worst-probe 0.2 at sf0.1;
+  //     k′ ≈ 2.5 × k/selectivity = 256 restores ≥ 0.8.
+
+  /** The constraint: each probe restricts results to its OWN label (the
+    * "my language" shape — per-probe predicate, 10% selective here).
+    */
+  private def probeConstraints(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("label").as("p_label"),
+        col("n_emb").as("q_emb"))
+
+  /** Exact filtered twin + per-probe hit accounting, the rerankAndRecall
+    * contract under a per-probe predicate: ground truth = exact cosine
+    * top-10 among label-matching vectors; recall denominator
+    * k_true = min(10, #matching) (a 5-matching corpus slice can only
+    * ever yield 5 hits). Returns (probe_id, strategy, hits, k_true) so
+    * the FANN sweep (FannProbe) can print the recall surface; the graded
+    * query reduces it to the integer cross-multiplied bar.
+    */
+  private[llmops] def filteredRecallStats(e: DataFrame, short: DataFrame,
+      strategy: String): DataFrame = {
+    val probes = probeConstraints(e)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val approx = short
+      .join(e, Seq("vec_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .filter(col("label") === col("p_label")) // no-op for the pre-filter arm
+      .select(col("probe_id"), col("vec_id"),
+        dot(col("n_emb"), col("q_emb")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("probe_id"), col("vec_id"))
+    val exact = e
+      .join(broadcast(probes), e("label") === probes("p_label"))
+      .select(col("probe_id"), col("vec_id"),
+        dot(col("n_emb"), col("q_emb")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("probe_id"), col("vec_id"))
+    val kTrue = exact.groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("k_true"))
+    val hits = approx.join(exact, Seq("probe_id", "vec_id"))
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("hits"))
+    probes.select(col("probe_id"))
+      .join(kTrue, Seq("probe_id"), "left")
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"), lit(strategy).as("strategy"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        coalesce(col("k_true"), lit(0L)).as("k_true"))
+  }
+
+  /** The probed coarse lists per probe (probe_id, ccid, csim), shared by
+    * both arms and by the FANN scanned-codes accounting in ScaleProbe.
+    */
+  private[llmops] def probedLists(
+      s: SparkSession, dir: String, nprobe: Int): DataFrame =
+    pqCoarseLut(s, dir,
+      embeddingsBase(s, dir).select("vec_id", "n_emb").filter(col("vec_id") < 5))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("csim").desc, col("ccid"))))
+      .filter(col("crank") <= nprobe)
+      .drop("crank")
+
+  /** Pre-filter arm's scanned code stream: label-matching codes of the
+    * probed lists ONLY — the count of these rows vs the unfiltered
+    * ivfpqScannedCodes IS the pre-filter claim (≈ selectivity ×). The
+    * label joins in from the corpus here; a production index stores it
+    * as a code-table column (one narrow attribute beside 8 code bytes).
+    */
+  private[llmops] def filteredScannedCodes(
+      s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    val e = embeddingsBase(s, dir)
+    val (_, codes) = pqIndex(s, dir)
+    val probedL = probedLists(s, dir, nprobe)
+      .join(broadcast(probeConstraints(e)
+        .select(col("probe_id"), col("p_label").as("label"))), Seq("probe_id"))
+    codes.join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .join(broadcast(probedL), Seq("ccid", "label"))
+  }
+
+  /** ADC shortlist for the filtered-search arms, parameterized so the
+    * FANN sweep can walk the (nprobe, k′, strategy) surface: scan the
+    * probed lists' codes — label-pre-filtered or not — score by ADC,
+    * keep the top `shortK` per probe.
+    */
+  private[llmops] def fannShortlist(s: SparkSession, dir: String,
+      nprobe: Int, shortK: Int, prefiltered: Boolean): DataFrame = {
+    val e = embeddingsBase(s, dir).select("vec_id", "n_emb")
+    val (cb, _) = pqIndex(s, dir)
+    val lut = pqProbeLut(e.filter(col("vec_id") < 5), cb)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val scanned = if (prefiltered) filteredScannedCodes(s, dir, nprobe)
+      else ivfpqScannedCodes(s, dir, nprobe)
+    scanned
+      .join(broadcast(lut), Seq("probe_id", "block", "cid"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg((sum(col("psim")) + max(col("csim"))).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= shortK)
+      .select(col("probe_id"), col("vec_id"))
+  }
+
+  /** The filtered search's probe budget — the first finding this
+    * operator exists to surface: the filtered ground truth is the
+    * top-10 of a 10%-selective slice whose TAIL members are not near
+    * the probe overall and live in lists the unfiltered nprobe = 6
+    * budget never reads. Measured (FannProbe, all three SFs): at
+    * nprobe = 6 worst-probe filtered recall dips to 0.5–0.6 pre-filter
+    * and 0.2 post-filter; widening helps monotonically but only
+    * nprobe = nlists closes it — so for a predicate this selective the
+    * production spelling IS "scan every list's MATCHING codes": the
+    * stored-attribute prune still reads only ~11% of one full code scan
+    * (measured scanned-code ratios 0.103/0.115/0.113 per SF), the 64×
+    * ADC compression still pays, and worst-probe recall is 1.0 at every
+    * SF. The coarse prune is the wrong knob under strong filters; the
+    * attribute prune replaces it.
+    */
+  val FANN_NPROBE = ANN_K // = nlists: all lists' matching codes
+  /** Post-filter needs BOTH the full probe budget and a k/selectivity-
+    * scaled over-fetch: k′ = 256 ≈ 2.5 × k/selectivity holds worst-probe
+    * 0.8–1.0 (at k′ = 64 it collapses to 0.2 at sf0.1 — the shortlist
+    * fills with non-matching near neighbors; the FannProbe table prices
+    * the decay).
+    */
+  val FANN_OVERFETCH = 256
+  /** Bars with the sibling queries' slack discipline: pre-filter 0.8
+    * under a measured floor of 1.0 (two-hit slack); post-filter 0.7
+    * under a measured floor of 0.8 (one-hit slack, IVFPQ_RECALL_BAR's
+    * contract). Integer cross-multiplied — no float division.
+    */
+  val FANN_PRE_BAR_X10 = 8L
+  val FANN_POST_BAR_X10 = 7L
+
+  /** X — attribute-constrained IVF-PQ search, both strategies graded by
+    * recall against the exact FILTERED twin (derived-fact oracle, the
+    * x_ivfpq_search contract): pre-filter (predicate inside the list
+    * scan, before ADC — the attribute is a stored code-table column)
+    * and post-filter (unfiltered over-fetched shortlist, predicate
+    * after). Pre-filter strictly dominates here — same candidate
+    * generation, earlier prune, smaller shortlist; post-filter ships as
+    * the no-index-change fallback a deployment runs before its index
+    * stores the attribute.
+    */
+  val xFilteredAnn = Q(
+    "x_filtered_ann",
+    """SELECT vec_id AS probe_id, s.strategy, TRUE AS recall_ok
+       FROM embeddings
+       CROSS JOIN (SELECT 'postfilter' AS strategy
+                   UNION ALL SELECT 'prefilter') s
+       WHERE vec_id < 5 ORDER BY probe_id, strategy""") { (s, dir) =>
+    val e = embeddingsBase(s, dir).select("vec_id", "label", "n_emb")
+    val pre = filteredRecallStats(e,
+      fannShortlist(s, dir, FANN_NPROBE, PQ_SHORTLIST, prefiltered = true),
+      "prefilter")
+    val post = filteredRecallStats(e,
+      fannShortlist(s, dir, FANN_NPROBE, FANN_OVERFETCH, prefiltered = false),
+      "postfilter")
+    val bar = when(col("strategy") === "prefilter", lit(FANN_PRE_BAR_X10))
+      .otherwise(lit(FANN_POST_BAR_X10))
+    pre.unionByName(post)
+      .select(col("probe_id"), col("strategy"),
+        (lit(10L) * col("hits") >= bar * col("k_true")).as("recall_ok"))
+      .orderBy(col("probe_id"), col("strategy"))
+  }
+
   val all: Seq[Q] = Seq(q34, xNearestNeighbor, xEmbedNearDup, xAnnIvf,
     xEmbedCluster, xSemDedup, xSemanticDecontam, xKnnLabel, xPqRecall,
-    xIvfPqSearch, xIvfPqIncremental, xSemDedupIncremental, xHardNegatives)
+    xIvfPqSearch, xIvfPqIncremental, xSemDedupIncremental, xHardNegatives,
+    xFilteredAnn)
 }
