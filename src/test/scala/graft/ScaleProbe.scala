@@ -25,7 +25,7 @@ object ScaleProbe {
     // comma-separated section filter for re-measuring one family without
     // paying the whole probe:
     // neardup,setsim,nn,km,inc,lm,bpe,contam,pr,qc,evt,cn,cnskew,budget,
-    // cap,winnow,cdc,cumsum,cumsumN,linededup,substr,triangles,inccur,fuzzy2,sil
+    // cap,winnow,cdc,cumsum,cumsumN,linededup,substr,triangles,inccur,fuzzy2,sil,ccommit
     val only = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def want(section: String): Boolean = only.forall(_.contains(section))
@@ -898,7 +898,12 @@ object ScaleProbe {
         (0 until k).map(i => cust.select(
           (col("c_custkey") + lit(i.toLong * 10000000L)).as("c_custkey")))
           .reduce(_ union _)).cache()
-      for (k <- Seq(1, 2, 4)) {
+      // default decade 1–4; SPARK_GRAFT_FUZZY2_KS=1,2,4,8 extends one
+      // more doubling (round-12 verdict item 5) — blocked arm only at
+      // k=8 unless BRUTE_CAP is raised too (brute is quadratic)
+      val fuzzy2Ks = sys.env.getOrElse("SPARK_GRAFT_FUZZY2_KS", "1,2,4")
+        .split(",").map(_.trim.toInt).toSeq
+      for (k <- fuzzy2Ks) {
         val v = vocab(k)
         val nv = v.count()
         val t0 = System.nanoTime()
@@ -992,15 +997,25 @@ object ScaleProbe {
         .select(col("emb").as("b_emb")).cache()
       benchEmbX.count()
       var admitted0 = -1L
-      for (k <- Seq(1, 2, 5, 10)) {
-        val standingK = (0 until k).map { i =>
-          val text =
-            if (i == 0) col("text")
-            else expr(s"array_join(transform(split(text, ' '), w -> concat('r$i', w)), ' ')")
-          standing0.select(
-            (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
-            col("lang"), text.as("text"))
-        }.reduce(_ union _)
+      // default decade 1–10; SPARK_GRAFT_INCCUR_KS=1,10,100 runs the
+      // 100× standing-index endpoint (round-12 verdict item 5). The
+      // replica fan-out is a crossJoin against range(k), not a k-arm
+      // union — at k=100 a 100-branch union plan would dominate
+      // analysis time; the crossJoin keeps the plan O(1) in k.
+      val inccurKs = sys.env.getOrElse("SPARK_GRAFT_INCCUR_KS", "1,2,5,10")
+        .split(",").map(_.trim.toInt).toSeq
+      for (k <- inccurKs) {
+        val standingK =
+          if (k == 1) standing0
+          else standing0
+            .crossJoin(spark.range(k).select(col("id").as("rep")))
+            .select(
+              (col("doc_id") + col("rep") * lit(10000000L)).as("doc_id"),
+              col("lang"),
+              expr("""CASE WHEN rep = 0 THEN text
+                      ELSE array_join(transform(split(text, ' '),
+                                      w -> concat('r', rep, w)), ' ')
+                      END""").as("text"))
         val scratch = java.nio.file.Files
           .createTempDirectory("graft_inccur_probe").toString
         val t0 = System.nanoTime()
@@ -1019,6 +1034,46 @@ object ScaleProbe {
         val ok = if (adm == admitted0) "ok" else s"MISMATCH(vs $admitted0)"
         println(f"SCALE-INCCUR k=$k%2d standing=$standN%7d batch=$batchXN%5d " +
           f"build=$tBuild%6.2f batch_wall=$tBatch%6.2f admitted=$adm%5d $ok")
+      }
+    }
+
+    // ---- optimistic commit: the cost of a detected conflict (retry =
+    // one extra pass over base ∪ batch) vs the uncontended commit, on
+    // k×-replicated orders — the SCALE-CCOMMIT note in SCALING.md.
+    if (want("ccommit")) {
+      val orders0 = graft.core.Tables(spark, "/root/testdata/sf0.1", "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      for (k <- Seq(1, 4, 16)) {
+        val orders = (0 until k).map(i => orders0.select(
+          (col("o_orderkey") + lit(i.toLong * 100000000L)).as("o_orderkey"),
+          col("o_totalprice"))).reduce(_ union _).cache()
+        orders.count()
+        val base = orders.filter(col("o_orderkey") % 3 === 0)
+        val bA = orders.filter(col("o_orderkey") % 3 === 1)
+        val bB = orders.filter(col("o_orderkey") % 3 === 2)
+
+        // uncontended: claim wins first try
+        val root1 = s"${graft.core.Scratch.fresh("ccprobe")}/s"
+        graft.sources.ConcurrentCommit.commitAppend(spark, root1, base, "w0")
+        val t0 = System.nanoTime()
+        graft.sources.ConcurrentCommit.commitAppend(spark, root1, bA, "A")
+        val tClean = (System.nanoTime() - t0) / 1e9
+
+        // contended: A loses the CAS once (stale attempt), rebases, lands
+        val root2 = s"${graft.core.Scratch.fresh("ccprobe")}/s"
+        graft.sources.ConcurrentCommit.commitAppend(spark, root2, base, "w0")
+        val aMerged = spark.read.parquet(s"$root2/v=0").unionByName(bA)
+        graft.sources.ConcurrentCommit.commitAppend(spark, root2, bB, "B")
+        val t1 = System.nanoTime()
+        val won = graft.sources.ConcurrentCommit
+          .tryCommitAt(spark, root2, aMerged, 1L, "A")
+        graft.sources.ConcurrentCommit.commitAppend(spark, root2, bA, "A")
+        val tRetry = (System.nanoTime() - t1) / 1e9
+        val n = orders.count()
+        println(f"SCALE-CCOMMIT k=$k%2d rows=$n%8d clean_s=$tClean%6.2f " +
+          f"conflict_retry_s=$tRetry%6.2f stale_won=$won")
+        orders.unpersist()
+        ()
       }
     }
 
