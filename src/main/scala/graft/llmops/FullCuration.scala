@@ -112,7 +112,7 @@ import graft.functions.{ArrayOps, TextNormalize}
 object FullCuration {
 
   private[llmops] val K_GRAM = 8
-  private[llmops] val MIN_TOKENS = 20
+  private[graft] val MIN_TOKENS = 20
   private[llmops] val REP_MAX = 0.2
   private[llmops] val STOP_MAX = 0.5
   private[llmops] val MAX_BUCKET = 10000

@@ -34,10 +34,13 @@ import graft.core.{Q, Tables => T}
   */
 object ParseAudit {
 
-  /** JSON lines in the GhArchive raw shape derived from orders; every
-    * key ≡ 0 (mod 37) line is truncated to half length (malformed).
+  /** JSON lines in the GhArchive raw shape derived from orders; with
+    * `corrupt` (the default), every key ≡ 0 (mod 37) line is truncated
+    * mid-object (malformed); without, every line is valid — the
+    * corrected-resend spelling x_quarantine_replay's upstream sends.
     */
-  private[pipeline] def jsonLines(orders: DataFrame): DataFrame = {
+  private[pipeline] def jsonLines(orders: DataFrame,
+      corrupt: Boolean = true): DataFrame = {
     val line = to_json(struct(
       col("o_orderkey").as("id"),
       struct(
@@ -50,7 +53,8 @@ object ParseAudit {
         concat(lit("repo/"), col("o_orderkey") % 1000).as("name"),
         concat(lit("https://example.test/"), col("o_orderkey") % 1000).as("url")).as("repo"),
       date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("created_at")))
-    orders.select(
+    if (!corrupt) orders.select(line.as("value"))
+    else orders.select(
       when(col("o_orderkey") % 37 === 0,
         substring(line, 1, 40)) // cuts inside the actor struct: never valid
         .otherwise(line).as("value"))
@@ -99,5 +103,84 @@ object ParseAudit {
           col("sum_clean_ids") === col("d_sum")).as("drop_matches"))
   }
 
-  val all: Seq[Q] = Seq(xMalformedAudit)
+  /** X — the dead-letter loop closed end to end: malformed lines are
+    * QUARANTINED (persisted with the raw text and a reason — the
+    * diagnosable artifact x_malformed_audit only counts), the upstream
+    * resends corrected lines for exactly the quarantined keys, and the
+    * replay lands them in silver IDEMPOTENTLY (left-anti on the event
+    * key before append, so the at-least-once resend applied twice adds
+    * zero rows — the x_stream_upsert argument at the ingest boundary).
+    * Run against real files: fixture text write → DROPMALFORMED silver
+    * write → PERMISSIVE quarantine write → corrected-resend text write →
+    * replay append → a SECOND replay of the same resend (must add 0).
+    * The graded row reads the stores; the oracle prices every count
+    * arithmetically from the key modulus, and n_silver_final = the full
+    * table count iff no row was lost or doubled anywhere in the loop.
+    */
+  val xQuarantineReplay = Q(
+    "x_quarantine_replay",
+    """SELECT CAST(count(*) FILTER (WHERE o_orderkey % 37 <> 0) AS BIGINT) AS n_silver_initial,
+              CAST(count(*) FILTER (WHERE o_orderkey % 37 = 0) AS BIGINT) AS n_quarantined,
+              CAST(count(*) FILTER (WHERE o_orderkey % 37 = 0) AS BIGINT) AS n_replayed,
+              CAST(0 AS BIGINT) AS n_second_replay,
+              CAST(count(*) AS BIGINT) AS n_silver_final,
+              CAST(sum(o_orderkey) AS BIGINT) AS silver_id_sum
+       FROM orders""") { (s, dir) =>
+    val orders = T(s, dir, "orders")
+    val raw = graft.ops.Extra.scratch(s, "quarantine/raw")
+    val silver = graft.ops.Extra.scratch(s, "quarantine/silver")
+    val quarantine = graft.ops.Extra.scratch(s, "quarantine/dead")
+    val resend = graft.ops.Extra.scratch(s, "quarantine/resend")
+    jsonLines(orders).write.mode("overwrite").text(raw)
+
+    // silver: the production DROPMALFORMED path
+    s.read.schema(GhArchive.rawSchema)
+      .option("mode", "DROPMALFORMED").json(raw)
+      .write.mode("overwrite").parquet(silver)
+    val nInitial = s.read.parquet(silver).count()
+
+    // quarantine: raw line + reason, persisted (the dead-letter store)
+    val permSchema = StructType(
+      GhArchive.rawSchema.fields :+
+        org.apache.spark.sql.types.StructField("_corrupt_record", StringType))
+    s.read.schema(permSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(raw).cache()
+      .filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"),
+        lit("malformed_json").as("reason"))
+      .write.mode("overwrite").parquet(quarantine)
+    val nQuarantined = s.read.parquet(quarantine).count()
+
+    // upstream resends CORRECTED lines for the quarantined keys
+    // (fixture: the untruncated spelling of every key ≡ 0 mod 37)
+    jsonLines(orders.filter(col("o_orderkey") % 37 === 0), corrupt = false)
+      .write.mode("overwrite").text(resend)
+
+    // replay, idempotently: left-anti on the event key, then append
+    def replayOnce(): Long = {
+      val fixed = s.read.schema(GhArchive.rawSchema)
+        .option("mode", "DROPMALFORMED").json(resend)
+      val novel = fixed.join(s.read.parquet(silver).select(col("id")),
+        Seq("id"), "left_anti").localCheckpoint()
+      val n = novel.count()
+      if (n > 0) novel.write.mode("append").parquet(silver)
+      n
+    }
+    val nReplayed = replayOnce()
+    val nSecond = replayOnce() // the duplicate delivery: must add zero
+
+    val agg = s.read.parquet(silver)
+      .agg(count(lit(1)).as("n_silver_final"),
+        sum(col("id")).as("silver_id_sum"))
+    agg.select(
+      lit(nInitial).as("n_silver_initial"),
+      lit(nQuarantined).as("n_quarantined"),
+      lit(nReplayed).as("n_replayed"),
+      lit(nSecond).as("n_second_replay"),
+      col("n_silver_final"), col("silver_id_sum"))
+  }
+
+  val all: Seq[Q] = Seq(xMalformedAudit, xQuarantineReplay)
 }

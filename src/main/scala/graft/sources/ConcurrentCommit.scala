@@ -132,6 +132,98 @@ object ConcurrentCommit {
         "claimant presumed dead; janitor must expire the stale claim")
   }
 
+  /** Optimistic commit of an arbitrary snapshot TRANSFORM — compaction,
+    * re-clustering, schema maintenance: the OTHER conflict class, where
+    * a maintenance job races the appenders. Like [[commitAppend]] but
+    * the merged plan is `transform(current committed base)`, recomputed
+    * from the new base on every retry — a compactor that loses its CAS
+    * re-compacts INCLUDING the rows the winning append just landed, so
+    * maintenance can never erase data. Requires an existing committed
+    * version (there is nothing to transform otherwise).
+    */
+  def commitTransform(spark: SparkSession, root: String,
+      transform: DataFrame => DataFrame, writerId: String,
+      maxRetries: Int = 10, claimWaitMs: Long = 30000): Commit = {
+    val fs = fsOf(spark, root)
+    var retries = 0
+    while (retries <= maxRetries) {
+      val cur = Lake.versions(spark, root).lastOption.getOrElse(
+        throw new IllegalStateException(s"no committed version under $root"))
+      val merged = transform(spark.read.parquet(s"$root/v=$cur"))
+      if (tryCommitAt(spark, root, merged, cur + 1, writerId))
+        return Commit(cur + 1, retries)
+      retries += 1
+      awaitCommitOf(fs, root, cur + 1, claimWaitMs)
+    }
+    throw new IllegalStateException(
+      s"writer $writerId: gave up after $maxRetries conflicts at $root")
+  }
+
+  private def parquetFileCount(spark: SparkSession, dir: String): Long = {
+    val p = new HPath(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(p).count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .toLong
+  }
+
+  /** X — the maintenance-vs-append race: a compactor snapshots v0 (16
+    * deliberately small files), an append commits v1 under it, and the
+    * compactor's optimistic attempt at v1 LOSES the CAS — had it won,
+    * the freshly appended batch would have been erased by a rewrite of
+    * the stale snapshot (the classic table-format OPTIMIZE conflict).
+    * The rebase re-compacts the NEW base, so v2 = base ∪ batch in
+    * exactly 4 files (repartition(4), not coalesce: tiny-file packing
+    * makes coalesce's output count input-partition-dependent, and the
+    * graded fact must be deterministic). The graded row reads only the
+    * store: version count, the compactor's conflict count, final
+    * rows + exact total, file counts before/after, and the lost-append
+    * flag spelled as an explicit boolean.
+    */
+  val xCompactCommitRace = Q(
+    "x_compact_commit_race",
+    """SELECT CAST(3 AS BIGINT) AS n_versions,
+              CAST(1 AS BIGINT) AS compactor_retries,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+              CAST(16 AS BIGINT) AS n_files_before,
+              CAST(4 AS BIGINT) AS n_files_after,
+              FALSE AS lost_append
+       FROM orders WHERE o_orderkey % 3 IN (0, 1)""") { (s, dir) =>
+    val orders = T(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val root = s"${Scratch.fresh("graft_ccrace")}/store"
+
+    // v0: the small-files base the compactor wants to fix
+    commitAppend(s, root,
+      orders.filter(col("o_orderkey") % 3 === 0).repartition(16), "w0")
+    val nFilesBefore = parquetFileCount(s, s"$root/v=0")
+
+    // the compactor snapshots v0 and builds its rewrite plan...
+    val cSnap = Lake.versions(s, root).last
+    val cPlan = s.read.parquet(s"$root/v=$cSnap").repartition(4)
+
+    // ...an append lands first
+    commitAppend(s, root, orders.filter(col("o_orderkey") % 3 === 1), "A")
+
+    // the stale rewrite MUST lose the CAS (else the append is erased)
+    val cFirstWon = tryCommitAt(s, root, cPlan, cSnap + 1, "C")
+    val cC = commitTransform(s, root, _.repartition(4), "C")
+    val cRetries = (if (cFirstWon) 0 else 1) + cC.retries
+
+    val versions = Lake.versions(s, root)
+    val nFilesAfter = parquetFileCount(s, s"$root/v=${versions.last}")
+    val expected = orders.filter(col("o_orderkey") % 3 <= 1).count()
+    Lake.readCurrent(s, root)
+      .agg(count(lit(1)).as("n_rows"), E.sumd(col("o_totalprice")).as("total"))
+      .select(
+        lit(versions.size.toLong).as("n_versions"),
+        lit(cRetries.toLong).as("compactor_retries"),
+        col("n_rows"), col("total"),
+        lit(nFilesBefore).as("n_files_before"),
+        lit(nFilesAfter).as("n_files_after"),
+        (col("n_rows") =!= lit(expected)).as("lost_append"))
+  }
+
   /** X — the two-writer conflict, end to end against real files, with
     * the interleave pinned so every number is deterministic:
     *
@@ -194,5 +286,5 @@ object ConcurrentCommit {
         (col("n_rows") =!= lit(expected)).as("lost_update"))
   }
 
-  val all: Seq[Q] = Seq(xConcurrentCommit)
+  val all: Seq[Q] = Seq(xConcurrentCommit, xCompactCommitRace)
 }

@@ -718,6 +718,158 @@ object StreamOps {
       .orderBy("win_start", "event_type")
   }
 
+  /** X — STREAMING incremental curation: the admission loop of
+    * x_incremental_curation run as a real file-source stream whose
+    * digest index GROWS under the stream — each micro-batch is
+    * quality-gated, within-batch deduped (keep lowest doc_id), probed
+    * against the persisted index (standing digests ∪ every PRIOR
+    * batch's admissions), and its admitted digests APPENDED to that
+    * index before the next batch arrives. That last arrow is what the
+    * static-index streaming twin (x_stream_neardup) cannot show: batch
+    * 2 must reject a document whose duplicate was only ADMITTED in
+    * batch 1.
+    *
+    * The cross-batch duplicates are the production event this absorbs:
+    * at-least-once upstream delivery RESENDS documents. The replay
+    * stages two micro-batches over one checkpoint (the x_stream_late
+    * two-run shape): batch 1 = even incoming doc_ids; batch 2 = odd
+    * incoming doc_ids PLUS a deterministic resend of every tenth batch-1
+    * document under a fresh doc_id (+100000) — exactly the redelivery a
+    * dedup layer exists to make idempotent. The graded rows are each
+    * batch's full admission accounting (seen / quality-rejected /
+    * within-batch dups / index-rejected / admitted / index size after),
+    * every number recomputed arithmetically by the oracle from the
+    * split definitions — an index append lost, doubled, or applied late
+    * lands in batch 2's index_rejected count and fails the hash.
+    *
+    * Scale posture: identical to x_incremental_curation's — per batch
+    * one narrow pass over the batch plus equi-joins against the
+    * persisted index; the stream never touches the standing corpus,
+    * only its index, and SCALE-INCCUR measures that flat to 100×
+    * standing. foreachBatch's at-least-once delivery composes with the
+    * left-anti digest probe to make the sink exactly-once (the
+    * x_stream_upsert idempotence argument, applied to admissions).
+    */
+  val xStreamCuration = Q(
+    "x_stream_curation",
+    s"""WITH cut AS (SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT) AS c
+                     FROM documents),
+       standing AS (SELECT DISTINCT md5(text) AS h
+                    FROM documents, cut WHERE doc_id < c),
+       d AS (SELECT doc_id, text FROM documents, cut WHERE doc_id >= c),
+       b1 AS (SELECT doc_id, text FROM d WHERE doc_id % 2 = 0),
+       b2 AS (SELECT doc_id, text FROM d WHERE doc_id % 2 = 1
+              UNION ALL
+              SELECT doc_id + 100000, text FROM b1 WHERE doc_id % 10 = 0),
+       s1 AS (SELECT doc_id, md5(text) AS h,
+                     len(string_split(text, ' ')) >= ${graft.llmops.FullCuration.MIN_TOKENS} AS q_ok
+              FROM b1),
+       r1 AS (SELECT doc_id, h,
+                     row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+              FROM s1 WHERE q_ok),
+       adm1 AS (SELECT doc_id, h FROM r1
+                WHERE rn = 1 AND h NOT IN (SELECT h FROM standing)),
+       idx1 AS (SELECT h FROM standing UNION ALL SELECT h FROM adm1),
+       s2 AS (SELECT doc_id, md5(text) AS h,
+                     len(string_split(text, ' ')) >= ${graft.llmops.FullCuration.MIN_TOKENS} AS q_ok
+              FROM b2),
+       r2 AS (SELECT doc_id, h,
+                     row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+              FROM s2 WHERE q_ok),
+       adm2 AS (SELECT doc_id, h FROM r2
+                WHERE rn = 1 AND h NOT IN (SELECT h FROM idx1))
+       SELECT CAST(1 AS BIGINT) AS batch,
+              (SELECT CAST(count(*) AS BIGINT) FROM b1) AS n_seen,
+              (SELECT CAST(count(*) AS BIGINT) FROM s1 WHERE NOT q_ok) AS n_quality_rej,
+              (SELECT CAST(count(*) AS BIGINT) FROM r1 WHERE rn > 1) AS n_within_dup,
+              (SELECT CAST(count(*) AS BIGINT) FROM r1 WHERE rn = 1)
+                - (SELECT CAST(count(*) AS BIGINT) FROM adm1) AS n_index_rej,
+              (SELECT CAST(count(*) AS BIGINT) FROM adm1) AS n_admitted,
+              (SELECT CAST(count(*) AS BIGINT) FROM idx1) AS index_size
+       UNION ALL
+       SELECT CAST(2 AS BIGINT),
+              (SELECT CAST(count(*) AS BIGINT) FROM b2),
+              (SELECT CAST(count(*) AS BIGINT) FROM s2 WHERE NOT q_ok),
+              (SELECT CAST(count(*) AS BIGINT) FROM r2 WHERE rn > 1),
+              (SELECT CAST(count(*) AS BIGINT) FROM r2 WHERE rn = 1)
+                - (SELECT CAST(count(*) AS BIGINT) FROM adm2),
+              (SELECT CAST(count(*) AS BIGINT) FROM adm2),
+              (SELECT CAST(count(*) AS BIGINT) FROM idx1)
+                + (SELECT CAST(count(*) AS BIGINT) FROM adm2)
+       ORDER BY batch""") { (s, dir) =>
+    import s.implicits._
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+    val cut = graft.llmops.Incremental.cutoffValue(docs)
+    val inc = docs.filter(col("doc_id") >= cut)
+    val b1 = inc.filter(col("doc_id") % 2 === 0)
+    val b2 = inc.filter(col("doc_id") % 2 === 1)
+      .unionByName(b1.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+
+    val stage = scratchDir("graft_stream_cur")
+    val idxPath = scratchDir("graft_stream_cur_idx").toString + "/digests"
+    val logPath = scratchDir("graft_stream_cur_log").toString + "/log"
+    // bootstrap: the standing lake's digest index (persisted, like
+    // IncrementalCuration.bootstrapIndexes — digest half only: the
+    // streaming story here is the index-append loop, not stage count)
+    docs.filter(col("doc_id") < cut)
+      .select(md5(col("text")).as("h")).distinct()
+      .write.mode("overwrite").parquet(idxPath)
+
+    val serial = new java.util.concurrent.atomic.AtomicLong(0L)
+    def admitBatch(batch: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec): Unit =
+      if (!batch.isEmpty) {
+        val idx = s.read.parquet(idxPath)
+        val scored = batch
+          .withColumn("h", md5(col("text")))
+          .withColumn("q_ok",
+            size(split(col("text"), " ")) >= graft.llmops.FullCuration.MIN_TOKENS)
+        val ranked = scored.filter(col("q_ok"))
+          .withColumn("rn", row_number().over(w))
+        val firsts = ranked.filter(col("rn") === 1)
+        // localCheckpoint BEFORE the index append: the admitted plan
+        // lazily reads the same parquet directory the append writes —
+        // materializing first closes the read-write race
+        val admitted = firsts.join(idx.select(col("h")), Seq("h"), "left_anti")
+          .select(col("doc_id"), col("h"))
+          .localCheckpoint()
+        val nSeen = batch.count()
+        val nQualityRej = scored.filter(!col("q_ok")).count()
+        val nWithinDup = ranked.filter(col("rn") > 1).count()
+        val nFirsts = firsts.count()
+        val nAdmitted = admitted.count()
+        admitted.select(col("h")).write.mode("append").parquet(idxPath)
+        val idxSize = s.read.parquet(idxPath).count()
+        Seq((serial.incrementAndGet(), nSeen, nQualityRej, nWithinDup,
+            nFirsts - nAdmitted, nAdmitted, idxSize))
+          .toDF("batch", "n_seen", "n_quality_rej", "n_within_dup",
+            "n_index_rej", "n_admitted", "index_size")
+          .coalesce(1).write.mode("append").parquet(logPath)
+      }
+
+    stageLateFile(stage, b1, "batch1")
+    val sch = s.read.parquet(stage.toString).schema
+    withPinnedReplay(s, "graft_ckpt_cur") { ckpt =>
+      val wsDigest = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("h")).orderBy(col("doc_id"))
+      def runOnce(): Unit = {
+        val q = s.readStream.schema(sch).parquet(stage.toString)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            admitBatch(batch, wsDigest)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runOnce() // batch 1: admissions append to the index
+      stageLateFile(stage, b2, "batch2")
+      runOnce() // batch 2: resends rejected by batch 1's appended digests
+    }
+    s.read.parquet(logPath).orderBy("batch")
+  }
+
   val all: Seq[Q] = Seq(q28, q29, q29b, q30, q30b, q30c, q30d, xStreamNeardup,
-    xStreamUpsert, xStreamPsi, xStreamTrending, xStreamLate)
+    xStreamUpsert, xStreamPsi, xStreamTrending, xStreamLate, xStreamCuration)
 }

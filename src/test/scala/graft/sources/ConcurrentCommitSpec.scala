@@ -80,6 +80,27 @@ class ConcurrentCommitSpec extends AnyFunSuite {
     assert(Lake.versions(spark, root) == Seq(0L, 1L, 2L))
   }
 
+  test("compactor racing a live appender loses nothing") {
+    val root = freshRoot()
+    ConcurrentCommit.commitAppend(spark, root,
+      orders.filter(col("o_orderkey") % 3 === 0).repartition(16), "w0")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val appender = Future(ConcurrentCommit.commitAppend(spark, root,
+      orders.filter(col("o_orderkey") % 3 =!= 0), "A"))
+    val compactor = Future(ConcurrentCommit.commitTransform(spark, root,
+      _.repartition(4), "C"))
+    val Seq(cA, cC) = Await.result(Future.sequence(Seq(appender, compactor)),
+      120.seconds)
+    assert(Seq(cA.version, cC.version).sorted == Seq(1L, 2L))
+    val fin = Lake.readCurrent(spark, root)
+    // whichever order they landed in, the append is present exactly once
+    assert(fin.count() == orders.count(), s"maintenance erased data: $cA $cC")
+    assert(fin.select(countDistinct(col("o_orderkey"))).head.getLong(0)
+      == orders.count())
+  }
+
   test("stale claim from a dead writer times out rather than steals") {
     val root = freshRoot()
     ConcurrentCommit.commitAppend(spark, root,
