@@ -41,7 +41,7 @@ object SparkEntry {
       llmops.Graph.all ++
       llmops.SetSim.all ++ sources.Compaction.all ++ sources.TimeTravel.all ++
       sources.ConcurrentCommit.all ++ pipeline.ParseAudit.all ++
-      pipeline.GoldMaintenance.all
+      pipeline.GoldMaintenance.all ++ pipeline.SchemaOps.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -97,5 +97,100 @@ object GoldMaintenance {
       .orderBy(col("event_type"), col("event_date"))
   }
 
-  val all: Seq[Q] = Seq(xGoldIncremental)
+  /** X — gold maintenance under RETRACTIONS, and the dynamic-overwrite
+    * trap that makes deletes harder than appends: a correction batch
+    * removes silver rows (a GDPR erasure, a late dedup verdict, an
+    * upstream recall) and the touched days must re-aggregate — but a
+    * day whose rows were ALL retracted produces an EMPTY recompute, and
+    * dynamic partition overwrite only replaces partitions PRESENT in
+    * the written data, so the vanished day's stale partition would
+    * silently survive. The maintenance step therefore deletes the
+    * touched-but-absent day directories explicitly after the overwrite;
+    * the graded read proves the vanished day is gone (its groups would
+    * land in the hash otherwise) and MaintenanceSpec pins the trap
+    * itself (the stale dir exists before the explicit delete).
+    *
+    * Fixture: day 1 is retracted WHOLE (ts < 2024-01-02); days 2–3 lose
+    * every 13th event. Touched = 3 days, vanished = 1 — the graded
+    * fact columns.
+    */
+  val xGoldRetraction = Q(
+    "x_gold_retraction",
+    """WITH del AS (SELECT event_id FROM events
+                    WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+                       OR (event_id % 13 = 0 AND ts < TIMESTAMP '2024-01-04 00:00:00')),
+       kept AS (SELECT event_type,
+                       CAST(date_trunc('day', ts) AS TIMESTAMP) AS event_date,
+                       CAST(count(*) AS BIGINT) AS event_count,
+                       CAST(sum(event_id) AS BIGINT) AS id_sum
+                FROM events
+                WHERE event_id NOT IN (SELECT event_id FROM del)
+                GROUP BY 1, 2),
+       facts AS (SELECT
+           (SELECT CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT)
+            FROM events WHERE event_id IN (SELECT event_id FROM del))
+             AS n_touched_days,
+           (SELECT CAST(count(*) AS BIGINT) FROM (
+              SELECT date_trunc('day', ts) AS d FROM events
+              WHERE event_id IN (SELECT event_id FROM del)
+              EXCEPT
+              SELECT date_trunc('day', ts) FROM events
+              WHERE event_id NOT IN (SELECT event_id FROM del)))
+             AS n_vanished_days)
+       SELECT k.event_type, k.event_date, k.event_count, k.id_sum,
+              f.n_touched_days, f.n_vanished_days
+       FROM kept k, facts f
+       ORDER BY k.event_type, k.event_date""") { (s, dir) =>
+    val ev = T(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        date_trunc("day", col("ts")).as("event_date"))
+    val isDeleted = col("event_date") < lit("2024-01-02").cast("timestamp") ||
+      (col("event_id") % 13 === 0 &&
+        col("event_date") < lit("2024-01-04").cast("timestamp"))
+    val goldPath = s"${Scratch.fresh("graft_goldret")}/gold"
+
+    def aggregate(silver: DataFrame): DataFrame = silver
+      .groupBy(col("event_type"), col("event_date"))
+      .agg(count(lit(1)).as("event_count"), sum(col("event_id")).as("id_sum"))
+      .withColumn("day", to_date(col("event_date")))
+      .drop("event_date")
+
+    // t0: gold over the uncorrected silver
+    aggregate(ev).write.partitionBy("day").parquet(goldPath)
+
+    // t1: the correction arrives — recompute ONLY the touched days
+    val touched = ev.filter(isDeleted).select(col("event_date")).distinct()
+    val corrected = ev.filter(!isDeleted)
+    val recomputed = aggregate(
+      corrected.join(broadcast(touched), Seq("event_date"), "left_semi"))
+      .localCheckpoint() // read twice: the overwrite + the present-days set
+    val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try {
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      recomputed.write.mode("overwrite").partitionBy("day").parquet(goldPath)
+    } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+
+    // the trap: touched days with an EMPTY recompute kept their stale
+    // partition through the dynamic overwrite — drop them explicitly
+    val touchedDays = touched.collect().map(r =>
+      r.getTimestamp(0).toLocalDateTime.toLocalDate.toString)
+    val presentDays = recomputed.select(col("day")).distinct().collect()
+      .map(_.getDate(0).toString).toSet
+    val fs = new org.apache.hadoop.fs.Path(goldPath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val vanished = touchedDays.filterNot(presentDays)
+    vanished.foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$goldPath/day=$d"), true); ()
+    }
+
+    s.read.parquet(goldPath)
+      .select(col("event_type"),
+        col("day").cast("timestamp").as("event_date"),
+        col("event_count"), col("id_sum"),
+        lit(touchedDays.length.toLong).as("n_touched_days"),
+        lit(vanished.length.toLong).as("n_vanished_days"))
+      .orderBy(col("event_type"), col("event_date"))
+  }
+
+  val all: Seq[Q] = Seq(xGoldIncremental, xGoldRetraction)
 }

@@ -42,6 +42,41 @@ class MaintenanceSpec extends AnyFunSuite {
     perm.unpersist()
   }
 
+  test("dynamic overwrite leaves a fully-retracted day STALE; " +
+      "the explicit delete is load-bearing") {
+    val ev = graft.core.Tables(spark, sf, "events")
+      .select(col("event_id"), col("event_type"),
+        date_trunc("day", col("ts")).as("event_date"))
+    val isDeleted = col("event_date") < lit("2024-01-02").cast("timestamp")
+    assert(ev.filter(isDeleted).count() > 0)
+    val goldPath = s"${graft.core.Scratch.fresh("goldret_spec")}/gold"
+    def aggregate(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("event_type"), col("event_date"))
+      .agg(count(lit(1)).as("event_count"))
+      .withColumn("day", to_date(col("event_date"))).drop("event_date")
+    aggregate(ev).write.partitionBy("day").parquet(goldPath)
+    val day1 = new java.io.File(s"$goldPath/day=2024-01-01")
+    assert(day1.isDirectory, "fixture day must exist in the initial gold")
+
+    // retract ALL of day 1, recompute the touched day, dynamic-overwrite
+    val touched = ev.filter(isDeleted).select(col("event_date")).distinct()
+    val recomputed = aggregate(ev.filter(!isDeleted)
+      .join(broadcast(touched), Seq("event_date"), "left_semi"))
+    assert(recomputed.isEmpty, "a fully-retracted day recomputes to empty")
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      recomputed.write.mode("overwrite").partitionBy("day").parquet(goldPath)
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    // THE TRAP: the overwrite wrote nothing, so the stale day survives
+    assert(day1.isDirectory,
+      "if dynamic overwrite started dropping absent partitions, " +
+        "x_gold_retraction's explicit delete is dead code — re-examine")
+    assert(spark.read.parquet(goldPath)
+      .filter(col("day") === "2024-01-01").count() > 0)
+  }
+
   test("late-day merge rewrites ONLY the touched day partitions") {
     val ev = graft.core.Tables(spark, sf, "events")
       .select(col("event_id"), col("event_type"),
