@@ -12,10 +12,11 @@ import graft.core.{Exact => E, Q, Scratch, Tables => T}
   * the faster one's files (the classic lost update; real table formats
   * hit this on day one of multi-pipeline writes).
   *
-  * The commit protocol here is manifest compare-and-swap, spelled with
-  * the one atomic primitive every Hadoop FileSystem provides:
-  * `create(path, overwrite = false)` either creates the file or throws —
-  * two racers for the same path get exactly one winner. A writer
+  * The commit protocol here is manifest compare-and-swap over a claim
+  * file, with the atomic create-if-absent primitive chosen PER
+  * FILESYSTEM (see [[tryClaim]] — the obvious Hadoop spelling is not
+  * atomic on local disks, a bug the contention sweep caught): two
+  * racers for the same claim path get exactly one winner. A writer
   *
   *   1. reads the latest COMMITTED version N (dirs `v=<n>` carrying
   *      `_SUCCESS` — `Lake.versions` semantics),
@@ -56,14 +57,42 @@ object ConcurrentCommit {
   /** CAS claim of version `v`: atomic create-no-overwrite of
     * `_claim_v=<v>` (body = writerId, the audit trail). Exactly one of
     * any number of concurrent claimants returns true.
+    *
+    * The primitive is per-filesystem, because "create if absent" is
+    * only a CAS where the filesystem makes it one:
+    *   - local (`file:`) — Hadoop's RawLocalFileSystem.create(...,
+    *     overwrite = false) is CHECK-THEN-ACT (an exists probe, then an
+    *     unconditional create): two racers can both pass the probe and
+    *     both "win". Found by the SCALE-CCOMMIT-W 8-writer sweep (two
+    *     writers trampled one v-directory's _temporary). Local claims
+    *     therefore go through NIO's CREATE_NEW = O_CREAT|O_EXCL, the
+    *     kernel-level CAS.
+    *   - HDFS — create(overwrite = false) IS atomic (one NameNode op).
+    *   - bare S3 — neither is; back the claim with a conditional PUT
+    *     (If-None-Match) or a lock table, as the class scaladoc notes.
     */
   private[sources] def tryClaim(fs: FileSystem, root: String, v: Long,
-      writerId: String): Boolean =
-    try {
-      val out = fs.create(new HPath(root, s"_claim_v=$v"), false)
-      try out.write(writerId.getBytes("UTF-8")) finally out.close()
-      true
-    } catch { case _: java.io.IOException => false }
+      writerId: String): Boolean = {
+    val claim = new HPath(root, s"_claim_v=$v")
+    if (fs.getUri.getScheme == "file")
+      try {
+        val p = java.nio.file.Paths.get(claim.toUri.getPath)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p, writerId.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.io.IOException => false
+      }
+    else
+      try {
+        val out = fs.create(claim, false)
+        try out.write(writerId.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+  }
 
   /** One optimistic attempt at a PRE-COMPUTED next version: claim it,
     * and on the win write `merged` as `v=<next>`. Returns false on a
