@@ -26,7 +26,8 @@ object SparkEntry {
       llmops.Curation.all ++
       llmops.VectorSearch.all ++ llmops.LateInteraction.all ++
       llmops.Mmr.all ++ llmops.RetrievalEval.all ++ llmops.Rag.all ++
-      llmops.EntityResolution.all ++ llmops.Bitext.all ++
+      llmops.EntityResolution.all ++ llmops.AllPairs.all ++
+      llmops.Bitext.all ++
       llmops.Chunking.all ++ llmops.TextStats.all ++
       llmops.SimHash.all ++ llmops.Multimodal.all ++ llmops.ImagePhash.all ++
       llmops.MultimodalPipeline.all ++

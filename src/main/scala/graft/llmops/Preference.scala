@@ -59,5 +59,115 @@ object Preference {
       .orderBy("lang", "source")
   }
 
-  val all: Seq[Q] = Seq(xDpoPairs)
+  /** Fixed-point scale for the Bradley-Terry MM solve: ratings live at
+    * ~10^6, intermediate products stay under 2^63 for any fixture where
+    * wins ≤ ~10^6 per player (this lake: ≤ 2×10^3).
+    */
+  val BT_K = 1000000000000L
+
+  /** Initial rating (the BT scale is arbitrary; only ratios matter). */
+  val BT_INIT = 1000000L
+
+  /** MM iterations — enough for rank stability on a k=5 player domain
+    * (the spec asserts the final TWO iterations agree on the ranking).
+    */
+  val BT_ITERS = 5
+
+  /** X — Bradley-Terry strength ratings from pairwise contests: the
+    * arena-style ranking op (Chatbot-Arena / reward-model eval boards
+    * run exactly this on human preference votes). Players are the
+    * event_type domain; one CONTEST per (user, type-pair): i beats j
+    * for a user iff the user fired strictly more i-events than
+    * j-events, over users who fired both types (the "both played"
+    * contract keeps the comparison well-defined and join-natural).
+    *
+    * Solver: Hunter's MM update π_i ← W_i / Σ_j N_ij/(π_i+π_j)
+    * (W_i = total wins, N_ij = games vs j), BT_ITERS iterations
+    * unrolled, in FIXED-POINT integer arithmetic: every division is a
+    * BIGINT floor-div at scale BT_K, spelled identically in both
+    * engines — zero floats, bit-identical ratings. A winless player's
+    * rating floors at 1 (greatest(·,1)) instead of reaching 0, which
+    * keeps every later denominator positive regardless of fixture.
+    *
+    * Scale posture: the corpus-scale work is ONE hash agg (per-user
+    * type counts, map-side combined) plus a per-user k² comparison
+    * (k = |players|, a model roster — single digits); the win matrix is
+    * k² rows and the MM solve is BT_ITERS broadcast-joins over it —
+    * driver-free, corpus-independent. At 100 TB of votes only the
+    * first agg grows.
+    */
+  val xBtRating = Q(
+    "x_bt_rating", {
+      val iters = (1 to BT_ITERS).map { t =>
+        val prev = if (t == 1) "r0" else s"r${t - 1}"
+        s"""r$t AS (SELECT w.i,
+             greatest((w.wins * $BT_K) // d.d, 1) AS pi
+           FROM wins w JOIN (
+             SELECT m.i,
+               CAST(sum((m.n_games * $BT_K) // (ra.pi + rb.pi)) AS BIGINT) AS d
+             FROM m JOIN $prev ra ON ra.i = m.i
+                    JOIN $prev rb ON rb.i = m.j
+             GROUP BY 1) d ON d.i = w.i)"""
+      }.mkString(",\n       ")
+      s"""WITH uc AS (SELECT user_id, event_type,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+       w0 AS (SELECT a.event_type AS i, b.event_type AS j,
+                CAST(sum(CASE WHEN a.c > b.c THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_ij
+              FROM uc a JOIN uc b ON a.user_id = b.user_id
+                AND a.event_type <> b.event_type
+              GROUP BY 1, 2),
+       m AS (SELECT a.i, a.j, a.n_ij, a.n_ij + b.n_ij AS n_games
+             FROM w0 a JOIN w0 b ON a.i = b.j AND a.j = b.i),
+       wins AS (SELECT i, CAST(sum(n_ij) AS BIGINT) AS wins,
+                  CAST(sum(n_games) AS BIGINT) AS games
+                FROM m GROUP BY 1),
+       r0 AS (SELECT i, CAST($BT_INIT AS BIGINT) AS pi FROM wins),
+       $iters
+       SELECT wins.i AS event_type, wins.games, wins.wins,
+              r$BT_ITERS.pi AS pi_fix,
+              CAST(row_number() OVER (ORDER BY r$BT_ITERS.pi DESC, wins.i)
+                AS BIGINT) AS rnk
+       FROM wins JOIN r$BT_ITERS ON r$BT_ITERS.i = wins.i
+       ORDER BY rnk"""
+    }) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val uc = T(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val w0 = uc.as("a").join(uc.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") =!= col("b.event_type"))
+      .groupBy(col("a.event_type").as("i"), col("b.event_type").as("j"))
+      .agg(sum(when(col("a.c") > col("b.c"), 1L).otherwise(0L)).as("n_ij"))
+    val m = w0.as("a").join(w0.as("b"),
+        col("a.i") === col("b.j") && col("a.j") === col("b.i"))
+      .select(col("a.i"), col("a.j"), col("a.n_ij"),
+        (col("a.n_ij") + col("b.n_ij")).as("n_games"))
+      .localCheckpoint() // k² rows; pins the matrix so 5 unrolled
+                         // iterations don't replay the corpus agg
+    val wins = m.groupBy("i")
+      .agg(sum(col("n_ij")).as("wins"), sum(col("n_games")).as("games"))
+    var r = wins.select(col("i"), lit(BT_INIT).as("pi"))
+    for (_ <- 1 to BT_ITERS) {
+      val d = m
+        .join(broadcast(r.select(col("i"), col("pi").as("pa"))), Seq("i"))
+        .join(broadcast(r.select(col("i").as("j"), col("pi").as("pb"))),
+          Seq("j"))
+        .groupBy("i")
+        .agg(sum(expr(s"(n_games * $BT_K) div (pa + pb)")).as("d"))
+      r = wins.join(d, Seq("i"))
+        .select(col("i"),
+          greatest(expr(s"(wins * $BT_K) div d"), lit(1L)).as("pi"))
+    }
+    wins.join(r, Seq("i"))
+      .select(col("i").as("event_type"), col("games"), col("wins"),
+        col("pi").as("pi_fix"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("pi_fix").desc, col("event_type"))).cast("long"))
+      .orderBy("rnk")
+  }
+
+  val all: Seq[Q] = Seq(xDpoPairs, xBtRating)
 }

@@ -571,7 +571,73 @@ object Timeseries {
       .orderBy("event_type", "day")
   }
 
+  /** Max autocorrelation lag (days). */
+  val ACF_MAX_LAG = 7
+
+  /** X — the autocorrelation function of the daily event-count series at
+    * lags 1..ACF_MAX_LAG: the seasonality detector (a weekly-cycled
+    * series spikes at lag 7; a trending one decays slowly) that sits in
+    * front of every forecasting/anomaly model choice. Pearson corr of
+    * (count(t), count(t+L)) pairs per lag, the direct (non-FFT) estimate
+    * on the OVERLAPPING window, i.e. corr is computed over exactly the
+    * n−L aligned pairs — the textbook "acf with pairwise-complete"
+    * variant, which keeps every statistic a plain aggregate.
+    *
+    * Determinism: same contract as x_rolling_corr — all sufficient
+    * statistics (n, Σx, Σy, Σxy, Σx², Σy²) are exact BIGINTs of integer
+    * day-counts; cov/vx/vy are integer cross-multiplications; the single
+    * double division + sqrt is one identically-spelled expression, with
+    * one rounding to micro units.
+    *
+    * Scale posture: the corpus reduces to one row per day in a single
+    * hash agg (map-side combined); the lag join runs on the bounded date
+    * dimension (time does not grow with corpus size) — 7 lags × days
+    * rows, then a 7-group aggregation. No window over raw events.
+    */
+  val xAutocorr = Q(
+    "x_autocorr",
+    s"""WITH d AS (SELECT CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1),
+       lags AS (SELECT CAST(unnest(generate_series(1, $ACF_MAX_LAG)) AS BIGINT) AS lag_d),
+       p AS (SELECT lags.lag_d, a.c AS x, b.c AS y
+             FROM d a CROSS JOIN lags
+             JOIN d b ON b.day = a.day + CAST(lags.lag_d AS INTEGER)),
+       w AS (SELECT lag_d, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+             FROM p GROUP BY 1),
+       c AS (SELECT lag_d, n,
+               n * sxy - sx * sy AS cov,
+               n * sxx - sx * sx AS vx,
+               n * syy - sy * sy AS vy FROM w)
+       SELECT lag_d, n, cov, vx, vy, $corrSql AS acf_micro
+       FROM c ORDER BY lag_d""") { (s, dir) =>
+    val d = T(s, dir, "events")
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val lags = s.range(1, ACF_MAX_LAG + 1).select(col("id").as("lag_d"))
+    val p = d.select(col("day"), col("c").as("x"))
+      .crossJoin(broadcast(lags))
+      .join(d.select(col("day").as("day2"), col("c").as("y")),
+        expr("day2 = date_add(day, cast(lag_d as int))"))
+    p.groupBy("lag_d")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lag_d"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("cov"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("vx"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("vy"))
+      .withColumn("acf_micro", expr(corrSql))
+      .orderBy("lag_d")
+  }
+
   val all: Seq[Q] = Seq(xInterpolate, xGapDetect, xWindowDistinct,
     xRollingMedian, xPopGrowth, xPctOfParent, xChangepoint, xAnomalyMad,
-    xSeasonalDow, xRollingCorr, xEwma)
+    xSeasonalDow, xRollingCorr, xEwma, xAutocorr)
 }
