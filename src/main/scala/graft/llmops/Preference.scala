@@ -69,7 +69,8 @@ object Preference {
   val BT_INIT = 1000000L
 
   /** MM iterations — enough for rank stability on a k=5 player domain
-    * (the spec asserts the final TWO iterations agree on the ranking).
+    * (Round13Spec replicates the full fixed-point solve driver-side and
+    * asserts the engine's ratings are bit-identical).
     */
   val BT_ITERS = 5
 
