@@ -42,7 +42,8 @@ object SparkEntry {
       llmops.Graph.all ++
       llmops.SetSim.all ++ sources.Compaction.all ++ sources.TimeTravel.all ++
       sources.ConcurrentCommit.all ++ sources.Wap.all ++
-      sources.PartitionEvolution.all ++ pipeline.ParseAudit.all ++
+      sources.PartitionEvolution.all ++ sources.DeleteVectors.all ++
+      sources.Catalog.all ++ pipeline.ParseAudit.all ++
       pipeline.GoldMaintenance.all ++ pipeline.SchemaOps.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */

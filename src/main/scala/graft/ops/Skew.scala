@@ -137,5 +137,99 @@ object Skew {
       .orderBy("l_returnflag")
   }
 
-  val all: Seq[Q] = Seq(xSkewJoinHub, xBloomJoin)
+  /** X — equi-join output-size diagnosis WITHOUT running the join: the
+    * planner primitive behind every join-order / strategy decision. For
+    * each candidate join it computes, from per-key count histograms
+    * only,
+    *
+    *   uniform_est = |A|·|B| / max(ndv_A, ndv_B)   (the textbook CBO
+    *     containment-and-uniformity estimate — what an optimizer
+    *     assumes with only ndv statistics), and
+    *   exact_rows  = Σ_k n_A(k)·n_B(k)             (the true equi-join
+    *     cardinality, an identity — no join materialized),
+    *
+    * plus err_ppm = 10⁶·exact/uniform: the skew penalty. A ratio ≫ 10⁶
+    * is the signature of a key distribution that will blow past the
+    * optimizer's shuffle/memory sizing (the x_skew_join_hub scenario,
+    * diagnosed BEFORE the join instead of at its OOM). Three regimes
+    * graded: a self-join on a high-cardinality key (mild overdispersion
+    * ⇒ slightly >10⁶), a self-join on a 5-value key (est error = the
+    * count variance), and a PK-FK join (uniform is near-exact).
+    *
+    * Scale posture: each histogram is one map-side-combined hash agg;
+    * the estimate joins HISTOGRAMS (ndv-sized, not corpus-sized), so
+    * the whole diagnostic costs two aggs + one key-domain join per
+    * candidate — exactly why planners can afford it. All arithmetic is
+    * exact BIGINT (the only divisions are two spelled-out floor-divs).
+    */
+  val xJoinCardinality = Q(
+    "x_join_cardinality",
+    """WITH eu AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS c
+             FROM events GROUP BY 1),
+       et AS (SELECT event_type AS k, CAST(count(*) AS BIGINT) AS c
+             FROM events GROUP BY 1),
+       lo AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+             FROM lineitem GROUP BY 1),
+       oo AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+             FROM orders GROUP BY 1),
+       j AS (
+         SELECT 'events_user_self' AS jname,
+             (SELECT CAST(sum(c) AS BIGINT) FROM eu) AS lhs_rows,
+             (SELECT CAST(sum(c) AS BIGINT) FROM eu) AS rhs_rows,
+             (SELECT CAST(count(*) AS BIGINT) FROM eu) AS ndv_max,
+             CAST(sum(a.c * b.c) AS BIGINT) AS exact_rows
+           FROM eu a JOIN eu b USING (k)
+         UNION ALL
+         SELECT 'events_type_self',
+             (SELECT CAST(sum(c) AS BIGINT) FROM et),
+             (SELECT CAST(sum(c) AS BIGINT) FROM et),
+             (SELECT CAST(count(*) AS BIGINT) FROM et),
+             CAST(sum(a.c * b.c) AS BIGINT)
+           FROM et a JOIN et b USING (k)
+         UNION ALL
+         SELECT 'lineitem_orders_fk',
+             (SELECT CAST(sum(c) AS BIGINT) FROM lo),
+             (SELECT CAST(sum(c) AS BIGINT) FROM oo),
+             greatest((SELECT CAST(count(*) AS BIGINT) FROM lo),
+                      (SELECT CAST(count(*) AS BIGINT) FROM oo)),
+             CAST(sum(a.c * b.c) AS BIGINT)
+           FROM lo a JOIN oo b USING (k))
+       SELECT jname, lhs_rows, rhs_rows, ndv_max,
+              (lhs_rows * rhs_rows) // ndv_max AS uniform_est,
+              exact_rows,
+              (1000000 * exact_rows) // ((lhs_rows * rhs_rows) // ndv_max)
+                AS err_ppm
+       FROM j ORDER BY jname""") { (s, dir) =>
+    def hist(df: DataFrame, key: Column): DataFrame =
+      df.groupBy(key.cast("string").as("k")).agg(count(lit(1)).as("c"))
+    def diag(name: String, a: DataFrame, b: DataFrame): DataFrame = {
+      val fa = a.agg(sum(col("c")).as("lhs_rows"),
+        count(lit(1)).as("ndv_a"))
+      val fb = b.agg(sum(col("c")).as("rhs_rows"),
+        count(lit(1)).as("ndv_b"))
+      val ex = a.select(col("k"), col("c").as("ca"))
+        .join(b.select(col("k"), col("c").as("cb")), Seq("k"))
+        .agg(sum(col("ca") * col("cb")).as("exact_rows"))
+      fa.crossJoin(fb).crossJoin(ex)
+        .select(lit(name).as("jname"), col("lhs_rows"), col("rhs_rows"),
+          greatest(col("ndv_a"), col("ndv_b")).as("ndv_max"),
+          col("exact_rows"))
+    }
+    val ev = T(s, dir, "events")
+    val eu = hist(ev, col("user_id"))
+    val et = hist(ev, col("event_type"))
+    val lo = hist(T(s, dir, "lineitem"), col("l_orderkey"))
+    val oo = hist(T(s, dir, "orders"), col("o_orderkey"))
+    diag("events_user_self", eu, eu)
+      .unionByName(diag("events_type_self", et, et))
+      .unionByName(diag("lineitem_orders_fk", lo, oo))
+      .select(col("jname"), col("lhs_rows"), col("rhs_rows"), col("ndv_max"),
+        expr("(lhs_rows * rhs_rows) div ndv_max").as("uniform_est"),
+        col("exact_rows"),
+        expr("(1000000 * exact_rows) div ((lhs_rows * rhs_rows) div ndv_max)")
+          .as("err_ppm"))
+      .orderBy("jname")
+  }
+
+  val all: Seq[Q] = Seq(xSkewJoinHub, xBloomJoin, xJoinCardinality)
 }
