@@ -43,7 +43,8 @@ object SparkEntry {
       llmops.SetSim.all ++ sources.Compaction.all ++ sources.TimeTravel.all ++
       sources.ConcurrentCommit.all ++ sources.Wap.all ++
       sources.PartitionEvolution.all ++ sources.DeleteVectors.all ++
-      sources.Catalog.all ++ pipeline.ParseAudit.all ++
+      sources.Catalog.all ++ sources.StatsMaintenance.all ++
+      pipeline.ViewMaintenance.all ++ pipeline.ParseAudit.all ++
       pipeline.GoldMaintenance.all ++ pipeline.SchemaOps.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
