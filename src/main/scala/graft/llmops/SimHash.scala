@@ -111,5 +111,63 @@ object SimHash {
       .orderBy("a_id", "b_id")
   }
 
-  val all: Seq[Q] = Seq(xSimhash, xSimhashNeardup)
+  /** X — the same near-dup join under MULTI-PROBE banding (Lv et al.,
+    * VLDB'07, adapted to Hamming space): TWO 24-bit bands instead of
+    * four 12-bit ones, with the index side posting one key per band and
+    * the probe side ALSO posting every 1-bit flip of its band key
+    * (25 keys/band). Recall stays provably exact: ≤ MAX_HAMMING = 3
+    * flipped bits over 2 bands leave some band with ≤ 1 flip
+    * (pigeonhole), and a 1-flip band is covered by exactly one of the
+    * probe's flip keys. Output ≡ x_simhash_neardup (same oracle) — the
+    * point is the PATH: half the index tables (the memory that
+    * dominates an LSH service at corpus scale) bought with a bounded
+    * 25× probe fan-out, the standard memory-vs-probe knob. Candidate
+    * precision also rises: a 24-bit agreement (even ±1 bit) is ~2¹²×
+    * rarer by chance than a 12-bit one, so the verify stage sees fewer
+    * false candidates — SCALING.md records both candidate counts.
+    *
+    * Scale posture: probe expansion is a flat 50×-keys flatMap on the
+    * probe side only (map-side, no state); the join is still equi-join
+    * banding, never O(n²); the verify is the same xor+bit_count.
+    */
+  val xSimhashMultiprobe = Q(
+    "x_simhash_multiprobe",
+    s"""$simhashCte
+       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              bit_count(xor(a.simhash, b.simhash)) AS hamming
+       FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.simhash, b.simhash)) <= $MAX_HAMMING
+       ORDER BY a_id, b_id""") { (s, dir) =>
+    val sketches = xSimhash.build(s, dir).cache()
+    graft.core.CacheBin.swap("x_simhash_multiprobe.sketches", sketches)
+    val mask24 = (1L << 24) - 1
+    // index side: one exact key per 24-bit band
+    val index = sketches.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 2).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), 24 * b).bitwiseAND(mask24).as("bk"))): _*))
+          .as("e"))
+      .select(col("doc_id"), col("simhash"), col("e.band"), col("e.bk"))
+    // probe side: the exact key plus its 24 single-bit flips
+    val probe = sketches.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 2).flatMap(b => (-1 until 24).map(j =>
+          struct(lit(b).as("band"), {
+            val key = shiftright(col("simhash"), 24 * b).bitwiseAND(mask24)
+            (if (j < 0) key else key.bitwiseXOR(lit(1L << j))).as("bk")
+          }))): _*)).as("e"))
+      .select(col("doc_id"), col("simhash"), col("e.band"), col("e.bk"))
+    val cand = probe.as("x").join(index.as("y"), Seq("band", "bk"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("x.simhash").as("sa"),
+        col("y.doc_id").as("b_id"), col("y.simhash").as("sb"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+      .filter(col("hamming") <= MAX_HAMMING)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val all: Seq[Q] = Seq(xSimhash, xSimhashNeardup, xSimhashMultiprobe)
 }

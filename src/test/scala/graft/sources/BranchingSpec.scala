@@ -1,0 +1,82 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Round-13: lake branching/merge semantics + the multiprobe twin. */
+class BranchingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def store(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/s"
+
+  test("merge fast-forwards when main has not moved") {
+    val root = store("graft_br_ff")
+    ConcurrentCommit.commitAppend(spark, root,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "p"), "w0")
+    val base = Branching.fork(spark, root, "f")
+    Branching.commitToBranch(spark, root, "f",
+      Branching.readBranch(spark, root, "f")
+        .unionByName(Seq((3L, 30.0)).toDF("k", "p")))
+    val m = Branching.merge(spark, root, "f", base, "k", Seq("p"), "w1")
+    assert(m.fastForward && m.conflicts == 0L && m.version == 1L)
+    assert(Lake.readCurrent(spark, root).count() == 3)
+  }
+
+  test("three-way merge: delete semantics and delete-vs-update conflicts") {
+    val root = store("graft_br_del")
+    ConcurrentCommit.commitAppend(spark, root,
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)).toDF("k", "p"), "w0")
+    val base = Branching.fork(spark, root, "f")
+    // branch: delete k=1 (main leaves it), delete k=3 (main repriced it
+    // → delete-vs-update CONFLICT, branch-wins = stays deleted),
+    // reprice k=4
+    Branching.commitToBranch(spark, root, "f",
+      Seq((2L, 20.0), (4L, 44.0)).toDF("k", "p"))
+    // main: delete k=2 (branch left it), reprice k=3
+    ConcurrentCommit.commitTransform(spark, root,
+      _ => Seq((1L, 10.0), (3L, 33.0), (4L, 40.0)).toDF("k", "p"), "main")
+    val m = Branching.merge(spark, root, "f", base, "k", Seq("p"), "w1")
+    assert(!m.fastForward)
+    assert(m.conflicts == 1L, "k=3 delete-vs-update is the one conflict")
+    val got = Lake.readCurrent(spark, root).as[(Long, Double)].collect().toSet
+    // k=1 branch-deleted (main unchanged) → gone; k=2 main-deleted
+    // (branch unchanged) → gone; k=3 conflict → branch-wins deleted;
+    // k=4 branch reprice survives
+    assert(got == Set((4L, 44.0)))
+  }
+
+  test("merge CAS: a merge racing a fresh append must not land silently") {
+    val root = store("graft_br_race")
+    ConcurrentCommit.commitAppend(spark, root,
+      Seq((1L, 10.0)).toDF("k", "p"), "w0")
+    val base = Branching.fork(spark, root, "f")
+    Branching.commitToBranch(spark, root, "f",
+      Seq((1L, 10.0), (2L, 2.0)).toDF("k", "p"))
+    // main moves AFTER the merger read its head: simulate by claiming
+    // the merge's target version first (what a racing append does)
+    ConcurrentCommit.commitAppend(spark, root,
+      Seq((9L, 9.0)).toDF("k", "p"), "racer")
+    // merge now computes against head v1 and lands at v2 — but k=9 from
+    // the racer must survive in the merged snapshot (rebase semantics:
+    // merge reads the CURRENT head, not the fork-time head)
+    val m = Branching.merge(spark, root, "f", base, "k", Seq("p"), "w1")
+    val got = Lake.readCurrent(spark, root).as[(Long, Double)].collect().toSet
+    assert(got == Set((1L, 10.0), (2L, 2.0), (9L, 9.0)))
+    assert(!m.fastForward)
+  }
+
+  test("multiprobe banding returns exactly the 4-band pairs") {
+    import graft.llmops.SimHash
+    val sf = "/root/testdata/sf0.001"
+    val four = SimHash.xSimhashNeardup.build(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    val multi = SimHash.xSimhashMultiprobe.build(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(multi == four)
+    assert(multi.nonEmpty)
+  }
+}
