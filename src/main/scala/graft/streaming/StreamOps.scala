@@ -870,6 +870,95 @@ object StreamOps {
     s.read.parquet(logPath).orderBy("batch")
   }
 
+  /** Apply one micro-batch of additive deltas to the versioned MV at
+    * `mvDir` under exactly-once semantics: the MV snapshot CARRIES the
+    * last committed batch id (every row, column `committed_batch`), so
+    * ledger and data commit in the same atomic `_SUCCESS` publication —
+    * there is no window where the delta landed but the ledger didn't
+    * (or vice versa), which is precisely the crash the two-object
+    * spelling (data file + separate ledger file) cannot close. A batch
+    * at or below the ledger is a REPLAY and is skipped. Returns whether
+    * the batch was applied.
+    */
+  private[graft] def applyAdditiveBatch(s: SparkSession, mvDir: String,
+      batch: DataFrame, batchId: Long): Boolean = {
+    val cur = graft.sources.Lake.currentVersion(s, mvDir)
+      .map(p => s.read.parquet(p))
+    val last = cur.map(_.agg(max(col("committed_batch"))).collect()
+      .head.getLong(0)).getOrElse(-1L)
+    if (batchId <= last) return false
+    val delta = batch
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    val merged = cur.map(_.select(col("event_type"), col("n"), col("cents"))
+        .unionByName(delta).groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents")))
+      .getOrElse(delta)
+      .withColumn("committed_batch", lit(batchId))
+    graft.sources.Lake.writeVersioned(merged, mvDir)
+    true
+  }
+
+  /** X — exactly-once ADDITIVE aggregation under at-least-once delivery:
+    * the transactional-sink pattern every streaming gold table needs the
+    * moment its merge is not idempotent. x_stream_upsert absorbs
+    * duplicate delivery because argmax is idempotent; a count/sum MV is
+    * NOT — a replayed micro-batch double-counts unless the sink is
+    * transactional. The discipline (Spark's own docs call it the
+    * batchId dedup pattern): foreachBatch consults the committed-batch
+    * ledger stored ATOMICALLY WITH the MV snapshot and skips batches it
+    * has already folded in.
+    *
+    * The graded run streams the events once (AvailableNow), then
+    * re-applies a RECORDED copy of batch 0 with its original batchId —
+    * the crash-between-sink-and-checkpoint replay, the exact failure
+    * Structured Streaming's at-least-once foreachBatch contract allows.
+    * The duplicate must be a no-op: dup_applied=false rides in the
+    * graded row, and the counts hash-match the batch oracle (a
+    * double-count would shift every n/cents).
+    *
+    * Scale posture: per-batch work is one map-side-combined agg over
+    * the BATCH plus a group-domain-sized merge (|event_type| rows);
+    * the ledger read is one max over that domain. State never exceeds
+    * the group domain — the same reason q28's windowed agg scales.
+    */
+  val xStreamAdditiveMv = Q(
+    "x_stream_additive_mv",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                AS cents,
+              FALSE AS dup_applied, CAST(1 AS BIGINT) AS dup_skips
+       FROM events GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+    val stream = eventsStream(s, dir)
+      .select(col("event_type"), col("value"))
+    val mvDir = scratchDir("graft_addmv").toString + "/mv"
+    val b0Dir = scratchDir("graft_addmv_b0").toString + "/b0"
+    withPinnedReplay(s, "graft_ckpt_addmv") { ckpt =>
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val ss = batch.sparkSession
+          if (batchId == 0L) // record the replay candidate
+            batch.write.mode("overwrite").parquet(b0Dir)
+          applyAdditiveBatch(ss, mvDir, batch, batchId)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // the duplicate: batch 0 delivered again with its original id
+    val dupApplied = applyAdditiveBatch(s, mvDir,
+      s.read.parquet(b0Dir), 0L)
+    s.read.parquet(graft.sources.Lake.currentVersion(s, mvDir).get)
+      .select(col("event_type"), col("n"), col("cents"),
+        lit(dupApplied).as("dup_applied"),
+        lit(if (dupApplied) 0L else 1L).as("dup_skips"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(q28, q29, q29b, q30, q30b, q30c, q30d, xStreamNeardup,
-    xStreamUpsert, xStreamPsi, xStreamTrending, xStreamLate, xStreamCuration)
+    xStreamUpsert, xStreamPsi, xStreamTrending, xStreamLate, xStreamCuration,
+    xStreamAdditiveMv)
 }
