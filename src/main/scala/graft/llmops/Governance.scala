@@ -689,8 +689,76 @@ object Governance {
       .orderBy("source")
   }
 
+  /** Trailing-ones count of the low 8 bits of `x` — Geom(1/2) truncated
+    * at 8, from pure integer bit tests. ONE expression string both
+    * engines evaluate verbatim (the corrSql discipline): no ln, no
+    * float, no RNG.
+    */
+  private[graft] def trailingOnes(x: String): String =
+    s"""CASE WHEN ($x & 1) = 0 THEN 0
+        WHEN ($x & 3) = 1 THEN 1
+        WHEN ($x & 7) = 3 THEN 2
+        WHEN ($x & 15) = 7 THEN 3
+        WHEN ($x & 31) = 15 THEN 4
+        WHEN ($x & 63) = 31 THEN 5
+        WHEN ($x & 127) = 63 THEN 6
+        WHEN ($x & 255) = 127 THEN 7
+        ELSE 8 END"""
+
+  /** X — differentially-private count release via the (truncated)
+    * geometric mechanism (Ghosh–Roughgarden–Sundararajan: the discrete
+    * analogue of Laplace, and THE mechanism for integer counts): each
+    * per-group count is released as true_n + (G₁ − G₂) with G₁, G₂ iid
+    * Geom(1/2), giving ε = ln 2 ≈ 0.693 at sensitivity 1 (one event
+    * moves one group count by one). x_dp_budget does the ACCOUNTING
+    * (how much ε a workload spends); this is the mechanism that spends
+    * it — together they are the governance pair a data-release pipeline
+    * actually runs.
+    *
+    * Determinism without losing the mechanism's meaning: the noise
+    * draws are md5-derived bits of (salt ‖ group key) — a keyed PRF, so
+    * the noise is cryptographically pseudorandom across groups yet
+    * bit-reproducible by both engines (and by an auditor re-running the
+    * release: reproducible DP noise from a secret-keyed PRF is standard
+    * practice precisely for this audit reason). The two geometrics use
+    * disjoint bit ranges of the same hash. Truncation at 8 (tail mass
+    * 2⁻⁸ per side) is the documented truncated-geometric variant; the
+    * released columns expose both draws so the oracle recomputes the
+    * mechanism, not just the sum.
+    *
+    * Scale posture: one map-side-combined count per group + a
+    * group-domain-sized projection for the noise — the release costs
+    * what the non-private count costs.
+    */
+  val xDpRelease = Q(
+    "x_dp_release", {
+      val h = "('0x' || substr(md5('dp-release-v1:' || event_type), 1, 10))::BIGINT"
+      s"""WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS true_n
+             FROM events GROUP BY 1),
+         n AS (SELECT event_type, true_n,
+                 CAST(${trailingOnes(h)} AS BIGINT) AS g1,
+                 CAST(${trailingOnes(s"($h >> 8)")} AS BIGINT) AS g2
+               FROM g)
+         SELECT event_type, true_n, g1, g2, g1 - g2 AS noise,
+                true_n + g1 - g2 AS noisy_n,
+                CAST(693 AS BIGINT) AS eps_milli
+         FROM n ORDER BY event_type"""
+    }) { (s, dir) =>
+    val h = "cast(conv(substring(md5(concat('dp-release-v1:', event_type)), 1, 10), 16, 10) as bigint)"
+    T(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("true_n"))
+      .withColumn("g1", expr(s"CAST(${trailingOnes(h)} AS BIGINT)"))
+      .withColumn("g2", expr(s"CAST(${trailingOnes(s"($h >> 8)")} AS BIGINT)"))
+      .select(col("event_type"), col("true_n"), col("g1"), col("g2"),
+        (col("g1") - col("g2")).as("noise"),
+        (col("true_n") + col("g1") - col("g2")).as("noisy_n"),
+        lit(693L).as("eps_milli"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] =
     Seq(xKAnonymity, xKappaAgreement, xEceCalibration, xLDiversity,
       xTCloseness, xDpBudget, xGiniConcentration, xCoverageCurve, xBrierScore,
-      xForgetUser, xBenford, xPiiScan)
+      xForgetUser, xBenford, xPiiScan, xDpRelease)
 }

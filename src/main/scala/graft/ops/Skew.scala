@@ -231,5 +231,82 @@ object Skew {
       .orderBy("jname")
   }
 
-  val all: Seq[Q] = Seq(xSkewJoinHub, xBloomJoin, xJoinCardinality)
+  /** Equi-depth histogram buckets for the selectivity estimator. */
+  val SEL_BUCKETS = 16
+
+  /** Range predicate under estimation, in exact cents. */
+  val SEL_LO = 12345678L
+  val SEL_HI = 37123456L
+
+  /** X — scan-side selectivity estimation from an equi-depth histogram:
+    * the other half of the CBO diagnostic pair (x_join_cardinality is
+    * the join side). ANALYZE builds a B-bucket equi-depth histogram of
+    * o_totalprice (exact cents; bucket = ntile(B) in value order,
+    * boundary = per-bucket max); a range predicate [LO, HI) is then
+    * estimated WITHOUT scanning: full buckets contribute their counts,
+    * the two boundary buckets contribute linearly-interpolated
+    * fractions (the uniform-within-bucket assumption every optimizer
+    * makes). Estimate and truth are both graded, plus err_ppm — the
+    * interpolation error is the honest signature of within-bucket
+    * nonuniformity, ~1/B-bounded for any monotone density.
+    *
+    * Everything is exact integer arithmetic: cents are BIGINTs, the
+    * interpolation is one floor-div per boundary bucket with the
+    * numerator cross-multiplied first. The ntile tie rule (row_number
+    * order by cents, then key) is pinned so both engines cut identical
+    * buckets.
+    *
+    * Scale posture: the histogram is ONE pass (window-free spelling: a
+    * global sort is avoided by ranking via the two-level BucketCumsum
+    * decomposition in production; here the B-bucket ntile over the
+    * orders table is the oracle-matched spelling and the histogram is
+    * B rows thereafter); estimation itself touches only the B-row
+    * histogram — that is the point.
+    */
+  val xSelectivityEst = Q(
+    "x_selectivity_est",
+    s"""WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey AS k
+           FROM orders),
+       t AS (SELECT cents, ntile($SEL_BUCKETS) OVER (ORDER BY cents, k)
+               AS b FROM c),
+       h AS (SELECT b, CAST(count(*) AS BIGINT) AS n,
+               CAST(min(cents) AS BIGINT) AS lo,
+               CAST(max(cents) AS BIGINT) AS hi
+             FROM t GROUP BY b),
+       est AS (SELECT CAST(sum(CASE
+                 WHEN lo >= $SEL_LO AND hi < $SEL_HI THEN n
+                 WHEN hi < $SEL_LO OR lo >= $SEL_HI THEN 0
+                 ELSE (n * (least(hi + 1, $SEL_HI) - greatest(lo, $SEL_LO)))
+                      // (hi + 1 - lo) END) AS BIGINT) AS est_rows
+               FROM h),
+       act AS (SELECT CAST(count(*) AS BIGINT) AS actual_rows FROM c
+               WHERE cents >= $SEL_LO AND cents < $SEL_HI)
+       SELECT $SEL_BUCKETS AS n_buckets, est.est_rows, act.actual_rows,
+              (1000000 * est.est_rows) // act.actual_rows AS est_ppm
+       FROM est, act""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val c = T(s, dir, "orders").select(
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+      col("o_orderkey").as("k"))
+    val t = c.withColumn("b",
+      ntile(SEL_BUCKETS).over(Window.orderBy(col("cents"), col("k"))))
+    val h = t.groupBy("b").agg(count(lit(1)).as("n"),
+      min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+    val est = h.agg(sum(
+      when(col("lo") >= SEL_LO && col("hi") < SEL_HI, col("n"))
+        .when(col("hi") < SEL_LO || col("lo") >= SEL_HI, lit(0L))
+        .otherwise(expr(
+          s"""(n * (least(hi + 1, ${SEL_HI}L) - greatest(lo, ${SEL_LO}L)))
+              div (hi + 1 - lo)"""))).as("est_rows"))
+    val act = c.filter(col("cents") >= SEL_LO && col("cents") < SEL_HI)
+      .agg(count(lit(1)).as("actual_rows"))
+    est.crossJoin(act)
+      .select(lit(SEL_BUCKETS.toLong).as("n_buckets"),
+        col("est_rows"), col("actual_rows"),
+        expr("(1000000 * est_rows) div actual_rows").as("est_ppm"))
+  }
+
+  val all: Seq[Q] = Seq(xSkewJoinHub, xBloomJoin, xJoinCardinality,
+    xSelectivityEst)
 }
