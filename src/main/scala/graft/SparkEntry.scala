@@ -16,7 +16,7 @@ object SparkEntry {
   def registry: Seq[Q] =
     ops.Relational.all ++ ops.Analytic.all ++ ops.Extra.all ++
       ops.Timeseries.all ++ ops.EventAnalytics.all ++ ops.Scd.all ++
-      ops.Skew.all ++ ops.Itemsets.all ++
+      ops.Skew.all ++ ops.Itemsets.all ++ ops.Observe.all ++
       plans.AsOfQueries.all ++ streaming.StreamOps.all ++
       ops.Udfs.all ++ llmops.Dedup.all ++ llmops.MinHashLSH.all ++
       llmops.DedupFamilies.all ++ llmops.DedupPipeline.all ++

@@ -284,5 +284,74 @@ object Evals {
     r.crossJoin(broadcast(ci)).orderBy("rep")
   }
 
-  val all: Seq[Q] = Seq(xPassAtK, xConformal, xCrossvalFolds, xDyadicBootstrap)
+  /** Sign-flip vectors for the paired permutation test. */
+  val PERM_K = 512
+
+  /** X — the paired sign-flip permutation test (Fisher's randomization
+    * test on paired differences): the standard significance check for
+    * "model A beats model B on the SAME eval items", stronger than the
+    * unpaired Mann-Whitney (x_mannwhitney) because pairing removes
+    * item difficulty as a variance source — the test every eval harness
+    * should run before a leaderboard claim. Under H₀ (no difference)
+    * each item's difference d_i is symmetric around 0, so every sign
+    * assignment is equally likely; the p-value is the fraction of sign
+    * vectors whose |Σ sᵢdᵢ| reaches the observed |Σ dᵢ|.
+    *
+    * Determinism: the PERM_K sign vectors come from md5 bits of
+    * (item ‖ vector-index) — a fixed, auditable Monte-Carlo subset of
+    * the 2ⁿ sign space (the standard practice; exhaustive enumeration
+    * is infeasible past n≈30), identical in both engines; all sums are
+    * exact BIGINTs and the p-value is an integer ppm floor-div. The
+    * paired scores are two cheap text metrics of the same document
+    * (word count vs n_chars/6 — a calibrated words-per-char yardstick),
+    * so d_i is genuinely signed and item-paired.
+    *
+    * Scale posture: one narrow pass computes d_i; the permutation sweep
+    * is a flat items × PERM_K expansion feeding ONE hash agg keyed by
+    * the vector index (map-side combined; PERM_K groups of state).
+    * Nothing quadratic, no driver loops — at 10⁹ items you shrink
+    * PERM_K or pre-aggregate d by stratum, both plan-shape-preserving.
+    */
+  val xPairedPermutation = Q(
+    "x_paired_permutation",
+    s"""WITH d AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) - n_chars // 6 AS d
+           FROM documents),
+       t AS (SELECT CAST(sum(d) AS BIGINT) AS t_obs,
+               CAST(count(*) AS BIGINT) AS n_items FROM d),
+       ks AS (SELECT CAST(unnest(generate_series(0, ${PERM_K - 1})) AS BIGINT)
+                AS k),
+       s AS (SELECT k, CAST(sum(CASE WHEN (('0x' ||
+                substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                  CAST(k AS VARCHAR)), 1, 1))::BIGINT & 1) = 1
+                THEN d ELSE -d END) AS BIGINT) AS stat
+             FROM d CROSS JOIN ks GROUP BY k),
+       e AS (SELECT CAST(sum(CASE WHEN abs(stat) >= abs(t.t_obs)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+             FROM s, t)
+       SELECT t.n_items, t.t_obs, CAST($PERM_K AS BIGINT) AS n_perms,
+              e.n_extreme, (1000000 * e.n_extreme) // $PERM_K AS p_ppm
+       FROM t, e""") { (s, dir) =>
+    val d = T(s, dir, "documents").select(col("doc_id"),
+      (size(split(col("text"), " ")).cast("long") -
+        expr("n_chars div 6")).as("d"))
+    val t = d.agg(sum(col("d")).as("t_obs"), count(lit(1)).as("n_items"))
+    val ks = s.range(PERM_K).select(col("id").as("k"))
+    val stats = d.crossJoin(ks)
+      .select(col("k"), when(expr(
+          """(cast(conv(substring(md5(concat(cast(doc_id as string), ':',
+             cast(k as string))), 1, 1), 16, 10) as bigint) & 1) = 1"""),
+        col("d")).otherwise(-col("d")).as("sd"))
+      .groupBy("k").agg(sum(col("sd")).as("stat"))
+    val e = stats.crossJoin(broadcast(t.select(col("t_obs").as("t0"))))
+      .agg(sum(when(abs(col("stat")) >= abs(col("t0")), 1L).otherwise(0L))
+        .as("n_extreme"))
+    t.crossJoin(e)
+      .select(col("n_items"), col("t_obs"),
+        lit(PERM_K.toLong).as("n_perms"), col("n_extreme"),
+        expr(s"(1000000 * n_extreme) div $PERM_K").as("p_ppm"))
+  }
+
+  val all: Seq[Q] = Seq(xPassAtK, xConformal, xCrossvalFolds,
+    xDyadicBootstrap, xPairedPermutation)
 }

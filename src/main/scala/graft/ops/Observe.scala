@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.core.{Q, Scratch, Tables => T}
+
+/** In-flight data-quality counters via `Dataset.observe` (Catalyst's
+  * CollectMetrics) — the Spark-native answer to "publish ingest QA
+  * metrics without a second scan". A naive pipeline writes the batch,
+  * then runs a separate aggregation job to fill the quality dashboard:
+  * at 100 TB that second pass costs as much as the write. `observe`
+  * attaches the aggregates to the SAME physical plan, so the counters
+  * are computed by the very tasks that write the files — zero extra
+  * reads, exact results (unlike accumulators, CollectMetrics has
+  * exactly-once semantics per completed action, task retries don't
+  * double-count).
+  *
+  * The graded row is the observed metric map from a REAL parquet write
+  * action, plus the written-file row count read back — if the counters
+  * were computed from a different pass (or drifted from what landed on
+  * disk), rows_written ≠ n_rows and the oracle hash fails. This is an
+  * engine capability the reference (and DuckDB) has no equivalent for;
+  * the oracle recomputes the metric values from the raw table.
+  */
+object Observe {
+
+  val xObserveMetrics = Q(
+    "x_observe_metrics",
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k')
+                AS BIGINT) > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi_k,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                AS cents_total,
+              CAST(min(round(value * 100)) AS BIGINT) AS cents_min,
+              CAST(max(round(value * 100)) AS BIGINT) AS cents_max,
+              CAST(count(*) AS BIGINT) AS rows_written
+       FROM events""") { (s, dir) =>
+    val obs = org.apache.spark.sql.Observation()
+    val out = Scratch.path("observe_sink")
+    T(s, dir, "events")
+      .select(col("event_id"), col("props"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(get_json_object(col("props"), "$.k").cast("long") > 50, 1L)
+          .otherwise(0L)).as("n_hi_k"),
+        sum(col("cents")).as("cents_total"),
+        min(col("cents")).as("cents_min"),
+        max(col("cents")).as("cents_max"))
+      .write.mode("overwrite").parquet(out) // the action the metrics ride
+    val m = obs.get
+    val written = s.read.parquet(out).count()
+    import s.implicits._
+    Seq((m("n_rows").asInstanceOf[Long],
+        m("n_hi_k").asInstanceOf[Long],
+        m("cents_total").asInstanceOf[Long],
+        m("cents_min").asInstanceOf[Long],
+        m("cents_max").asInstanceOf[Long],
+        written))
+      .toDF("n_rows", "n_hi_k", "cents_total", "cents_min",
+        "cents_max", "rows_written")
+  }
+
+  val all: Seq[Q] = Seq(xObserveMetrics)
+}
