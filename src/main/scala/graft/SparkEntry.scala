@@ -36,6 +36,7 @@ object SparkEntry {
       llmops.LangModel.all ++ llmops.QualityModel.all ++ llmops.Unigram.all ++
       llmops.WordPiece.all ++
       llmops.Drift.all ++ llmops.Governance.all ++ llmops.Evals.all ++
+      llmops.DawidSkene.all ++
       llmops.Overlap.all ++ llmops.Preference.all ++
       llmops.Kmv.all ++ llmops.Quantize.all ++ llmops.Coreset.all ++
       llmops.LabelProp.all ++ llmops.Silhouette.all ++
