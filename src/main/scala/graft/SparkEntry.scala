@@ -45,7 +45,7 @@ object SparkEntry {
       sources.ConcurrentCommit.all ++ sources.Wap.all ++
       sources.PartitionEvolution.all ++ sources.DeleteVectors.all ++
       sources.Catalog.all ++ sources.StatsMaintenance.all ++
-      sources.Branching.all ++
+      sources.Branching.all ++ sources.OrphanGc.all ++
       pipeline.ViewMaintenance.all ++ pipeline.ParseAudit.all ++
       pipeline.GoldMaintenance.all ++ pipeline.SchemaOps.all
 
