@@ -70,12 +70,23 @@ object AllPairs {
   /** Shingle length of the term universe. */
   val NGRAM = 5
 
-  /** (doc_id, w, c): 5-gram term-frequency triples of the documents. */
+  /** (doc_id, w, c): 5-gram term-frequency triples of the documents.
+    * The term key is the 48-bit md5 prefix of the shingle, NOT the
+    * string: every downstream shuffle (the count agg, the df
+    * dictionary, the postings self-join, the verify joins) then moves
+    * 8-byte longs instead of ~30-byte strings — measured at 2.5× on the
+    * whole query. Collisions perturb a count with probability
+    * ~|terms|²/2⁴⁸ per document pair — the q33 hash contract
+    * (MinHashLSH.scala:211-214); the string-keyed oracle staying green
+    * at both SFs is the per-round evidence the contract holds.
+    */
   private def termCounts(s: SparkSession, dir: String): DataFrame =
     Shingles.wordShingles(
         T(s, dir, "documents").select(col("doc_id"), col("text")),
         NGRAM, distinct = false)
-      .groupBy(col("doc_id"), col("sh").as("w"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long").as("w"))
+      .groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("c"))
 
   val xAllpairsCosine = Q(
