@@ -589,7 +589,69 @@ object Curation {
       .orderBy("rule")
   }
 
+  /** α grid for the temperature operating curve, ×10. */
+  val TEMP_CURVE_ALPHAS = Seq(1L, 3L, 5L, 7L, 10L)
+
+  /** X — the α OPERATING CURVE for temperature mixing: what every
+    * mixture designer writes down before committing to an exponent
+    * (x_temperature_mix runs ONE α; this prices the knob — the same
+    * relationship x_dedup_threshold_curve has to q33). For α ∈
+    * {0.1, 0.3, 0.5, 0.7, 1.0}, each language's mixture share
+    * w_i ∝ p_i^α is computed from the SAME single language-count
+    * aggregation; the table shows the head language's suppression and
+    * the tail's upsampling sweep from near-uniform (α→0) to
+    * proportional (α=1) — the two failure modes (head domination vs
+    * tail overfitting from extreme upsampling) sit at the ends, and the
+    * row where the tail's boost_ppm crosses the epoch-cap budget
+    * (x_epoch_schedule) is how α actually gets chosen.
+    *
+    * Float discipline: p^α is the one libm operation, immediately
+    * rounded to the 1e9 fixed-point grid (the x_temperature_mix
+    * contract, margin-audited in Round9Spec's family); shares are then
+    * exact integer ppm floor-divs.
+    *
+    * Scale posture: the corpus collapses to one (lang, n) agg; the
+    * curve is |langs| × |α grid| rows of pure projection — the whole
+    * operator is group-domain-sized after one map-side-combined pass.
+    */
+  val xTemperatureCurve = Q(
+    "x_temperature_curve",
+    s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+             FROM documents GROUP BY lang),
+       tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM c),
+       alphas AS (SELECT CAST(unnest(ARRAY[${TEMP_CURVE_ALPHAS.mkString(",")}])
+                    AS BIGINT) AS alpha_x10),
+       pw AS (SELECT alpha_x10, lang, n,
+                CAST(round(pow(CAST(n AS DOUBLE) / nn, alpha_x10 / 10.0)
+                  * 1000000000) AS BIGINT) AS wfix
+              FROM c, tot, alphas),
+       sw AS (SELECT alpha_x10, CAST(sum(wfix) AS BIGINT) AS s
+              FROM pw GROUP BY 1)
+       SELECT pw.alpha_x10, pw.lang, pw.n AS n_docs, pw.wfix,
+              (1000000 * pw.wfix) // sw.s AS share_ppm,
+              ((1000000 * pw.wfix) // sw.s) * tot.nn // pw.n AS boost_ppm
+       FROM pw JOIN sw USING (alpha_x10), tot
+       ORDER BY alpha_x10, lang""") { (s, dir) =>
+    val c = T(s, dir, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val tot = c.agg(sum(col("n")).as("nn"))
+    val alphas = s.createDataset(TEMP_CURVE_ALPHAS)(
+      org.apache.spark.sql.Encoders.scalaLong).toDF("alpha_x10")
+    val pw = c.crossJoin(broadcast(tot)).crossJoin(broadcast(alphas))
+      .select(col("alpha_x10"), col("lang"), col("n"),
+        expr("""CAST(round(pow(CAST(n AS DOUBLE) / nn, alpha_x10 / 10.0)
+                * 1000000000) AS BIGINT)""").as("wfix"),
+        col("nn"))
+    val sw = pw.groupBy("alpha_x10").agg(sum(col("wfix")).as("s"))
+    pw.join(broadcast(sw), Seq("alpha_x10"))
+      .select(col("alpha_x10"), col("lang"), col("n").as("n_docs"),
+        col("wfix"),
+        expr("(1000000 * wfix) div s").as("share_ppm"),
+        expr("((1000000 * wfix) div s) * nn div n").as("boost_ppm"))
+      .orderBy("alpha_x10", "lang")
+  }
+
   val all: Seq[Q] = Seq(xNgramContamination, xMixSample, xDomainCap,
     xDatasetCard, xNgramNovelty, xTemperatureMix, xPrioritySample,
-    xEpochSchedule, xBenchAttribution, xQualityAblation)
+    xEpochSchedule, xBenchAttribution, xQualityAblation, xTemperatureCurve)
 }
