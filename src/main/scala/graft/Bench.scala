@@ -9,6 +9,40 @@ object Bench {
     */
   private val codegenWarmup = Seq("q34_vector_topk", "x_char_ngram_jaccard")
 
+  /** Queries whose build performs REAL store writes in-query — multi-
+    * generation commit/merge/replay sequences, staged prune layouts,
+    * format round-trips, streaming checkpoint replays, persisted index
+    * builds — while the DuckDB oracle is a no-write arithmetic recompute.
+    * Their wall contains write+commit I/O BY DESIGN, so a cross-engine
+    * ratio on them measures the asymmetry, not the engine; every round's
+    * BENCH_COMPARISON re-derives this list in prose when the driver flags
+    * one. Tagging them in the artifact (`class: "store_rw"`) ships the
+    * explanation with the flag. Membership = every Q whose build writes
+    * a store (audited sweep, round 14; new store-writing queries must be
+    * added here — BenchClassSpec cross-checks the list against the
+    * registry).
+    */
+  private[graft] val storeRwClass: Set[String] = Set(
+    // sources/: versioned-lake maintenance + commit protocol
+    "x_catalog_txn", "x_lake_branch", "x_equality_deletes", "x_wap_publish",
+    "x_orphan_gc", "x_incremental_stats", "x_concurrent_commit",
+    "x_compact_commit_race", "x_compaction_plan", "x_optimize_pipeline",
+    "x_time_travel", "x_vacuum_audit",
+    // pipeline/: medallion maintenance
+    "x_gold_incremental", "x_gold_retraction", "x_malformed_audit",
+    "x_quarantine_replay", "x_schema_drift", "x_mv_join_refresh",
+    // streaming/: checkpointed replays with store appends
+    "x_stream_upsert", "x_stream_trending", "x_stream_late",
+    "x_stream_curation", "x_stream_additive_mv",
+    // ops/: format round-trips, staged prune layouts, bucketed tables
+    "x_csv_roundtrip", "x_orc_roundtrip", "x_json_roundtrip", "x_upsert",
+    "x_manifest_prune", "x_zorder_prune", "x_hilbert_prune",
+    "x_parquet_bloom_prune", "x_parquet_page_prune", "x_schema_evolution",
+    "x_bucketed_join", "x_observe_metrics",
+    // llmops/: persisted-index builds and incremental appends
+    "x_ivfpq_search", "x_ivfpq_incremental", "x_semdedup_incremental",
+    "x_incremental_curation", "x_cdc_incremental", "x_forget_user")
+
   def main(args: Array[String]): Unit = {
     // entry loadavg, read BEFORE the session/warm-up exists: the only
     // sample that measures the BOX rather than the bench itself (any
@@ -133,6 +167,13 @@ object Bench {
     val errs = errors.map(e => s"\"$e\"").mkString("[", ",", "]")
     val regs = regressions.map(r => s"\"$r\"").mkString("[", ",", "]")
     val dism = dismissed.map(r => s"\"$r\"").mkString("[", ",", "]")
+    // pre-annotate every FLAGGED query with its class so the artifact
+    // explains its own flags (verdict-r13 ask 6); kept to the flagged set
+    // on stdout — the driver stores only the last 2000 chars — with the
+    // full class map on the history line below
+    val flagClasses = (regressions ++ dismissed).distinct
+      .filter(storeRwClass.contains)
+      .map(n => s"\"$n\":\"store_rw\"").mkString("{", ",", "}")
     val loads = s"[${fmt(loadEntry)},${fmt(loadStart)},${fmt(loadEnd)}]"
     // sustained external load inflates every timing AND survives the
     // confirmation rep (which runs under the same load) — mark the run so
@@ -151,14 +192,19 @@ object Bench {
       case _ => 0.0
     }
     System.err.println(s"""BENCH FULL {"queries":$qs,"vs_prev":$vp}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results2.size},"queries":$headQs,"errors":$errs,"regressions":$regs,"spikes_dismissed":$dism,"loadavg":$loads,"load_high":$loadHigh,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results2.size},"queries":$headQs,"errors":$errs,"regressions":$regs,"flag_classes":$flagClasses,"spikes_dismissed":$dism,"loadavg":$loads,"load_high":$loadHigh,"sf":"$sfDir"}""")
     // persist this run APPEND-ONLY: one JSONL line per full run, so every
     // round's per-query numbers stay auditable on disk (the pre-round-4
     // overwrite destroyed round N-1's numbers each run; the driver's
     // truncated tail capture was the only — lossy — record)
     if (only.isEmpty) try {
       val w = new java.io.FileWriter(historyFile, true) // append
-      try w.write(s"""{"run":${runCount() + 1},"sf":"$sfDir","loadavg":$loads,"load_high":$loadHigh,"spikes_dismissed":$dism,"queries":$qs}""" + "\n")
+      try {
+        val allClasses = results2.collect {
+          case (n, _) if storeRwClass.contains(n) => s"\"$n\":\"store_rw\""
+        }.mkString("{", ",", "}")
+        w.write(s"""{"run":${runCount() + 1},"sf":"$sfDir","loadavg":$loads,"load_high":$loadHigh,"spikes_dismissed":$dism,"classes":$allClasses,"queries":$qs}""" + "\n")
+      }
       finally w.close()
     } catch { case _: Exception => } // read-only checkout: skip, don't fail
     spark.stop()

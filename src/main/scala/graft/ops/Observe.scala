@@ -87,11 +87,21 @@ object Observe {
     import scala.jdk.CollectionConverters._
     val path = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
     val conf = s.sparkContext.hadoopConfiguration
-    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf))
-    val footerRows =
+    val fs = path.getFileSystem(conf)
+    // the path may be a single file OR a multi-file directory (any real
+    // lake generation is the latter): one footer read per data file
+    val files =
+      if (fs.getFileStatus(path).isDirectory)
+        fs.listStatus(path).toSeq.map(_.getPath)
+          .filter(p => p.getName.endsWith(".parquet") &&
+            !p.getName.startsWith("_") && !p.getName.startsWith("."))
+      else Seq(path)
+    val footerRows = files.map { p =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
       try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
       finally reader.close()
+    }.sum
     val scanRows = T(s, dir, "events").count()
     import s.implicits._
     Seq((footerRows, scanRows, footerRows == scanRows))

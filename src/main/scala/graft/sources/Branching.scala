@@ -38,14 +38,28 @@ import graft.core.{Exact => E, Q, Scratch, Tables => T}
 object Branching {
 
   /** Fork a branch at main's current head; returns the base version the
-    * fork is pinned to. Data is NOT copied — the branch starts life
-    * addressing the immutable base snapshot.
+    * fork is pinned to. Data is NOT copied — a fork is one tiny marker
+    * file recording the base version number; reads resolve to main's
+    * immutable base snapshot until the branch's first own commit. (At
+    * lake scale a fork that copied the snapshot would be a full table
+    * rewrite — the entire point of the ref model is that it is not.)
     */
   def fork(spark: SparkSession, root: String, branch: String): Long = {
     val base = Lake.versions(spark, root).last
-    spark.read.parquet(s"$root/v=$base")
-      .write.mode("overwrite").parquet(s"$root/branches/$branch/v=0")
+    val p = new org.apache.hadoop.fs.Path(s"$root/branches/$branch/_base")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, false) // fail if the branch name is taken
+    try out.write(base.toString.getBytes("UTF-8")) finally out.close()
     base
+  }
+
+  /** The base version a branch was forked from (its `_base` marker). */
+  def baseOf(spark: SparkSession, root: String, branch: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/branches/$branch/_base")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+    finally in.close()
   }
 
   /** Commit a full snapshot to the branch (branch lines are single-
@@ -53,15 +67,22 @@ object Branching {
     */
   def commitToBranch(spark: SparkSession, root: String, branch: String,
       snapshot: DataFrame): Long = {
-    val next = Lake.versions(spark, s"$root/branches/$branch").last + 1
+    val next = Lake.versions(spark, s"$root/branches/$branch")
+      .lastOption.getOrElse(-1L) + 1
     snapshot.write.mode("overwrite")
       .parquet(s"$root/branches/$branch/v=$next")
     next
   }
 
-  /** Branch head as a DataFrame. */
+  /** Branch head as a DataFrame: the branch's own latest commit, or —
+    * for a fresh fork with no commits yet — main's pinned base snapshot.
+    */
   def readBranch(spark: SparkSession, root: String, branch: String): DataFrame =
-    Lake.readCurrent(spark, s"$root/branches/$branch")
+    Lake.versions(spark, s"$root/branches/$branch").lastOption match {
+      case Some(_) => Lake.readCurrent(spark, s"$root/branches/$branch")
+      case None =>
+        spark.read.parquet(s"$root/v=${baseOf(spark, root, branch)}")
+    }
 
   /** Merge result: the landed main version, whether it fast-forwarded,
     * and the key-level conflict count (0 for fast-forward).
@@ -100,7 +121,10 @@ object Branching {
         .otherwise(col("b"))    // branch changed: branch-wins (incl. conflicts)
         .as("v"),
       conflict.cast("long").as("is_conflict"))
-    val conflicts = resolved.agg(sum(col("is_conflict"))).collect()
+    // coalesce: a degenerate merge (empty three-way key union) sums over
+    // zero rows → null; that is 0 conflicts, not an NPE
+    val conflicts = resolved
+      .agg(coalesce(sum(col("is_conflict")), lit(0L))).collect()
       .head.getLong(0)
     val merged = resolved.filter(col("v").isNotNull) // both-deleted keys drop
       .select(col(keyCol) +: valCols.map(c => col(s"v.$c").as(c)): _*)
@@ -140,7 +164,7 @@ object Branching {
                     THEN CAST(1.00 AS DECIMAL(18,2))
                   ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS DOUBLE) AS total,
               CAST(3 AS BIGINT) AS main_versions,
-              CAST(2 AS BIGINT) AS branch_versions
+              CAST(1 AS BIGINT) AS branch_versions
        FROM orders""") { (s, dir) =>
     val orders = T(s, dir, "orders")
       .select(col("o_orderkey"), col("o_totalprice"))

@@ -31,12 +31,25 @@ import graft.core.{Exact => E, Q, Scratch, Tables => T}
   */
 object OrphanGc {
 
+  /** Auxiliary roots owned by sibling lake ops — live state that is NOT
+    * reachable from any `v=` manifest and must never be collected:
+    * delete-vector sidecars (merge-on-read scans resolve them at read
+    * time), branch lines, the catalog's table/pointer stores.
+    */
+  private val auxRoots = Set("deletes", "branches", "tables", "catalog")
+
   /** Delete everything under `root` that is not a committed version
-    * dir, not inside one, and not a claim marker. Returns (liveDirs,
+    * dir, not inside one, not a claim marker, and not live auxiliary
+    * state. WAP staging entries under `_staged/` are in-flight writes by
+    * design, so they are collected only past `stagedGraceMs` — the
+    * longest plausible in-flight write — never merely for existing.
+    * Callers can extend the keep-set (`keep`, root-entry names) for
+    * tool-specific litter they own. Returns (liveDirs,
     * orphanPathsRemoved).
     */
-  def collect(spark: org.apache.spark.sql.SparkSession, root: String)
-      : (Long, Long) = {
+  def collect(spark: org.apache.spark.sql.SparkSession, root: String,
+      stagedGraceMs: Long = 24L * 3600 * 1000,
+      keep: Set[String] = Set.empty): (Long, Long) = {
     val rootP = new HPath(root)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val entries = fs.listStatus(rootP).toSeq
@@ -45,13 +58,21 @@ object OrphanGc {
         st.getPath.getName.stripPrefix("v=").forall(_.isDigit) &&
         fs.exists(new HPath(st.getPath, "_SUCCESS"))
     }
-    val keepNames = live.map(_.getPath.getName).toSet
-    val orphans = entries.filter { st =>
+    val keepNames = live.map(_.getPath.getName).toSet ++ auxRoots ++ keep
+    val now = System.currentTimeMillis()
+    val (stagedRoot, others) =
+      entries.partition(_.getPath.getName == "_staged")
+    val orphans = others.filter { st =>
       val n = st.getPath.getName
       !keepNames.contains(n) && !n.startsWith("_claim_")
     }
+    // inside _staged/: collect only entries past the age floor — a young
+    // entry is (or may be) a writer mid-stage, not an abandonment
+    val staleStaged = stagedRoot.flatMap(st => fs.listStatus(st.getPath))
+      .filter(st => now - st.getModificationTime >= stagedGraceMs)
     orphans.foreach(st => fs.delete(st.getPath, true))
-    (live.size.toLong, orphans.size.toLong)
+    staleStaged.foreach(st => fs.delete(st.getPath, true))
+    (live.size.toLong, (orphans.size + staleStaged.size).toLong)
   }
 
   /** X — plant every orphan class a real lake accumulates, collect, and
@@ -90,15 +111,31 @@ object OrphanGc {
     assert(ConcurrentCommit.tryClaim(fs, root, 2L, "dead"))
     orders.limit(10).write.mode("overwrite").parquet(s"$root/v=2")
     fs.delete(new HPath(s"$root/v=2/_SUCCESS"), false)
-    // orphan 2: abandoned WAP staging
+    // orphan 2: abandoned WAP staging — aged past the grace floor
     Wap.stage(orders.limit(5), root, "abandoned")
+    fs.setTimes(new HPath(s"$root/_staged/abandoned"),
+      System.currentTimeMillis() - 7L * 24 * 3600 * 1000, -1)
     // orphan 3: crashed rewrite temp
     orders.limit(5).write.mode("overwrite").parquet(s"$root/__rewrite_tmp")
     // orphan 4: stray litter at the root
     fs.mkdirs(new HPath(s"$root/tool_scratch"))
+    // live state GC must NOT touch: an in-flight (young) WAP stage, a
+    // delete-vector sidecar, a branch line — each owned by a sibling op
+    Wap.stage(orders.limit(3), root, "inflight")
+    orders.limit(2).select(col("o_orderkey"))
+      .write.mode("overwrite").parquet(s"$root/deletes/d=0")
+    orders.limit(2).write.mode("overwrite").parquet(s"$root/branches/wip/v=0")
 
-    val (liveDirs, removed) = collect(s, root)
+    val (liveDirs, removed) = collect(s, root, stagedGraceMs = 3600 * 1000L)
     val claimKept = fs.exists(new HPath(root, "_claim_v=2"))
+    assert(fs.exists(new HPath(s"$root/_staged/inflight")),
+      "young in-flight WAP stage must survive GC")
+    assert(fs.exists(new HPath(s"$root/deletes/d=0")),
+      "delete-vector sidecars must survive GC")
+    assert(fs.exists(new HPath(s"$root/branches/wip/v=0")),
+      "branch lines must survive GC")
+    assert(!fs.exists(new HPath(s"$root/_staged/abandoned")),
+      "aged-out staged entry must be collected")
     // the consumed version number stays consumed: the next CLAIMABLE
     // number (what any correct writer's CAS probe finds) skips the dead
     // claim and lands on 3, even though v=2's data was collected

@@ -884,9 +884,17 @@ object StreamOps {
       batch: DataFrame, batchId: Long): Boolean = {
     val cur = graft.sources.Lake.currentVersion(s, mvDir)
       .map(p => s.read.parquet(p))
-    val last = cur.map(_.agg(max(col("committed_batch"))).collect()
-      .head.getLong(0)).getOrElse(-1L)
+    // max over a row-free snapshot is null → treat as "nothing committed";
+    // the ledger rides on data rows, so null must read as -1, not NPE
+    val last = cur.map { df =>
+      val r = df.agg(max(col("committed_batch"))).collect().head
+      if (r.isNullAt(0)) -1L else r.getLong(0)
+    }.getOrElse(-1L)
     if (batchId <= last) return false
+    // an empty batch folds in nothing — skip rather than publish a
+    // row-free snapshot that would erase the ledger for every later read
+    // (safe without advancing the ledger: replaying empty is idempotent)
+    if (batch.isEmpty) return false
     val delta = batch
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),

@@ -69,6 +69,37 @@ class BranchingSpec extends AnyFunSuite {
     assert(!m.fastForward)
   }
 
+  test("fork copies no data: only the _base marker, reads resolve to main") {
+    val root = store("graft_br_nocopy")
+    ConcurrentCommit.commitAppend(spark, root,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "p"), "w0")
+    val base = Branching.fork(spark, root, "f")
+    assert(base == 0L)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$root/branches/f")).map(_.getPath.getName)
+    assert(entries.toSet == Set("_base"), "a fork is one marker file, no snapshot copy")
+    assert(Branching.baseOf(spark, root, "f") == 0L)
+    // a fresh fork reads as main's pinned base — even after main moves on
+    ConcurrentCommit.commitAppend(spark, root, Seq((3L, 30.0)).toDF("k", "p"), "w1")
+    val got = Branching.readBranch(spark, root, "f").as[(Long, Double)].collect().toSet
+    assert(got == Set((1L, 10.0), (2L, 20.0)))
+    // double-fork of the same name must fail, not silently repin
+    intercept[Exception](Branching.fork(spark, root, "f"))
+  }
+
+  test("degenerate three-way merge (empty key union) returns 0 conflicts") {
+    val root = store("graft_br_empty")
+    val empty = Seq.empty[(Long, Double)].toDF("k", "p")
+    ConcurrentCommit.commitAppend(spark, root, empty, "w0")
+    val base = Branching.fork(spark, root, "f")
+    Branching.commitToBranch(spark, root, "f", empty)
+    ConcurrentCommit.commitTransform(spark, root, identity, "main")
+    val m = Branching.merge(spark, root, "f", base, "k", Seq("p"), "w1")
+    assert(!m.fastForward && m.conflicts == 0L)
+  }
+
   test("multiprobe banding returns exactly the 4-band pairs") {
     import graft.llmops.SimHash
     val sf = "/root/testdata/sf0.001"
