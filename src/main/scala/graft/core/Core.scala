@@ -13,18 +13,31 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Memoized per (session, path): `spark.read.parquet` re-lists the path
+  // and re-reads a footer for schema inference on EVERY call, and the
+  // bench invokes the loader thousands of times per sweep (359 queries ×
+  // reps × tables) — a measurable slice of the fixed per-query floor the
+  // sub-second inventory pays. The returned logical plan is immutable and
+  // the test lakes are read-only, so one plan per (session, path) is
+  // exactly right; entries die with their session (guarded below).
+  private val loaded =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts has shipped as parquet TIMESTAMP(NANOS) in some lake
-    // generations (which Spark's vectorized reader rejects — read as raw
-    // nanos and convert; whole-micros data, lossless) and as naive
-    // TIMESTAMP(MICROS) in others (Spark reads TIMESTAMP_NTZ — cast to
-    // the session-tz TIMESTAMP; the session tz is pinned to UTC, so the
-    // micros value is unchanged). Both normalize to the same TIMESTAMP
-    // column; DuckDB reads the same file natively either way, and oracle
-    // SQL casts outputs to TIMESTAMP (us) to keep output types aligned.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") df.withColumn("ts", normTs(df, "ts")) else df
+    loaded.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    loaded.getOrElseUpdate((spark, s"$dir/$name.parquet"), {
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) in some lake
+      // generations (which Spark's vectorized reader rejects — read as raw
+      // nanos and convert; whole-micros data, lossless) and as naive
+      // TIMESTAMP(MICROS) in others (Spark reads TIMESTAMP_NTZ — cast to
+      // the session-tz TIMESTAMP; the session tz is pinned to UTC, so the
+      // micros value is unchanged). Both normalize to the same TIMESTAMP
+      // column; DuckDB reads the same file natively either way, and oracle
+      // SQL casts outputs to TIMESTAMP (us) to keep output types aligned.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (name == "events") df.withColumn("ts", normTs(df, "ts")) else df
+    })
   }
 
   /** Schema-adaptive timestamp normalization (see apply): raw-long nanos

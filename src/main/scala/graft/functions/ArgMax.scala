@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+import org.apache.spark.sql.graft.{shims => ExpressionUtils}
+import org.apache.spark.sql.types._
+
+/** Deterministic per-group argmax over a (ord, payload) long pair as a
+  * DECLARATIVE aggregate: keep the row with the greatest `ord`, ties
+  * broken by the greatest `payload` (callers wanting smallest-id ties
+  * pass the negated id, matching SQL's `ORDER BY ord DESC, id ASC`
+  * row_number spelling).
+  *
+  * Why this exists: the obvious Column spelling — `max(struct(ord,
+  * payload))` — has a STRUCT aggregation buffer, which HashAggregateExec
+  * cannot hold in its mutable row, so Spark silently plans a
+  * SortAggregate: the ENTIRE input sorts by the group key, partial AND
+  * final (x_bitext_mine paid two full sorts of its 2M-row margin grid —
+  * ~60% of the query's wall). `max_by(payload, ord)` keeps primitive
+  * buffers but its tie-break is nondeterministic (first-seen under
+  * shuffle order), which the cross-engine hash check cannot accept.
+  * This aggregate's buffer is two mutable LongType slots, so it plans
+  * into whole-stage-codegen'd HashAggregate with map-side partials, and
+  * its tie rule is explicit.
+  *
+  * Contract: `ord` values must be > Long.MinValue (the empty-buffer
+  * sentinel); null `ord` rows are ignored; an all-null group evaluates
+  * to a null struct.
+  *
+  * Scale posture: per-group state is 16 bytes regardless of group size;
+  * the shuffle after partial aggregation carries one row per group per
+  * partition — the same reason q05's sums scale, applied to argmax.
+  */
+case class ArgMaxLongPair(ord: Expression, payload: Expression)
+    extends DeclarativeAggregate {
+
+  override def children: Seq[Expression] = Seq(ord, payload)
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("m", LongType, nullable = false),
+    StructField("nt", LongType, nullable = false)))
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (ord.dataType == LongType && payload.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"argmax_long_pair needs (BIGINT, BIGINT); got " +
+          s"(${ord.dataType.sql}, ${payload.dataType.sql})")
+  }
+
+  private lazy val bm = AttributeReference("bm", LongType, nullable = false)()
+  private lazy val bt = AttributeReference("bt", LongType, nullable = false)()
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(bm, bt)
+
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal(Long.MinValue), Literal(Long.MinValue))
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val better = And(And(IsNotNull(ord), IsNotNull(payload)),
+      Or(GreaterThan(ord, bm),
+        And(EqualTo(ord, bm), GreaterThan(payload, bt))))
+    Seq(If(better, ord, bm), If(better, payload, bt))
+  }
+
+  override lazy val mergeExpressions: Seq[Expression] = {
+    val better = Or(GreaterThan(bm.right, bm.left),
+      And(EqualTo(bm.right, bm.left), GreaterThan(bt.right, bt.left)))
+    Seq(If(better, bm.right, bm.left), If(better, bt.right, bt.left))
+  }
+
+  override lazy val evaluateExpression: Expression =
+    If(EqualTo(bm, Literal(Long.MinValue)),
+      Literal(null, dataType),
+      CreateNamedStruct(Seq(
+        Literal("m"), bm, Literal("nt"), bt)))
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(ord = newChildren(0), payload = newChildren(1))
+}
+
+object ArgMax {
+  /** Column form: struct(m = max ord, nt = payload at that max, greatest
+    * payload on ord ties).
+    */
+  def argmaxLongPair(ord: Column, payload: Column): Column =
+    ExpressionUtils.column(ArgMaxLongPair(
+      ExpressionUtils.expression(ord),
+      ExpressionUtils.expression(payload)).toAggregateExpression())
+}

@@ -115,14 +115,21 @@ object Bitext {
        SELECT src_id, tgt_id, margin_fix FROM best
        WHERE margin_fix >= $MARGIN_TH ORDER BY src_id""") { (s, dir) =>
     // Zero windows over the grid, margin arithmetic and argmax as pure
-    // codegen'd expressions (max over a (margin, -tgt) struct — larger
-    // struct = higher margin then smaller target id, the oracle's tie
-    // rule). Spelling A/B at sf0.1's 2M-pair grid: three window passes
-    // ~7 s; a literal-map lookup inside an interpreted HOF 290 s; this
-    // shape 4.5 s, dominated by the grid's own dot products (three
-    // consumers, no checkpoint: ~1 s/codegen'd eval beats ~2.5 s of
-    // 2M-row checkpoint serialization).
-    val g = grid(s, dir)
+    // codegen'd expressions. Spelling A/B at sf0.1's 2M-pair grid: three
+    // window passes ~7 s; a literal-map lookup inside an interpreted HOF
+    // 290 s; this shape, dominated by the grid's own dot products.
+    // One dot-grid evaluation for all three consumers: the grid ends in
+    // a shuffle ON src_id, so AQE's stage reuse materializes the 3-long-
+    // column exchange output once (~50 MB at sf0.1) and every consumer
+    // reads it — the fwd kNN and the final argmax even aggregate
+    // shuffle-free (hashpartitioning(src_id) already satisfied; broadcast
+    // joins preserve it); only the bwd kNN re-shuffles by tgt_id. The
+    // alternatives, interleaved idle at sf0.1 (min of 3 reps, two runs
+    // each): no sharing = three ~2 s BNLJ+dot evals, 4.9-5.5 s total;
+    // MEMORY_ONLY cache = one eval + columnar write, 4.25-4.94 s; this
+    // exchange-reuse shape 3.66-4.09 s — no cache-write overhead, no
+    // CacheBin bookkeeping.
+    val g = grid(s, dir).repartition(col("src_id"))
     // kNN sums via the bounded-heap TopKByScore aggregator (the
     // x_domain_cap machinery): map-side partial top-K, so each shuffle
     // carries ≤ K rows per group per partition — never the full grid
@@ -136,14 +143,19 @@ object Bitext {
           .as(s"knn_$keyCol"))
     val fwd = knnSum("src_id", "tgt_id")
     val bwd = knnSum("tgt_id", "src_id")
+    // argmax via the native two-long-buffer declarative aggregate: the
+    // max(struct) spelling planned a SortAggregate pair (full sort of the
+    // 2M-row margin grid, partial AND final — measured ~3 s of the 5 s
+    // wall at sf0.1); ArgMaxLongPair keeps the same (margin DESC, tgt
+    // ASC) tie rule inside codegen'd HashAggregate with map-side partials
     g.join(broadcast(fwd), "src_id").join(broadcast(bwd), "tgt_id")
       .select(col("src_id"),
-        struct(
-          expr(s"(2 * $K * $SCALE * cos_fix) div (knn_src_id + knn_tgt_id)")
-            .as("m"),
-          (-col("tgt_id")).as("nt")).as("cand"))
+        expr(s"(2 * $K * $SCALE * cos_fix) div (knn_src_id + knn_tgt_id)")
+          .as("m"),
+        (-col("tgt_id")).as("nt"))
       .groupBy(col("src_id"))
-      .agg(max(col("cand")).as("best"))
+      .agg(graft.functions.ArgMax.argmaxLongPair(col("m"), col("nt"))
+        .as("best"))
       .filter(col("best.m") >= MARGIN_TH)
       .select(col("src_id"), (-col("best.nt")).as("tgt_id"),
         col("best.m").as("margin_fix"))

@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Round-14: the native two-long-buffer argmax (ArgMaxLongPair) — the
+  * HashAggregate-eligible replacement for max(struct) argmaxes.
+  */
+class ArgMaxSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("argmax picks greatest ord; ties break by greatest payload") {
+    val df = Seq(
+      (1L, 10L, 100L), (1L, 20L, 50L), (1L, 20L, 60L), // tie at ord=20
+      (2L, 5L, 1L)
+    ).toDF("g", "ord", "p")
+    val got = df.groupBy("g")
+      .agg(ArgMax.argmaxLongPair(col("ord"), col("p")).as("best"))
+      .select(col("g"), col("best.m"), col("best.nt"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 20L, 60L), (2L, 5L, 1L)))
+  }
+
+  test("negated-payload spelling = smallest-id tie rule (the SQL " +
+      "row_number ORDER BY ord DESC, id ASC)") {
+    val df = Seq((1L, 7L, 3L), (1L, 7L, 2L), (1L, 6L, 1L)).toDF("g", "ord", "id")
+    val got = df.groupBy("g")
+      .agg(ArgMax.argmaxLongPair(col("ord"), -col("id")).as("best"))
+      .select(col("g"), col("best.m"), (-col("best.nt")).as("id"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 7L, 2L)))
+  }
+
+  test("null ord rows are ignored; all-null group evaluates to null") {
+    val df = Seq(
+      (1L, Some(3L), Some(9L)), (1L, None, Some(8L)),
+      (2L, None, None)
+    ).toDF("g", "ord", "p")
+    val rows = df.groupBy("g")
+      .agg(ArgMax.argmaxLongPair(col("ord"), col("p")).as("best"))
+      .orderBy("g").collect()
+    assert(rows(0).getStruct(1).getLong(0) == 3L)
+    assert(rows(0).getStruct(1).getLong(1) == 9L)
+    assert(rows(1).isNullAt(1), "all-null group must evaluate to null")
+  }
+
+  test("plans into HashAggregate, never SortAggregate (the point)") {
+    val df = Seq((1L, 2L, 3L)).toDF("g", "ord", "p")
+    val plan = df.groupBy("g")
+      .agg(ArgMax.argmaxLongPair(col("ord"), col("p")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+    // the struct spelling it replaces demonstrably DOES sort-aggregate —
+    // guards against this test silently passing on a changed planner
+    val structPlan = df.groupBy("g")
+      .agg(max(struct(col("ord"), col("p"))))
+      .queryExecution.executedPlan.toString
+    assert(structPlan.contains("SortAggregate"), structPlan)
+  }
+
+  test("rejects non-long inputs with a named error") {
+    val df = Seq((1L, "a", 2L)).toDF("g", "ord", "p")
+    val e = intercept[Exception] {
+      df.groupBy("g").agg(ArgMax.argmaxLongPair(col("ord"), col("p"))).collect()
+    }
+    assert(e.getMessage.contains("argmax_long_pair") ||
+      e.getMessage.toLowerCase.contains("bigint"), e.getMessage)
+  }
+}
