@@ -81,6 +81,69 @@ case class ArgMaxLongPair(ord: Expression, payload: Expression)
     copy(ord = newChildren(0), payload = newChildren(1))
 }
 
+/** [[ArgMaxLongPair]] with a DOUBLE ordering key — the argmax shape of
+  * every similarity-scored assignment (k-means Lloyd step, IVF/PQ code
+  * assignment, exact-NN selection, spectral peak picking): keep the row
+  * with the greatest `ord`, ties by greatest `payload` (callers pass the
+  * negated id for smallest-id ties). Same motivation: `max(struct(sim,
+  * -id))` plans a SortAggregate pair; this keeps one mutable (double,
+  * long) buffer inside codegen'd HashAggregate. NaN follows Spark SQL
+  * comparison semantics (NaN = NaN, NaN greater than every other value),
+  * matching the struct-ordering spelling it replaces.
+  *
+  * Contract: `ord` > -Infinity or NaN (−∞ is the empty sentinel; a −∞
+  * row still wins over the sentinel via the payload tie-break, so only
+  * an all-null group evaluates to null).
+  */
+case class ArgMaxDoubleLongPair(ord: Expression, payload: Expression)
+    extends DeclarativeAggregate {
+
+  override def children: Seq[Expression] = Seq(ord, payload)
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("m", DoubleType, nullable = false),
+    StructField("nt", LongType, nullable = false)))
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (ord.dataType == DoubleType && payload.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"argmax_double_long needs (DOUBLE, BIGINT); got " +
+          s"(${ord.dataType.sql}, ${payload.dataType.sql})")
+  }
+
+  private lazy val bm = AttributeReference("bm", DoubleType, nullable = false)()
+  private lazy val bt = AttributeReference("bt", LongType, nullable = false)()
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(bm, bt)
+
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal(Double.NegativeInfinity), Literal(Long.MinValue))
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val better = And(And(IsNotNull(ord), IsNotNull(payload)),
+      Or(GreaterThan(ord, bm),
+        And(EqualTo(ord, bm), GreaterThan(payload, bt))))
+    Seq(If(better, ord, bm), If(better, payload, bt))
+  }
+
+  override lazy val mergeExpressions: Seq[Expression] = {
+    val better = Or(GreaterThan(bm.right, bm.left),
+      And(EqualTo(bm.right, bm.left), GreaterThan(bt.right, bt.left)))
+    Seq(If(better, bm.right, bm.left), If(better, bt.right, bt.left))
+  }
+
+  override lazy val evaluateExpression: Expression =
+    If(And(EqualTo(bm, Literal(Double.NegativeInfinity)),
+        EqualTo(bt, Literal(Long.MinValue))),
+      Literal(null, dataType),
+      CreateNamedStruct(Seq(Literal("m"), bm, Literal("nt"), bt)))
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(ord = newChildren(0), payload = newChildren(1))
+}
+
 object ArgMax {
   /** Column form: struct(m = max ord, nt = payload at that max, greatest
     * payload on ord ties).
@@ -89,4 +152,12 @@ object ArgMax {
     ExpressionUtils.column(ArgMaxLongPair(
       ExpressionUtils.expression(ord),
       ExpressionUtils.expression(payload)).toAggregateExpression())
+
+  /** Column form of [[ArgMaxDoubleLongPair]]: struct(m = max ord,
+    * nt = payload at that max). Payload is cast to long.
+    */
+  def argmaxDoubleLong(ord: Column, payload: Column): Column =
+    ExpressionUtils.column(ArgMaxDoubleLongPair(
+      ExpressionUtils.expression(ord.cast("double")),
+      ExpressionUtils.expression(payload.cast("long"))).toAggregateExpression())
 }

@@ -136,8 +136,9 @@ object AudioFingerprint {
         sum(col("val") * col("sw")).as("b"))
       .withColumn("e", col("a") * col("a") + col("b") * col("b"))
     ab.groupBy(col("file_name"), col("win"))
-      .agg(max(struct(col("e"), (-col("k")).as("nk"))).as("m"))
-      .select(col("file_name"), col("win"), (-col("m.nk")).as("peak"))
+      .agg(graft.functions.ArgMax.argmaxDoubleLong(
+        col("e"), -col("k")).as("m"))
+      .select(col("file_name"), col("win"), (-col("m.nt")).as("peak"))
   }
 
   /** Per-file DISTINCT landmark hashes (consecutive-peak transitions). */

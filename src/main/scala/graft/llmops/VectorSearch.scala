@@ -186,15 +186,19 @@ object VectorSearch {
     def best(pairs: DataFrame): DataFrame = pairs
       .filter(col("vec_id") =!= col("m_id"))
       .select(col("vec_id"),
-        struct(dot(col("n_emb"), col("m_emb")).as("sim"),
-          (-col("m_id")).as("neg_id")).as("cand"))
-    // phase 1: own-list seed (map-side max-struct reduction per vector)
+        dot(col("n_emb"), col("m_emb")).as("sim"),
+        (-col("m_id")).as("neg_id"))
+    // phase 1: own-list seed (map-side argmax reduction per vector —
+    // ArgMaxDoubleLongPair keeps it in codegen'd HashAggregate; the
+    // max(struct) spelling silently planned SortAggregate)
+    val argmax = graft.functions.ArgMax.argmaxDoubleLong _
     val seed = best(own.join(members, Seq("cid")))
-      .groupBy(col("vec_id")).agg(max(col("cand")).as("seed"))
+      .groupBy(col("vec_id"))
+      .agg(argmax(col("sim"), col("neg_id")).as("seed"))
     // phase 2: only lists whose upper bound can beat the seed
     val survivors = own.join(seed, Seq("vec_id"), "left")
       .select(col("vec_id"), col("n_emb"), col("cid").as("own_cid"),
-        coalesce(col("seed.sim"), lit(-2.0)).as("s0"))
+        coalesce(col("seed.m"), lit(-2.0)).as("s0"))
       .select(col("vec_id"), col("n_emb"), col("own_cid"), col("s0"),
         posexplode(centLit).as(Seq("cid", "cent")))
       .join(radius, Seq("cid"))
@@ -203,9 +207,11 @@ object VectorSearch {
         dot(col("n_emb"), col("cent")) + col("r") + lit(1e-9) > col("s0"))
       .select(col("cid"), col("vec_id"), col("n_emb"))
     best(survivors.join(members, Seq("cid")))
-      .union(seed.select(col("vec_id"), col("seed").as("cand")))
-      .groupBy(col("vec_id")).agg(max(col("cand")).as("best"))
-      .select(col("vec_id"), (-col("best.neg_id")).cast("long").as("nn_id"))
+      .union(seed.select(col("vec_id"),
+        col("seed.m").as("sim"), col("seed.nt").as("neg_id")))
+      .groupBy(col("vec_id"))
+      .agg(argmax(col("sim"), col("neg_id")).as("best"))
+      .select(col("vec_id"), (-col("best.nt")).cast("long").as("nn_id"))
   }
 
   /** X — embedding-cosine near-duplicate pairs: all (a, b) with
@@ -387,12 +393,12 @@ object VectorSearch {
       val assigned = normalized
         .select(col("vec_id"), col("n_emb"),
           posexplode(centLit).as(Seq("cid", "cent")))
-        .select(col("vec_id"), col("n_emb"), col("cid"),
-          struct(dot(col("n_emb"), col("cent")).as("sim"),
-            (-col("cid")).as("neg")).as("cand"))
+        .select(col("vec_id"), col("n_emb"),
+          dot(col("n_emb"), col("cent")).as("sim"), (-col("cid")).as("neg"))
         .groupBy(col("vec_id"), col("n_emb"))
-        .agg(max(col("cand")).as("best"))
-        .select(col("n_emb"), (-col("best.neg")).cast("int").as("cid"))
+        .agg(graft.functions.ArgMax.argmaxDoubleLong(
+          col("sim"), col("neg")).as("best"))
+        .select(col("n_emb"), (-col("best.nt")).cast("int").as("cid"))
       val sums = assigned
         .select(col("cid"), posexplode(col("n_emb")).as(Seq("pos", "v")))
         .groupBy(col("cid"), col("pos"))
@@ -537,12 +543,12 @@ object VectorSearch {
     */
   def assignFromScored(scored: DataFrame): DataFrame =
     scored
-      .select(col("vec_id"),
-        struct(col("sim"), (-col("cid")).as("neg")).as("cand"))
+      .select(col("vec_id"), col("sim"), (-col("cid")).as("neg"))
       .groupBy(col("vec_id"))
-      .agg(max(col("cand")).as("best"))
-      .select(col("vec_id"), (-col("best.neg")).cast("int").as("cid"),
-        col("best.sim").as("own_sim"))
+      .agg(graft.functions.ArgMax.argmaxDoubleLong(
+        col("sim"), col("neg")).as("best"))
+      .select(col("vec_id"), (-col("best.nt")).cast("int").as("cid"),
+        col("best.m").as("own_sim"))
 
   /** Shared k-means centroid table per (session, dir): x_ann_ivf and
     * x_embed_cluster run the IDENTICAL quantizer (K=16, 2 Lloyd
@@ -795,12 +801,13 @@ object VectorSearch {
   def assignCodes(sub: DataFrame, cb: DataFrame): DataFrame =
     sub.join(broadcast(cb), Seq("block"))
       .select(col("vec_id"), col("block"),
-        struct((dot(col("sub"), col("cent")) - col("cn2") / 2).as("score"),
-          (-col("cid")).as("neg")).as("cand"))
+        (dot(col("sub"), col("cent")) - col("cn2") / 2).as("score"),
+        (-col("cid")).as("neg"))
       .groupBy(col("vec_id"), col("block"))
-      .agg(max(col("cand")).as("best"))
+      .agg(graft.functions.ArgMax.argmaxDoubleLong(
+        col("score"), col("neg")).as("best"))
       .select(col("vec_id"), col("block"),
-        (-col("best.neg")).cast("int").as("cid"))
+        (-col("best.nt")).cast("int").as("cid"))
 
   /** ADC top-k + recall against the exact twin, x_ann_ivf's derived-fact
     * pattern. Scale posture: the probe LUT is (probes x PQ_BLOCKS x
@@ -834,15 +841,22 @@ object VectorSearch {
   def coarseResidualsFrom(cents: Seq[Seq[Double]], e: DataFrame)
       : DataFrame = {
     val centLit = typedLit(cents)
+    // argmax carries only (sim, -ccid); the winning centroid is recovered
+    // by O(1) literal-array index afterwards — carrying the ccent array
+    // through the old max(struct) spelling both forced SortAggregate and
+    // shuffled a 64-double payload per candidate row
     e.select(col("vec_id"), col("n_emb"),
         posexplode(centLit).as(Seq("ccid", "ccent")))
       .select(col("vec_id"), col("n_emb"),
-        struct(dot(col("n_emb"), col("ccent")).as("sim"),
-          (-col("ccid")).as("neg"), col("ccent")).as("cand"))
+        dot(col("n_emb"), col("ccent")).as("sim"), (-col("ccid")).as("neg"))
       .groupBy(col("vec_id"), col("n_emb"))
-      .agg(max(col("cand")).as("best"))
-      .select(col("vec_id"), (-col("best.neg")).cast("int").as("ccid"),
-        expr("zip_with(n_emb, best.ccent, (a, b) -> a - b)").as("n_emb"))
+      .agg(graft.functions.ArgMax.argmaxDoubleLong(
+        col("sim"), col("neg")).as("best"))
+      .select(col("vec_id"), (-col("best.nt")).cast("int").as("ccid"),
+        col("n_emb"))
+      .withColumn("best_cent", element_at(centLit, col("ccid") + 1))
+      .select(col("vec_id"), col("ccid"),
+        expr("zip_with(n_emb, best_cent, (a, b) -> a - b)").as("n_emb"))
   }
 
   /** The built PQ index — (codebooks, code table with coarse cid) —

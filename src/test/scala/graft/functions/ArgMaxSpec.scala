@@ -61,6 +61,36 @@ class ArgMaxSpec extends AnyFunSuite {
     assert(structPlan.contains("SortAggregate"), structPlan)
   }
 
+  test("double variant: greatest ord, greatest payload on ties, NaN wins " +
+      "(Spark comparison semantics, matching the max(struct) it replaces)") {
+    val df = Seq(
+      (1L, 0.5, 10L), (1L, 0.9, 20L), (1L, 0.9, 30L),
+      (2L, Double.NaN, 1L), (2L, 99.0, 2L)
+    ).toDF("g", "ord", "p")
+    val got = df.groupBy("g")
+      .agg(ArgMax.argmaxDoubleLong(col("ord"), col("p")).as("best"))
+      .select(col("g"), col("best.m"), col("best.nt"))
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((0.9, 30L)))
+    assert(got(2L)._1.isNaN && got(2L)._2 == 1L, "NaN > everything, as in struct ordering")
+    // cross-check the tie/NaN rules against the struct spelling directly
+    val ref = df.groupBy("g").agg(max(struct(col("ord"), col("p"))).as("b"))
+      .select(col("g"), col("b.ord"), col("b.p"))
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(ref(1L) == ((got(1L)._1, got(1L)._2)))
+    assert(ref(2L)._1.isNaN && ref(2L)._2 == got(2L)._2)
+  }
+
+  test("double variant plans into HashAggregate") {
+    val df = Seq((1L, 2.0, 3L)).toDF("g", "ord", "p")
+    val plan = df.groupBy("g")
+      .agg(ArgMax.argmaxDoubleLong(col("ord"), col("p")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") && !plan.contains("SortAggregate"), plan)
+  }
+
   test("rejects non-long inputs with a named error") {
     val df = Seq((1L, "a", 2L)).toDF("g", "ord", "p")
     val e = intercept[Exception] {
