@@ -9,6 +9,23 @@ object Bench {
     */
   private val codegenWarmup = Seq("q34_vector_topk", "x_char_ngram_jaccard")
 
+  /** Canary gate (round-14 capture discipline, baked in per verdict-r14
+    * ask 2): the box enters multi-minute slow phases where EVERY query on
+    * every engine runs ~2x while all three loadavg samples read idle and
+    * /proc/stat steal is 0.0 — loadavg alone cannot flag them. Two cheap
+    * control queries are therefore timed immediately BEFORE and AFTER the
+    * sweep; the bands below are ~1.5x their idle sf0.1/32cpu ceilings
+    * (q01_clean 0.11-0.14 s, q05_tpch_q1 0.25-0.31 s across rounds 13-14).
+    * `canary_in_band=false` in the artifact means "this capture ran in a
+    * degraded window — don't trust its totals or flags for the record";
+    * it pre-flags a contaminated BENCH_rNN.json instead of requiring a
+    * post-hoc adjudication every round (r13 landed at loadavg 3.34, r14
+    * at 7.42). Bands are calibrated at sf0.1 / 32 cpus: at smaller SF
+    * they pass trivially (the gate is one-sided — it can only veto).
+    */
+  private val canaryBands: Seq[(String, Double)] =
+    Seq("q01_clean" -> 0.20, "q05_tpch_q1" -> 0.40)
+
   /** Queries whose build performs REAL store writes in-query — multi-
     * generation commit/merge/replay sequences, staged prune layouts,
     * format round-trips, streaming checkpoint replays, persisted index
@@ -85,6 +102,18 @@ object Bench {
     // min of N reps per query: single-machine timings here vary ±50%
     // run-to-run; the min is the stable estimate of the data-path cost
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // canary probe: min of 2 reps on each control query, warm session
+    def canaryProbe(): Seq[(String, Double)] = canaryBands.map { case (name, _) =>
+      val fn = SparkEntry.queries(name)
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count()
+        catch { case scala.util.control.NonFatal(_) => }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
+    }
+    val canaryEntry = canaryProbe()
     // comma-separated name-prefix filter for quick iteration on a subset;
     // filtered runs never overwrite the full-run history
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -149,6 +178,13 @@ object Bench {
       }
     }
     regressions.foreach(n => System.err.println(s"BENCH REGRESSION >2x vs prev round (survived confirmation rep): $n"))
+    val canaryExit = canaryProbe()
+    val canaryInBand = canaryBands.forall { case (name, bar) =>
+      canaryEntry.exists { case (n, t) => n == name && t > 0 && t <= bar } &&
+        canaryExit.exists { case (n, t) => n == name && t > 0 && t <= bar }
+    }
+    if (!canaryInBand)
+      System.err.println(s"BENCH CANARY OUT OF BAND (degraded window; totals/flags unreliable): entry=$canaryEntry exit=$canaryExit")
     val loadEnd = loadavg()
     def fmt(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
@@ -175,6 +211,9 @@ object Bench {
       .filter(storeRwClass.contains)
       .map(n => s"\"$n\":\"store_rw\"").mkString("{", ",", "}")
     val loads = s"[${fmt(loadEntry)},${fmt(loadStart)},${fmt(loadEnd)}]"
+    def canaryJson(c: Seq[(String, Double)]): String =
+      c.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val canaries = s""""canary_entry_s":${canaryJson(canaryEntry)},"canary_exit_s":${canaryJson(canaryExit)},"canary_in_band":$canaryInBand"""
     // sustained external load inflates every timing AND survives the
     // confirmation rep (which runs under the same load) — mark the run so
     // the permanent record says "don't trust regressions/totals here" in
@@ -192,7 +231,7 @@ object Bench {
       case _ => 0.0
     }
     System.err.println(s"""BENCH FULL {"queries":$qs,"vs_prev":$vp}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results2.size},"queries":$headQs,"errors":$errs,"regressions":$regs,"flag_classes":$flagClasses,"spikes_dismissed":$dism,"loadavg":$loads,"load_high":$loadHigh,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results2.size},"queries":$headQs,"errors":$errs,"regressions":$regs,"flag_classes":$flagClasses,"spikes_dismissed":$dism,"loadavg":$loads,"load_high":$loadHigh,$canaries,"sf":"$sfDir"}""")
     // persist this run APPEND-ONLY: one JSONL line per full run, so every
     // round's per-query numbers stay auditable on disk (the pre-round-4
     // overwrite destroyed round N-1's numbers each run; the driver's
@@ -203,7 +242,7 @@ object Bench {
         val allClasses = results2.collect {
           case (n, _) if storeRwClass.contains(n) => s"\"$n\":\"store_rw\""
         }.mkString("{", ",", "}")
-        w.write(s"""{"run":${runCount() + 1},"sf":"$sfDir","loadavg":$loads,"load_high":$loadHigh,"spikes_dismissed":$dism,"classes":$allClasses,"queries":$qs}""" + "\n")
+        w.write(s"""{"run":${runCount() + 1},"sf":"$sfDir","loadavg":$loads,"load_high":$loadHigh,$canaries,"spikes_dismissed":$dism,"classes":$allClasses,"queries":$qs}""" + "\n")
       }
       finally w.close()
     } catch { case _: Exception => } // read-only checkout: skip, don't fail

@@ -24,11 +24,13 @@ import org.apache.spark.sql.types._
   * into whole-stage-codegen'd HashAggregate with map-side partials, and
   * its tie rule is explicit.
   *
-  * Contract: `ord` values must be > Long.MinValue (the empty-buffer
-  * sentinel); null `ord` rows are ignored; an all-null group evaluates
-  * to a null struct.
+  * Null `ord`/`payload` rows are ignored; an all-null group evaluates
+  * to a null struct. Emptiness is tracked by an explicit boolean buffer
+  * slot — NOT by overloading (Long.MinValue, Long.MinValue) as a
+  * sentinel, which would silently drop rows whose ord really is
+  * Long.MinValue (the full value domain is valid input).
   *
-  * Scale posture: per-group state is 16 bytes regardless of group size;
+  * Scale posture: per-group state is 17 bytes regardless of group size;
   * the shuffle after partial aggregation carries one row per group per
   * partition — the same reason q05's sums scale, applied to argmax.
   */
@@ -52,26 +54,32 @@ case class ArgMaxLongPair(ord: Expression, payload: Expression)
 
   private lazy val bm = AttributeReference("bm", LongType, nullable = false)()
   private lazy val bt = AttributeReference("bt", LongType, nullable = false)()
-  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(bm, bt)
+  private lazy val bs = AttributeReference("bs", BooleanType, nullable = false)()
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(bm, bt, bs)
 
   override lazy val initialValues: Seq[Expression] =
-    Seq(Literal(Long.MinValue), Literal(Long.MinValue))
+    Seq(Literal(Long.MinValue), Literal(Long.MinValue), Literal(false))
 
   override lazy val updateExpressions: Seq[Expression] = {
-    val better = And(And(IsNotNull(ord), IsNotNull(payload)),
-      Or(GreaterThan(ord, bm),
-        And(EqualTo(ord, bm), GreaterThan(payload, bt))))
-    Seq(If(better, ord, bm), If(better, payload, bt))
+    val valid = And(IsNotNull(ord), IsNotNull(payload))
+    val better = And(valid,
+      Or(Not(bs),
+        Or(GreaterThan(ord, bm),
+          And(EqualTo(ord, bm), GreaterThan(payload, bt)))))
+    Seq(If(better, ord, bm), If(better, payload, bt), Or(bs, valid))
   }
 
   override lazy val mergeExpressions: Seq[Expression] = {
-    val better = Or(GreaterThan(bm.right, bm.left),
-      And(EqualTo(bm.right, bm.left), GreaterThan(bt.right, bt.left)))
-    Seq(If(better, bm.right, bm.left), If(better, bt.right, bt.left))
+    val better = And(bs.right,
+      Or(Not(bs.left),
+        Or(GreaterThan(bm.right, bm.left),
+          And(EqualTo(bm.right, bm.left), GreaterThan(bt.right, bt.left)))))
+    Seq(If(better, bm.right, bm.left), If(better, bt.right, bt.left),
+      Or(bs.left, bs.right))
   }
 
   override lazy val evaluateExpression: Expression =
-    If(EqualTo(bm, Literal(Long.MinValue)),
+    If(Not(bs),
       Literal(null, dataType),
       CreateNamedStruct(Seq(
         Literal("m"), bm, Literal("nt"), bt)))
@@ -91,9 +99,9 @@ case class ArgMaxLongPair(ord: Expression, payload: Expression)
   * comparison semantics (NaN = NaN, NaN greater than every other value),
   * matching the struct-ordering spelling it replaces.
   *
-  * Contract: `ord` > -Infinity or NaN (−∞ is the empty sentinel; a −∞
-  * row still wins over the sentinel via the payload tie-break, so only
-  * an all-null group evaluates to null).
+  * The full double domain is valid input (−∞ and NaN included): the
+  * explicit seen-flag buffer slot replaces the former −∞/Long.MinValue
+  * empty sentinel, so only an all-null group evaluates to null.
   */
 case class ArgMaxDoubleLongPair(ord: Expression, payload: Expression)
     extends DeclarativeAggregate {
@@ -115,27 +123,32 @@ case class ArgMaxDoubleLongPair(ord: Expression, payload: Expression)
 
   private lazy val bm = AttributeReference("bm", DoubleType, nullable = false)()
   private lazy val bt = AttributeReference("bt", LongType, nullable = false)()
-  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(bm, bt)
+  private lazy val bs = AttributeReference("bs", BooleanType, nullable = false)()
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(bm, bt, bs)
 
   override lazy val initialValues: Seq[Expression] =
-    Seq(Literal(Double.NegativeInfinity), Literal(Long.MinValue))
+    Seq(Literal(Double.NegativeInfinity), Literal(Long.MinValue), Literal(false))
 
   override lazy val updateExpressions: Seq[Expression] = {
-    val better = And(And(IsNotNull(ord), IsNotNull(payload)),
-      Or(GreaterThan(ord, bm),
-        And(EqualTo(ord, bm), GreaterThan(payload, bt))))
-    Seq(If(better, ord, bm), If(better, payload, bt))
+    val valid = And(IsNotNull(ord), IsNotNull(payload))
+    val better = And(valid,
+      Or(Not(bs),
+        Or(GreaterThan(ord, bm),
+          And(EqualTo(ord, bm), GreaterThan(payload, bt)))))
+    Seq(If(better, ord, bm), If(better, payload, bt), Or(bs, valid))
   }
 
   override lazy val mergeExpressions: Seq[Expression] = {
-    val better = Or(GreaterThan(bm.right, bm.left),
-      And(EqualTo(bm.right, bm.left), GreaterThan(bt.right, bt.left)))
-    Seq(If(better, bm.right, bm.left), If(better, bt.right, bt.left))
+    val better = And(bs.right,
+      Or(Not(bs.left),
+        Or(GreaterThan(bm.right, bm.left),
+          And(EqualTo(bm.right, bm.left), GreaterThan(bt.right, bt.left)))))
+    Seq(If(better, bm.right, bm.left), If(better, bt.right, bt.left),
+      Or(bs.left, bs.right))
   }
 
   override lazy val evaluateExpression: Expression =
-    If(And(EqualTo(bm, Literal(Double.NegativeInfinity)),
-        EqualTo(bt, Literal(Long.MinValue))),
+    If(Not(bs),
       Literal(null, dataType),
       CreateNamedStruct(Seq(Literal("m"), bm, Literal("nt"), bt)))
 

@@ -89,13 +89,32 @@ object Observe {
     val conf = s.sparkContext.hadoopConfiguration
     val fs = path.getFileSystem(conf)
     // the path may be a single file OR a multi-file directory (any real
-    // lake generation is the latter): one footer read per data file
+    // lake generation is the latter, and a PARTITIONED layout nests the
+    // data files in key=value subdirectories): one footer read per data
+    // file, discovered by RECURSIVE listing so partitioned/nested
+    // layouts count every file the scan will read
     val files =
-      if (fs.getFileStatus(path).isDirectory)
-        fs.listStatus(path).toSeq.map(_.getPath)
-          .filter(p => p.getName.endsWith(".parquet") &&
-            !p.getName.startsWith("_") && !p.getName.startsWith("."))
-      else Seq(path)
+      if (fs.getFileStatus(path).isDirectory) {
+        // a file is visible to the scan only if NO path component under
+        // the root is hidden (_ or . prefixed) — same rule Spark's file
+        // index applies, so footer_rows counts exactly the scan's files
+        def visible(p: org.apache.hadoop.fs.Path): Boolean = {
+          var cur = p
+          while (cur != null && cur.toString != path.toString) {
+            val n = cur.getName
+            if (n.startsWith("_") || n.startsWith(".")) return false
+            cur = cur.getParent
+          }
+          true
+        }
+        val it = fs.listFiles(path, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+        while (it.hasNext) {
+          val p = it.next().getPath
+          if (p.getName.endsWith(".parquet") && visible(p)) buf += p
+        }
+        buf.toSeq
+      } else Seq(path)
     val footerRows = files.map { p =>
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))

@@ -76,13 +76,31 @@ object Branching {
 
   /** Branch head as a DataFrame: the branch's own latest commit, or —
     * for a fresh fork with no commits yet — main's pinned base snapshot.
+    * The fresh-fork path resolves the pin through [[Lake.readVersion]],
+    * which admits only committed (`_SUCCESS`-carrying) version dirs —
+    * the same committedness check every other read path applies; the
+    * pin itself is protected from retention by Lake.writeVersioned's
+    * keep-set (pinnedBases), so the read cannot race a publish that
+    * would have retired the base.
     */
   def readBranch(spark: SparkSession, root: String, branch: String): DataFrame =
     Lake.versions(spark, s"$root/branches/$branch").lastOption match {
       case Some(_) => Lake.readCurrent(spark, s"$root/branches/$branch")
       case None =>
-        spark.read.parquet(s"$root/v=${baseOf(spark, root, branch)}")
+        Lake.readVersion(spark, root, baseOf(spark, root, branch))
     }
+
+  /** Delete a branch: removes its directory — commits AND the `_base`
+    * pin marker — releasing the base version back to normal retention
+    * (the next publish may retire it). The merge protocol does not
+    * auto-delete: a merged branch's history stays inspectable until the
+    * owner deletes it, matching the Nessie/Iceberg ref lifecycle.
+    */
+  def deleteBranch(spark: SparkSession, root: String, branch: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/branches/$branch")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+  }
 
   /** Merge result: the landed main version, whether it fast-forwarded,
     * and the key-level conflict count (0 for fast-forward).
@@ -108,8 +126,8 @@ object Branching {
     val stv = struct(valCols.map(col): _*)
     def keyed(df: DataFrame, name: String): DataFrame =
       df.select(col(keyCol), stv.as(name))
-    val three = keyed(spark.read.parquet(s"$root/v=$baseVersion"), "s")
-      .join(keyed(spark.read.parquet(s"$root/v=$head"), "m"),
+    val three = keyed(Lake.readVersion(spark, root, baseVersion), "s")
+      .join(keyed(Lake.readVersion(spark, root, head), "m"),
         Seq(keyCol), "full_outer")
       .join(keyed(branchHead, "b"), Seq(keyCol), "full_outer")
     // null-safe change tests: <=> treats absent (null struct) as a value

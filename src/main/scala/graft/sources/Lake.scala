@@ -243,10 +243,42 @@ object Lake {
       .filter { case (_, p) =>
         fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) }
       .lastOption.map(_._1)
+    // retention keep-set: versions pinned as fork bases by live branches
+    // (Branching.fork writes branches/<name>/_base) survive every
+    // publish until the branch is deleted — the Iceberg rule that a
+    // branch ref protects its snapshot from expiry. Without this, a
+    // commit-less fork's read breaks as soon as main advances two
+    // generations (the pin pointed at a retired directory).
+    val pinned = pinnedBases(fs, root)
     existing.foreach { case (v, p) =>
-      if (!grace.contains(v)) fs.delete(p, true)
+      if (!grace.contains(v) && !pinned.contains(v)) fs.delete(p, true)
     }
     next
+  }
+
+  /** Fork-base versions pinned by branch markers under
+    * `path/branches/<branch>/_base` — the keep-set retention consults so
+    * a branch's base snapshot stays readable while the branch lives.
+    * A marker that cannot be read or parsed pins nothing (corrupt
+    * litter must not block every future publish), but a HEALTHY marker
+    * always pins: fail-open only on the marker, never on the version.
+    */
+  private[sources] def pinnedBases(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Set[Long] = {
+    val br = new org.apache.hadoop.fs.Path(root, "branches")
+    if (!fs.exists(br)) Set.empty
+    else fs.listStatus(br).toSeq.filter(_.isDirectory).flatMap { d =>
+      val m = new org.apache.hadoop.fs.Path(d.getPath, "_base")
+      try {
+        if (!fs.exists(m)) None
+        else {
+          val in = fs.open(m)
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString.trim.toLongOption
+          finally in.close()
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }.toSet
   }
 
   /** Read the current committed version (fails if none committed yet). */

@@ -91,6 +91,39 @@ class ArgMaxSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate") && !plan.contains("SortAggregate"), plan)
   }
 
+  test("full value domain: the former empty-sentinel values are real " +
+      "results (explicit seen-flag buffer, round-15 advice fix)") {
+    // long variant: a group whose only row is (Long.MinValue, Long.MinValue)
+    // must evaluate to that row, not be ignored / read as empty
+    val lmin = Seq((1L, Long.MinValue, Long.MinValue)).toDF("g", "ord", "p")
+    val r1 = lmin.groupBy("g")
+      .agg(ArgMax.argmaxLongPair(col("ord"), col("p")).as("best")).collect()
+    assert(!r1(0).isNullAt(1), "MinValue winner must not read as empty group")
+    assert(r1(0).getStruct(1).getLong(0) == Long.MinValue)
+    assert(r1(0).getStruct(1).getLong(1) == Long.MinValue)
+    // MinValue ord rows also lose correctly to any real larger ord
+    val mixL = Seq((1L, Long.MinValue, 9L), (1L, 0L, 3L)).toDF("g", "ord", "p")
+    val r2 = mixL.groupBy("g")
+      .agg(ArgMax.argmaxLongPair(col("ord"), col("p")).as("best"))
+      .select(col("best.m"), col("best.nt")).as[(Long, Long)].collect()
+    assert(r2.head == ((0L, 3L)))
+    // double variant: the exact former sentinel pair (-Inf, MinValue)
+    val dmin = Seq((1L, Double.NegativeInfinity, Long.MinValue))
+      .toDF("g", "ord", "p")
+    val r3 = dmin.groupBy("g")
+      .agg(ArgMax.argmaxDoubleLong(col("ord"), col("p")).as("best")).collect()
+    assert(!r3(0).isNullAt(1), "(-Inf, MinValue) winner must not read as empty")
+    assert(r3(0).getStruct(1).getDouble(0).isNegInfinity)
+    assert(r3(0).getStruct(1).getLong(1) == Long.MinValue)
+    // and -Inf loses to any finite ord
+    val mixD = Seq((1L, Double.NegativeInfinity, 9L), (1L, -1.0, 3L))
+      .toDF("g", "ord", "p")
+    val r4 = mixD.groupBy("g")
+      .agg(ArgMax.argmaxDoubleLong(col("ord"), col("p")).as("best"))
+      .select(col("best.m"), col("best.nt")).as[(Double, Long)].collect()
+    assert(r4.head == ((-1.0, 3L)))
+  }
+
   test("rejects non-long inputs with a named error") {
     val df = Seq((1L, "a", 2L)).toDF("g", "ord", "p")
     val e = intercept[Exception] {

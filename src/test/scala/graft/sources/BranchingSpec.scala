@@ -100,6 +100,43 @@ class BranchingSpec extends AnyFunSuite {
     assert(!m.fastForward && m.conflicts == 0L)
   }
 
+  test("fork pin survives retention: base stays readable while main " +
+      "advances 2+ versions on a retiring (writeVersioned) root; " +
+      "deleteBranch releases the pin") {
+    val root = store("graft_br_pin")
+    ConcurrentCommit.commitAppend(spark, root,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "p"), "w0")
+    val base = Branching.fork(spark, root, "f")
+    // three retiring publishes: grace alone keeps only the PREVIOUS
+    // committed version, so without the pin v=0 dies at the second one
+    Lake.writeVersioned(Seq((3L, 3.0)).toDF("k", "p"), root)
+    Lake.writeVersioned(Seq((4L, 4.0)).toDF("k", "p"), root)
+    Lake.writeVersioned(Seq((5L, 5.0)).toDF("k", "p"), root)
+    val got = Branching.readBranch(spark, root, "f")
+      .as[(Long, Double)].collect().toSet
+    assert(got == Set((1L, 10.0), (2L, 20.0)),
+      "commit-less fork must read its pinned base after main moved 3x")
+    // release the pin: the next publish retires the base
+    assert(Branching.deleteBranch(spark, root, "f"))
+    Lake.writeVersioned(Seq((6L, 6.0)).toDF("k", "p"), root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/v=$base")),
+      "a released pin must return the base to normal retention")
+  }
+
+  test("fresh-fork read applies the committedness (_SUCCESS) check") {
+    val root = store("graft_br_succ")
+    ConcurrentCommit.commitAppend(spark, root,
+      Seq((1L, 10.0)).toDF("k", "p"), "w0")
+    Branching.fork(spark, root, "f")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/v=0/_SUCCESS"), false)
+    intercept[IllegalStateException](
+      Branching.readBranch(spark, root, "f").collect())
+  }
+
   test("multiprobe banding returns exactly the 4-band pairs") {
     import graft.llmops.SimHash
     val sf = "/root/testdata/sf0.001"

@@ -70,6 +70,21 @@ def main():
     bench_path = args[0]
     bench = json.load(open(bench_path))
     parsed = bench.get("parsed") or bench  # accept raw Bench stdout too
+    if "regressions" not in parsed and "tail" in bench:
+        # the driver's wrapper often has parsed=null (stdout truncated to
+        # its last 2000 chars); recover the flag list and any visible
+        # per-query times from the raw tail string instead
+        tail = bench["tail"]
+        m = re.search(r'"regressions":\[([^\]]*)\]', tail)
+        regs = re.findall(r'"([^"]+)"', m.group(1)) if m else []
+        qtimes = {}
+        qm = re.search(r'"queries":\{([^}]*)\}', tail)
+        if qm:
+            qtimes = {k: float(v) for k, v in
+                      re.findall(r'"([^"]+)":(-?[0-9.eE+]+)', qm.group(1))}
+        sfm = re.search(r'"sf":"([^"]*)"', tail)
+        parsed = {"regressions": regs, "queries": qtimes,
+                  "sf": sfm.group(1) if sfm else sf}
     flagged = sorted(set(parsed.get("regressions", []) + extra))
     hist = history_runs(parsed.get("sf", sf))
     last = hist[-1] if hist else {}
