@@ -92,8 +92,12 @@ object Bench {
       try graft.core.Tables(spark, sfDir, t).count()
       catch { case scala.util.control.NonFatal(_) => }
     }
-    // compile the custom-expression codegen paths before timing starts
-    codegenWarmup.foreach { name =>
+    // compile the custom-expression codegen paths before timing starts;
+    // the canary queries warm too — the ENTRY canary probe must measure
+    // the box, not this JVM's first-execution codegen of q01/q05 (run 78
+    // measured the unwarmed entry canary 2.5-3x its in-band ceiling in a
+    // window the external gate had just cleared)
+    (codegenWarmup ++ canaryBands.map(_._1)).foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try fn(spark, sfDir).count()
         catch { case scala.util.control.NonFatal(_) => }
@@ -214,6 +218,14 @@ object Bench {
     def canaryJson(c: Seq[(String, Double)]): String =
       c.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val canaries = s""""canary_entry_s":${canaryJson(canaryEntry)},"canary_exit_s":${canaryJson(canaryExit)},"canary_in_band":$canaryInBand"""
+    // per-phase walls recorded by composite builds (index build vs
+    // search pricing — PhaseTiming scaladoc); small by construction
+    val phases = graft.core.PhaseTiming.snapshot().toSeq.sortBy(_._1)
+      .map { case (q, ps) =>
+        s"\"" + q + "\":" + ps.toSeq.sortBy(_._1)
+          .map { case (p, v) => s"\"" + p + "\":" + fmt(v) }
+          .mkString("{", ",", "}")
+      }.mkString("{", ",", "}")
     // sustained external load inflates every timing AND survives the
     // confirmation rep (which runs under the same load) — mark the run so
     // the permanent record says "don't trust regressions/totals here" in
@@ -231,7 +243,7 @@ object Bench {
       case _ => 0.0
     }
     System.err.println(s"""BENCH FULL {"queries":$qs,"vs_prev":$vp}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results2.size},"queries":$headQs,"errors":$errs,"regressions":$regs,"flag_classes":$flagClasses,"spikes_dismissed":$dism,"loadavg":$loads,"load_high":$loadHigh,$canaries,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results2.size},"queries":$headQs,"errors":$errs,"regressions":$regs,"flag_classes":$flagClasses,"spikes_dismissed":$dism,"loadavg":$loads,"load_high":$loadHigh,$canaries,"phase_s":$phases,"sf":"$sfDir"}""")
     // persist this run APPEND-ONLY: one JSONL line per full run, so every
     // round's per-query numbers stay auditable on disk (the pre-round-4
     // overwrite destroyed round N-1's numbers each run; the driver's
@@ -242,7 +254,7 @@ object Bench {
         val allClasses = results2.collect {
           case (n, _) if storeRwClass.contains(n) => s"\"$n\":\"store_rw\""
         }.mkString("{", ",", "}")
-        w.write(s"""{"run":${runCount() + 1},"sf":"$sfDir","loadavg":$loads,"load_high":$loadHigh,$canaries,"spikes_dismissed":$dism,"classes":$allClasses,"queries":$qs}""" + "\n")
+        w.write(s"""{"run":${runCount() + 1},"sf":"$sfDir","loadavg":$loads,"load_high":$loadHigh,$canaries,"phase_s":$phases,"spikes_dismissed":$dism,"classes":$allClasses,"queries":$qs}""" + "\n")
       }
       finally w.close()
     } catch { case _: Exception => } // read-only checkout: skip, don't fail

@@ -188,6 +188,40 @@ object Scratch {
     java.nio.file.Files.createTempDirectory(root, prefix)
 }
 
+/** Per-query phase walls for composite builds (round-14 verdict ask 6):
+  * a query like x_ivfpq_incremental spends most of its wall in an
+  * in-query INDEX BUILD the search path then amortizes; pricing the
+  * whole wall as "search" misprices both. Builds record their eager
+  * phases here; graft.Bench emits the snapshot as `phase_s` in the
+  * bench artifact, the way `store_rw` splits writes from compute.
+  * Per (query, phase) the MAX across executions is kept: memoized
+  * builds report ~0 on warm reps, and the max preserves the real
+  * first-execution cost the bench's min-of-reps wall hides.
+  */
+object PhaseTiming {
+  private val m = scala.collection.concurrent.TrieMap.empty[(String, String), Double]
+
+  def time[T](query: String, phase: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    record(query, phase, (System.nanoTime() - t0) / 1e9)
+    r
+  }
+
+  def record(query: String, phase: String, sec: Double): Unit = {
+    m.updateWith((query, phase))(prev =>
+      Some(math.max(prev.getOrElse(0.0), sec)))
+    ()
+  }
+
+  /** query -> phase -> max seconds observed. */
+  def snapshot(): Map[String, Map[String, Double]] =
+    m.readOnlySnapshot().toMap.groupBy(_._1._1)
+      .map { case (q, e) => q -> e.map { case ((_, p), v) => p -> v } }
+
+  def clear(): Unit = m.clear()
+}
+
 object CacheBin {
   private val live =
     scala.collection.concurrent.TrieMap.empty[String, Seq[DataFrame]]

@@ -1209,11 +1209,21 @@ object VectorSearch {
     * lands directly on the recall gate.
     */
   def ivfpqIncrementalRecall(s: SparkSession, dir: String): DataFrame = {
-    val path = persistPqIndex(s, dir)
-    val (cents, cbL, _) = loadPqIndex(s, path)
+    // phase walls land in the bench artifact (core.PhaseTiming): "build"
+    // is the one-time index construction + persist (memoized — ~0 on
+    // warm reps, max-kept so the artifact prices the real first cost),
+    // "append" the no-retrain batch coding + store append; the residual
+    // wall (lazy search + rerank, realized at the caller's action) is
+    // the steady-state search price
+    val pt = graft.core.PhaseTiming
+    val Q = "x_ivfpq_incremental"
+    val path = pt.time(Q, "build_persist")(persistPqIndex(s, dir))
+    val (cents, cbL, _) = pt.time(Q, "load")(loadPqIndex(s, path))
     val batch = replicaBatch(s, dir)
-    incrementalCodes(batch, cents, cbL)
-      .write.mode("overwrite").parquet(s"$path/codes_incr")
+    pt.time(Q, "append") {
+      incrementalCodes(batch, cents, cbL)
+        .write.mode("overwrite").parquet(s"$path/codes_incr")
+    }
     // merged index = stored base codes + stored batch codes, both read
     // back from parquet (the restart-survival claim)
     val codesAll = s.read.parquet(s"$path/codes")

@@ -79,11 +79,18 @@ object Ingester {
   }
 }
 
-/** Cron entry point (reference scripts/run_ingest_source_data.py). */
+/** Cron entry point (reference scripts/run_ingest_source_data.py).
+  * `--source-url <base>` overrides the gharchive host — the operational
+  * knob for mirrors, and what lets the e2e spec serve the dump from a
+  * local fixture server.
+  */
 object RunIngest {
   def main(args: Array[String]): Unit = {
     val date = BatchKeys.parseArg(args, BatchKeys.previousHour())
-    val sink = new Ingester(ConfigFromArgsIngest(args)).ingestHourlyGharchive(date)
+    val base = args.sliding(2).collectFirst { case Array("--source-url", v) => v }
+      .getOrElse("http://data.gharchive.org")
+    val sink = new Ingester(ConfigFromArgsIngest(args), sourceBaseUrl = base)
+      .ingestHourlyGharchive(date)
     println(s"bronze written: $sink")
   }
 

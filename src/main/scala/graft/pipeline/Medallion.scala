@@ -156,22 +156,31 @@ object BatchKeys {
 object RunSerialise {
   def main(args: Array[String]): Unit = {
     val date = BatchKeys.parseArg(args, BatchKeys.previousHour())
+    // stop only a session this main created: Sessions.local() is
+    // getOrCreate, so under a host JVM that already owns a session
+    // (the e2e spec driving the mains in-process) stopping would kill
+    // the host's session; as a standalone binary nothing pre-exists
+    // and the stop still runs
+    val preexisting = org.apache.spark.sql.SparkSession.getDefaultSession
+      .exists(s => !s.sparkContext.isStopped)
     val spark = graft.Sessions.local()
     try {
       val sink = new Medallion(spark, ConfigFromArgs(args)).serialiseRawData(date)
       println(s"silver written: $sink")
-    } finally spark.stop()
+    } finally if (!preexisting) spark.stop()
   }
 }
 
 object RunAggregate {
   def main(args: Array[String]): Unit = {
     val date = BatchKeys.parseArg(args, BatchKeys.previousMidnight())
+    val preexisting = org.apache.spark.sql.SparkSession.getDefaultSession
+      .exists(s => !s.sparkContext.isStopped)
     val spark = graft.Sessions.local()
     try {
       val sink = new Medallion(spark, ConfigFromArgs(args)).aggregateSilverData(date)
       println(s"gold written: $sink")
-    } finally spark.stop()
+    } finally if (!preexisting) spark.stop()
   }
 }
 

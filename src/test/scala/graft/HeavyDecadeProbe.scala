@@ -19,10 +19,11 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * beyond the intended bitext cross, is a shape flip. Results land in
   * docs/SCALING.md.
   *
-  * x_bitext_mine is capped at k ≤ 3: its dense grid is the documented
-  * verification-sized spelling (corpus scale mines through the IVF-PQ
-  * index) and grows k² by construction — the probe records that square
-  * law rather than pretending the dense spelling is the 100 TB path.
+  * x_bitext_mine's dense grid is the documented verification-sized
+  * spelling (corpus scale mines through the IVF-PQ index) and grows k²
+  * by construction — the probe MEASURES that square law through k=10
+  * (round-15: the old k ≤ 3 cap asserted it instead) rather than
+  * pretending the dense spelling is the 100 TB path.
   */
 object HeavyDecadeProbe {
   def main(args: Array[String]): Unit = {
@@ -107,9 +108,14 @@ object HeavyDecadeProbe {
       dir
     }
 
+    // round-15 (verdict ask 3): bitext extended past its old k<=3 cap to
+    // k=10 — the dense grid's k^2 law measured through two full decades
+    // instead of asserted — and x_incremental_curation brought under the
+    // same harness (its round-13 table was a bespoke probe)
     val queries = Seq(
-      "x_bitext_mine" -> Seq(1, 2, 3),
+      "x_bitext_mine" -> Seq(1, 2, 3, 5, 10),
       "x_ivfpq_incremental" -> Seq(1, 2, 5, 10),
+      "x_incremental_curation" -> Seq(1, 2, 5, 10),
       "x_full_curation" -> Seq(1, 2, 5, 10),
       "x_optimize_pipeline" -> Seq(1, 2, 5, 10))
 
@@ -121,9 +127,16 @@ object HeavyDecadeProbe {
           censusTag = s"$name@k$k"
           val la = scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0)
           val t0 = System.nanoTime()
+          graft.core.PhaseTiming.clear()
           val rows = build(spark, dir).count()
           val sec = (System.nanoTime() - t0) / 1e9
           println(f"DECADE $name%-22s k=$k%2d rows=$rows%8d sec=$sec%8.2f (la $la)")
+          graft.core.PhaseTiming.snapshot().get(name).foreach { ps =>
+            val s = ps.toSeq.sortBy(_._1)
+              .map { case (p, v) => f"$p=$v%.2f" }.mkString(" ")
+            println(f"DECADE $name%-22s k=$k%2d phases: $s (search≈${
+              sec - ps.values.sum}%.2f)")
+          }
         }
       }
     }
