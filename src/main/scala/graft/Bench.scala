@@ -23,7 +23,7 @@ object Bench {
     * at 7.42). Bands are calibrated at sf0.1 / 32 cpus: at smaller SF
     * they pass trivially (the gate is one-sided — it can only veto).
     */
-  private val canaryBands: Seq[(String, Double)] =
+  private[graft] val canaryBands: Seq[(String, Double)] =
     Seq("q01_clean" -> 0.20, "q05_tpch_q1" -> 0.40)
 
   /** Queries whose build performs REAL store writes in-query — multi-

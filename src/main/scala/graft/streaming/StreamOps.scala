@@ -90,12 +90,27 @@ object StreamOps {
   private def fileStream(s: SparkSession, path: String, prefix: String,
       copies: Int = 1): DataFrame = {
     val streamDir = scratchDir(prefix)
-    val name = new java.io.File(path).getName
+    val src = new java.io.File(path)
+    // the table may be a single parquet FILE (the driver's fixture
+    // lakes) or a DIRECTORY of part files (every real lake generation —
+    // the k=5 census caught the single-file assumption: a symlink to a
+    // directory matches zero files in the streaming source, the replay
+    // delivers zero batches, and every downstream read of the staged
+    // output fails). Symlink each data file; hidden/_ entries skipped
+    // with the same visibility rule the batch scan applies.
+    val dataFiles: Seq[java.io.File] =
+      if (src.isDirectory)
+        src.listFiles.toSeq.filter(f => f.isFile &&
+          f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      else Seq(src)
     (1 to copies).foreach { i =>
-      Files.createSymbolicLink(
-        streamDir.resolve(s"${i}_$name"), java.nio.file.Paths.get(path))
+      dataFiles.zipWithIndex.foreach { case (f, j) =>
+        Files.createSymbolicLink(
+          streamDir.resolve(s"${i}_${j}_${f.getName}"), f.toPath)
+      }
     }
-    val mtime = new java.io.File(path).lastModified
+    val mtime = src.lastModified
     s.readStream
       .schema(fileSchemas.getOrElseUpdate((path, mtime),
         s.read.parquet(path).schema))

@@ -18,4 +18,15 @@ class BenchClassSpec extends AnyFunSuite {
     assert(Bench.storeRwClass.size < SparkEntry.queries.size / 2,
       "store_rw should tag the write-in-query minority, not the inventory")
   }
+
+  test("canary queries are registered and their bands are sane") {
+    Bench.canaryBands.foreach { case (name, bar) =>
+      assert(SparkEntry.queries.contains(name),
+        s"canary $name not in SparkEntry.queries — gate silently dead")
+      assert(bar > 0 && bar < 2.0,
+        s"canary band for $name ($bar s) outside the sub-second control range")
+    }
+    // the canary must stay CHEAP relative to the sweep: tiny fixed set
+    assert(Bench.canaryBands.size <= 3)
+  }
 }
