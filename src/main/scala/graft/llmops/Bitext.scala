@@ -44,6 +44,13 @@ object Bitext {
                            // measured dead zone: aligned ≥ 1.774,
                            // unaligned ≤ 1.166 at sf0.01
 
+  /** Grid-pair ceiling for the shared-exchange shape (see the adaptive
+    * choice in xBitextMine): measured crossover bracket [50M, 200M]
+    * pairs on the 128 GiB box — share wins at 50M (22.8 vs 35.9 s),
+    * loses 2.7× at 200M (224 vs 82 s, the exchange spills).
+    */
+  val SHARE_MAX_PAIRS = 100000000L
+
   /** (src vec_id, tgt vec_id, cos_fix) — the dense candidate grid over
     * normalized source embeddings and the synthesized target side.
     */
@@ -129,7 +136,26 @@ object Bitext {
     // MEMORY_ONLY cache = one eval + columnar write, 4.25-4.94 s; this
     // exchange-reuse shape 3.66-4.09 s — no cache-write overhead, no
     // CacheBin bookkeeping.
-    val g = grid(s, dir).repartition(col("src_id"))
+    // SCALE-ADAPTIVE sharing (round-15 decade measurement): the shared
+    // exchange materializes the FULL grid (3 long columns), and the bwd
+    // normalizer re-shuffles it by tgt_id — 2 full-grid shuffles that
+    // spill once the grid outgrows memory, while the dot grid itself is
+    // an embarrassingly parallel BNLJ scan that costs seconds to
+    // re-evaluate. Same-window A/B on replicated lakes (BtK probe):
+    // 2M pairs share 7.2 s vs re-eval 6.2 (tie; idle round-14 bracket
+    // 3.7-4.1 vs 4.9-5.5 — share wins), 50M pairs 22.8 vs 35.9 (share
+    // wins), 200M pairs 224 vs 82 (share LOSES 2.7x — the 6 GB exchange
+    // thrashes). Crossover sits between 50M and 200M pairs on this
+    // 128 GiB box; the bracket midpoint is the threshold. On a cluster
+    // the same rule holds per-executor-memory — the point is that the
+    // choice is SIZED, not fixed. Below the threshold every consumer
+    // reads the one materialized exchange; above it each of the three
+    // consumers re-evaluates the grid and the TopKByScore aggs shuffle
+    // only <=K rows per group per partition.
+    val n = VectorSearch.embeddingsBase(s, dir).count()
+    val sharedGrid = n * (n / 2) <= SHARE_MAX_PAIRS
+    val g0 = grid(s, dir)
+    val g = if (sharedGrid) g0.repartition(col("src_id")) else g0
     // kNN sums via the bounded-heap TopKByScore aggregator (the
     // x_domain_cap machinery): map-side partial top-K, so each shuffle
     // carries ≤ K rows per group per partition — never the full grid
