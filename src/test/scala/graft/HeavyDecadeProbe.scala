@@ -112,12 +112,15 @@ object HeavyDecadeProbe {
     // k=10 — the dense grid's k^2 law measured through two full decades
     // instead of asserted — and x_incremental_curation brought under the
     // same harness (its round-13 table was a bespoke probe)
+    // k=20 (round-15 second wave): a THIRD decade step for the flat/
+    // sub-linear builds — bitext excluded (its dense grid is k² by
+    // construction; the square law through k=10 is already measured)
     val queries = Seq(
       "x_bitext_mine" -> Seq(1, 2, 3, 5, 10),
-      "x_ivfpq_incremental" -> Seq(1, 2, 5, 10),
-      "x_incremental_curation" -> Seq(1, 2, 5, 10),
-      "x_full_curation" -> Seq(1, 2, 5, 10),
-      "x_optimize_pipeline" -> Seq(1, 2, 5, 10))
+      "x_ivfpq_incremental" -> Seq(1, 2, 5, 10, 20),
+      "x_incremental_curation" -> Seq(1, 2, 5, 10, 20),
+      "x_full_curation" -> Seq(1, 2, 5, 10, 20),
+      "x_optimize_pipeline" -> Seq(1, 2, 5, 10, 20))
 
     queries.foreach { case (name, ks) =>
       if (want(name)) {
