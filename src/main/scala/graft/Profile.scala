@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+
+/** Dev tool (round-16 optimization): per-JOB wall-clock attribution for a
+  * query build. Every eager action inside a composite build (localCheckpoint,
+  * store write, driver count, the final count) is a separate Spark job; a
+  * listener keyed on the job's call site maps each job's wall to the code
+  * line that launched it. Usage:
+  *
+  *   sbt "runMain graft.Profile <sfDir> <name> [<name> ...]"
+  *
+  * Each query runs twice; both runs are broken down (run 1 shows cold
+  * first-execution costs the bench's min-of-reps hides, run 2 is the
+  * warm rep the bench actually scores).
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val names = args.drop(1).toSeq
+    val spark = Sessions.local()
+    // warm the session the way the bench does
+    graft.core.Tables.names.foreach { t =>
+      try graft.core.Tables(spark, sfDir, t).count()
+      catch { case scala.util.control.NonFatal(_) => }
+    }
+
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
+    val done = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val site = Option(js.properties.getProperty("callSite.short"))
+          .orElse(js.stageInfos.lastOption.map(_.name))
+          .getOrElse("?")
+        jobs.put(js.jobId, (site, js.time))
+      }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        Option(jobs.remove(je.jobId)).foreach { case (site, t0) =>
+          done.synchronized { done += site -> ((je.time - t0) / 1e3); () }
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      (1 to 2).foreach { rep =>
+        done.synchronized(done.clear())
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300) // let the async listener bus drain
+        val lines = done.synchronized(done.toSeq)
+        val jobSum = lines.map(_._2).sum
+        println(f"\n== $name rep $rep wall=$wall%.3f s jobs=${lines.size} jobSum=$jobSum%.3f s (gap=${wall - jobSum}%.3f s driver/planning)")
+        lines.zipWithIndex.foreach { case ((site, sec), i) =>
+          println(f"  job$i%3d $sec%8.3f s  $site")
+        }
+      }
+    }
+    spark.stop()
+  }
+}

@@ -355,12 +355,19 @@ object Graph {
                    ELSE (3000000 * n_triangles) // n_wedges END AS gcc_ppm
        FROM w, t, ne""") { (s, dir) =>
     val pr = partEdges(s, dir)
-    val deg = degreesOf(pr)
+    // the degree table feeds the counts agg AND both orient joins, and
+    // the oriented edge list feeds the closure THREE times (e1/e2/e3
+    // self-joins) — without the two materializations each reference
+    // re-evaluated its whole subtree (the profiler measured ~17 s of
+    // task time for a 3.6 s wall: the same degree agg + orient joins
+    // running 3× concurrently). Both frames are node/edge-sized.
+    val deg = degreesOf(pr).localCheckpoint()
     // n_edges = Σd/2 rides the same degree re-agg — no separate count job
     val counts = deg.agg(count(lit(1)).as("n_nodes"),
       expr("sum(d) div 2").as("n_edges"),
       sum(expr("d * (d - 1) div 2")).as("n_wedges"))
-    val tri = closureCount(orient(pr, deg, byDegree = true))
+    val tri = closureCount(
+      orient(pr, deg, byDegree = true).localCheckpoint())
     counts.crossJoin(broadcast(tri))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),
@@ -487,7 +494,17 @@ object Graph {
     val pr = partEdges(s, dir)
     val deg0 = degreesOf(pr).select(col("p"), col("d").as("deg0"))
     var e = pr
-    for (_ <- 1 to PEEL_ROUNDS) {
+    // peeling strictly SHRINKS the edge set, so an unchanged edge count
+    // is a FIXED POINT (e' ⊆ e ∧ |e'| = |e| ⇒ e' = e: identical degrees,
+    // identical keep-set, every later round a no-op) and the remaining
+    // rounds can be skipped with a provably identical result — on lakes
+    // where the thresholded graph dissolves or settles early (sf0.1
+    // dissolves entirely) this cuts the 8-round budget to the measured
+    // convergence round. The count is free: localCheckpoint already
+    // materialized the round's edges.
+    var prevCount = -1L
+    var converged = false
+    for (_ <- 1 to PEEL_ROUNDS if !converged) {
       val keep = degreesOf(e).filter(col("d") >= K_CORE).select("p")
       // localCheckpoint truncates the lineage each round: the degree agg
       // references e twice and e shrinks every round, so WITHOUT the cut
@@ -500,6 +517,9 @@ object Graph {
         .join(keep.withColumnRenamed("p", "p2"), Seq("p2"), "left_semi")
         .select("p1", "p2")
         .localCheckpoint()
+      val n = e.count()
+      converged = n == prevCount || n == 0L
+      prevCount = n
     }
     val fin = degreesOf(e).select(col("p"), col("d").as("degf"))
     deg0.join(fin, Seq("p"), "left")

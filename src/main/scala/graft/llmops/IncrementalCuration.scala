@@ -111,10 +111,14 @@ object IncrementalCuration {
     */
   def bootstrapIndexes(standing: DataFrame, scratch: String): Unit = {
     val sets = MinHashLSH.wordSets(standing, 3)
-    MinHashLSH.bandIndex(sets)
-      .write.mode("overwrite").parquet(s"$scratch/bands")
-    standing.select(md5(col("text")).as("digest")).distinct()
-      .write.mode("overwrite").parquet(s"$scratch/digests")
+    // the two index writes read the same immutable standing split and
+    // land on disjoint paths — overlap them (core.Par, guide §2.6)
+    graft.core.Par.run(
+      () => MinHashLSH.bandIndex(sets)
+        .write.mode("overwrite").parquet(s"$scratch/bands"),
+      () => standing.select(md5(col("text")).as("digest")).distinct()
+        .write.mode("overwrite").parquet(s"$scratch/digests"))
+    ()
   }
 
   /** The per-batch admission path: verdicts for every batch document
@@ -360,13 +364,17 @@ object IncrementalCuration {
     // the card reads the merged sizes BACK from the updated store
     val adm = v.filter(col("verdict") === "admitted").select(col("doc_id"))
     val admBatch = batch.join(adm, "doc_id")
-    MinHashLSH.bandIndex(MinHashLSH.wordSets(admBatch, 3))
-      .write.mode("append").parquet(s"$scratch/bands")
-    admBatch.select(md5(col("text")).as("digest"))
-      .write.mode("append").parquet(s"$scratch/digests")
-    val bandsAfter = s.read.parquet(s"$scratch/bands").count()
-    val digestsAfter = s.read.parquet(s"$scratch/digests")
-      .select(col("digest")).distinct().count()
+    // the two index appends (disjoint paths, same immutable inputs)
+    // overlap, as do the two merged-size read-backs (core.Par)
+    graft.core.Par.run(
+      () => MinHashLSH.bandIndex(MinHashLSH.wordSets(admBatch, 3))
+        .write.mode("append").parquet(s"$scratch/bands"),
+      () => admBatch.select(md5(col("text")).as("digest"))
+        .write.mode("append").parquet(s"$scratch/digests"))
+    val Seq(bandsAfter, digestsAfter) = graft.core.Par.run[Long](
+      () => s.read.parquet(s"$scratch/bands").count(),
+      () => s.read.parquet(s"$scratch/digests")
+        .select(col("digest")).distinct().count())
 
     v.groupBy(col("lang"), col("verdict"))
       .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),

@@ -93,9 +93,14 @@ object Preference {
     * Scale posture: the corpus-scale work is ONE hash agg (per-user
     * type counts, map-side combined) plus a per-user k² comparison
     * (k = |players|, a model roster — single digits); the win matrix is
-    * k² rows and the MM solve is BT_ITERS broadcast-joins over it —
-    * driver-free, corpus-independent. At 100 TB of votes only the
-    * first agg grows.
+    * k² rows, collected (model-roster-bounded — the
+    * FullCuration.mixInputCounts boundedness argument) and MM-solved
+    * driver-side in the same Long floor-division arithmetic —
+    * corpus-independent. At 100 TB of votes only the first agg grows.
+    * (Round 16: the solve used to be BT_ITERS unrolled in-engine
+    * iterations, each referencing the previous ratings twice, so the
+    * lazy plan and its broadcast jobs doubled per iteration — ~1.4-2.3 s
+    * of pure planning/broadcast floor for 25 rows.)
     */
   val xBtRating = Q(
     "x_bt_rating", {
@@ -133,7 +138,6 @@ object Preference {
        FROM wins JOIN r$BT_ITERS ON r$BT_ITERS.i = wins.i
        ORDER BY rnk"""
     }) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val uc = T(s, dir, "events")
       .groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("c"))
@@ -146,27 +150,41 @@ object Preference {
         col("a.i") === col("b.j") && col("a.j") === col("b.i"))
       .select(col("a.i"), col("a.j"), col("a.n_ij"),
         (col("a.n_ij") + col("b.n_ij")).as("n_games"))
-      .localCheckpoint() // k² rows; pins the matrix so 5 unrolled
-                         // iterations don't replay the corpus agg
-    val wins = m.groupBy("i")
-      .agg(sum(col("n_ij")).as("wins"), sum(col("n_games")).as("games"))
-    var r = wins.select(col("i"), lit(BT_INIT).as("pi"))
+    // The corpus-scale work ends here: uc is the one map-side-combined
+    // agg over the votes, w0/m the k²-row win matrix. The MM solve
+    // itself runs DRIVER-SIDE on the collected matrix — k = |players|
+    // is a model roster (single digits) by the operator's own contract,
+    // the same boundedness argument as FullCuration.mixInputCounts.
+    // The previous in-engine unrolling nested 5 lazy iterations, each
+    // referencing the previous ratings TWICE (two broadcasts), so the
+    // plan tree and its broadcast jobs doubled per iteration — measured
+    // ~1.4-2.3 s of planning/broadcast floor for 25 rows of data. The
+    // arithmetic is bit-identical: Long floor-division of positive
+    // operands is exactly BIGINT `div` at every step.
+    val mRows = m.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val players = mRows.map(_._1).distinct.sorted
+    val winsOf = players.map(i =>
+      i -> mRows.filter(_._1 == i).map(_._3).sum).toMap
+    val gamesOf = players.map(i =>
+      i -> mRows.filter(_._1 == i).map(_._4).sum).toMap
+    var pi = players.map(_ -> BT_INIT).toMap
     for (_ <- 1 to BT_ITERS) {
-      val d = m
-        .join(broadcast(r.select(col("i"), col("pi").as("pa"))), Seq("i"))
-        .join(broadcast(r.select(col("i").as("j"), col("pi").as("pb"))),
-          Seq("j"))
-        .groupBy("i")
-        .agg(sum(expr(s"(n_games * $BT_K) div (pa + pb)")).as("d"))
-      r = wins.join(d, Seq("i"))
-        .select(col("i"),
-          greatest(expr(s"(wins * $BT_K) div d"), lit(1L)).as("pi"))
+      val d = players.map { i =>
+        i -> mRows.filter(_._1 == i)
+          .map { case (_, j, _, nGames) => nGames * BT_K / (pi(i) + pi(j)) }
+          .sum
+      }.toMap
+      pi = players.map(i =>
+        i -> math.max(winsOf(i) * BT_K / d(i), 1L)).toMap
     }
-    wins.join(r, Seq("i"))
-      .select(col("i").as("event_type"), col("games"), col("wins"),
-        col("pi").as("pi_fix"))
-      .withColumn("rnk", row_number().over(
-        Window.orderBy(col("pi_fix").desc, col("event_type"))).cast("long"))
+    val ranked = players
+      .map(i => (i, gamesOf(i), winsOf(i), pi(i)))
+      .sortBy { case (i, _, _, p) => (-p, i) }
+      .zipWithIndex
+      .map { case ((i, g, w, p), idx) => (i, g, w, p, (idx + 1).toLong) }
+    import s.implicits._
+    ranked.toSeq.toDF("event_type", "games", "wins", "pi_fix", "rnk")
       .orderBy("rnk")
   }
 

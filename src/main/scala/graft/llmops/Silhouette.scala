@@ -71,17 +71,31 @@ object Silhouette {
           .cast("long").as("sij"))
       .groupBy("i", "own", "grp")
       .agg(sum(col("sij")).as("s"), count(lit(1)).as("n"))
-    val own = g.filter(col("grp") === col("own"))
-      .select(col("i"), col("own").as("label"),
-        col("s").as("sa"), col("n").as("na"))
-    val oth = g.filter(col("grp") =!= col("own"))
-      .withColumn("rr", row_number().over(Window.partitionBy(col("i"))
-        .orderBy((col("s").cast("double") / col("n")).desc, col("grp"))))
-      .filter(col("rr") === 1)
-      .select(col("i"), col("grp").as("b_label"),
-        col("s").as("sb"), col("n").as("nb"))
-    own.join(oth, "i")
-      .select(col("i").as("vec_id"), col("label"), col("b_label"),
+    // ONE aggregation over the (i, grp) rows extracts the own-group pair
+    // (sa, na) and the argmax other group at once. The two-arm
+    // filter/join spelling evaluated the ENTIRE pair grid twice (one
+    // broadcast-hash pass for grp = own, one nested-loop pass for
+    // grp ≠ own) and re-joined the arms through a sort-merge + window;
+    // this runs the dot grid once and drops the join and the window.
+    // The b-group selection is unchanged: min(struct(-s/n, grp, ...))
+    // ranks by the identical IEEE double ratio descending with the same
+    // grp tiebreak. Points whose own group has no other member (no
+    // grp = own row) still drop, as the inner join dropped them.
+    g.groupBy(col("i"))
+      .agg(
+        max(when(col("grp") === col("own"),
+          struct(col("own").as("l"), col("s").as("sa"), col("n").as("na"))))
+          .as("o"),
+        min(when(col("grp") =!= col("own"),
+          struct((-(col("s").cast("double") / col("n"))).as("negr"),
+            col("grp").as("g"), col("s").as("sb"), col("n").as("nb"))))
+          .as("b"))
+      .filter(col("o").isNotNull && col("b").isNotNull)
+      .select(col("i").as("vec_id"), col("o.l").as("label"),
+        col("b.g").as("b_label"),
+        col("o.sa").as("sa"), col("o.na").as("na"),
+        col("b.sb").as("sb"), col("b.nb").as("nb"))
+      .select(col("vec_id"), col("label"), col("b_label"),
         col("sa"), col("na"), col("sb"), col("nb"),
         (col("sa") * col("nb") - col("sb") * col("na")).as("sil_num"),
         (col("na") * col("nb") * 1000000L -

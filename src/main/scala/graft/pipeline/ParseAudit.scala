@@ -133,30 +133,39 @@ object ParseAudit {
     val resend = graft.ops.Extra.scratch(s, "quarantine/resend")
     jsonLines(orders).write.mode("overwrite").text(raw)
 
-    // silver: the production DROPMALFORMED path
-    s.read.schema(GhArchive.rawSchema)
-      .option("mode", "DROPMALFORMED").json(raw)
-      .write.mode("overwrite").parquet(silver)
-    val nInitial = s.read.parquet(silver).count()
-
-    // quarantine: raw line + reason, persisted (the dead-letter store)
+    // silver (production DROPMALFORMED path), quarantine (PERMISSIVE
+    // dead-letter store) and the corrected resend are three independent
+    // writes to disjoint paths — overlap them (core.Par, guide §2.6):
+    // silver/quarantine re-parse the same raw text, resend reads orders
     val permSchema = StructType(
       GhArchive.rawSchema.fields :+
         org.apache.spark.sql.types.StructField("_corrupt_record", StringType))
-    s.read.schema(permSchema)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(raw).cache()
-      .filter(col("_corrupt_record").isNotNull)
-      .select(col("_corrupt_record").as("raw_line"),
-        lit("malformed_json").as("reason"))
-      .write.mode("overwrite").parquet(quarantine)
-    val nQuarantined = s.read.parquet(quarantine).count()
-
-    // upstream resends CORRECTED lines for the quarantined keys
-    // (fixture: the untruncated spelling of every key ≡ 0 mod 37)
-    jsonLines(orders.filter(col("o_orderkey") % 37 === 0), corrupt = false)
-      .write.mode("overwrite").text(resend)
+    graft.core.Par.run(
+      () => s.read.schema(GhArchive.rawSchema)
+        .option("mode", "DROPMALFORMED").json(raw)
+        .write.mode("overwrite").parquet(silver),
+      () => {
+        // the cache is LOAD-BEARING, not a perf choice: Spark refuses a
+        // query whose only reference into a raw JSON scan is the
+        // internal corrupt-record column unless the parse is cached
+        val perm = s.read.schema(permSchema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(raw).cache()
+        perm.filter(col("_corrupt_record").isNotNull)
+          .select(col("_corrupt_record").as("raw_line"),
+            lit("malformed_json").as("reason"))
+          .write.mode("overwrite").parquet(quarantine)
+        perm.unpersist(false)
+        ()
+      },
+      // upstream resends CORRECTED lines for the quarantined keys
+      // (fixture: the untruncated spelling of every key ≡ 0 mod 37)
+      () => jsonLines(orders.filter(col("o_orderkey") % 37 === 0),
+        corrupt = false).write.mode("overwrite").text(resend))
+    val Seq(nInitial, nQuarantined) = graft.core.Par.run[Long](
+      () => s.read.parquet(silver).count(),
+      () => s.read.parquet(quarantine).count())
 
     // replay, idempotently: left-anti on the event key, then append
     def replayOnce(): Long = {

@@ -119,15 +119,23 @@ object Catalog {
     val line = T(s, dir, "lineitem").select(col("l_orderkey"))
     val root = s"${Scratch.fresh("graft_catalog")}/lake"
 
-    // txn 0: the consistent even-key pair
-    writeTable(orders.filter(col("o_orderkey") % 2 === 0), root, "orders_gold", 0L)
-    writeTable(line.filter(col("l_orderkey") % 2 === 0), root, "lineitem_gold", 0L)
+    // txn 0: the consistent even-key pair. The two member-table writes
+    // are UN-COORDINATED by design (visibility comes only from the
+    // publish), so they overlap (core.Par, guide §2.6) — the exact
+    // concurrency a real multi-writer transaction has before its one
+    // serialized catalog CAS.
+    graft.core.Par.run(
+      () => writeTable(orders.filter(col("o_orderkey") % 2 === 0), root,
+        "orders_gold", 0L),
+      () => writeTable(line.filter(col("l_orderkey") % 2 === 0), root,
+        "lineitem_gold", 0L))
     val v0 = publish(s, root, Map("orders_gold" -> 0L, "lineitem_gold" -> 0L),
       base = -1L, "txn0").get
 
     // txn 1: both tables move to the full keyspace, atomically
-    writeTable(orders, root, "orders_gold", 1L)
-    writeTable(line, root, "lineitem_gold", 1L)
+    graft.core.Par.run(
+      () => writeTable(orders, root, "orders_gold", 1L),
+      () => writeTable(line, root, "lineitem_gold", 1L))
     val v1 = publish(s, root, Map("orders_gold" -> 1L, "lineitem_gold" -> 1L),
       base = v0, "txn1").get
 
@@ -141,20 +149,25 @@ object Catalog {
           col("l_orderkey") === col("o_orderkey"), "left_anti")
         .count()
     // the mixed read a non-transactional reader could observe
-    val mixedOrphans = s.read.parquet(s"$root/tables/lineitem_gold/v=1")
+    def mixedOrphans: Long = s.read.parquet(s"$root/tables/lineitem_gold/v=1")
       .join(s.read.parquet(s"$root/tables/orders_gold/v=0"),
         col("l_orderkey") === col("o_orderkey"), "left_anti")
       .count()
 
     import s.implicits._
+    // the seven audit reads are independent snapshot reads of an
+    // already-published (immutable) store — overlap them (guide §2.6)
+    val audits = graft.core.Par.run[Long](
+      () => readAt(s, root, v0, "orders_gold").count(),
+      () => readAt(s, root, v0, "lineitem_gold").count(),
+      () => orphans(v0),
+      () => readAt(s, root, v1, "orders_gold").count(),
+      () => readAt(s, root, v1, "lineitem_gold").count(),
+      () => orphans(v1),
+      () => mixedOrphans)
     Seq((
-      readAt(s, root, v0, "orders_gold").count(),
-      readAt(s, root, v0, "lineitem_gold").count(),
-      orphans(v0),
-      readAt(s, root, v1, "orders_gold").count(),
-      readAt(s, root, v1, "lineitem_gold").count(),
-      orphans(v1),
-      mixedOrphans,
+      audits(0), audits(1), audits(2), audits(3), audits(4), audits(5),
+      audits(6),
       stale.isDefined,
       versions(s, root).size.toLong))
       .toDF("c0_orders", "c0_line", "orphans_v0", "c1_orders", "c1_line",

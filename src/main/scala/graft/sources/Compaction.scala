@@ -95,11 +95,26 @@ object Compaction {
     val stage = s"$scratch/stage"
     val out = s"$scratch/compacted"
 
-    // 1. stage: manufacture the small-file problem (one writer task per
-    // partition value => derivable ceil(n/64) layout)
+    // 1. stage: manufacture the small-file problem. The layout contract
+    // is ceil(n/64) files per partition value (all 64-row + one
+    // remainder); carving the rows into explicit 64-row file groups and
+    // repartitioning on (type, group) spreads the ~n/64 file creations
+    // over every core instead of one sequential writer task per
+    // partition value (the measured staging wall was file-open bound,
+    // not data bound — guide §2.6/§6). maxRecordsPerFile still enforces
+    // the 64-row cap when two groups of one type share a task: task
+    // rows per type are then 64k(+remainder), which the cap splits back
+    // into the same all-64-plus-remainder layout. The partition count is
+    // pinned (defaultParallelism = the writer-slot count, scale-adaptive)
+    // because AQE would otherwise coalesce this deliberately-small
+    // shuffle back into one sequential writer task.
     T(s, dir, "events")
       .filter(col("event_id") < SLICE)
-      .repartition(col("event_type"))
+      .withColumn("_fno", expr(s"(row_number() OVER (PARTITION BY " +
+        s"event_type ORDER BY event_id) - 1) div $FILE_ROWS"))
+      .repartition(s.sparkContext.defaultParallelism,
+        col("event_type"), col("_fno"))
+      .drop("_fno")
       .write.mode("overwrite")
       .option("maxRecordsPerFile", FILE_ROWS)
       .partitionBy("event_type")
@@ -205,8 +220,15 @@ object Compaction {
 
     val slice = T(s, dir, "events").filter(col("event_id") < SLICE)
 
-    // 1. stage the small-file problem (derivable layout)
-    slice.repartition(col("event_type"))
+    // 1. stage the small-file problem (derivable layout; the same
+    // file-group carving as x_compaction_plan's staging — parallel file
+    // creation, identical ceil(n/64) layout)
+    slice
+      .withColumn("_fno", expr(s"(row_number() OVER (PARTITION BY " +
+        s"event_type ORDER BY event_id) - 1) div $FILE_ROWS"))
+      .repartition(s.sparkContext.defaultParallelism,
+        col("event_type"), col("_fno"))
+      .drop("_fno")
       .write.mode("overwrite")
       .option("maxRecordsPerFile", FILE_ROWS)
       .partitionBy("event_type")

@@ -107,9 +107,13 @@ object StatsMaintenance {
           (merged, sk)
         }
       // two-phase write: stage then swap, so the read-back above never
-      // races this append's own overwrite of the same path
-      ms.write.mode("overwrite").parquet(s"$root/stats_new")
-      mk.coalesce(1).write.mode("overwrite").parquet(s"$root/sketch_new")
+      // races this append's own overwrite of the same path. The stats
+      // and sketch writes land on disjoint paths — overlap them
+      // (core.Par, guide §2.6)
+      graft.core.Par.run(
+        () => ms.write.mode("overwrite").parquet(s"$root/stats_new"),
+        () => mk.coalesce(1).write.mode("overwrite")
+          .parquet(s"$root/sketch_new"))
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       for (t <- Seq("stats", "sketch")) {

@@ -61,12 +61,20 @@ object Wap {
     */
   def audit(spark: SparkSession, stagedPath: String, keyCol: String,
       minRows: Long): Audit = {
+    // all three gates from ONE pass over the staged files (one keyed
+    // hash agg + one scalar re-agg) instead of three separate scans:
+    // null rows are the null group's count, total rows the sum of group
+    // counts, duplicates the non-null groups with count > 1
     val staged = spark.read.parquet(stagedPath)
-    val nulls = staged.filter(col(keyCol).isNull).count()
-    val dups = staged.filter(col(keyCol).isNotNull)
-      .groupBy(keyCol).agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).count()
-    val rows = staged.count()
+    val r = staged.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+      .agg(
+        coalesce(sum(when(col(keyCol).isNull, col("c"))), lit(0L))
+          .as("nulls"),
+        coalesce(sum(when(col(keyCol).isNotNull && col("c") > 1, 1L)),
+          lit(0L)).as("dups"),
+        coalesce(sum(col("c")), lit(0L)).as("rows"))
+      .head()
+    val (nulls, dups, rows) = (r.getLong(0), r.getLong(1), r.getLong(2))
     Audit(nulls, dups, rows, nulls == 0 && dups == 0 && rows >= minRows)
   }
 
@@ -137,7 +145,6 @@ object Wap {
     // the committed base
     ConcurrentCommit.commitAppend(s, root,
       orders.filter(col("o_orderkey") % 3 === 0), "base")
-    val baseRows = Lake.readCurrent(s, root).count()
 
     // candidate 1: the bad batch (planted null keys + duplicated keys)
     val raw2 = orders.filter(col("o_orderkey") % 3 === 2)
@@ -147,20 +154,26 @@ object Wap {
       .unionByName(raw2.filter(col("o_orderkey") % 7 =!= 0 &&
         col("o_orderkey") % 5 === 0))
     val v0 = Lake.versions(s, root).last
-    val badStaged = stage(Lake.readCurrent(s, root).unionByName(badBatch),
-      root, "cand_bad")
-    val badAudit = audit(s, badStaged, "o_orderkey", minRows = baseRows)
+    // both candidates are staged AGAINST THE SAME BASE (v0) — that is
+    // WAP's whole point (uncoordinated writers, serialized publishes) —
+    // so the two staging writes and the base row count are independent
+    // jobs and overlap (core.Par, guide §2.6)
+    val Seq(badStaged, goodStaged) = graft.core.Par.run[String](
+      () => stage(Lake.readCurrent(s, root).unionByName(badBatch),
+        root, "cand_bad"),
+      () => stage(
+        Lake.readCurrent(s, root)
+          .unionByName(orders.filter(col("o_orderkey") % 3 === 1)),
+        root, "cand_good"))
+    val baseRows = Lake.readCurrent(s, root).count()
+    // the two audits read disjoint immutable staged dirs — overlap too
+    val (badAudit, goodAudit) = graft.core.Par.run2(
+      () => audit(s, badStaged, "o_orderkey", minRows = baseRows),
+      () => audit(s, goodStaged, "o_orderkey", minRows = baseRows))
     val badPublished =
       if (badAudit.ok) publish(s, root, badStaged, "wA", v0).isDefined
       else false
     val rowsAfterReject = Lake.readCurrent(s, root).count()
-
-    // candidate 2: the clean batch — audits clean, publishes
-    val goodStaged = stage(
-      Lake.readCurrent(s, root)
-        .unionByName(orders.filter(col("o_orderkey") % 3 === 1)),
-      root, "cand_good")
-    val goodAudit = audit(s, goodStaged, "o_orderkey", minRows = baseRows)
     if (goodAudit.ok) publish(s, root, goodStaged, "wB", v0)
 
     val nVersions = Lake.versions(s, root).size

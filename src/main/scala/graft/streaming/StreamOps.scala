@@ -832,35 +832,48 @@ object StreamOps {
       .write.mode("overwrite").parquet(idxPath)
 
     val serial = new java.util.concurrent.atomic.AtomicLong(0L)
-    def admitBatch(batch: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec): Unit =
-      if (!batch.isEmpty) {
-        val idx = s.read.parquet(idxPath)
-        val scored = batch
-          .withColumn("h", md5(col("text")))
-          .withColumn("q_ok",
-            size(split(col("text"), " ")) >= graft.llmops.FullCuration.MIN_TOKENS)
-        val ranked = scored.filter(col("q_ok"))
-          .withColumn("rn", row_number().over(w))
-        val firsts = ranked.filter(col("rn") === 1)
-        // localCheckpoint BEFORE the index append: the admitted plan
-        // lazily reads the same parquet directory the append writes —
-        // materializing first closes the read-write race
-        val admitted = firsts.join(idx.select(col("h")), Seq("h"), "left_anti")
+    def admitBatch(batch: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec): Unit = {
+      val idx = s.read.parquet(idxPath)
+      val scored = batch
+        .withColumn("h", md5(col("text")))
+        .withColumn("q_ok",
+          size(split(col("text"), " ")) >= graft.llmops.FullCuration.MIN_TOKENS)
+      val ranked = scored.filter(col("q_ok"))
+        .withColumn("rn", row_number().over(w))
+      val firsts = ranked.filter(col("rn") === 1)
+      // the admission accounting used to be five separate count jobs
+      // (plus an isEmpty probe); ONE ranked-window aggregation returns
+      // seen / quality-rejected / within-dup / first counts together,
+      // and it overlaps (core.Par, guide §2.6) with the admitted-set
+      // materialization — localCheckpoint BEFORE the index append, so
+      // the admitted plan never reads the directory the append writes
+      val (counts, admitted) = graft.core.Par.run2(
+        () => scored
+          .withColumn("rn", when(col("q_ok"),
+            row_number().over(w.partitionBy(col("q_ok"), col("h")))))
+          .agg(count(lit(1)).as("n_seen"),
+            coalesce(sum(when(!col("q_ok"), 1L)), lit(0L)).as("n_qrej"),
+            coalesce(sum(when(col("q_ok") && col("rn") > 1, 1L)), lit(0L))
+              .as("n_within"),
+            coalesce(sum(when(col("q_ok") && col("rn") === 1, 1L)), lit(0L))
+              .as("n_firsts"))
+          .head(),
+        () => firsts.join(idx.select(col("h")), Seq("h"), "left_anti")
           .select(col("doc_id"), col("h"))
-          .localCheckpoint()
-        val nSeen = batch.count()
-        val nQualityRej = scored.filter(!col("q_ok")).count()
-        val nWithinDup = ranked.filter(col("rn") > 1).count()
-        val nFirsts = firsts.count()
+          .localCheckpoint())
+      val nSeen = counts.getLong(0)
+      if (nSeen > 0) {
         val nAdmitted = admitted.count()
         admitted.select(col("h")).write.mode("append").parquet(idxPath)
         val idxSize = s.read.parquet(idxPath).count()
-        Seq((serial.incrementAndGet(), nSeen, nQualityRej, nWithinDup,
-            nFirsts - nAdmitted, nAdmitted, idxSize))
+        Seq((serial.incrementAndGet(), nSeen, counts.getLong(1),
+            counts.getLong(2), counts.getLong(3) - nAdmitted, nAdmitted,
+            idxSize))
           .toDF("batch", "n_seen", "n_quality_rej", "n_within_dup",
             "n_index_rej", "n_admitted", "index_size")
           .coalesce(1).write.mode("append").parquet(logPath)
       }
+    }
 
     stageLateFile(stage, b1, "batch1")
     val sch = s.read.parquet(stage.toString).schema
