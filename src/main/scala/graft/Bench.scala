@@ -20,11 +20,18 @@ object Bench {
     * degraded window — don't trust its totals or flags for the record";
     * it pre-flags a contaminated BENCH_rNN.json instead of requiring a
     * post-hoc adjudication every round (r13 landed at loadavg 3.34, r14
-    * at 7.42). Bands are calibrated at sf0.1 / 32 cpus: at smaller SF
-    * they pass trivially (the gate is one-sided — it can only veto).
+    * at 7.42). Bands are calibrated at sf0.1 / 32 cpus and the VERDICT
+    * is only applied at that calibrated SF dir (round-15 advice: a
+    * legitimate capture at a larger SF or smaller box would trip the
+    * one-sided gate and permanently brand a clean run untrustworthy);
+    * other SF dirs still emit the raw canary_entry_s/canary_exit_s
+    * times, with canary_in_band null.
     */
   private[graft] val canaryBands: Seq[(String, Double)] =
     Seq("q01_clean" -> 0.20, "q05_tpch_q1" -> 0.40)
+
+  /** The SF dir the canary bands were calibrated against. */
+  private[graft] val canaryCalibratedSf = "/root/testdata/sf0.1"
 
   /** Queries whose build performs REAL store writes in-query — multi-
     * generation commit/merge/replay sequences, staged prune layouts,
@@ -71,6 +78,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing for cached plans (see Sessions.local): without it
+      // every cached base pins 32 output partitions and each warm scan
+      // pays the per-task floor 32-64x on kilobyte frames
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -183,11 +195,15 @@ object Bench {
     }
     regressions.foreach(n => System.err.println(s"BENCH REGRESSION >2x vs prev round (survived confirmation rep): $n"))
     val canaryExit = canaryProbe()
-    val canaryInBand = canaryBands.forall { case (name, bar) =>
-      canaryEntry.exists { case (n, t) => n == name && t > 0 && t <= bar } &&
-        canaryExit.exists { case (n, t) => n == name && t > 0 && t <= bar }
-    }
-    if (!canaryInBand)
+    // verdict only at the calibrated SF (null elsewhere — raw probe
+    // times still recorded for the reader)
+    val canaryInBand: Option[Boolean] =
+      if (sfDir != canaryCalibratedSf) None
+      else Some(canaryBands.forall { case (name, bar) =>
+        canaryEntry.exists { case (n, t) => n == name && t > 0 && t <= bar } &&
+          canaryExit.exists { case (n, t) => n == name && t > 0 && t <= bar }
+      })
+    if (canaryInBand.contains(false))
       System.err.println(s"BENCH CANARY OUT OF BAND (degraded window; totals/flags unreliable): entry=$canaryEntry exit=$canaryExit")
     val loadEnd = loadavg()
     def fmt(v: Double): String =
@@ -217,13 +233,14 @@ object Bench {
     val loads = s"[${fmt(loadEntry)},${fmt(loadStart)},${fmt(loadEnd)}]"
     def canaryJson(c: Seq[(String, Double)]): String =
       c.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val canaries = s""""canary_entry_s":${canaryJson(canaryEntry)},"canary_exit_s":${canaryJson(canaryExit)},"canary_in_band":$canaryInBand"""
+    val canaries = s""""canary_entry_s":${canaryJson(canaryEntry)},"canary_exit_s":${canaryJson(canaryExit)},"canary_in_band":${canaryInBand.map(_.toString).getOrElse("null")}"""
     // per-phase walls recorded by composite builds (index build vs
     // search pricing — PhaseTiming scaladoc); small by construction
     val phases = graft.core.PhaseTiming.snapshot().toSeq.sortBy(_._1)
       .map { case (q, ps) =>
         s"\"" + q + "\":" + ps.toSeq.sortBy(_._1)
-          .map { case (p, v) => s"\"" + p + "\":" + fmt(v) }
+          .map { case (p, (lo, hi)) =>
+            s"""\"$p\":{\"min\":${fmt(lo)},\"max\":${fmt(hi)}}""" }
           .mkString("{", ",", "}")
       }.mkString("{", ",", "}")
     // sustained external load inflates every timing AND survives the

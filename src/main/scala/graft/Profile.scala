@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 
 /** Dev tool (round-16 optimization): per-JOB wall-clock attribution for a
   * query build. Every eager action inside a composite build (localCheckpoint,
@@ -37,6 +37,19 @@ object Profile {
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         Option(jobs.remove(je.jobId)).foreach { case (site, t0) =>
           done.synchronized { done += site -> ((je.time - t0) / 1e3); () }
+        }
+      }
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val ms = (for {a <- si.completionTime; b <- si.submissionTime}
+          yield a - b).getOrElse(0L)
+        if (ms > 300) done.synchronized {
+          val tm = si.taskMetrics
+          val run = if (tm == null) -1L else tm.executorRunTime
+          val cpu = if (tm == null) -1L else tm.executorCpuTime / 1000000
+          val deser = if (tm == null) -1L else tm.executorDeserializeTime
+          done += s"    [stage ${si.stageId} ${si.numTasks}t wall=${ms / 1e3}s run=${run / 1e3}s cpu=${cpu / 1e3}s deser=${deser / 1e3}s] ${si.name.take(70)}" -> 0.0
+          ()
         }
       }
     }

@@ -194,12 +194,17 @@ object Scratch {
   * whole wall as "search" misprices both. Builds record their eager
   * phases here; graft.Bench emits the snapshot as `phase_s` in the
   * bench artifact, the way `store_rw` splits writes from compute.
-  * Per (query, phase) the MAX across executions is kept: memoized
-  * builds report ~0 on warm reps, and the max preserves the real
-  * first-execution cost the bench's min-of-reps wall hides.
+  * Per (query, phase) BOTH the MIN and MAX across executions are kept
+  * (round-15 verdict ask 2): the max preserves the real first-execution
+  * cost the bench's min-of-reps wall hides (memoized builds report ~0 on
+  * warm reps), while the min bounds it from below — a single load-hit
+  * execution (run 81's 87.95 s append against a 4.1-5.9 s same-code
+  * band) can no longer become the sole phase figure of record. The
+  * artifact emits `{"min": …, "max": …}` per phase.
   */
 object PhaseTiming {
-  private val m = scala.collection.concurrent.TrieMap.empty[(String, String), Double]
+  private val m =
+    scala.collection.concurrent.TrieMap.empty[(String, String), (Double, Double)]
 
   def time[T](query: String, phase: String)(body: => T): T = {
     val t0 = System.nanoTime()
@@ -209,13 +214,15 @@ object PhaseTiming {
   }
 
   def record(query: String, phase: String, sec: Double): Unit = {
-    m.updateWith((query, phase))(prev =>
-      Some(math.max(prev.getOrElse(0.0), sec)))
+    m.updateWith((query, phase)) {
+      case Some((lo, hi)) => Some((math.min(lo, sec), math.max(hi, sec)))
+      case None => Some((sec, sec))
+    }
     ()
   }
 
-  /** query -> phase -> max seconds observed. */
-  def snapshot(): Map[String, Map[String, Double]] =
+  /** query -> phase -> (min, max) seconds observed across executions. */
+  def snapshot(): Map[String, Map[String, (Double, Double)]] =
     m.readOnlySnapshot().toMap.groupBy(_._1._1)
       .map { case (q, e) => q -> e.map { case ((_, p), v) => p -> v } }
 

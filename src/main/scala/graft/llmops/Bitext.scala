@@ -77,7 +77,7 @@ object Bitext {
     // parallelizes
     val src = VectorSearch.embeddingsBase(s, dir)
       .select(col("vec_id").as("src_id"), col("n_emb").as("s_emb"))
-      .repartition(32)
+      .repartition(s.sparkContext.defaultParallelism)
     src.crossJoin(tgt)
       .select(col("src_id"), col("tgt_id"),
         round(VectorSearch.dot(col("s_emb"), col("t_emb")) * SCALE)

@@ -50,7 +50,14 @@ object VectorSearch {
     // after the original session is stopped and collected, and a frame
     // bound to a dead session must never be served
     bases.get(key).filter(_.sparkSession eq s).getOrElse {
+      // spread the scan across the task slots BEFORE the normalize+cache:
+      // the fixture table is one parquet file = ONE scan partition, so
+      // every narrow derivation of the cached base (quantize passes,
+      // residual coding, probe grids) otherwise runs single-task no
+      // matter how many cores exist (profiled as lone multi-second
+      // single-task stages). defaultParallelism keeps it scale-adaptive.
       val df = T(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("emb"),
           graft.functions.ArrayOps.l2normalize(col("embedding")).as("n_emb"))
@@ -1124,12 +1131,18 @@ object VectorSearch {
     import s.implicits._
     val path = indexPath(dir)
     val (cb, codes) = pqIndex(s, dir)
-    cb.write.mode("overwrite").parquet(s"$path/codebooks")
-    codes.write.mode("overwrite").parquet(s"$path/codes")
-    sharedCentroids(s, dir).zipWithIndex
+    // the artifact writes land on disjoint paths — overlap the
+    // independent ones (core.Par, guide §2.6). The codebook write runs
+    // FIRST alone: codes derives from the (cached) cb, and a concurrent
+    // first materialization of both caches would train the codebooks
+    // twice. Centroids are driver rows already (sharedCentroids).
+    val centRows = sharedCentroids(s, dir).zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("ccid", "cent")
-      .write.mode("overwrite").parquet(s"$path/coarse")
+    cb.write.mode("overwrite").parquet(s"$path/codebooks")
+    graft.core.Par.run(
+      () => codes.write.mode("overwrite").parquet(s"$path/codes"),
+      () => centRows.toDF("ccid", "cent")
+        .write.mode("overwrite").parquet(s"$path/coarse"))
     path
   }
 

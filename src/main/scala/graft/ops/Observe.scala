@@ -97,10 +97,16 @@ object Observe {
       if (fs.getFileStatus(path).isDirectory) {
         // a file is visible to the scan only if NO path component under
         // the root is hidden (_ or . prefixed) — same rule Spark's file
-        // index applies, so footer_rows counts exactly the scan's files
+        // index applies, so footer_rows counts exactly the scan's files.
+        // The walk terminates on Path equality with the QUALIFIED root:
+        // fs.listFiles returns scheme-qualified paths (file:/...), so a
+        // raw-string comparison against the unqualified input would walk
+        // past the table root and test ancestor components above it
+        // (round-15 advice).
+        val rootQ = fs.makeQualified(path)
         def visible(p: org.apache.hadoop.fs.Path): Boolean = {
           var cur = p
-          while (cur != null && cur.toString != path.toString) {
+          while (cur != null && cur != rootQ) {
             val n = cur.getName
             if (n.startsWith("_") || n.startsWith(".")) return false
             cur = cur.getParent

@@ -96,14 +96,26 @@ object StreamOps {
     // the k=5 census caught the single-file assumption: a symlink to a
     // directory matches zero files in the streaming source, the replay
     // delivers zero batches, and every downstream read of the staged
-    // output fails). Symlink each data file; hidden/_ entries skipped
-    // with the same visibility rule the batch scan applies.
+    // output fails). Listing is RECURSIVE (round-15 advice: a
+    // PARTITIONED table nests its part files in key=value
+    // subdirectories, which the flat listing matched as zero files —
+    // the same failure class one level deeper), with the same
+    // hidden-component visibility rule the batch scan applies, and an
+    // empty data-file list fails loudly instead of replaying nothing.
+    def listData(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles).toSeq.flatten
+        .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+        .flatMap {
+          case f if f.isDirectory => listData(f)
+          case f if f.isFile && f.getName.endsWith(".parquet") => Seq(f)
+          case _ => Seq.empty
+        }
     val dataFiles: Seq[java.io.File] =
-      if (src.isDirectory)
-        src.listFiles.toSeq.filter(f => f.isFile &&
-          f.getName.endsWith(".parquet") &&
-          !f.getName.startsWith("_") && !f.getName.startsWith("."))
-      else Seq(src)
+      if (src.isDirectory) {
+        val fs = listData(src)
+        require(fs.nonEmpty, s"no visible .parquet data files under $path")
+        fs
+      } else Seq(src)
     (1 to copies).foreach { i =>
       dataFiles.zipWithIndex.foreach { case (f, j) =>
         Files.createSymbolicLink(

@@ -136,9 +136,9 @@ object HeavyDecadeProbe {
           println(f"DECADE $name%-22s k=$k%2d rows=$rows%8d sec=$sec%8.2f (la $la)")
           graft.core.PhaseTiming.snapshot().get(name).foreach { ps =>
             val s = ps.toSeq.sortBy(_._1)
-              .map { case (p, v) => f"$p=$v%.2f" }.mkString(" ")
+              .map { case (p, (_, hi)) => f"$p=$hi%.2f" }.mkString(" ")
             println(f"DECADE $name%-22s k=$k%2d phases: $s (search≈${
-              sec - ps.values.sum}%.2f)")
+              sec - ps.values.map(_._2).sum}%.2f)")
           }
         }
       }

@@ -78,6 +78,10 @@ object InventoryCensus {
           try { fn(spark, sfDir).count(); () }
           catch { case scala.util.control.NonFatal(e) =>
             errors += ((name, String.valueOf(e.getMessage).take(160))) }
+          // QueryExecutionListener events are delivered asynchronously;
+          // drain the bus BEFORE advancing the tag or an execution's
+          // hits mis-attribute to the next query (round-15 advice)
+          org.apache.spark.sql.graft.shims.drainListenerBus(spark)
           val sec = (System.nanoTime() - t0) / 1e9
           if (sec > 20) println(f"CENSUS $label $name%-28s $sec%7.1f s")
         }
