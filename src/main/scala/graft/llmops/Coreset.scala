@@ -46,21 +46,30 @@ object Coreset {
     centersFrom(VectorSearch.embeddingsBase(s, dir).select("vec_id", "n_emb"))
 
   private[graft] def centersFrom(base: DataFrame): Seq[(Int, Long, Long)] = {
+    // One job per greedy pass (round 16): the chosen centers ride along
+    // as a ≤K-vector LITERAL and the per-point max-cosine is
+    // array_max(transform(...)) — no center re-fetch join, no explode,
+    // no groupBy shuffle; each pass is scan → map → TakeOrdered(1).
+    // Identical arithmetic: the same round(dot·SCALE) per (point,
+    // center) pair, the same max, the same (ms ASC, vec_id) selection.
+    // The previous spelling ran ~3 jobs per pass (center filter-join,
+    // pair agg, argmin) and its wall was dominated by per-pass planning.
+    val seed = base.filter(col("vec_id") === 0L)
+      .select(col("n_emb")).head().getSeq[Double](0)
     var chosen = Vector((1, 0L, -1L))
+    var cents: Vector[Seq[Double]] = Vector(seed)
     while (chosen.length < K) {
       val ids = chosen.map(_._2)
-      val cents = base.filter(col("vec_id").isin(ids: _*))
-        .select(col("vec_id").as("cid"), col("n_emb").as("c_emb"))
-      val Array(row) = base
+      val centLit = typedLit(cents)
+      val sims = transform(centLit, c =>
+        round(VectorSearch.dot(col("n_emb"), c) * SCALE).cast("long"))
+      val r = base
         .filter(!col("vec_id").isin(ids: _*))
-        .crossJoin(broadcast(cents))
-        .select(col("vec_id"),
-          round(VectorSearch.dot(col("n_emb"), col("c_emb")) * SCALE)
-            .cast("long").as("s"))
-        .groupBy("vec_id").agg(max(col("s")).as("ms"))
+        .select(col("vec_id"), array_max(sims).as("ms"), col("n_emb"))
         .orderBy(col("ms").asc, col("vec_id").asc).limit(1)
-        .collect()
-      chosen :+= ((chosen.length + 1, row.getLong(0), row.getLong(1)))
+        .head()
+      chosen :+= ((chosen.length + 1, r.getLong(0), r.getLong(1)))
+      cents :+= r.getSeq[Double](2)
     }
     chosen
   }

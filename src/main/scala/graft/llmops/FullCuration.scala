@@ -292,11 +292,7 @@ object FullCuration {
     * text, n_tok).
     */
   def semStage(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    // one scan partition per fixture file means every narrow stage
-    // (the ICU normalization especially) runs single-task — spread the
-    // scan across the slots first (scale-adaptive; round 16)
     val docs = T(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
 
     // stage 1 — normalize (identity-recovering on the ASCII fixture:
     // inject U+0301 after every 'a', NFC-compose, accent-fold)

@@ -334,12 +334,9 @@ object IncrementalCuration {
        FROM verd v, digx, bnd
        GROUP BY v.lang, v.verdict, digx.digests_after, bnd.bands_after
        ORDER BY v.lang, v.verdict""") { (s, dir) =>
-    val docs0 = T(s, dir, "documents")
-    val cut = Incremental.cutoffValue(docs0)
+    val docs = T(s, dir, "documents")
+    val cut = Incremental.cutoffValue(docs)
     val scratch = freshScratch().toString
-    // one scan partition per fixture file → narrow shingle/digest work
-    // would run single-task; spread first (scale-adaptive; round 16)
-    val docs = docs0.repartition(s.sparkContext.defaultParallelism)
 
     // standing-state bootstrap (in production: already on disk, grown by
     // every prior batch's append — the cost amortizes to zero per batch)

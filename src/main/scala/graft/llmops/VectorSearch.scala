@@ -50,14 +50,13 @@ object VectorSearch {
     // after the original session is stopped and collected, and a frame
     // bound to a dead session must never be served
     bases.get(key).filter(_.sparkSession eq s).getOrElse {
-      // spread the scan across the task slots BEFORE the normalize+cache:
-      // the fixture table is one parquet file = ONE scan partition, so
-      // every narrow derivation of the cached base (quantize passes,
-      // residual coding, probe grids) otherwise runs single-task no
-      // matter how many cores exist (profiled as lone multi-second
-      // single-task stages). defaultParallelism keeps it scale-adaptive.
+      // NOTE (round 16): repartitioning this base to defaultParallelism
+      // was tried and REVERTED — it parallelizes the few compute-heavy
+      // consumers but taxes the many small/iterative ones (coreset,
+      // semdedup, embed_neardup ran 1.5-2.5x slower paying 32 tasks per
+      // tiny job). Heavy consumers spread the base themselves at their
+      // own entry (silhouette grid, bitext grid, the ivfpq append batch).
       val df = T(s, dir, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism)
         .select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("emb"),
           graft.functions.ArrayOps.l2normalize(col("embedding")).as("n_emb"))
@@ -304,8 +303,14 @@ object VectorSearch {
     } yield (a, b)
     import s.implicits._
     val allowed = surviving.toDF("a_cid", "b_cid")
+    // spread the stream side of the pair verification: the cached `own`
+    // frame coalesces to one tiny-bytes partition (cached-plan AQE,
+    // round 16), but the candidate-pair cosine verification downstream
+    // is compute-heavy — without this the whole bounded pair join ran
+    // single-task (x_embed_neardup 0.5 → 1.9 s, x_semdedup 0.8 → 2.3 s)
     val x = own.select(col("cid").as("a_cid"), col("vec_id").as("x_id"),
       col("emb").as("x_emb"))
+      .repartition(s.sparkContext.defaultParallelism)
     val y = own.select(col("cid").as("b_cid"), col("vec_id").as("y_id"),
       col("emb").as("y_emb"))
     x.join(broadcast(allowed), Seq("a_cid"))
@@ -1179,7 +1184,12 @@ object VectorSearch {
     * the batch).
     */
   def replicaBatch(s: SparkSession, dir: String): DataFrame = {
+    // spread the batch over the slots: the cached base is one partition
+    // (single fixture file), and the no-retrain coding pass downstream
+    // (subvectors + 256-way code assignment per block) is the heavy
+    // consumer that otherwise runs single-task (round 16)
     val e = embeddingsBase(s, dir).select(col("vec_id"), col("n_emb"))
+      .repartition(s.sparkContext.defaultParallelism)
     val shifted = "concat(slice(n_emb, 2, size(n_emb) - 1), slice(n_emb, 1, 1))"
     e.select((col("vec_id") + lit(INCR_OFFSET)).as("vec_id"),
       graft.functions.ArrayOps.l2normalize(
