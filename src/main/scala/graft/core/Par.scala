@@ -51,6 +51,22 @@ object Par {
     results.collect { case Right(v) => v }
   }
 
+  /** Fire-and-join-later: start `body` on the pool now, return a join
+    * function that blocks for (and re-throws from) it. For overlapping a
+    * side computation with a longer inline chain when Par.run's
+    * all-at-once shape doesn't fit.
+    */
+  def async[T](body: => T): () => T = {
+    val f = pool.submit(new java.util.concurrent.Callable[T] {
+      override def call(): T = body
+    })
+    () => try f.get()
+    catch {
+      case e: java.util.concurrent.ExecutionException =>
+        throw Option(e.getCause).getOrElse(e)
+    }
+  }
+
   /** Two-result convenience with precise types. */
   def run2[A, B](a: () => A, b: () => B): (A, B) = {
     val rs = run[Any](

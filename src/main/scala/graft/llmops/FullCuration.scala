@@ -302,6 +302,23 @@ object FullCuration {
       normText.as("text"),
       Incremental.holdoutColumn.as("holdout"))
 
+    // the holdout reference sets (8-gram digests + benchmark embeddings)
+    // are only consumed by stages 7/8 but depend on nothing the main
+    // chain produces — materialize them CONCURRENTLY with stages 1-6
+    // (core.Par, guide §2.6) so their holdout-split normalization and
+    // gram hashing leave the critical path
+    val refsJoin = graft.core.Par.async {
+      val bg = raw.filter(col("holdout"))
+        .select(explode(ArrayOps.wordShingleHashes(col("text"), K_GRAM))
+          .as("g"))
+        .distinct().localCheckpoint()
+      val be = VectorSearch.embeddingsBase(s, dir).join(
+          raw.filter(col("holdout")).select(col("doc_id").as("vec_id")),
+          "vec_id")
+        .select(col("emb").as("b_emb")).localCheckpoint()
+      (bg, be)
+    }
+
     // materialize the normalized TRAIN split once: the language-vote
     // branch and the repetition-shingle branch both consume it, and
     // without a barrier each re-runs the corpus-wide ICU normalization
@@ -391,10 +408,9 @@ object FullCuration {
       .localCheckpoint()
 
     // stage 7 — verbatim 8-gram decontamination vs the holdout split
-    // (gram digests, never gram strings, cross the shuffle)
-    val benchGrams = raw.filter(col("holdout"))
-      .select(explode(ArrayOps.wordShingleHashes(col("text"), K_GRAM)).as("g"))
-      .distinct()
+    // (gram digests, never gram strings, cross the shuffle); the
+    // reference sets were materialized concurrently above
+    val (benchGrams, benchEmb) = refsJoin()
     val contam = cl
       .select(col("doc_id"),
         explode(ArrayOps.wordShingleHashes(col("text"), K_GRAM)).as("g"))
@@ -405,9 +421,6 @@ object FullCuration {
     // stage 8 — semantic decontamination: broadcast the (tiny) holdout
     // embeddings, stream survivors against them — zero shuffle
     val eb = VectorSearch.embeddingsBase(s, dir)
-    val benchEmb = eb.join(
-        raw.filter(col("holdout")).select(col("doc_id").as("vec_id")), "vec_id")
-      .select(col("emb").as("b_emb"))
     val semLosers = afterNg.select(col("doc_id"))
       .join(eb.select(col("vec_id").as("doc_id"), col("emb")), Seq("doc_id"))
       .join(broadcast(benchEmb),

@@ -62,28 +62,20 @@ object Silhouette {
        ORDER BY vec_id""") { (s, dir) =>
     val e = VectorSearch.embeddingsBase(s, dir)
       .select("vec_id", "label", "n_emb")
-    // the pair grid as broadcast-array + explode instead of a
-    // BroadcastNestedLoopJoin: BNLJ evaluates condition and projection
-    // through row-at-a-time join machinery (measured ~9 µs/pair — the
-    // whole query wall), while Generate + Project run inside whole-stage
-    // codegen. The audit-sized contract is unchanged: the grid side is
-    // one collect_list over the (already model-sized) audit corpus, the
-    // same boundedness the dense-audit scaladoc declares.
-    val earr = e.select(struct(col("vec_id").as("j"), col("label").as("grp"),
-        col("n_emb").as("ej")).as("x"))
-      .agg(collect_list(col("x")).as("xs"))
     // the stream side inherits the cached base's single input partition,
     // which ran the whole O(n²) dot grid in ONE task (profiled: a lone
     // 2.5 s single-task stage = the query wall) — spread the point rows
-    // over the task slots; the grid work parallelizes embarrassingly
+    // over the task slots; the grid work parallelizes embarrassingly.
+    // (A broadcast collect_list + explode spelling was tried and
+    // reverted: Generate + struct-field extraction measured ~5× more CPU
+    // per pair than the nested-loop join's row machinery.)
     val g = e.select(col("vec_id").as("i"), col("label").as("own"),
         col("n_emb").as("ei"))
       .repartition(s.sparkContext.defaultParallelism)
-      .crossJoin(broadcast(earr))
-      .select(col("i"), col("own"), col("ei"), explode(col("xs")).as("x"))
-      .filter(col("i") =!= col("x.j"))
-      .select(col("i"), col("own"), col("x.grp").as("grp"),
-        round(VectorSearch.dot(col("ei"), col("x.ej")) * 1000000L)
+      .join(e.select(col("vec_id").as("j"), col("label").as("grp"),
+        col("n_emb").as("ej")), col("i") =!= col("j"))
+      .select(col("i"), col("own"), col("grp"),
+        round(VectorSearch.dot(col("ei"), col("ej")) * 1000000L)
           .cast("long").as("sij"))
       .groupBy("i", "own", "grp")
       .agg(sum(col("sij")).as("s"), count(lit(1)).as("n"))
