@@ -196,15 +196,36 @@ object Bench {
     regressions.foreach(n => System.err.println(s"BENCH REGRESSION >2x vs prev round (survived confirmation rep): $n"))
     val canaryExit = canaryProbe()
     // verdict only at the calibrated SF (null elsewhere — raw probe
-    // times still recorded for the reader)
+    // times still recorded for the reader). Paths are NORMALIZED before
+    // comparing (round-16 advice): a trailing slash, relative spelling or
+    // symlink of the calibrated dir must not silently disable the gate
+    // exactly where it applies.
+    def normPath(p: String): String =
+      try java.nio.file.Paths.get(p).toRealPath().toString
+      catch { case _: Exception =>
+        java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString }
     val canaryInBand: Option[Boolean] =
-      if (sfDir != canaryCalibratedSf) None
+      if (normPath(sfDir) != normPath(canaryCalibratedSf)) None
       else Some(canaryBands.forall { case (name, bar) =>
         canaryEntry.exists { case (n, t) => n == name && t > 0 && t <= bar } &&
           canaryExit.exists { case (n, t) => n == name && t > 0 && t <= bar }
       })
     if (canaryInBand.contains(false))
       System.err.println(s"BENCH CANARY OUT OF BAND (degraded window; totals/flags unreliable): entry=$canaryEntry exit=$canaryExit")
+    // mid-sweep contamination verdict (round-16 verdict ask 2): the
+    // entry/exit canary bounds the sweep but is blind to load that starts
+    // AND ends between the probes (runs 80/81/85 precedent). Score every
+    // query's time against the min of the last 3 CLEAN same-SF runs and
+    // take the max windowed-median ratio over the alphabetical sweep
+    // order — an external spike inflates a contiguous block, which no
+    // per-query confirmation rep (run under the same load) can clear.
+    val sweepDev = sweepDeviation(results2.sortBy(_._1), cleanRuns(sfDir, 3))
+    val sweepInBand: Option[Boolean] = sweepDev.map { case (_, _, maxWin) =>
+      maxWin <= sweepBandMax &&
+        canaryInBand.forall(identity) && loadEntry <= 1.5
+    }
+    if (sweepInBand.contains(false))
+      System.err.println(s"BENCH SWEEP OUT OF BAND (deviation vs clean band; adjudicate before trusting): $sweepDev")
     val loadEnd = loadavg()
     def fmt(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
@@ -234,6 +255,12 @@ object Bench {
     def canaryJson(c: Seq[(String, Double)]): String =
       c.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val canaries = s""""canary_entry_s":${canaryJson(canaryEntry)},"canary_exit_s":${canaryJson(canaryExit)},"canary_in_band":${canaryInBand.map(_.toString).getOrElse("null")}"""
+    val sweepJson = sweepDev match {
+      case Some((n, med, maxWin)) =>
+        s""""sweep_dev":{"n_scored":$n,"median":${fmt(med)},"max_window_median":${fmt(maxWin)},"band_max":$sweepBandMax},"sweep_in_band":${sweepInBand.map(_.toString).getOrElse("null")}"""
+      case None =>
+        s""""sweep_dev":null,"sweep_in_band":null"""
+    }
     // per-phase walls recorded by composite builds (index build vs
     // search pricing — PhaseTiming scaladoc); small by construction
     val phases = graft.core.PhaseTiming.snapshot().toSeq.sortBy(_._1)
@@ -260,7 +287,7 @@ object Bench {
       case _ => 0.0
     }
     System.err.println(s"""BENCH FULL {"queries":$qs,"vs_prev":$vp}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results2.size},"queries":$headQs,"errors":$errs,"regressions":$regs,"flag_classes":$flagClasses,"spikes_dismissed":$dism,"loadavg":$loads,"load_high":$loadHigh,$canaries,"phase_s":$phases,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results2.size},"queries":$headQs,"errors":$errs,"regressions":$regs,"flag_classes":$flagClasses,"spikes_dismissed":$dism,"loadavg":$loads,"load_high":$loadHigh,$canaries,$sweepJson,"phase_s":$phases,"sf":"$sfDir"}""")
     // persist this run APPEND-ONLY: one JSONL line per full run, so every
     // round's per-query numbers stay auditable on disk (the pre-round-4
     // overwrite destroyed round N-1's numbers each run; the driver's
@@ -271,7 +298,7 @@ object Bench {
         val allClasses = results2.collect {
           case (n, _) if storeRwClass.contains(n) => s"\"$n\":\"store_rw\""
         }.mkString("{", ",", "}")
-        w.write(s"""{"run":${runCount() + 1},"sf":"$sfDir","loadavg":$loads,"load_high":$loadHigh,$canaries,"phase_s":$phases,"spikes_dismissed":$dism,"classes":$allClasses,"queries":$qs}""" + "\n")
+        w.write(s"""{"run":${runCount() + 1},"sf":"$sfDir","loadavg":$loads,"load_high":$loadHigh,$canaries,$sweepJson,"phase_s":$phases,"spikes_dismissed":$dism,"classes":$allClasses,"queries":$qs}""" + "\n")
       }
       finally w.close()
     } catch { case _: Exception => } // read-only checkout: skip, don't fail
@@ -299,6 +326,76 @@ object Bench {
     val survived = flagged.filter(n =>
       prev.get(n).exists(p => isRegression(updated(n), p)))
     (updated, survived)
+  }
+
+  /** Mid-sweep contamination gate threshold: the max windowed-median
+    * ratio a sweep may show against the clean band. Calibrated on runs
+    * 78-86: genuinely clean sweeps read ≤1.22 (runs 82/84), the two
+    * canary-flagged driver records read 1.44/1.75 (runs 85/81), and the
+    * two sweeps that needed adjudication read 1.55/2.15 (runs 80/83 — 83's
+    * deviation was real code regressions, which is exactly the "adjudicate
+    * before trusting" semantics the flag carries).
+    */
+  private[graft] val sweepBandMax = 1.4
+
+  /** Per-query deviation of this sweep vs the min of the last clean runs:
+    * (n scored, global median ratio, max median over sweep-order windows
+    * of 40). Queries are scored only when both sides are valid and at
+    * least one is ≥0.15 s (below that, box noise alone exceeds any
+    * threshold). None when no clean reference run exists. Pure —
+    * unit-tested in BenchGateSpec.
+    */
+  def sweepDeviation(
+      resultsSorted: Seq[(String, Double)],
+      refs: Seq[Map[String, Double]],
+      window: Int = 40): Option[(Int, Double, Double)] = {
+    if (refs.isEmpty) return None
+    val ratios = resultsSorted.flatMap { case (name, cur) =>
+      val ref = refs.flatMap(_.get(name)).filter(_ > 0) match {
+        case s if s.nonEmpty => Some(s.min)
+        case _ => None
+      }
+      ref.collect { case r if cur > 0 && math.max(cur, r) >= 0.15 => cur / r }
+    }
+    if (ratios.isEmpty) return None
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val w = math.min(window, ratios.size)
+    val maxWin = (0 to ratios.size - w)
+      .map(i => median(ratios.slice(i, i + w))).max
+    Some((ratios.size, median(ratios), maxWin))
+  }
+
+  /** Per-query times of the last `n` CLEAN full runs at `sfDir` from
+    * bench_history.jsonl: canary in band, entry loadavg ≤ 1.5 (the
+    * leading element of the recorded loadavg triple), sweep flag (when
+    * present on the line) not false.
+    */
+  private def cleanRuns(sfDir: String, n: Int): Seq[Map[String, Double]] = {
+    val f = new java.io.File(historyFile)
+    if (!f.exists()) return Seq.empty
+    def parse(text: String): Option[Map[String, Double]] = {
+      val sfOk = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(text)
+        .exists(_.group(1) == sfDir)
+      val canaryOk = "\"canary_in_band\"\\s*:\\s*true".r
+        .findFirstIn(text).isDefined
+      val sweepOk = "\"sweep_in_band\"\\s*:\\s*false".r
+        .findFirstIn(text).isEmpty
+      val loadOk = "\"loadavg\"\\s*:\\s*\\[\\s*(-?[0-9.]+)".r
+        .findFirstMatchIn(text).exists(_.group(1).toDouble <= 1.5)
+      if (!sfOk || !canaryOk || !sweepOk || !loadOk) None
+      else Some {
+        val inner = "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(text)
+          .map(_.group(1)).getOrElse("")
+        "\"([^\"]+)\"\\s*:\\s*(-?[0-9.eE+-]+)".r.findAllMatchIn(inner)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+    scala.io.Source.fromFile(f).getLines().toSeq.reverse
+      .flatMap(parse).take(n)
   }
 
   /** 1-minute loadavg from /proc/loadavg, or -1 where unreadable. */

@@ -59,13 +59,28 @@ object Profile {
       val fn = SparkEntry.queries(name)
       (1 to 2).foreach { rep =>
         done.synchronized(done.clear())
+        // decompose the per-query driver floor (round-17 verdict ask 1):
+        // build (plan construction) / plan (analysis+optimization+physical
+        // planning, from the QueryPlanningTracker) / execute (jobs + AQE
+        // re-optimization + scheduling, where gap = wall − jobSum)
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        val df = fn(spark, sfDir)
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val cnt = df.groupBy().count()
+        cnt.queryExecution.executedPlan // force analysis/opt/planning
+        val tPlan = (System.nanoTime() - t1) / 1e9
+        val phases = cnt.queryExecution.tracker.phases
+          .map { case (p, s) => s"$p=${(s.endTimeMs - s.startTimeMs)}ms" }
+          .mkString(" ")
+        val t2 = System.nanoTime()
+        cnt.collect()
+        val tExec = (System.nanoTime() - t2) / 1e9
         val wall = (System.nanoTime() - t0) / 1e9
         Thread.sleep(300) // let the async listener bus drain
         val lines = done.synchronized(done.toSeq)
         val jobSum = lines.map(_._2).sum
-        println(f"\n== $name rep $rep wall=$wall%.3f s jobs=${lines.size} jobSum=$jobSum%.3f s (gap=${wall - jobSum}%.3f s driver/planning)")
+        println(f"\n== $name rep $rep wall=$wall%.3f s (build=$tBuild%.3f plan=$tPlan%.3f exec=$tExec%.3f) jobs=${lines.count(_._2 > 0)} jobSum=$jobSum%.3f s execGap=${tExec - jobSum}%.3f s [$phases]")
         lines.zipWithIndex.foreach { case ((site, sec), i) =>
           println(f"  job$i%3d $sec%8.3f s  $site")
         }

@@ -175,8 +175,12 @@ object Preference {
           .map { case (_, j, _, nGames) => nGames * BT_K / (pi(i) + pi(j)) }
           .sum
       }.toMap
+      // d(i)=0 is reachable when every per-opponent term floors to zero
+      // (pi(i)+pi(j) > nGames*BT_K). The in-engine spelling this replaced
+      // used non-ANSI `div` (NULL on zero divisor) + greatest(NULL, 1) = 1;
+      // preserve that: zero denominator pins the rating at the floor.
       pi = players.map(i =>
-        i -> math.max(winsOf(i) * BT_K / d(i), 1L)).toMap
+        i -> (if (d(i) == 0L) 1L else math.max(winsOf(i) * BT_K / d(i), 1L))).toMap
     }
     val ranked = players
       .map(i => (i, gamesOf(i), winsOf(i), pi(i)))

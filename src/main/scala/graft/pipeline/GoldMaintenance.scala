@@ -84,14 +84,13 @@ object GoldMaintenance {
         // directories present in the recompute are replaced.
         val recomputed = aggregate(
           ev.join(broadcast(touched), Seq("event_date"), "left_semi"))
-        val prevMode =
-          s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        try {
-          s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-          recomputed.write.mode("overwrite").partitionBy("day")
-            .parquet(goldPath)
-        } finally
-          s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+        // writer-scoped dynamic overwrite (NOT session conf): this thunk
+        // runs inside Par.run, and a session-global conf flip would leak
+        // dynamic-overwrite semantics into any concurrently running
+        // sibling write (round-16 advice)
+        recomputed.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("day").parquet(goldPath)
         0L
       },
       () => touched.count(),
@@ -172,11 +171,9 @@ object GoldMaintenance {
     val recomputed = aggregate(
       corrected.join(broadcast(touched), Seq("event_date"), "left_semi"))
       .localCheckpoint() // read twice: the overwrite + the present-days set
-    val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    try {
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      recomputed.write.mode("overwrite").partitionBy("day").parquet(goldPath)
-    } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    recomputed.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(goldPath)
 
     // the trap: touched days with an EMPTY recompute kept their stale
     // partition through the dynamic overwrite — drop them explicitly

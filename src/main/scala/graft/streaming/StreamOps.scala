@@ -118,11 +118,26 @@ object StreamOps {
       } else Seq(src)
     (1 to copies).foreach { i =>
       dataFiles.zipWithIndex.foreach { case (f, j) =>
+        // mirror any key=value partition subdirectories between the table
+        // root and each data file (round-16 advice): the pinned schema
+        // derives partition columns from those path components, and a FLAT
+        // symlink layout would silently read them as null in every
+        // streamed row
+        val destDir = Option(src.toPath.relativize(f.toPath).getParent)
+          .filter(_ => src.isDirectory)
+          .fold(streamDir)(rel => streamDir.resolve(rel))
+        Files.createDirectories(destDir)
         Files.createSymbolicLink(
-          streamDir.resolve(s"${i}_${j}_${f.getName}"), f.toPath)
+          destDir.resolve(s"${i}_${j}_${f.getName}"), f.toPath)
       }
     }
-    val mtime = src.lastModified
+    // directory sources key the schema memo on the max DATA-FILE mtime
+    // (round-16 advice): the root dir's mtime only moves when direct
+    // children are added/removed, so an in-place part-file rewrite one
+    // level down would keep serving the stale memoized schema
+    val mtime =
+      if (src.isDirectory) dataFiles.map(_.lastModified).max
+      else src.lastModified
     s.readStream
       .schema(fileSchemas.getOrElseUpdate((path, mtime),
         s.read.parquet(path).schema))

@@ -68,4 +68,45 @@ class BenchGateSpec extends AnyFunSuite {
     assert(times("q_b") === 3.4) // crashed rep ignored
     assert(survived === Seq("q_a", "q_b")) // both still flagged
   }
+
+  // --- sweep deviation: mid-sweep contamination the entry/exit canary
+  //     misses (round-16 verdict ask 2) ---
+
+  private def mkRun(n: Int, sec: Int => Double): Seq[(String, Double)] =
+    (0 until n).map(i => f"q$i%03d" -> sec(i))
+
+  test("sweep deviation: clean sweep matches the clean band") {
+    val ref = mkRun(100, _ => 0.5).toMap
+    val cur = mkRun(100, i => 0.5 * (if (i % 2 == 0) 1.1 else 0.95))
+    val Some((n, med, maxWin)) = Bench.sweepDeviation(cur, Seq(ref))
+    assert(n === 100)
+    assert(med < Bench.sweepBandMax && maxWin < Bench.sweepBandMax)
+  }
+
+  test("sweep deviation: a contiguous 2x block trips the windowed median") {
+    // the run-85 shape: external load inflates one alphabetical block
+    val ref = mkRun(100, _ => 0.5).toMap
+    val cur = mkRun(100, i => if (i >= 20 && i < 65) 1.0 else 0.5)
+    val Some((_, med, maxWin)) = Bench.sweepDeviation(cur, Seq(ref))
+    assert(maxWin > Bench.sweepBandMax, s"window median $maxWin must flag")
+    assert(med < Bench.sweepBandMax, "the global median alone misses it")
+  }
+
+  test("sweep deviation: scattered single-query regressions do not trip it") {
+    val ref = mkRun(100, _ => 0.5).toMap
+    val cur = mkRun(100, i => if (i % 10 == 0) 1.5 else 0.5)
+    val Some((_, _, maxWin)) = Bench.sweepDeviation(cur, Seq(ref))
+    assert(maxWin < Bench.sweepBandMax)
+  }
+
+  test("sweep deviation: sub-floor queries and crashes are not scored") {
+    val ref = Map("q_a" -> 0.05, "q_b" -> 0.5, "q_c" -> 0.5)
+    val cur = Seq("q_a" -> 0.14, "q_b" -> -1.0, "q_c" -> 0.5)
+    val Some((n, _, _)) = Bench.sweepDeviation(cur, Seq(ref))
+    assert(n === 1) // only q_c: q_a both sides <0.15, q_b crashed
+  }
+
+  test("sweep deviation: no clean reference runs -> None") {
+    assert(Bench.sweepDeviation(mkRun(10, _ => 0.5), Seq.empty) === None)
+  }
 }
