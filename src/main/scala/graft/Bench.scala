@@ -85,6 +85,9 @@ object Bench {
         "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // shuffle files on the fastest local scratch (tmpfs when present;
+      // see core.Scratch.sparkLocalDir) — transient by definition
+      .config("spark.local.dir", graft.core.Scratch.sparkLocalDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // state-store provider knob for the streaming queries (experiment:

@@ -25,6 +25,9 @@ object Sessions {
         "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // shuffle files on the fastest local scratch (tmpfs when present;
+      // see core.Scratch.sparkLocalDir) — transient by definition
+      .config("spark.local.dir", graft.core.Scratch.sparkLocalDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

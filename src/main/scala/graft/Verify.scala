@@ -17,6 +17,8 @@ object Verify {
       // times (cached-plan AQE coalescing, round 16)
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
+      // same local scratch as the bench session (tmpfs when present)
+      .config("spark.local.dir", graft.core.Scratch.sparkLocalDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

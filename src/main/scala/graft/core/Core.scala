@@ -164,8 +164,27 @@ object BucketCumsum {
   * Extra.scratchRoot discipline, shared.
   */
 object Scratch {
+  /** Temp dir on the fastest local scratch available: tmpfs (/dev/shm)
+    * when present, else java.io.tmpdir. Everything written here is
+    * transient BY CONSTRUCTION — per-run store generations, shuffle
+    * spill, staged index artifacts — recreated from the parquet inputs
+    * on every invocation and swept at JVM exit, so durability buys
+    * nothing and disk-journal latency is pure overhead (guide §6: put
+    * scratch I/O on the fastest storage; a real deployment points these
+    * roots at local SSD / ramdisk the same way). The StreamOps replay
+    * checkpoints established this discipline; this extends it to every
+    * scratch root.
+    */
+  private[graft] def tmpDir(prefix: String): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, prefix)
+    else java.nio.file.Files.createTempDirectory(prefix)
+  }
+
   private lazy val root: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft_lake")
+    val p = tmpDir("graft_lake")
     sys.addShutdownHook {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
@@ -175,6 +194,18 @@ object Scratch {
     p
   }
   def path(name: String): String = s"$root/$name"
+
+  /** Spark local dir (shuffle files, block-manager spill) on the same
+    * fast scratch; lives under [[root]] so the JVM-exit sweep removes
+    * whatever Spark's own cleanup leaves behind. Shuffle data is
+    * transient by definition — on a real cluster this is the
+    * local-SSD/ramdisk mount the submitter passes as spark.local.dir.
+    */
+  lazy val sparkLocalDir: String = {
+    val p = root.resolve("spark_local")
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
 
   /** A fresh directory per invocation under the SAME swept root, for
     * stores that accumulate state and must not be reused in place

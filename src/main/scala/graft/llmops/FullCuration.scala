@@ -319,12 +319,16 @@ object FullCuration {
       (bg, be)
     }
 
-    // materialize the normalized TRAIN split once: the language-vote
-    // branch and the repetition-shingle branch both consume it, and
-    // without a barrier each re-runs the corpus-wide ICU normalization
+    // the normalized TRAIN split: the language-vote branch and the
+    // repetition-shingle branch both consume it. NO barrier here
+    // (round-17): a localCheckpoint serialized a corpus-wide
+    // normalization job in front of qual's own job, while the two
+    // consumers live inside ONE downstream plan whose independent
+    // stages AQE materializes concurrently — the duplicated ICU map
+    // work runs in parallel slack and the serial wall drops by a full
+    // job (A/B numbers in OPTIMIZATION_r17.md)
     val train = raw.filter(!col("holdout"))
       .select(col("doc_id"), col("source"), col("lang"), col("text"))
-      .localCheckpoint()
 
     // stages 2+3 (narrow part) — language vote + length/stopword signals
     val words = split(col("text"), " ")
@@ -367,11 +371,15 @@ object FullCuration {
       .localCheckpoint()
 
     // stage 4 — exact-dedup LOSERS (small side; the cache-the-losers
-    // discipline of DedupPipeline)
+    // discipline of DedupPipeline). Lazy (round-17): both consumers
+    // (the shingle-set anti join and nd's anti join) sit in the same
+    // downstream plan over the qual LEAF, so the identical digest-window
+    // exchange is deduped by ReuseExchange instead of being forced by a
+    // serial localCheckpoint job ahead of everything stage 5 does
     val exLosers = qual.withColumn("digest", md5(col("text")))
       .withColumn("rn", row_number().over(
         Window.partitionBy("digest").orderBy("doc_id")))
-      .filter(col("rn") > 1).select("doc_id").localCheckpoint()
+      .filter(col("rn") > 1).select("doc_id")
 
     // stage 5 — near-dup losers on the FULL text (see scaladoc: fuzzy
     // dedup before line removal, the RefinedWeb order): condensed
@@ -419,9 +427,15 @@ object FullCuration {
     val afterNg = cl.join(contam, Seq("doc_id"), "left_anti")
 
     // stage 8 — semantic decontamination: broadcast the (tiny) holdout
-    // embeddings, stream survivors against them — zero shuffle
+    // embeddings, stream survivors against them — zero shuffle. The
+    // loser set is computed from `cl` rather than afterNg (round-17):
+    // per-doc the cosine test is independent of stage 7, and
+    // semLosers_cl ∩ afterNg = semLosers_afterNg (the extra scored docs
+    // are exactly the contaminated ones the anti join below has already
+    // removed), so decoupling lets AQE materialize the gram-explode and
+    // the cosine stages CONCURRENTLY instead of serially
     val eb = VectorSearch.embeddingsBase(s, dir)
-    val semLosers = afterNg.select(col("doc_id"))
+    val semLosers = cl.select(col("doc_id"))
       .join(eb.select(col("vec_id").as("doc_id"), col("emb")), Seq("doc_id"))
       .join(broadcast(benchEmb),
         VectorSearch.cosine(col("emb"), col("b_emb")) >= COSINE_TAU,

@@ -467,7 +467,7 @@ object Governance {
   val FORGET_SLICE = 10000L
 
   private def freshScratch(): java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft_forget")
+    val p = graft.core.Scratch.tmpDir("graft_forget")
     sys.addShutdownHook {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()

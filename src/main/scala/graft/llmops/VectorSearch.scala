@@ -1096,7 +1096,7 @@ object VectorSearch {
     * writers, removed on JVM exit).
     */
   private lazy val indexRoot: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft_pqindex")
+    val p = graft.core.Scratch.tmpDir("graft_pqindex")
     sys.addShutdownHook {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()

@@ -306,7 +306,7 @@ object Extra {
     * directory per invocation.
     */
   private lazy val scratchRoot: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft_scratch")
+    val p = graft.core.Scratch.tmpDir("graft_scratch")
     sys.addShutdownHook {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()

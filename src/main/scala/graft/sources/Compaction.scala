@@ -62,7 +62,7 @@ object Compaction {
     * would race evaluation).
     */
   private def freshScratch(): java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft_compact")
+    val p = graft.core.Scratch.tmpDir("graft_compact")
     sys.addShutdownHook {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
